@@ -1,0 +1,86 @@
+"""Self-check harness replicating the driver's Spark-vs-DuckDB
+comparison (row count + schema-insensitive column-name match +
+order-insensitive value comparison), so oracle drift is caught
+locally before the round gate runs.
+
+Usage:  python tests/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from top_produce_etl_spark.queries import get_oracles, get_queries
+from top_produce_etl_spark.session import create_spark_session
+from top_produce_etl_spark.io.sources import TABLES
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def compare(name: str, sf_dir: str, spark, con) -> tuple[bool, str]:
+    sdf = get_queries()[name](spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(normalize(row[c]) for c in spark_cols) for row in sdf.collect()]
+
+    res = con.execute(get_oracles()[name])
+    duck_cols_orig = [d[0] for d in res.description]
+    order = sorted(range(len(duck_cols_orig)), key=lambda i: duck_cols_orig[i])
+    duck_cols = [duck_cols_orig[i] for i in order]
+    duck_rows = [tuple(normalize(r[i]) for i in order) for r in res.fetchall()]
+
+    if spark_cols != duck_cols:
+        return False, f"cols: spark={spark_cols} duck={duck_cols}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"rowcount: spark={len(spark_rows)} duck={len(duck_rows)}"
+    if sorted(spark_rows) != sorted(duck_rows):
+        sset, dset = sorted(spark_rows), sorted(duck_rows)
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(sset, dset)) if a != b)
+        return False, f"values differ, first diff at sorted idx {diff[0]}:\n  spark={diff[1]}\n  duck ={diff[2]}"
+    return True, f"OK ({len(spark_rows)} rows)"
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = [a for a in args if not os.path.isdir(a)] or None
+
+    spark = create_spark_session("oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    oracles = get_oracles()
+    queries = get_queries()
+    targets = names or sorted(queries)
+    failures = 0
+    for name in targets:
+        if name not in oracles:
+            n = queries[name](spark, sf_dir).count()
+            print(f"{name:35s} ROWS-ONLY ({n} rows)")
+            continue
+        try:
+            ok, msg = compare(name, sf_dir, spark, con)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        print(f"{name:35s} {'PASS' if ok else 'FAIL'} {msg}")
+        failures += 0 if ok else 1
+    print(f"\n{failures} failures / {len(targets)} queries")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Sinks.
+
+Generalizes the reference's single parquet-prefix sink
+(``config/config_prod.yaml:7-8``; snappy codec via session conf,
+reference ``spark_helper.py:25``).
+
+Scale notes:
+- ``partition_by`` on the business partition column (e.g. date or
+  the grouping column) enables static+dynamic partition pruning for
+  downstream readers — at 100 TB an unpartitioned output directory
+  is a full-scan tax on every consumer.
+- Writers never ``coalesce(1)``: output file count follows the final
+  stage's partitioning (AQE-coalesced), which is what you want on a
+  1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if options:
+        writer = writer.options(**options)
+    writer.format(fmt).save(path)

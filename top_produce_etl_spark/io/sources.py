@@ -1,0 +1,72 @@
+"""Source readers.
+
+Config-driven source dispatch generalizing the reference's
+``input.source_type`` key (reference ``config/config_prod.yaml:4-6``).
+The reference only ever names an S3 prefix; here 's3', 'file' and
+bare paths all resolve through the same format readers because Spark
+treats them uniformly as Hadoop-FS URIs — filters and column
+projections push down into the parquet scan either way.
+
+Scale note: readers never ``inferSchema`` CSV/JSON at full scale
+without an explicit opt-in — a schema inference pass is a second
+full read of 100 TB. Parquet carries its schema; for text formats
+callers pass an explicit schema or accept strings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# Canonical fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read one table. ``fmt`` ∈ {parquet, csv, json}; ``source_type``
+    's3'/'file' both route here (the URI scheme differentiates)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if options:
+        reader = reader.options(**options)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "csv":
+        # header=true is the sane default for analyst CSVs; schema
+        # inference only when no schema given AND caller opted in.
+        opts = {"header": "true"}
+        opts.update(options or {})
+        return spark.read.options(**opts).schema(schema).csv(path) if schema is not None else spark.read.options(**opts).csv(path)
+    if fmt == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from a scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load the fixture star schema as a dict of DataFrames."""
+    return {t: load_table(spark, sf_dir, t) for t in tables}
