@@ -1,0 +1,81 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Protocol per BASELINE.md: first run discarded as JVM/codegen warmup,
+value = per-query median of 3 timed runs, total = sum of medians.
+Each run forces FULL computation via the noop sink (a bare
+``count()`` would let Catalyst prune projections and undercount the
+work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+RUNS = 3
+
+# One representative per operator family (SURVEY.md §2 / BASELINE.md).
+HEADLINE = [
+    "flagship_top3_region",      # scan+join+agg+window (the reference's core)
+    "q1_pricing_summary",        # aggregate
+    "left_join_order_counts",    # outer join
+    "asof_join_purchase_click",  # custom as-of join
+    "running_customer_spend",    # window frames
+    "top_orders_global",         # sort/limit
+    "union_all_segments",        # set op
+    "json_pack_events",          # JSON/scalar
+    "session_windows_30m",       # event-time
+    "ngram_jaccard_pairs",       # dedup exact
+    "minhash_lsh_pairs",         # dedup LSH
+    "cosine_topk_bruteforce",    # similarity
+    "text_stats",                # text analysis
+]
+
+
+def main() -> None:
+    from top_produce_etl_spark.queries import get_queries
+    from top_produce_etl_spark.session import create_spark_session
+
+    spark = create_spark_session(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = get_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        times = []
+        for i in range(RUNS + 1):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            if i > 0:  # discard warmup
+                times.append(dt)
+        timings[name] = round(statistics.median(times), 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "sum_median_sec_headline_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Unit tests for dedup + similarity operators (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from top_produce_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+    (3, "completely different words about spark engines and shuffles here"),
+    (4, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = exact_dedup(df, "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["n_dups"] for r in out}
+    assert by_id == {1: 2, 2: 1, 3: 1}
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    df = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    out = jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert [(r["a_id"], r["b_id"]) for r in out] == [(1, 2)]
+    assert 0.5 <= out[0]["jaccard"] < 1.0
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    df = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])
+    exact = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    assert exact == lsh
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")], ["doc_id", "text"]
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[3]
+    assert all(s >= 0 for s in sigs.values())  # bit 63 unused → non-negative
+
+
+def test_simhash_pairs_near_dup_detected(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "a b c d e f g h i j k l m n o q"),  # 1 token differs
+            (3, "z9 y8 x7 w6 v5 u4 t3 s2 r1 q0 p9 o8 n7 m6 l5 k4"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = simhash_pairs(df, "doc_id", "text", max_hamming=8, n_chunks=16)
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    out = cosine_topk_bruteforce(df, q, "vec_id", "embedding", k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(1, 1), (3, 2)]
+
+
+def test_cosine_lsh_subset_of_exact_scores(spark):
+    """LSH output must re-score candidates exactly: every returned
+    (query, neighbor, cosine) must equal the brute-force cosine."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk_bruteforce(df, q, "vec_id", "embedding", k=40).collect()
+    }
+    lsh = cosine_topk_lsh(
+        df, q, "vec_id", "embedding", k=3, n_planes=4, n_tables=8, dim=16
+    ).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-12

@@ -63,8 +63,25 @@ def read_table(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from a scale-factor directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table from a scale-factor directory.
+
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized parquet reader rejects
+    ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw int64 via the
+    legacy conf and rebuild a microsecond timestamp with integer
+    division (``div`` — float division would lose precision above
+    2^53 ns). Truncation matches DuckDB's nanos→micros read.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

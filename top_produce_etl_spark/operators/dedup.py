@@ -1,0 +1,256 @@
+"""Deduplication operators (SURVEY.md §2.11; BASELINE.json north
+star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes:
+- Exact dedup is a hash-aggregate on the dedup key — one shuffle,
+  map-side partial. Hashing the full text into a 64-bit key first
+  (``xxhash64``) keeps the shuffle narrow at 100 TB; collisions are
+  2^-64-rare and only merge docs, so for exactness we group on the
+  (hash, text) pair — the shuffle still sorts/partitions by hash.
+- Jaccard pair-join uses an inverted index (shingle → doc), so cost
+  scales with shared-shingle pairs, not |docs|². Hot "stop
+  shingles" are the skew risk: ``max_df`` drops shingles appearing
+  in more than a fraction of docs (standard trick; biases Jaccard
+  slightly, so the oracle-checked query leaves it off).
+- MinHash+LSH: per-doc signatures via p independent hash perms
+  (xxhash64 seeded by perm index — deterministic), banded into
+  b bands of r rows; docs sharing any band bucket are candidates;
+  candidates are verified with EXACT Jaccard so false positives
+  vanish and the output equals exact-threshold pairs up to LSH
+  recall (1-(1-t^r)^b; with p=64, r=2, b=32 at t=0.5 that is
+  1-1e-4 — effectively exact, while the pair-join only touches
+  band-bucket collisions instead of every shared-shingle pair).
+- SimHash: 64-bit signature by per-bit weighted votes of token
+  hashes — computed entirely with JVM expressions (explode +
+  bit-shift aggregates), no Python. Near-dup = Hamming ≤ d via
+  chunk blocking (pigeonhole: d<chunks ⇒ some chunk equal).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.text import word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Representative-selection exact dedup: keep min(id) per text,
+    report the duplicate count. Output: id_col, text_col, n_dups."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups")
+    ).select(id_col, text_col, "n_dups")
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None = None
+) -> DataFrame:
+    """Distinct (id, shingle) inverted-index input. ``max_df`` drops
+    shingles occurring in more than that many docs (skew guard)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    ).distinct()
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        keep = df_counts.filter(F.col("__df") <= max_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: all doc pairs (a<b)
+    with ``|A∩B| / |A∪B| >= threshold`` over k-word shingle sets.
+    Output: a_id, b_id, jaccard."""
+    sh = shingle_table(df, id_col, text_col, k, max_df)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_perm: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature: for perm i, min over shingles of
+    xxhash64(i, shingle). One aggregate pass, p agg expressions."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash+LSH near-dup join, exact-verified.
+
+    Pipeline: shingle → signatures → band buckets → candidate pairs
+    (band-bucket collisions) → EXACT Jaccard verification via
+    array_intersect on collected shingle sets. Output schema matches
+    :func:`jaccard_pairs` (a_id, b_id, jaccard); equality holds up
+    to LSH recall (see module docstring).
+    """
+    n_bands = num_perm // rows_per_band
+    sh = shingle_table(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_perm)
+
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    # (doc, band_idx, bucket) long form → join on (band_idx, bucket)
+    buckets = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    left = buckets.select(F.col(id_col).alias("a_id"), "band", "bucket")
+    right = buckets.select(F.col(id_col).alias("b_id"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    # Exact verification: attach each side's shingle set, intersect.
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    verified = (
+        candidates.join(
+            sets.select(F.col(id_col).alias("a_id"), F.col("sset").alias("sa")), "a_id"
+        )
+        .join(
+            sets.select(F.col(id_col).alias("b_id"), F.col("sset").alias("sb")), "b_id"
+        )
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash per doc, entirely in JVM expressions.
+
+    token → xxhash64 → per-bit vote weighted by term frequency →
+    signature bit i = 1 iff vote_i > 0. Output: id_col, simhash
+    (bigint, bits packed little-endian).
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tf.groupBy(id_col).agg(*votes)
+    sig = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(63),  # bit 63 excluded: keep the packed value non-negative
+        F.lit(0).cast("long"),
+    )
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Blocking by pigeonhole: split the 64-bit signature into
+    ``n_chunks`` chunks; distance ≤ d < n_chunks ⇒ at least one
+    chunk is identical, so candidates = pairs sharing (chunk_idx,
+    chunk_value); verified with exact popcount of XOR.
+    """
+    assert max_hamming < n_chunks, "pigeonhole requires d < chunks"
+    sig = simhash_signatures(df, id_col, text_col)
+    width = 64 // n_chunks
+    chunks = [
+        F.shiftright(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"c{i}")
+        for i in range(n_chunks)
+    ]
+    long_form = sig.select(F.col(id_col), F.col("simhash"), *chunks).select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(F.array(*[F.col(f"c{i}") for i in range(n_chunks)])).alias(
+            "chunk", "cval"
+        ),
+    )
+    a = long_form.select(
+        F.col(id_col).alias("a_id"), F.col("simhash").alias("sa"), "chunk", "cval"
+    )
+    b = long_form.select(
+        F.col(id_col).alias("b_id"), F.col("simhash").alias("sb"), "chunk", "cval"
+    )
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

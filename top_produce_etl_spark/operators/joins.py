@@ -44,7 +44,7 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
 def range_join(
     left: DataFrame,
     right: DataFrame,
-    equi_on: list[str],
+    equi_on: list[str | tuple[str, str]],
     left_ts: str,
     right_lo: str,
     right_hi: str,
@@ -53,10 +53,12 @@ def range_join(
     """Equi + interval join: match when the equi keys agree and
     ``right_lo <= left_ts < right_hi``. The equi keys make this a
     hash/sort-merge join with a residual range filter — never a
-    broadcast-nested-loop, so it scales."""
+    broadcast-nested-loop, so it scales. ``equi_on`` items are a
+    shared column name or a ``(left_name, right_name)`` pair."""
     cond = None
     for k in equi_on:
-        c = left[k] == right[k]
+        lk, rk = (k, k) if isinstance(k, str) else k
+        c = left[lk] == right[rk]
         cond = c if cond is None else (cond & c)
     rng = (left[left_ts] >= right[right_lo]) & (left[left_ts] < right[right_hi])
     cond = rng if cond is None else (cond & rng)

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11):
+brute-force cosine top-k (the exact baseline) and an LSH-bucketed
+approximate variant (the scale path).
+
+Scale design:
+- Brute force broadcasts the QUERY set and streams the corpus —
+  cost |Q|·|C|·dim with no corpus shuffle; right-sized when |Q| is
+  small (the common "probe a handful of vectors" case). The corpus
+  never collects to the driver.
+- The LSH variant (random-hyperplane signs → bucket join) bounds
+  candidate pairs by bucket collisions; exact re-scoring on the
+  candidates only. Hyperplanes are derived deterministically from
+  a seed via xxhash64 so results are reproducible run-to-run.
+- Dot products accumulate in exact DECIMAL (see functions.numeric
+  rationale) so scores are independent of partitioning and
+  bit-comparable to a serial oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec_dot(a: Column, b: Column) -> Column:
+    """Exact-decimal dot product of two float arrays (as double)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    acc = F.aggregate(
+        prod,
+        F.lit(0).cast("decimal(28,14)"),
+        lambda s, v: (s + v.cast("decimal(28,14)")).cast("decimal(28,14)"),
+    )
+    return acc.cast("double")
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, F.sqrt(_dec_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: query_id, neighbor_id, cosine, rank (1..k). Excludes
+    self-matches. Queries are broadcast; ranking tie-breaks on
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        _dec_dot(F.col("__qv"), F.col("__cv"))
+        / (
+            F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv")))
+            * F.sqrt(_dec_dot(F.col("__cv"), F.col("__cv")))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane_sign(vec_col: Column, plane_idx: int, dim: int) -> Column:
+    """Sign of <v, h_i> where h_i is a deterministic ±1 hyperplane:
+    component j = +1 if xxhash64(plane_idx, j) is even else -1.
+    Rademacher hyperplanes preserve the SimHash/cosine-LSH
+    collision-probability property and need no stored matrix."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(
+            F.pmod(F.xxhash64(F.lit(plane_idx), j), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+    dot = F.aggregate(
+        F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return (dot > 0).cast("int")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k cosine: random-hyperplane LSH buckets
+    (n_tables independent tables of n_planes bits), candidates =
+    corpus vectors sharing a bucket with the query in ANY table,
+    exact cosine re-scoring on candidates only.
+
+    Output schema matches :func:`cosine_topk_bruteforce`; rank may
+    have < k rows per query when recall misses (approximate by
+    design — the driver records a rows-only check).
+    """
+
+    def bucket_cols(df: DataFrame, idc: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            bits = [
+                _hyperplane_sign(F.col(vec_col), t * n_planes + p, dim)
+                for p in range(n_planes)
+            ]
+            code = None
+            for b in bits:
+                code = b if code is None else (code * 2 + b)
+            out = out.withColumn(f"__bkt{t}", code)
+        return out.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(f"__{idc}_v"),
+            F.posexplode(
+                F.array(*[F.col(f"__bkt{t}") for t in range(n_tables)])
+            ).alias("table", "bucket"),
+        )
+
+    qb = bucket_cols(queries, "query_id")
+    cb = bucket_cols(corpus, "neighbor_id")
+    candidates = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
+        .distinct()
+    )
+    scored = candidates.withColumn(
+        "cosine",
+        _dec_dot(F.col("__query_id_v"), F.col("__neighbor_id_v"))
+        / (
+            F.sqrt(_dec_dot(F.col("__query_id_v"), F.col("__query_id_v")))
+            * F.sqrt(_dec_dot(F.col("__neighbor_id_v"), F.col("__neighbor_id_v")))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b) above threshold,
+    via the same hyperplane-LSH blocking + exact rescoring."""
+    def bucketed(idc: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            bits = [
+                _hyperplane_sign(F.col(vec_col), t * n_planes + p, dim)
+                for p in range(n_planes)
+            ]
+            code = None
+            for b in bits:
+                code = b if code is None else (code * 2 + b)
+            out = out.withColumn(f"__bkt{t}", code)
+        return out.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(f"__{idc}_v"),
+            F.posexplode(
+                F.array(*[F.col(f"__bkt{t}") for t in range(n_tables)])
+            ).alias("table", "bucket"),
+        )
+
+    a = bucketed("a_id")
+    b = bucketed("b_id")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "__a_id_v", "b_id", "__b_id_v")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            _dec_dot(F.col("__a_id_v"), F.col("__b_id_v"))
+            / (
+                F.sqrt(_dec_dot(F.col("__a_id_v"), F.col("__a_id_v")))
+                * F.sqrt(_dec_dot(F.col("__b_id_v"), F.col("__b_id_v")))
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

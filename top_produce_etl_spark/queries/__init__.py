@@ -61,6 +61,15 @@ def _load_all() -> None:
     if _LOADED:
         return
     from top_produce_etl_spark.queries import (  # noqa: F401
+        aggregates,
+        dedup_q,
+        eventtime,
+        joins_q,
         relational,
+        scalars,
+        setops,
+        similarity_q,
+        text_q,
+        windows,
     )
     _LOADED = True

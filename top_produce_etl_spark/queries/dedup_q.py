@@ -1,0 +1,85 @@
+"""Dedup-tier queries (SURVEY.md §2.11) over ``documents``.
+
+The exact n-gram Jaccard join is oracle-checked in full. The
+MinHash+LSH variant is ALSO oracle-checked against the same exact
+SQL: its exact-verification stage kills all false positives and the
+banding parameters put recall at ~1-1e-4 for the 0.5 threshold
+(p=64 perms, r=2, b=32 — see operators.dedup docstring), so at the
+checked scale factors the outputs coincide. SimHash pairs are
+rows-only (xxhash64 signatures are not reproducible in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from top_produce_etl_spark.queries import query
+
+# Exact k=5-word-shingle Jaccard pairs at threshold 0.5 — shared by
+# the exact and the LSH-accelerated query as oracle.
+JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+    FROM toks, unnest(range(1, len(t) - 3)) r(i)
+    WHERE len(t) >= 5
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON common.a_id = sa.doc_id
+JOIN sizes sb ON common.b_id = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@query(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_dups
+    FROM documents
+    GROUP BY text
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@query("ngram_jaccard_pairs", oracle=JACCARD_SQL)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup join via inverted shingle
+    index (cost ∝ shared-shingle pairs, not |docs|²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+
+
+@query("minhash_lsh_pairs", oracle=JACCARD_SQL)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation + exact verification —
+    matches the exact-Jaccard oracle up to LSH recall (~1-1e-4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.5, num_perm=64, rows_per_band=2
+    )
+
+
+@query("simhash_neardup_pairs")  # rows-only: xxhash64 not in DuckDB
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, n_chunks=8)

@@ -1,0 +1,146 @@
+"""Event-time tier queries (SURVEY.md §2.9) over the ``events``
+fixture: tumbling / sliding / session windows + time-based dedup.
+
+Oracles reconstruct Spark's epoch-aligned window math in ANSI SQL:
+tumbling = date_trunc; sliding = union of phase-shifted tumblings;
+session = gap-and-island via lag + running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.numeric import dec_sum
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.eventtime import (
+    dedup_first_by_time,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from top_produce_etl_spark.queries import query
+
+
+@query(
+    "tumbling_daily_by_type",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)                 AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        events,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value")],
+    )
+    return out.select("window_start", "window_end", "event_type", "n_events", "sum_value")
+
+
+@query(
+    "sliding_daily_12h",
+    oracle="""
+    WITH phased AS (
+        SELECT TIMESTAMP '1970-01-01'
+                 + (CAST(floor((epoch(ts) - p.off) / 86400) AS BIGINT) * 86400 + p.off)
+                   * INTERVAL '1 second' AS window_start,
+               value
+        FROM events
+        CROSS JOIN (VALUES (0), (43200)) p(off)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 DAY AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM phased
+    GROUP BY 1, 2
+    """,
+)
+def sliding_daily_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 12h — every event in exactly 2
+    windows; the oracle expresses the same thing as a union of two
+    phase-shifted tumbling windows."""
+    events = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        events,
+        "ts",
+        "1 day",
+        "12 hours",
+        [],
+        [F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value")],
+    )
+    return out.select("window_start", "window_end", "n_events", "sum_value")
+
+
+@query(
+    "session_windows_30m",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+    Spark's [start, last+gap) semantics: a gap of exactly 30 min
+    starts a new session — the oracle's island detection uses >=
+    to match."""
+    events = load_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        events, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@query(
+    "dedup_first_event_per_user_type",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user, type) — deterministic
+    time-based dedup (streaming dropDuplicates parity, §2.9)."""
+    events = load_table(spark, sf_dir, "events")
+    out = dedup_first_by_time(
+        events.select("event_id", "user_id", "event_type", "ts"),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type", "ts")

@@ -1,0 +1,139 @@
+"""Similarity-search queries (SURVEY.md §2.11) over ``embeddings``.
+
+Brute-force cosine top-k is the exact, oracle-checked baseline
+(decimal-exact dot products — bit-identical to the serial DuckDB
+computation). The LSH variant is approximate → rows-only check,
+with recall covered by unit tests against the brute-force result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from top_produce_etl_spark.queries import query
+
+COSINE_TOPK_SQL = """
+WITH ex AS (
+    SELECT vec_id, i,
+           CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+), dots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM ex q JOIN ex c ON q.i = c.i
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine, "rank"
+FROM (
+    SELECT d.query_id, d.neighbor_id,
+           d.dot / (nq.nrm * nc.nrm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.neighbor_id ASC
+           ) AS "rank"
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.neighbor_id = nc.vec_id
+)
+WHERE "rank" <= 3
+"""
+
+
+@query("cosine_topk_bruteforce", oracle=COSINE_TOPK_SQL)
+def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for query vectors vec_id<10:
+    broadcast queries × streamed corpus, no corpus shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
+
+
+@query("cosine_topk_lsh")  # approximate → rows-only
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-3 for the same query set —
+    the 100 TB path: bucket join bounds candidates, exact re-score
+    only on collisions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, "vec_id", "embedding", k=3)
+
+
+@query("cosine_neardup_pairs")  # approximate → rows-only
+def cosine_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection across the whole
+    corpus (LSH-blocked, exact-rescored). The fixture embeddings
+    are near-random (max pairwise cosine ≈ 0.5-0.6), so a strict
+    threshold correctly yields few/no pairs; 0.4 exercises the
+    candidate path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+IVF_NEARDUP_SQL = """
+WITH ex AS (
+    SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+           CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY 1, 2, 3
+)
+SELECT a_id, b_id, label, cosine
+FROM (
+    SELECT d.a_id, d.b_id, d.label,
+           d.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON d.a_id = na.vec_id
+    JOIN norms nb ON d.b_id = nb.vec_id
+)
+WHERE cosine >= 0.35
+"""
+
+
+@query("ivf_blocked_neardup", oracle=IVF_NEARDUP_SQL)
+def ivf_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style exact near-dup: the label column acts as the
+    coarse-quantizer cell (a real IVF trains centroids; the
+    partition-then-compare-within-cell plan shape is identical).
+    Pairs are only scored within a cell, so cost is Σ|cell|²
+    instead of |corpus|² — the property that survives scale-up.
+    Exact decimal dot products → oracle-comparable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("label"), F.col("embedding").alias("__va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("label"), F.col("embedding").alias("__vb")
+    )
+    from top_produce_etl_spark.operators.similarity import _dec_dot
+
+    pairs = a.join(b, "label").filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            _dec_dot(F.col("__va"), F.col("__vb"))
+            / (
+                F.sqrt(_dec_dot(F.col("__va"), F.col("__va")))
+                * F.sqrt(_dec_dot(F.col("__vb"), F.col("__vb")))
+            ),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .select("a_id", "b_id", "label", "cosine")
+    )

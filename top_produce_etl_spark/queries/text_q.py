@@ -1,0 +1,131 @@
+"""Text-analysis queries (SURVEY.md §2.11) over ``documents``:
+token statistics, quality scoring, language-ID heuristic, document
+fingerprinting. All pure column expressions (no UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.text import (
+    LANG_MARKERS,
+    predict_lang,
+    quality_features,
+    quality_score,
+)
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.queries import query
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text)                 AS n_chars_obs,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len,
+           CAST({_marker_sql(LANG_MARKERS["en"])} AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_token_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_chars_obs"].alias("n_chars_obs"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["distinct_token_ratio"].alias("distinct_token_ratio"),
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4
+           + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))) * 0.4
+           + greatest(0.0, 1.0 - (CAST({_marker_sql(LANG_MARKERS["en"])} AS DOUBLE)
+              / len(string_split(text, ' '))) * 2.0) * 0.2 AS quality
+    FROM documents
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_marker_sql(LANG_MARKERS["en"])} AS s_en,
+               {_marker_sql(LANG_MARKERS["es"])} AS s_es,
+               {_marker_sql(LANG_MARKERS["de"])} AS s_de
+        FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'other' END AS predicted_lang
+    FROM scores
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-list language-ID (mechanism demo on synthetic text —
+    see functions.text.LANG_MARKERS)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        predict_lang("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over normalized text (md5 — one of the
+    few hash functions both engines share bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+@query(
+    "regex_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens
+    FROM documents
+    """,
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-based token counting (BPE-ish pre-tokenization shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias(
+            "n_word_tokens"
+        ),
+    )
