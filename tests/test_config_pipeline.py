@@ -1,0 +1,150 @@
+"""End-to-end config-driven pipeline tests (SURVEY.md §5 item 3):
+the reference-parity YAML→plan→write flow on the synthesized
+``top_products`` table (FIXTURES.md §C), plus the generalized
+declarative pipeline builder."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.config import JobConfig, load_config
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.plans.builder import build_pipeline, run_topn_job
+
+TOP_PRODUCTS = [
+    # region, product, sales — EU has a tie at 30.0 (FIXTURES §C asks
+    # for duplicate in-region values to exercise tie handling)
+    ("EU", "widget", 50.0),
+    ("EU", "gadget", 30.0),
+    ("EU", "gizmo", 30.0),
+    ("EU", "doohickey", 10.0),
+    ("US", "widget", 5.0),
+    ("ASIA", "gadget", 7.0),
+]
+
+
+@pytest.fixture()
+def config_and_data(spark, tmp_path):
+    inp = str(tmp_path / "top_products_input")
+    out = str(tmp_path / "top_products_output")
+    spark.createDataFrame(TOP_PRODUCTS, ["region", "product", "sales"]).write.parquet(inp)
+    cfg = JobConfig.from_dict(
+        {
+            "env": "test",
+            "input": {"path": inp, "format": "parquet"},
+            "output": {"path": out, "format": "parquet"},
+            "processing": {
+                "group_by_column": "region",
+                "target_metric": "sales",
+                "top_n": 3,
+                "tiebreak_column": "product",
+            },
+        }
+    )
+    return cfg, out
+
+
+def test_reference_parity_topn_job(spark, config_and_data):
+    cfg, out_path = config_and_data
+    result = run_topn_job(spark, cfg)
+    rows = [(r["region"], r["product"], r["sales"], r["rank"]) for r in result.collect()]
+    # ≤3 per region, ordered by region then rank, deterministic tie:
+    # gadget < gizmo alphabetically at 30.0
+    assert rows == [
+        ("ASIA", "gadget", 7.0, 1),
+        ("EU", "widget", 50.0, 1),
+        ("EU", "gadget", 30.0, 2),
+        ("EU", "gizmo", 30.0, 3),
+        ("US", "widget", 5.0, 1),
+    ]
+
+
+def test_topn_job_writes_partitioned_output(spark, config_and_data):
+    cfg, out_path = config_and_data
+    run_topn_job(spark, cfg)
+    # partitioned by the grouping column (partition pruning for readers)
+    subdirs = {d for d in os.listdir(out_path) if d.startswith("region=")}
+    assert subdirs == {"region=EU", "region=US", "region=ASIA"}
+    back = spark.read.parquet(out_path)
+    assert back.count() == 5
+
+
+def test_config_loader_roundtrip(tmp_path):
+    cfg_dir = tmp_path / "configs"
+    cfg_dir.mkdir()
+    (cfg_dir / "config_dev.json").write_text(
+        '{"env": "dev", "input": {"path": "/x"}, '
+        '"processing": {"group_by_column": "g", "target_metric": "m", "top_n": 2}}'
+    )
+    cfg = load_config("dev", str(cfg_dir))
+    assert cfg.processing.top_n == 2
+    assert cfg.input.format == "parquet"
+    assert cfg.output is None
+
+
+def test_config_validation_rejects_bad_topn():
+    with pytest.raises(ValueError, match="top_n"):
+        JobConfig.from_dict(
+            {
+                "input": {"path": "/x"},
+                "processing": {"group_by_column": "g", "target_metric": "m", "top_n": 0},
+            }
+        )
+
+
+def test_declarative_pipeline_matches_handwritten(spark, sf_dir):
+    """The ops-list pipeline must produce the same plan results as
+    the equivalent handwritten DataFrame code."""
+    tables = {
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "orders": load_table(spark, sf_dir, "orders"),
+    }
+    spec = {
+        "source": "lineitem",
+        "ops": [
+            {"op": "filter", "expr": "l_discount > 0.05"},
+            {
+                "op": "join",
+                "table": "orders",
+                "on": "l_orderkey = o_orderkey",
+                "how": "inner",
+            },
+            {
+                "op": "group_agg",
+                "by": ["o_orderpriority"],
+                "aggs": {
+                    "n_items": "count(1)",
+                    "total_qty": "cast(sum(cast(l_quantity as decimal(18,4))) as double)",
+                },
+            },
+            {"op": "sort", "by": ["-total_qty"]},
+            {"op": "limit", "n": 3},
+        ],
+    }
+    got = build_pipeline(spark, spec, tables).collect()
+
+    expected = (
+        tables["lineitem"]
+        .filter(F.col("l_discount") > 0.05)
+        .join(tables["orders"], F.expr("l_orderkey = o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc())
+        .limit(3)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_pipeline_unknown_op_raises(spark):
+    df_tables = {"t": spark.createDataFrame([(1,)], ["a"])}
+    with pytest.raises(ValueError, match="unknown op"):
+        build_pipeline(spark, {"source": "t", "ops": [{"op": "frobnicate"}]}, df_tables)

@@ -1,0 +1,164 @@
+"""Config→plan builder.
+
+The reference's whole pipeline is declared in YAML — input prefix,
+output prefix, and a processing block ``group_by_column /
+target_metric / top_n`` (reference ``config/config_prod.yaml:3-13``)
+— with the transform body left empty. This module is that layer,
+realized: a typed config (``config.JobConfig``) drives the top-N
+job end-to-end, and a generalized ``ops`` list compiles arbitrary
+declarative pipelines to DataFrame transforms.
+
+Design: the builder emits ONLY declarative DataFrame/SQL-expression
+calls (``F.expr`` strings, joins, groupBy) — pure driver-side plan
+construction, no new execution boundary (SURVEY.md §3). Because the
+plan is declarative, Catalyst still gets full visibility: filters
+placed anywhere in the ops list are pushed down to the scan, casts
+fold, join strategies stay adaptive. Op order in the config is a
+*logical* order, not a physical one.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.config import JobConfig
+from top_produce_etl_spark.io.sinks import write_table
+from top_produce_etl_spark.io.sources import read_table
+from top_produce_etl_spark.operators.topn import top_n_window
+
+
+def run_topn_job(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """Reference-parity job: read input, keep the top
+    ``cfg.processing.top_n`` rows per ``group_by_column`` by
+    ``target_metric`` (row_number semantics, deterministic tiebreak),
+    order by (group, rank), write to output if configured.
+
+    This is the computation the reference declares
+    (``config_prod.yaml:10-13``) with the determinism fix SURVEY §7
+    calls out: ties are broken by ``tiebreak_column`` ascending.
+    """
+    p = cfg.processing
+    df = read_table(
+        spark, cfg.input.path, cfg.input.format, options=cfg.input.options
+    )
+    metric = F.col(p.target_metric).cast("double")
+    df = df.withColumn(p.target_metric, metric)
+    out = top_n_window(
+        df,
+        group_by=p.group_by_column,
+        metric=p.target_metric,
+        n=p.top_n,
+        tiebreak=p.tiebreak_column,
+    ).orderBy(p.group_by_column, "rank")
+    if cfg.output is not None and cfg.output.path:
+        write_table(
+            out,
+            cfg.output.path,
+            fmt=cfg.output.format,
+            partition_by=[p.group_by_column],
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generalized declarative pipeline: {"source": ..., "ops": [...]}
+# ---------------------------------------------------------------------------
+
+def build_pipeline(
+    spark: SparkSession, spec: dict[str, Any], tables: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Compile a declarative pipeline spec to a DataFrame plan.
+
+    spec = {
+      "source": "lineitem" | {"path": ..., "format": ...},
+      "ops": [
+        {"op": "filter", "expr": "l_discount > 0.05"},
+        {"op": "select", "cols": ["a", "b"]},
+        {"op": "with_column", "name": "x", "expr": "a * 2"},
+        {"op": "join", "table": "orders", "on": "...", "how": "inner",
+         "broadcast": true},
+        {"op": "group_agg", "by": ["k"], "aggs": {"total": "sum(x)"}},
+        {"op": "topn", "group_by": "k", "metric": "total", "n": 3,
+         "tiebreak": "a"},
+        {"op": "distinct"} | {"op": "sort", "by": ["k"]} |
+        {"op": "limit", "n": 10} |
+        {"op": "union", "table": "other"} | {"op": "dropna", ...} |
+        {"op": "fillna", "value": 0, "cols": [...]}
+      ]
+    }
+
+    ``tables`` resolves by-name sources (tests register fixture
+    DataFrames; production resolves catalog tables).
+    """
+    tables = tables or {}
+
+    def resolve(src: Any) -> DataFrame:
+        if isinstance(src, str):
+            if src in tables:
+                return tables[src]
+            return spark.table(src)
+        return read_table(
+            spark, src["path"], src.get("format", "parquet"),
+            options=src.get("options"),
+        )
+
+    df = resolve(spec["source"])
+    for op in spec.get("ops", []):
+        kind = op["op"]
+        if kind == "filter":
+            df = df.filter(F.expr(op["expr"]))
+        elif kind == "select":
+            df = df.select(*[F.expr(c) for c in op["cols"]])
+        elif kind == "with_column":
+            df = df.withColumn(op["name"], F.expr(op["expr"]))
+        elif kind == "rename":
+            df = df.withColumnRenamed(op["from"], op["to"])
+        elif kind == "drop":
+            df = df.drop(*op["cols"])
+        elif kind == "join":
+            right = resolve(op["table"])
+            if op.get("broadcast"):
+                right = F.broadcast(right)
+            on = op["on"]
+            cond = F.expr(on) if isinstance(on, str) and " " in on else on
+            df = df.join(right, on=cond, how=op.get("how", "inner"))
+        elif kind == "group_agg":
+            aggs = [F.expr(e).alias(name) for name, e in op["aggs"].items()]
+            df = df.groupBy(*op.get("by", [])).agg(*aggs)
+        elif kind == "topn":
+            df = top_n_window(
+                df,
+                group_by=op["group_by"],
+                metric=op["metric"],
+                n=int(op["n"]),
+                tiebreak=op.get("tiebreak"),
+            )
+        elif kind == "distinct":
+            df = df.distinct()
+        elif kind == "dropna":
+            df = df.na.drop(
+                how=op.get("how", "any"), subset=op.get("cols")
+            )
+        elif kind == "fillna":
+            df = df.na.fill(op["value"], subset=op.get("cols"))
+        elif kind == "sort":
+            cols = [
+                F.col(c[1:]).desc() if c.startswith("-") else F.col(c).asc()
+                for c in op["by"]
+            ]
+            df = df.orderBy(*cols)
+        elif kind == "limit":
+            df = df.limit(int(op["n"]))
+        elif kind == "union":
+            df = df.unionByName(
+                resolve(op["table"]),
+                allowMissingColumns=bool(op.get("allow_missing", False)),
+            )
+        elif kind == "sample":
+            df = df.sample(fraction=float(op["fraction"]), seed=int(op.get("seed", 42)))
+        else:
+            raise ValueError(f"unknown op: {kind}")
+    return df

@@ -65,8 +65,10 @@ def _load_all() -> None:
         dedup_q,
         eventtime,
         joins_q,
+        multimodal_q,
         relational,
         scalars,
+        scalars2,
         setops,
         similarity_q,
         text_q,

@@ -1,0 +1,102 @@
+"""Second scalar/array/map pack (SURVEY.md §2.8): fuzzy string
+matching, higher-order array ops over embeddings, map extraction
+from JSON, exact percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.queries import query
+
+
+@query(
+    "fuzzy_part_match",
+    oracle="""
+    SELECT p_partkey, p_name,
+           levenshtein(p_name, 'red gear') AS edit_dist
+    FROM part
+    WHERE levenshtein(p_name, 'red gear') <= 4
+    """,
+)
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein is JVM-side; at
+    scale you'd prefilter with length/prefix blocking before paying
+    O(n·m) per comparison)."""
+    part = load_table(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("red gear"))
+    return (
+        part.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= 4)
+        .select("p_partkey", "p_name", "edit_dist")
+    )
+
+
+@query(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                          AS dim,
+           CAST(embedding[1] AS DOUBLE)            AS first_val,
+           CAST(list_max(embedding) AS DOUBLE)     AS max_val,
+           CAST(list_min(embedding) AS DOUBLE)     AS min_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column —
+    size/element_at/array_max/filter, all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "map_pack_events",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)                             AS prop_keys,
+           [CAST(json_extract(props, '$.k') AS INT)]    AS prop_values
+    FROM events
+    """,
+)
+def map_pack_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → typed map → keys/values (map functions, §2.8)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return events.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+    )
+
+
+@query(
+    "brand_price_median",
+    oracle="""
+    SELECT p_brand,
+           quantile_cont(p_retailprice, 0.5) AS median_price,
+           COUNT(*) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def brand_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median (linear-interpolated percentile — both engines
+    implement the same lower+(upper-lower)·frac formula over sorted
+    doubles). The approx sketch variant (percentile_approx) is what
+    you'd run at 100 TB; its engine-specific values are covered by
+    a relative-error unit test instead."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("median_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
