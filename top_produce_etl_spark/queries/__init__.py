@@ -61,6 +61,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from top_produce_etl_spark.queries import (  # noqa: F401
+        advanced,
         aggregates,
         dedup_q,
         eventtime,
