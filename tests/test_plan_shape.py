@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 100 TB / 1000-executor scale-up (SURVEY.md
+§4): dimension joins broadcast (fact table never shuffles for them),
+predicates reach the parquet scan, projections prune the read
+schema, and global top-k compiles to TakeOrderedAndProject instead
+of a full sort. A regression here is a performance bug even when
+every value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from top_produce_etl_spark.queries import get_queries
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_flagship_broadcasts_all_dims(spark, sf_dir):
+    """Star join: customer/nation/region/part are broadcast — the
+    only shuffle-bearing join allowed is lineitem⨝orders."""
+    p = plan(get_queries()["flagship_top3_region"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_proj_filter_cast_pushdown_and_pruning(spark, sf_dir):
+    """The filter must land in PushedFilters and the scan must read
+    only the 5 referenced columns, not all 11 of lineitem."""
+    p = plan(get_queries()["proj_filter_cast"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p
+    assert "l_discount" in m.group(1) and "l_returnflag" in m.group(1)
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert rs, p
+    read_cols = [c.split(":")[0] for c in rs.group(1).split(",")]
+    assert sorted(read_cols) == [
+        "l_discount", "l_extendedprice", "l_orderkey", "l_partkey", "l_quantity",
+        "l_returnflag",
+    ], read_cols
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject
+    (per-partition heap, no full global sort)."""
+    p = simple_plan(get_queries()["top_orders_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort [" not in p  # no standalone global sort
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Hash aggregate must run map-side (partial) before the
+    shuffle — the exchange carries |groups| rows, not |lineitem|."""
+    p = plan(get_queries()["q1_pricing_summary"](spark, sf_dir))
+    assert "partial_sum" in p, p  # map-side phase present
+    assert "hashpartitioning(l_returnflag" in p, p
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    """Existence filter must execute as a semi join (no payload
+    duplication), never be rewritten through an inner join."""
+    p = simple_plan(get_queries()["semi_join_active_customers"](spark, sf_dir))
+    assert "LeftSemi" in p, p
+
+
+def test_systematic_sample_filter_pushed(spark, sf_dir):
+    """The key-mod sample predicate evaluates at/next to the scan —
+    no shuffle in the plan at all."""
+    p = plan(get_queries()["systematic_sample_orders"](spark, sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_topn_agg_partial_aggregation(spark, sf_dir):
+    """Skew-resistant top-N: the collect_list aggregate must show a
+    partial (map-side) phase so the revenue rollup pre-reduces
+    before its shuffle."""
+    df = get_queries()["topn_agg_top3_region"](spark, sf_dir)
+    p = plan(df)
+    assert "ObjectHashAggregate" in p or "SortAggregate" in p, p
+    # ranking-window variant of the same computation would show a
+    # Window node; the agg variant must not.
+    assert "Window" not in simple_plan(df), simple_plan(df)
