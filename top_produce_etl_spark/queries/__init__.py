@@ -73,6 +73,7 @@ def _load_all() -> None:
         setops,
         similarity_q,
         text_q,
+        tpch_q,
         windows,
     )
     _LOADED = True
