@@ -1,0 +1,102 @@
+"""Skew-mitigation operators (SURVEY.md §4; 100 TB design notes).
+
+Skewed keys are the dominant failure mode of big shuffles: one hot
+group/join key serializes into one straggler task (or OOMs it). AQE
+handles skewed *sort-merge joins* automatically
+(``spark.sql.adaptive.skewJoin``), but two shapes still need manual
+salting at extreme scale:
+
+1. Low-cardinality / hot-key AGGREGATION — ``salted_agg``: add a
+   deterministic salt, pre-aggregate on (key, salt) so every
+   partition reduces locally, then combine the k partials per key.
+   Exact for any algebraic aggregate (sum/count/min/max and
+   re-aggregable combinations); the second shuffle carries only
+   k·|groups| rows.
+
+2. Hot-key LARGE⨝LARGE equi-join — ``salted_join``: salt the
+   probe side deterministically (hash of its other columns mod k),
+   replicate the build side k× (one copy per salt value), join on
+   (key, salt). Row multiplication is confined to the build side's
+   k replicas; each hot key now spreads across k tasks. Exact —
+   every original pair appears exactly once.
+
+Salts are DETERMINISTIC (xxhash64 of payload columns, not rand()):
+retried tasks must re-derive the same salt or shuffle retries
+produce duplicate/lost rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ALGEBRAIC = {
+    "sum": F.sum,
+    "count": F.sum,  # partial counts combine by summation
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _salt_col(df: DataFrame, exclude: list[str], k: int) -> Column:
+    payload = [c for c in df.columns if c not in exclude] or exclude
+    return F.pmod(F.xxhash64(*[F.col(c) for c in payload]), F.lit(k))
+
+
+def salted_agg(
+    df: DataFrame,
+    group_by: str | list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-stage salted aggregation, exact for algebraic aggregates.
+
+    ``aggs`` maps output column → (kind, input column) with kind in
+    {sum, count, min, max}. Example::
+
+        salted_agg(li, "l_returnflag",
+                   {"n": ("count", "*"), "qty": ("sum", "l_quantity")})
+    """
+    groups = [group_by] if isinstance(group_by, str) else list(group_by)
+    salted = df.withColumn("__salt", _salt_col(df, groups, salt_buckets))
+
+    partials = []
+    for out, (kind, col) in aggs.items():
+        if kind not in _ALGEBRAIC:
+            raise ValueError(f"non-algebraic aggregate: {kind}")
+        expr = F.count(F.lit(1)) if kind == "count" else {
+            "sum": F.sum, "min": F.min, "max": F.max
+        }[kind](col)
+        partials.append(expr.alias(out))
+    stage1 = salted.groupBy(*groups, "__salt").agg(*partials)
+
+    finals = [
+        _ALGEBRAIC[kind](out).alias(out) for out, (kind, _) in aggs.items()
+    ]
+    return stage1.groupBy(*groups).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key large⨝large equi-join: salt left, replicate right k×.
+
+    Use when BOTH sides are too big to broadcast and the key
+    distribution is skewed beyond what AQE's skew-join splitting
+    handles. Supports inner and left joins (right/full would need
+    the mirror construction).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got: {how}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    l_salted = left.withColumn("__salt", _salt_col(left, keys, salt_buckets))
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l_salted.join(r_replicated, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -180,6 +180,45 @@ def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_agg_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def salted_agg_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a 2-value key (the extreme
+    hot-key shape: |groups| ≪ cores, where a plain groupBy reduces
+    to 2 final tasks). Must be value-identical to the plain GROUP BY
+    oracle — salting is a physical rewrite, not a semantic one."""
+    from top_produce_etl_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__qty_dec", dec("l_quantity")
+    )
+    out = salted_agg(
+        li,
+        "l_linestatus",
+        {
+            "n_rows": ("count", "*"),
+            "total_qty": ("sum", "__qty_dec"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "l_linestatus",
+        "n_rows",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
 SESSION_GAP_S = 1800
 
 _SESS_SCHEMA = (
