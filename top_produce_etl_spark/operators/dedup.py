@@ -32,6 +32,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from top_produce_etl_spark.functions.text import word_shingles
 
@@ -71,8 +72,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: all doc pairs (a<b)
     with ``|A∩B| / |A∪B| >= threshold`` over k-word shingle sets.
-    Output: a_id, b_id, jaccard."""
-    sh = shingle_table(df, id_col, text_col, k, max_df)
+    Output: a_id, b_id, jaccard.
+
+    The shingle table feeds three consumers (sizes, both join
+    sides); persisted MEMORY_AND_DISK so the explode+distinct runs
+    once, not three times — at scale this is the difference between
+    one and three full passes over the corpus."""
+    sh = shingle_table(df, id_col, text_col, k, max_df).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
@@ -128,7 +136,11 @@ def minhash_lsh_pairs(
     to LSH recall (see module docstring).
     """
     n_bands = num_perm // rows_per_band
-    sh = shingle_table(df, id_col, text_col, k)
+    # Two consumers (signatures, exact-verification sets) — persist
+    # so the corpus is shingled once.
+    sh = shingle_table(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, id_col, num_perm)
 
     band_cols = [
