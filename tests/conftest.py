@@ -17,7 +17,10 @@ def spark():
     s = create_spark_session(
         "tests",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
+        },
     )
     yield s
 
