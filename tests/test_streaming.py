@@ -47,3 +47,40 @@ def test_applyinpandas_sessionize_matches_session_window(spark, sf_dir):
     b = sorted(tuple(r) for r in builtin.collect())
     c = sorted(tuple(r) for r in custom.collect())
     assert b == c and len(b) > 100
+
+
+def test_applyinpandaswithstate_running_totals(spark, sf_dir):
+    """Custom stateful operator: final per-user running totals from
+    the state store must equal the batch groupBy over the same
+    fixture (cent-exact — state accumulates integer cents)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.streaming.jobs import (
+        running_user_totals_stream,
+        stream_events,
+    )
+
+    out = running_user_totals_stream(
+        stream_events(spark, sf_dir), sink_table="t_user_totals"
+    )
+    # update-mode sink may hold one row per user per micro-batch;
+    # the LAST update per user is the final state.
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.collect()  # availableNow: later rows overwrite earlier
+    }
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum(F.round(F.col("value") * 100)) ) / 100.0).alias("tv"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["tv"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert abs(got[u][1] - want[u][1]) < 1e-6, u

@@ -180,3 +180,76 @@ def sessionize_stream(
     )
     q.awaitTermination()
     return agg.sparkSession.table(sink_table)
+
+
+def running_user_totals_stream(
+    events: DataFrame,
+    sink_table: str = "stream_user_totals",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``
+    (SURVEY.md §2.9/§2.10): per-user running (count, sum-of-value)
+    maintained in the state store across micro-batches, emitted in
+    update mode on every batch that touches the user.
+
+    This is the template for per-key state machines the built-in
+    windowed/session aggregates cannot express (counters with
+    custom merge rules, ML feature state, fraud scores). State is
+    one (bigint, double) pair per user — O(|users|) store size,
+    partitioned by the grouping key, rebuilt from the checkpoint on
+    restart. For production add a timeout policy
+    (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle
+    keys; the fixture run uses NoTimeout because availableNow
+    processes a bounded backlog.
+
+    Value totals accumulate in integer cents (int64) inside state so
+    results are independent of batch boundaries and float order —
+    the decimal-exactness rule (functions.numeric) applied to the
+    streaming path.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, cents bigint"
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-ROW cent rounding: totals are then independent of
+            # how rows split across micro-batches
+            cents += int(
+                pdf["value"].astype("float64").mul(100).round().astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    updates = (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return updates.sparkSession.table(sink_table)
