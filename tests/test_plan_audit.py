@@ -1,0 +1,51 @@
+"""plan_audit / assert_scalable API over known plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.plans.audit import assert_scalable, plan_audit
+from top_produce_etl_spark.queries import get_queries
+
+
+def test_audit_flagship(spark, sf_dir):
+    audit = plan_audit(get_queries()["flagship_top3_region"](spark, sf_dir))
+    assert audit["broadcast_joins"] >= 4
+    assert not audit["cartesian"]
+    assert not audit["python_row_udf"]
+    assert audit["partial_agg"]
+    assert audit["aqe"]
+
+
+def test_audit_detects_cartesian(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_scalable(a.crossJoin(b))
+
+
+def test_audit_detects_row_udf(spark):
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(10).select(slow("id").alias("y"))
+    with pytest.raises(AssertionError, match="python_row_udf"):
+        assert_scalable(df)
+    # Arrow-batched pandas UDFs are the sanctioned path
+    audit = plan_audit(df)
+    assert audit["python_row_udf"] and not audit["arrow_udf"]
+
+
+def test_audit_exchange_budget(spark, sf_dir):
+    q1 = get_queries()["q1_pricing_summary"](spark, sf_dir)
+    audit = assert_scalable(q1, max_exchanges=1)
+    assert audit["exchanges"] == 1  # the single group-by shuffle
+    with pytest.raises(AssertionError, match="exchanges"):
+        assert_scalable(q1, max_exchanges=0)
+
+
+def test_audit_arrow_udf_flagged(spark, sf_dir):
+    df = get_queries()["sessionize_pandas_gap"](spark, sf_dir)
+    audit = plan_audit(df)
+    assert audit["arrow_udf"] and not audit["python_row_udf"]
