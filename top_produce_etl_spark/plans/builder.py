@@ -138,6 +138,11 @@ def build_pipeline(
             )
         elif kind == "distinct":
             df = df.distinct()
+        elif kind == "dedup":
+            # exact dedup on a key subset (first row per key,
+            # nondeterministic without a prior sort — callers that
+            # need a specific survivor should use op=topn with n=1)
+            df = df.dropDuplicates(subset=op.get("cols"))
         elif kind == "dropna":
             df = df.na.drop(
                 how=op.get("how", "any"), subset=op.get("cols")
