@@ -50,22 +50,23 @@ def cosine_topk_bruteforce(
     self-matches. Queries are broadcast; ranking tie-breaks on
     neighbor id for determinism.
     """
+    # Norms are hoisted out of the pair expression: computed once per
+    # row (|Q|+|C| decimal folds) instead of once per pair (2·|Q|·|C|)
+    # — bit-identical values, ~3× less interpreted-decimal work, and
+    # exactly the oracle's norms-CTE shape.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", F.sqrt(_dec_dot(F.col("__cv"), F.col("__cv"))))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.withColumn(
         "cosine",
         _dec_dot(F.col("__qv"), F.col("__cv"))
-        / (
-            F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv")))
-            * F.sqrt(_dec_dot(F.col("__cv"), F.col("__cv")))
-        ),
+        / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -117,7 +118,9 @@ def cosine_topk_lsh(
     """
 
     def bucket_cols(df: DataFrame, idc: str) -> DataFrame:
-        out = df
+        out = df.withColumn(
+            f"__{idc}_n", F.sqrt(_dec_dot(F.col(vec_col), F.col(vec_col)))
+        )
         for t in range(n_tables):
             bits = [
                 _hyperplane_sign(F.col(vec_col), t * n_planes + p, dim)
@@ -130,6 +133,7 @@ def cosine_topk_lsh(
         return out.select(
             F.col(id_col).alias(idc),
             F.col(vec_col).alias(f"__{idc}_v"),
+            f"__{idc}_n",
             F.posexplode(
                 F.array(*[F.col(f"__bkt{t}") for t in range(n_tables)])
             ).alias("table", "bucket"),
@@ -140,16 +144,16 @@ def cosine_topk_lsh(
     candidates = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__query_id_v", "neighbor_id", "__neighbor_id_v")
+        .select(
+            "query_id", "__query_id_v", "__query_id_n",
+            "neighbor_id", "__neighbor_id_v", "__neighbor_id_n",
+        )
         .distinct()
     )
     scored = candidates.withColumn(
         "cosine",
         _dec_dot(F.col("__query_id_v"), F.col("__neighbor_id_v"))
-        / (
-            F.sqrt(_dec_dot(F.col("__query_id_v"), F.col("__query_id_v")))
-            * F.sqrt(_dec_dot(F.col("__neighbor_id_v"), F.col("__neighbor_id_v")))
-        ),
+        / (F.col("__query_id_n") * F.col("__neighbor_id_n")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -173,7 +177,9 @@ def cosine_neardup_pairs(
     """Embedding-cosine near-duplicate pairs (a<b) above threshold,
     via the same hyperplane-LSH blocking + exact rescoring."""
     def bucketed(idc: str) -> DataFrame:
-        out = df
+        out = df.withColumn(
+            f"__{idc}_n", F.sqrt(_dec_dot(F.col(vec_col), F.col(vec_col)))
+        )
         for t in range(n_tables):
             bits = [
                 _hyperplane_sign(F.col(vec_col), t * n_planes + p, dim)
@@ -186,6 +192,7 @@ def cosine_neardup_pairs(
         return out.select(
             F.col(id_col).alias(idc),
             F.col(vec_col).alias(f"__{idc}_v"),
+            f"__{idc}_n",
             F.posexplode(
                 F.array(*[F.col(f"__bkt{t}") for t in range(n_tables)])
             ).alias("table", "bucket"),
@@ -196,17 +203,14 @@ def cosine_neardup_pairs(
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "__a_id_v", "b_id", "__b_id_v")
+        .select("a_id", "__a_id_v", "__a_id_n", "b_id", "__b_id_v", "__b_id_n")
         .distinct()
     )
     return (
         cand.withColumn(
             "cosine",
             _dec_dot(F.col("__a_id_v"), F.col("__b_id_v"))
-            / (
-                F.sqrt(_dec_dot(F.col("__a_id_v"), F.col("__a_id_v")))
-                * F.sqrt(_dec_dot(F.col("__b_id_v"), F.col("__b_id_v")))
-            ),
+            / (F.col("__a_id_n") * F.col("__b_id_n")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
