@@ -93,3 +93,41 @@ def test_topn_agg_partial_aggregation(spark, sf_dir):
     # ranking-window variant of the same computation would show a
     # Window node; the agg variant must not.
     assert "Window" not in simple_plan(df), simple_plan(df)
+
+
+def test_q6_all_filters_pushed_no_join(spark, sf_dir):
+    """Pure scan-filter-agg: every predicate reaches the parquet
+    scan and the plan contains no join at all."""
+    p = plan(get_queries()["q6_forecast_revenue"](spark, sf_dir))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m, p
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in m.group(1), m.group(1)
+    assert "Join" not in p, p
+    assert "partial_sum" in p, p  # map-side partial before exchange
+
+
+def test_q10_broadcast_and_take_ordered(spark, sf_dir):
+    """Nation (25 rows) broadcasts and the global top-20 compiles to
+    TakeOrderedAndProject, never a full sort."""
+    p = plan(get_queries()["q10_returned_items"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """The EXISTS shape must execute as LeftSemi with the non-equi
+    lateness predicate as a join residual — no payload duplication,
+    no aggregate-side dedup."""
+    p = simple_plan(get_queries()["q4_priority_lateness"](spark, sf_dir))
+    assert "LeftSemi" in p, p
+
+
+def test_q14_part_broadcasts(spark, sf_dir):
+    """The part dimension joins broadcast; the lineitem date window
+    is pushed to the scan."""
+    p = plan(get_queries()["q14_promo_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    m = re.search(r"PushedFilters: \[([^\]]*)l_shipdate([^\]]*)\]", p)
+    assert m, p

@@ -125,6 +125,179 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join. The whole
+    value of this query is pushdown — all three predicates reach the
+    parquet scan as PushedFilters, and the ungrouped sum partial-
+    aggregates map-side so the exchange carries one row per task."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,4)"
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(dec) * F.col("l_discount").cast(dec)
+            )
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM({REV_DEC}) AS DOUBLE) AS revenue,
+           n.n_name, c.c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    Selective date window on orders, flag filter on lineitem, nation
+    broadcast; high-cardinality group key (customer) then global
+    top-20 via TakeOrderedAndProject."""
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q4_priority_lateness",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape adapted to the fixture schema (no
+    l_commitdate/l_receiptdate): orders with at least one line
+    shipped >90 days after order date, counted by priority. The
+    correlated EXISTS decorrelates to a LEFT SEMI join with a
+    non-equi residual predicate — no subquery machinery needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        o.join(
+            lineitem,
+            (o.o_orderkey == lineitem.l_orderkey)
+            & (
+                lineitem.l_shipdate
+                > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN {REV_DEC}
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM({REV_DEC}) AS DOUBLE) AS DOUBLE) AS promo_pct,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN {REV_DEC}
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one quarter.
+    Conditional aggregation over a fact⨝dim join; part broadcasts,
+    both decimal sums are exact so the final double division is
+    bit-deterministic across partition orders."""
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = revenue_expr()
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    ).cast("double")
+    total = F.sum(rev).cast("double")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo / total).cast("double").alias("promo_pct"),
+            promo.alias("promo_revenue"),
+        )
+    )
+
+
+@query(
     "label_centroids",
     oracle="""
     SELECT label, CAST(i - 1 AS INT) AS dim,
