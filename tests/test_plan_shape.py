@@ -131,3 +131,14 @@ def test_q14_part_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     m = re.search(r"PushedFilters: \[([^\]]*)l_shipdate([^\]]*)\]", p)
     assert m, p
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_dir):
+    """The agg-HAVING IN-subquery must execute as an aggregate
+    followed by a LeftSemi against orders — orders must not be
+    duplicated through an inner join before its own aggregate."""
+    p = simple_plan(get_queries()["q18_large_volume_orders"](spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "TakeOrderedAndProject" in plan(
+        get_queries()["q18_large_volume_orders"](spark, sf_dir)
+    )

@@ -298,6 +298,60 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (agg-HAVING subquery), joined back for customer
+    detail. The IN-subquery runs as one hash aggregate over
+    lineitem followed by a LEFT SEMI join on the fact — the
+    aggregate's output (qualifying keys only, 46 of ~15k at sf0.01)
+    is tiny, so AQE broadcasts the semi side at any corpus scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,4)"
+
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(dec)).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(big_orders),
+            orders.o_orderkey == big_orders.l_orderkey,
+            "left_semi",
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
     "label_centroids",
     oracle="""
     SELECT label, CAST(i - 1 AS INT) AS dim,
