@@ -84,3 +84,21 @@ def test_applyinpandaswithstate_running_totals(spark, sf_dir):
     for u in want:
         assert got[u][0] == want[u][0], u
         assert abs(got[u][1] - want[u][1]) < 1e-6, u
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream purchase⨝click attribution must
+    equal the same join over the static table (inner stream-stream
+    joins emit exactly the matched rows once both sides arrive)."""
+    from top_produce_etl_spark.streaming.jobs import (
+        purchase_click_attribution_batch,
+        purchase_click_attribution_stream,
+    )
+
+    batch = purchase_click_attribution_batch(spark, sf_dir)
+    stream = purchase_click_attribution_stream(
+        spark, sf_dir, sink_table="t_stream_attr"
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s and len(b) > 0

@@ -73,3 +73,19 @@ def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def except_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     building, rich = _segments(spark, sf_dir)
     return building.exceptAll(rich)
+
+
+@query(
+    "intersect_all_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def intersect_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (per-row multiplicity = min of the two
+    sides) — completes the §2.7 surface next to ``intersect``.
+    Spark plans this as a single aggregate-of-counts, one shuffle."""
+    building, rich = _segments(spark, sf_dir)
+    return building.intersectAll(rich)

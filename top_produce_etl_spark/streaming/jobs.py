@@ -253,3 +253,108 @@ def running_user_totals_stream(
     )
     q.awaitTermination()
     return updates.sparkSession.table(sink_table)
+
+
+def purchase_click_attribution_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    sink_table: str = "stream_attribution",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each purchase matched
+    to the same user's clicks in the preceding ``lookback`` window
+    (ad-attribution shape).
+
+    Stream-stream joins are the one Structured Streaming operator
+    with state on BOTH sides: each side buffers rows until the other
+    side's watermark passes the join-time bound, so state size is
+    |rows in watermark window|, not |stream|. The time-bound
+    predicate is what makes that eviction possible — an unbounded
+    stream-stream join would be rejected in append mode. Both sides
+    here are filters of one source stream (a supported self-join).
+
+    Batch parity: the same join condition over the static events
+    table returns the identical row set — asserted in
+    tests/test_streaming.py.
+    """
+    events = stream_events(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user_id = c_user_id
+            AND click_ts >= purchase_ts - INTERVAL {lookback}
+            AND click_ts < purchase_ts"""
+        ),
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
+def purchase_click_attribution_batch(
+    spark: SparkSession, sf_dir: str, lookback: str = "1 hour"
+) -> DataFrame:
+    """Batch twin of :func:`purchase_click_attribution_stream` —
+    identical join predicate over the static events table."""
+    from top_produce_etl_spark.io.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user_id = c_user_id
+            AND click_ts >= purchase_ts - INTERVAL {lookback}
+            AND click_ts < purchase_ts"""
+        ),
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
