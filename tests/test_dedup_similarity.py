@@ -109,3 +109,17 @@ def test_cosine_lsh_subset_of_exact_scores(spark):
     assert len(lsh) > 0
     for r in lsh:
         assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-12
+
+
+def test_kmeans_lloyd_partitions_all_rows(spark, sf_dir):
+    """Every input row gets exactly one cluster in [0, k); iterating
+    must not lose or duplicate rows."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, "vec_id", "embedding", k=4, iters=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    assert all(0 <= r["cluster"] < 4 for r in rows)

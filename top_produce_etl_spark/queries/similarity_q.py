@@ -142,3 +142,62 @@ def ivf_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("a_id", "b_id", "label", "cosine")
     )
+
+
+KMEANS_SQL = """
+WITH init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+dist0 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) ^ 2)) AS d
+  FROM embeddings e CROSS JOIN init c
+),
+assign0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dist0
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT a.cid, t.i AS dim,
+         ROUND(AVG(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS v
+  FROM assign0 a
+  JOIN embeddings e USING (vec_id),
+       UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+  GROUP BY a.cid, t.i
+),
+cent1l AS (
+  SELECT cid, list(v ORDER BY dim) AS cvec FROM cent1 GROUP BY cid
+),
+dist1 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) ^ 2)) AS d
+  FROM embeddings e CROSS JOIN cent1l c
+)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dist1
+) WHERE rn = 1
+"""
+
+
+@query("kmeans_assignments", oracle=KMEANS_SQL)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (k=8, one update round) on the
+    embeddings table — the oracle unrolls the identical iteration as
+    chained CTEs. Per-round state is only the k×dim centroid matrix
+    (driver-collected, re-broadcast as literals), so assignment is a
+    narrow codegen'd map and the update is one k·dim-group
+    aggregate; see operators/clustering.py for the determinism
+    contract that makes an iterative algorithm hash-comparable."""
+    from top_produce_etl_spark.operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=1)
