@@ -123,3 +123,18 @@ def test_kmeans_lloyd_partitions_all_rows(spark, sf_dir):
     assert len(rows) == emb.count()
     assert len({r["vec_id"] for r in rows}) == len(rows)
     assert all(0 <= r["cluster"] < 4 for r in rows)
+
+
+def test_connected_components_chain_and_island(spark):
+    """Chain a-b-c collapses to rep a; island d-e to rep d; the
+    transitive link (1,3) must come through (1,2),(2,3) without a
+    direct pair."""
+    from top_produce_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id bigint, b_id bigint"
+    )
+    got = {
+        (r["id"], r["rep_id"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

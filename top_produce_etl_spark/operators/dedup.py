@@ -314,3 +314,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list —
+    the transitive-closure step that turns pairwise matches into
+    dedup groups (keep ``rep_id``, drop the rest). Output:
+    (id, rep_id) for every node appearing in a pair, where rep_id =
+    min id in the node's component.
+
+    Algorithm: iterative min-label propagation. Every node starts
+    labeled with its own id; each round, a node's label becomes the
+    min of its own and its neighbors' labels. Converges in
+    O(component diameter) rounds — near-dup graphs are dense
+    cliques-of-cliques, so diameter is small (2-4 typical).
+
+    Scale design: each round is one shuffle-join (edges ⨝ labels on
+    the destination) plus one min-aggregate — both partition by node
+    id, so AQE reuses the layout. Labels are materialized per round
+    via ``localCheckpoint`` to truncate lineage (without it the plan
+    doubles each round and re-executes the whole history).
+    Convergence is detected by the label-sum invariant: labels only
+    ever decrease, so an unchanged sum means a fixpoint — one cheap
+    scalar aggregate instead of a change-counting join.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("s"), F.col(b_col).alias("t")
+    ).union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.t == labels.id)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.s, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("id"), F.col("label").alias("rep_id"))

@@ -83,3 +83,33 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3, n_chunks=8)
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({JACCARD_SQL}),
+edges AS (
+    SELECT a_id AS s, b_id AS t FROM pairs
+    UNION ALL
+    SELECT b_id AS s, a_id AS t FROM pairs
+),
+cc AS (
+    SELECT s AS id, s AS label FROM edges
+    UNION
+    SELECT e.s AS id, cc.label FROM edges e JOIN cc ON cc.id = e.t
+)
+SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id
+"""
+
+
+@query("dedup_components", oracle=COMPONENTS_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup GROUPS: connected components over the
+    exact-Jaccard pair list (min-id representative per component).
+    This is the step that makes pair output actionable — keep
+    rep_id, drop everything else in its component. The oracle
+    computes the identical transitive closure with a recursive CTE."""
+    from top_produce_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    return connected_components(pairs)
