@@ -298,6 +298,61 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_trade_flows",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           CAST(SUM({REV_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue flows by (supplier
+    nation, customer nation, year). The nation dimension joins in
+    TWO roles — broadcast twice under different aliases — and the
+    inequality between the roles is a post-join residual (it
+    references both sides, so it cannot push below either join)."""
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+    )
+
+
+@query(
     "q18_large_volume_orders",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
