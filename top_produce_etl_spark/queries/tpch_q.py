@@ -407,6 +407,52 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({REV_DEC}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the quarter's maximum
+    revenue — the scalar-subquery-in-WHERE pattern. The max is a
+    one-row aggregate crossJoin-broadcast back onto the revenue
+    table (never a window over an unpartitioned frame, which would
+    funnel every row through one task); equality is safe because
+    both sides derive the double from the same exact-decimal sum.
+    Ties all surface, matching the SQL semantics."""
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(revenue_expr()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
     "label_centroids",
     oracle="""
     SELECT label, CAST(i - 1 AS INT) AS dim,
