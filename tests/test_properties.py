@@ -108,3 +108,28 @@ def test_tie_semantics_by_method(spark, method, tiebreak, expect):
     )
     out = top_n_window(df, "region", "sales", 2, tiebreak=tiebreak, method=method)
     assert {(r["product"], r["rank"]) for r in out.collect()} == expect
+
+
+def test_connected_components_properties(spark):
+    """Invariants for any pair list: every node gets exactly one
+    label; rep_id <= id (min-representative); rep_id is itself a
+    node; and both endpoints of every pair share a label."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    pairs = [
+        (a, b)
+        for a, b in (
+            sorted(rng.sample(nodes, 2)) for _ in range(30)
+        )
+    ]
+    from top_produce_etl_spark.operators.dedup import connected_components
+
+    pdf = spark.createDataFrame(pairs, "a_id bigint, b_id bigint")
+    out = {r["id"]: r["rep_id"] for r in connected_components(pdf).collect()}
+    touched = {a for a, _ in pairs} | {b for _, b in pairs}
+    assert set(out) == touched
+    assert all(rep <= i for i, rep in out.items())
+    assert all(rep in out for rep in out.values())
+    assert all(out[a] == out[b] for a, b in pairs)
