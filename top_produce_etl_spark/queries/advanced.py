@@ -281,3 +281,35 @@ def sessionize_pandas_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_sessionize_pdf, _SESS_SCHEMA)
     )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 50 docs per language,
+    chosen by a Knuth multiplicative hash of the id — pseudo-random
+    but bit-reproducible across engines, retries, and cluster sizes
+    (an auditable training-data curation primitive; ``df.sample``
+    cannot give per-stratum exact counts or reproducibility). One
+    shuffle on the stratum key; Spark's WindowGroupLimit caps the
+    per-partition sort at 50 rows before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(order_key, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
