@@ -473,3 +473,40 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid"))
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: aggregation of an aggregation — how many
+    customers placed how many (non-urgent) orders. The predicate
+    lives IN the left-join condition (filtering after the join would
+    silently drop zero-order customers); COUNT over the right side's
+    key counts 0 for unmatched rows. Second agg groups on the first
+    agg's output — |customers| rows, trivially small after the
+    first shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
