@@ -64,10 +64,14 @@ def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3 for the same query set —
     the 100 TB path: bucket join bounds candidates, exact re-score
-    only on collisions."""
+    only on collisions. 4 planes × 16 tables: the recall-tested
+    configuration (0.88 recall@5 on this near-uniform fixture; see
+    operators.similarity tuning note)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(emb, queries, "vec_id", "embedding", k=3)
+    return cosine_topk_lsh(
+        emb, queries, "vec_id", "embedding", k=3, n_planes=4, n_tables=16
+    )
 
 
 @query("cosine_neardup_pairs")  # approximate → rows-only
