@@ -510,3 +510,45 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({REV_DEC}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of conjunctive (brand, size, quantity)
+    triples spanning BOTH join sides. Catalyst factors the
+    single-side implications out of the disjunction — the scan-level
+    PushedFilters get `p_brand IN (…)` / quantity range even though
+    no single conjunct can push whole — and evaluates the full
+    residual after the broadcast join."""
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
