@@ -529,11 +529,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: an OR of conjunctive (brand, size, quantity)
-    triples spanning BOTH join sides. Catalyst factors the
-    single-side implications out of the disjunction — the scan-level
-    PushedFilters get `p_brand IN (…)` / quantity range even though
-    no single conjunct can push whole — and evaluates the full
-    residual after the broadcast join."""
+    triples spanning BOTH join sides. Catalyst factors each side's
+    implication out of the cross-side disjunction: the lineitem scan
+    pushes the OR of quantity ranges, the part scan pushes the OR of
+    (brand, size) conjuncts (verified in PushedFilters), and the
+    full residual evaluates after the broadcast join."""
     from top_produce_etl_spark.functions.numeric import revenue_expr
 
     lineitem = load_table(spark, sf_dir, "lineitem")
