@@ -552,3 +552,75 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH flat AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               {REV_DEC} AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+        JOIN region r   ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                         THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of revenue sold
+    into a region, by year — a per-group conditional ratio (vs
+    q14's global ratio). Both the conditional and total sums stay
+    exact-decimal until the final per-year division of identically
+    derived doubles, so the ratio is bit-deterministic."""
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    vol = revenue_expr()
+    flat = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("nc_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+    )
+    return (
+        flat.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
