@@ -49,3 +49,19 @@ def test_audit_arrow_udf_flagged(spark, sf_dir):
     df = get_queries()["sessionize_pandas_gap"](spark, sf_dir)
     audit = plan_audit(df)
     assert audit["arrow_udf"] and not audit["python_row_udf"]
+
+
+def test_registry_wide_scale_audit(spark, sf_dir):
+    """EVERY registered query must plan without cartesian products
+    and without row-at-a-time Python UDFs — the two plan features
+    that cannot survive a 100 TB scale-up. Exceptions are explicit
+    and by design: the exact brute-force cosine baseline broadcasts
+    a deliberate cross join (it exists as the small-scale oracle for
+    the LSH/IVF scale paths), and the cross-join query demonstrates
+    the operator itself."""
+    allowed_cartesian = {"cosine_topk_bruteforce", "cross_join_region_status"}
+    for name, fn in sorted(get_queries().items()):
+        audit = plan_audit(fn(spark, sf_dir))
+        if name not in allowed_cartesian:
+            assert not audit["cartesian"], f"{name} plans a cartesian join"
+        assert not audit["python_row_udf"], f"{name} uses a row Python UDF"
