@@ -177,18 +177,22 @@ def minhash_lsh_pairs(
     to LSH recall (see module docstring).
     """
     n_bands = num_perm // rows_per_band
-    # One shingle pass shared by two consumers (signature aggregate,
-    # exact-verification collect_set) — persisted so the corpus is
-    # shingled once; see jaccard_pairs for the persist-vs-repartition
-    # measurement.
+    # ONE aggregate computes both the p min-hashes and the exact-
+    # verification shingle set (fused: measured 1.1 s vs 1.5 s at
+    # sf0.1 for separate aggregates) — the corpus is shingled and
+    # shuffled exactly once, and what gets persisted is the |docs|-row
+    # signature table, not the |shingles|-row exploded table: a far
+    # smaller cache footprint at scale.
     sh = shingle_sets(df, id_col, text_col, k).select(
         F.col(id_col), F.explode("sset").alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
+    sig = sh.groupBy(id_col).agg(
+        *mins, F.collect_set("shingle").alias("sset")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = [
         F.xxhash64(
@@ -213,9 +217,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verification: attach each side's shingle set, intersect.
-    # Rebuilt from the SAME persisted shingle table as the signatures.
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    # Exact verification: attach each side's shingle set, intersect —
+    # read straight off the persisted fused signature table.
+    sets = sig.select(F.col(id_col), "sset")
     verified = (
         candidates.join(
             sets.select(F.col(id_col).alias("a_id"), F.col("sset").alias("sa")), "a_id"
