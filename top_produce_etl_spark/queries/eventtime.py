@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import dec_sum
+from top_produce_etl_spark.functions.numeric import dec, dec_sum
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.operators.eventtime import (
     dedup_first_by_time,
@@ -144,3 +144,42 @@ def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFra
         tiebreak="event_id",
     )
     return out.select("event_id", "user_id", "event_type", "ts")
+
+
+@query(
+    "hierarchical_rollup_monthly",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hierarchical_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate pattern: the monthly
+    answer is derived by RE-AGGREGATING materialized daily partials
+    (count-sum / decimal-sum are associative and exact, so partial →
+    total loses nothing), while the oracle aggregates the raw events
+    directly — the check proves the two-level rollup is lossless.
+    At scale the daily table is the stored rollup (|days × types|
+    rows); month/quarter/year queries read it instead of the raw
+    stream, and the decimal representation is what makes that
+    re-aggregation safe."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("sv"),  # stays decimal: re-aggregatable
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").alias("month_start"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
