@@ -129,3 +129,43 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_word_tokens"
         ),
     )
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4
+               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 0.4
+               + greatest(0.0, 1.0
+                  - (CAST({{marker}} AS DOUBLE)
+                     / len(string_split(text, ' '))) * 2.0) * 0.2 AS quality,
+               ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, quality FROM scored WHERE u < quality
+    """.replace("{marker}", _marker_sql(LANG_MARKERS["en"])),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep each document with
+    probability equal to its quality score, decided by a
+    DETERMINISTIC per-doc uniform (Knuth multiplicative hash of the
+    id) instead of an RNG — reproducible across engines, retries,
+    and partitionings, auditable after the fact (the curation
+    primitive behind 'sample better data more'). Entirely narrow:
+    no shuffle, predicate evaluates at the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars",
+            quality_score("text").alias("quality"),
+            u.alias("__u"),
+        )
+        .filter(F.col("__u") < F.col("quality"))
+        .drop("__u")
+    )
