@@ -148,3 +148,46 @@ def test_pipeline_unknown_op_raises(spark):
     df_tables = {"t": spark.createDataFrame([(1,)], ["a"])}
     with pytest.raises(ValueError, match="unknown op"):
         build_pipeline(spark, {"source": "t", "ops": [{"op": "frobnicate"}]}, df_tables)
+
+
+def test_cli_module_end_to_end(tmp_path):
+    """`python -m top_produce_etl_spark` — the job runner the
+    reference scaffolded but left empty — must run the config-driven
+    top-N job end to end in a fresh process (own SparkSession) and
+    write the partitioned result."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    duckdb.sql(f"""
+        COPY (SELECT * FROM (VALUES
+          ('east','apple',100.0),('east','pear',90.0),('east','plum',80.0),
+          ('east','fig',70.0),('west','kiwi',50.0),('west','lime',60.0)
+        ) t(region, product, sales)) TO '{inp}' (FORMAT PARQUET)
+    """)
+    cfgdir = tmp_path / "configs"
+    cfgdir.mkdir()
+    (cfgdir / "config_test.json").write_text(json.dumps({
+        "env": "test",
+        "input": {"source_type": "file", "path": inp, "format": "parquet"},
+        "output": {"source_type": "file", "path": outp, "format": "parquet"},
+        "processing": {"group_by_column": "region", "target_metric": "sales",
+                       "top_n": 2, "tiebreak_column": "product"},
+    }))
+    r = subprocess.run(
+        [sys.executable, "-m", "top_produce_etl_spark", "--env", "test",
+         "--config-dir", str(cfgdir), "--master", "local[2]"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = duckdb.sql(
+        f"SELECT region, product, rank FROM read_parquet('{outp}/**/*.parquet',"
+        " hive_partitioning=true) ORDER BY region, rank"
+    ).fetchall()
+    assert rows == [
+        ("east", "apple", 1), ("east", "pear", 2),
+        ("west", "lime", 1), ("west", "kiwi", 2),
+    ]
