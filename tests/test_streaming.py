@@ -102,3 +102,47 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     b = sorted(tuple(r) for r in batch.collect())
     s = sorted(tuple(r) for r in stream.collect())
     assert b == s and len(b) > 0
+
+
+def test_availablenow_checkpoint_is_incremental(spark, tmp_path):
+    """The production incremental-batch pattern: a checkpointed
+    availableNow stream processes the backlog once; a second run
+    with the same checkpoint picks up ONLY files added since.
+    This is the restartability contract the streaming tier claims
+    (streaming/jobs.py module docstring)."""
+    import duckdb
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    duckdb.sql(
+        f"COPY (SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(id, v))"
+        f" TO '{src}/batch1.parquet' (FORMAT PARQUET)"
+    )
+    schema = "id BIGINT, v STRING"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema).parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+    # second run, nothing new -> no new rows
+    run_once()
+    assert spark.read.parquet(sink).count() == 2
+    # add a file -> exactly the delta is appended
+    duckdb.sql(
+        f"COPY (SELECT * FROM (VALUES (3, 'c')) t(id, v))"
+        f" TO '{src}/batch2.parquet' (FORMAT PARQUET)"
+    )
+    run_once()
+    got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]
