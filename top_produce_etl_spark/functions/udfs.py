@@ -146,3 +146,50 @@ def cosine_topk_numpy(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def unit_normalize_arrow(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """L2-normalize an embedding column via ``mapInArrow`` — the
+    zero-copy batch surface (SURVEY.md §2.10): Arrow RecordBatches
+    flow JVM→Python without pandas conversion, numpy operates on
+    the flattened value buffer in place, and the fixed-dim layout
+    of ``FixedSizeList``-like arrays means one vectorized divide per
+    batch. Rows with zero norm pass through unchanged (can't divide).
+
+    Output schema: (id_col, vec_col array<double>, norm double).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+            StructField("norm", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            pylists = vecs.to_pylist()
+            arr = np.asarray(pylists, dtype=np.float64)  # (rows, dim)
+            norms = np.sqrt((arr * arr).sum(axis=1))
+            safe = np.where(norms == 0.0, 1.0, norms)
+            normed = arr / safe[:, None]
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(normed.tolist(), type=pa.list_(pa.float64())),
+                    pa.array(norms, type=pa.float64()),
+                ],
+                names=[id_col, vec_col, "norm"],
+            )
+
+    return df.select(
+        F.col(id_col).cast("long"),
+        F.col(vec_col).cast("array<double>"),
+    ).mapInArrow(fn, out_schema)

@@ -131,3 +131,35 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     since its value is engine-specific."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.agg(F.countDistinct("l_partkey").alias("n_parts_exact"))
+
+
+@query(
+    "value_histogram_events",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: floor-binning is a
+    narrow map, so the whole histogram is one partial-aggregated
+    shuffle of |buckets| rows — the constant-memory way to see a
+    distribution at any scale (percentile sketches cover the
+    quantile view; this is the density view)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
