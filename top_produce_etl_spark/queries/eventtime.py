@@ -183,3 +183,68 @@ def hierarchical_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sv").cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "funnel_view_to_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts AS buy_ts FROM events WHERE event_type = 'purchase'
+    ), conv AS (
+        SELECT DISTINCT v.user_id,
+               CAST(date_trunc('day', v.view_ts) AS TIMESTAMP) AS day
+        FROM v JOIN p ON v.user_id = p.user_id
+         AND p.buy_ts >= v.view_ts
+         AND p.buy_ts <  v.view_ts + INTERVAL 1 HOUR
+    ), views AS (
+        SELECT CAST(date_trunc('day', view_ts) AS TIMESTAMP) AS day,
+               COUNT(DISTINCT user_id) AS viewers
+        FROM v GROUP BY 1
+    )
+    SELECT views.day, views.viewers,
+           COALESCE(c.converters, 0) AS converters
+    FROM views LEFT JOIN (
+        SELECT day, COUNT(*) AS converters FROM conv GROUP BY day
+    ) c ON views.day = c.day
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: per day, distinct viewers and how many
+    converted (purchase within 1 hour of a view). The sequence
+    constraint is a time-bounded self-join on user — the same shape
+    the stream-stream attribution job runs incrementally
+    (streaming/jobs.py), here with the conversion dedup + two-level
+    counts a funnel report needs. User-keyed joins shuffle on
+    user_id; the time bound keeps the pair count linear in events
+    per user-hour, not quadratic in history."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("view_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("buy_ts")
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("buy_ts") >= F.col("view_ts"))
+            & (F.col("buy_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", F.date_trunc("day", "view_ts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("converters"))
+    )
+    views = v.groupBy(F.date_trunc("day", "view_ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("viewers")
+    )
+    return (
+        views.join(conv, "day", "left")
+        .select(
+            "day", "viewers",
+            F.coalesce("converters", F.lit(0)).alias("converters"),
+        )
+    )
