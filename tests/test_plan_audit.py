@@ -65,3 +65,28 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         if name not in allowed_cartesian:
             assert not audit["cartesian"], f"{name} plans a cartesian join"
         assert not audit["python_row_udf"], f"{name} uses a row Python UDF"
+
+
+def test_headline_exchange_budgets(spark, sf_dir):
+    """Lock the shuffle budget of every headline bench query: the
+    exchange count is the scale cost model (each one is a full
+    cluster-wide data movement at 100 TB), so a regression here is a
+    performance bug even with every value still correct."""
+    budgets = {
+        "flagship_top3_region": 2,     # group-by agg + window repartition
+        "q1_pricing_summary": 1,       # the single group-by
+        "left_join_order_counts": 1,
+        "asof_join_purchase_click": 1,
+        "running_customer_spend": 1,
+        "top_orders_global": 0,        # TakeOrderedAndProject, no exchange
+        "union_all_segments": 0,       # plan merge only
+        "json_pack_events": 0,         # narrow projection
+        "session_windows_30m": 1,
+        "text_stats": 0,
+    }
+    for name, budget in budgets.items():
+        audit = plan_audit(get_queries()[name](spark, sf_dir))
+        assert audit["exchanges"] <= budget, (
+            f"{name}: {audit['exchanges']} exchanges (budget {budget})"
+        )
+        assert not audit["sortmerge_joins"], f"{name} fell back to SMJ"
