@@ -173,3 +173,28 @@ def test_cosine_lsh_recall_on_fixture(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"recall@{k} = {recall:.2f}"
+
+
+def test_ivf_topk_recall_on_fixture(spark, sf_dir):
+    """IVF recall gate: scoring only 4 of 16 learned cells per query
+    must still recover most of the exact top-3 (deterministic:
+    k-means init and updates are deterministic, so the cell layout
+    and therefore recall are fixed)."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.clustering import ivf_topk
+    from top_produce_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, q, "vec_id", "embedding", k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, q, "vec_id", "embedding", k=3, n_cells=16, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@3 = {recall:.2f}"

@@ -31,13 +31,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign(
-    df: DataFrame, id_col: str, vec_col: str, cents: list[tuple[int, list[float]]]
-) -> DataFrame:
-    """Nearest-centroid assignment as one narrow projection: an
-    array of (distance, cid) structs whose ``array_min`` is the
-    lexicographic (min-distance, then min-cid) argmin."""
-    dists = F.array(
+def _dist_structs(
+    vec_col: str, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Array of (squared-distance, cid) structs against centroid
+    literals — one narrow codegen'd expression, no join."""
+    return F.array(
         *[
             F.struct(
                 F.aggregate(
@@ -54,30 +53,53 @@ def _assign(
             for cid, cvec in cents
         ]
     )
-    return df.select(
-        F.col(id_col), F.array_min(dists).getField("cid").alias("cluster")
+
+
+def nearest_cell(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id as a Column: ``array_min`` over the
+    (distance, cid) structs is the lexicographic (min-distance,
+    then min-cid) argmin."""
+    return F.array_min(_dist_structs(vec_col, cents)).getField("cid")
+
+
+def nearest_cells(
+    vec_col: str, cents: list[tuple[int, list[float]]], n_probe: int
+) -> Column:
+    """The ``n_probe`` nearest centroid ids, as an array — the IVF
+    probe list (sorted structs sort by distance first)."""
+    return F.transform(
+        F.slice(F.array_sort(_dist_structs(vec_col, cents)), 1, n_probe),
+        lambda s: s.getField("cid"),
     )
 
 
-def kmeans_lloyd(
+def _assign(
+    df: DataFrame, id_col: str, vec_col: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment as one narrow projection."""
+    return df.select(
+        F.col(id_col), nearest_cell(vec_col, cents).alias("cluster")
+    )
+
+
+def kmeans_fit(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 1,
-) -> DataFrame:
-    """Lloyd k-means: ``iters`` update rounds, returning the final
-    (id, cluster) assignment against the last centroids.
-
-    Deterministic init: the k lowest-id vectors, rounded to 6 dp.
-    """
+) -> list[tuple[int, list[float]]]:
+    """Fit Lloyd k-means and return the centroid model as
+    (cid, vector) pairs — the broadcastable state an IVF index or a
+    later assignment pass needs. Same determinism contract as
+    :func:`kmeans_lloyd` (which is assignment = fit + one map)."""
     init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
         (i, [round(float(x), 6) for x in r[vec_col]])
         for i, r in enumerate(init_rows)
     ]
-    assign = _assign(df, id_col, vec_col, cents)
     for _ in range(iters):
+        assign = _assign(df, id_col, vec_col, cents)
         # update: per-(cluster, dim) mean, rounded — k·dim rows back
         # to the driver (model state, broadcast next round as
         # literals; at cluster scale this is the classic
@@ -96,5 +118,81 @@ def kmeans_lloyd(
             (cid, [dims[d] for d in sorted(dims)])
             for cid, dims in sorted(by_cid.items())
         ]
-        assign = _assign(df, id_col, vec_col, cents)
-    return assign
+    return cents
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 1,
+) -> DataFrame:
+    """Lloyd k-means: ``iters`` update rounds, returning the final
+    (id, cluster) assignment against the last centroids.
+
+    Deterministic init: the k lowest-id vectors, rounded to 6 dp.
+    """
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    return _assign(df, id_col, vec_col, cents)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: learn ``n_cells`` k-means
+    cells, assign the corpus once (the inverted file), then score
+    each query ONLY against its ``n_probe`` nearest cells — cost
+    drops from |Q|·|corpus| to ~|Q|·|corpus|·(n_probe/n_cells),
+    the partition-pruning property that survives any corpus scale.
+
+    Plan shape: cell model is driver-resident (k·dim floats) and
+    enters both assignment maps as literals — no join for routing.
+    The only shuffle is the (cell)-keyed equi-join between probed
+    queries and the inverted file, then a per-query top-k window.
+    Exact cosine on scored pairs (same `_dec_dot` as brute force) —
+    approximate only in WHICH pairs are scored, so the recall test
+    compares pair sets, not values.
+
+    Output: query_id, neighbor_id, cosine, rank (matches
+    cosine_topk_bruteforce's schema).
+    """
+    from pyspark.sql.window import Window
+
+    from top_produce_etl_spark.operators.similarity import _dec_dot
+
+    cents = kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    inv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        nearest_cell(vec_col, cents).alias("cell"),
+    ).withColumn("__cn", F.sqrt(_dec_dot(F.col("__cv"), F.col("__cv"))))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(nearest_cells(vec_col, cents, n_probe)).alias("cell"),
+    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    scored = (
+        probes.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dec_dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

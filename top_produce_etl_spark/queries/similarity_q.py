@@ -205,3 +205,20 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=1)
+
+
+@query("ivf_topk_embeddings")  # approximate (cell pruning) → rows-only
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF ANN: top-3 neighbors for query vectors vec_id<10,
+    scoring only the 4 nearest of 16 learned k-means cells per query
+    (~4× pruning here; n_cells scales with corpus so the ratio is
+    the knob). Exact decimal cosine on scored pairs — approximate
+    only in WHICH pairs are scored; recall vs brute force is pinned
+    in tests/test_dedup_similarity.py."""
+    from top_produce_etl_spark.operators.clustering import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=4
+    )
