@@ -44,14 +44,14 @@ HEADLINE = [
 
 
 def main() -> None:
-    from top_produce_etl_spark.queries import get_queries
+    from top_produce_etl_spark.queries import get_all_queries
     from top_produce_etl_spark.session import create_spark_session
 
     spark = create_spark_session(
         "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
     spark.sparkContext.setLogLevel("ERROR")
-    queries = get_queries()
+    queries = get_all_queries()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -3,7 +3,11 @@ comparison (row count + schema-insensitive column-name match +
 order-insensitive value comparison), so oracle drift is caught
 locally before the round gate runs.
 
-Usage:  python tests/oracle_check.py [sf_dir] [query ...]
+Usage:  python tests/oracle_check.py [--all] [sf_dir] [query ...]
+
+By default only the PRIMARY tier (what the driver sees) is checked;
+``--all`` adds the extended tier so the merged-away originals stay
+verified locally too.
 """
 
 from __future__ import annotations
@@ -16,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from top_produce_etl_spark.queries import get_oracles, get_queries
+from top_produce_etl_spark.queries import (
+    get_all_oracles,
+    get_all_queries,
+    get_oracles,
+    get_queries,
+)
 from top_produce_etl_spark.session import create_spark_session
 from top_produce_etl_spark.io.sources import TABLES
 
@@ -30,11 +39,11 @@ def normalize(v):
 
 
 def compare(name: str, sf_dir: str, spark, con) -> tuple[bool, str]:
-    sdf = get_queries()[name](spark, sf_dir)
+    sdf = get_all_queries()[name](spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(normalize(row[c]) for c in spark_cols) for row in sdf.collect()]
 
-    res = con.execute(get_oracles()[name])
+    res = con.execute(get_all_oracles()[name])
     duck_cols_orig = [d[0] for d in res.description]
     order = sorted(range(len(duck_cols_orig)), key=lambda i: duck_cols_orig[i])
     duck_cols = [duck_cols_orig[i] for i in order]
@@ -53,6 +62,8 @@ def compare(name: str, sf_dir: str, spark, con) -> tuple[bool, str]:
 
 def main():
     args = sys.argv[1:]
+    include_ext = "--all" in args
+    args = [a for a in args if a != "--all"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = [a for a in args if not os.path.isdir(a)] or None
 
@@ -63,8 +74,11 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    oracles = get_oracles()
-    queries = get_queries()
+    oracles = get_all_oracles() if include_ext else get_oracles()
+    queries = get_all_queries() if include_ext else get_queries()
+    if names:
+        queries = get_all_queries()
+        oracles = get_all_oracles()
     targets = names or sorted(queries)
     failures = 0
     for name in targets:

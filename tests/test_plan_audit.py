@@ -6,11 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from top_produce_etl_spark.plans.audit import assert_scalable, plan_audit
-from top_produce_etl_spark.queries import get_queries
+from top_produce_etl_spark.queries import get_all_queries, get_queries
 
 
 def test_audit_flagship(spark, sf_dir):
-    audit = plan_audit(get_queries()["flagship_top3_region"](spark, sf_dir))
+    audit = plan_audit(get_all_queries()["flagship_top3_region"](spark, sf_dir))
     assert audit["broadcast_joins"] >= 4
     assert not audit["cartesian"]
     assert not audit["python_row_udf"]
@@ -38,7 +38,7 @@ def test_audit_detects_row_udf(spark):
 
 
 def test_audit_exchange_budget(spark, sf_dir):
-    q1 = get_queries()["q1_pricing_summary"](spark, sf_dir)
+    q1 = get_all_queries()["q1_pricing_summary"](spark, sf_dir)
     audit = assert_scalable(q1, max_exchanges=1)
     assert audit["exchanges"] == 1  # the single group-by shuffle
     with pytest.raises(AssertionError, match="exchanges"):
@@ -46,7 +46,7 @@ def test_audit_exchange_budget(spark, sf_dir):
 
 
 def test_audit_arrow_udf_flagged(spark, sf_dir):
-    df = get_queries()["sessionize_pandas_gap"](spark, sf_dir)
+    df = get_all_queries()["sessionize_pandas_gap"](spark, sf_dir)
     audit = plan_audit(df)
     assert audit["arrow_udf"] and not audit["python_row_udf"]
 
@@ -59,8 +59,13 @@ def test_registry_wide_scale_audit(spark, sf_dir):
     a deliberate cross join (it exists as the small-scale oracle for
     the LSH/IVF scale paths), and the cross-join query demonstrates
     the operator itself."""
-    allowed_cartesian = {"cosine_topk_bruteforce", "cross_join_region_status"}
-    for name, fn in sorted(get_queries().items()):
+    allowed_cartesian = {
+        "cosine_topk_bruteforce",  # deliberate broadcast cross: exact baseline
+        "cross_join_region_status",  # the cross-join demo itself (extended)
+        "semi_anti_cross_pack",  # contains the cross-join branch
+        "cosine_topk_numpy",  # same broadcast-queries shape as bruteforce
+    }
+    for name, fn in sorted(get_all_queries().items()):
         audit = plan_audit(fn(spark, sf_dir))
         if name not in allowed_cartesian:
             assert not audit["cartesian"], f"{name} plans a cartesian join"
@@ -83,9 +88,15 @@ def test_headline_exchange_budgets(spark, sf_dir):
         "json_pack_events": 0,         # narrow projection
         "session_windows_30m": 1,
         "text_stats": 0,
+        # primary-tier packs that replaced the above in the driver set
+        "json_map_pack_events": 0,     # still a narrow projection
+        "text_pack": 0,                # five text queries fused, still narrow
+        "window_offset_frames_pack": 1,  # one o_custkey exchange, 4 specs
+        "window_rank_pack": 1,         # one p_brand exchange, 2 specs
+        "date_null_pack_orders": 0,    # narrow projection
     }
     for name, budget in budgets.items():
-        audit = plan_audit(get_queries()[name](spark, sf_dir))
+        audit = plan_audit(get_all_queries()[name](spark, sf_dir))
         assert audit["exchanges"] <= budget, (
             f"{name}: {audit['exchanges']} exchanges (budget {budget})"
         )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import re
 
-from top_produce_etl_spark.queries import get_queries
+from top_produce_etl_spark.queries import get_all_queries, get_queries
 
 
 def plan(df) -> str:
@@ -31,7 +31,7 @@ def simple_plan(df) -> str:
 def test_flagship_broadcasts_all_dims(spark, sf_dir):
     """Star join: customer/nation/region/part are broadcast — the
     only shuffle-bearing join allowed is lineitem⨝orders."""
-    p = plan(get_queries()["flagship_top3_region"](spark, sf_dir))
+    p = plan(get_all_queries()["flagship_top3_region"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
@@ -40,7 +40,7 @@ def test_flagship_broadcasts_all_dims(spark, sf_dir):
 def test_proj_filter_cast_pushdown_and_pruning(spark, sf_dir):
     """The filter must land in PushedFilters and the scan must read
     only the 5 referenced columns, not all 11 of lineitem."""
-    p = plan(get_queries()["proj_filter_cast"](spark, sf_dir))
+    p = plan(get_all_queries()["proj_filter_cast"](spark, sf_dir))
     m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
     assert m, p
     assert "l_discount" in m.group(1) and "l_returnflag" in m.group(1)
@@ -56,7 +56,7 @@ def test_proj_filter_cast_pushdown_and_pruning(spark, sf_dir):
 def test_global_topk_is_take_ordered(spark, sf_dir):
     """orderBy+limit must compile to TakeOrderedAndProject
     (per-partition heap, no full global sort)."""
-    p = simple_plan(get_queries()["top_orders_global"](spark, sf_dir))
+    p = simple_plan(get_all_queries()["top_orders_global"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     assert "Sort [" not in p  # no standalone global sort
 
@@ -64,7 +64,7 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
 def test_q1_partial_aggregation(spark, sf_dir):
     """Hash aggregate must run map-side (partial) before the
     shuffle — the exchange carries |groups| rows, not |lineitem|."""
-    p = plan(get_queries()["q1_pricing_summary"](spark, sf_dir))
+    p = plan(get_all_queries()["q1_pricing_summary"](spark, sf_dir))
     assert "partial_sum" in p, p  # map-side phase present
     assert "hashpartitioning(l_returnflag" in p, p
 
@@ -72,14 +72,14 @@ def test_q1_partial_aggregation(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     """Existence filter must execute as a semi join (no payload
     duplication), never be rewritten through an inner join."""
-    p = simple_plan(get_queries()["semi_join_active_customers"](spark, sf_dir))
+    p = simple_plan(get_all_queries()["semi_join_active_customers"](spark, sf_dir))
     assert "LeftSemi" in p, p
 
 
 def test_systematic_sample_filter_pushed(spark, sf_dir):
     """The key-mod sample predicate evaluates at/next to the scan —
     no shuffle in the plan at all."""
-    p = plan(get_queries()["systematic_sample_orders"](spark, sf_dir))
+    p = plan(get_all_queries()["systematic_sample_orders"](spark, sf_dir))
     assert "Exchange" not in p, p
 
 
@@ -87,7 +87,7 @@ def test_topn_agg_partial_aggregation(spark, sf_dir):
     """Skew-resistant top-N: the collect_list aggregate must show a
     partial (map-side) phase so the revenue rollup pre-reduces
     before its shuffle."""
-    df = get_queries()["topn_agg_top3_region"](spark, sf_dir)
+    df = get_all_queries()["topn_agg_top3_region"](spark, sf_dir)
     p = plan(df)
     assert "ObjectHashAggregate" in p or "SortAggregate" in p, p
     # ranking-window variant of the same computation would show a
@@ -98,7 +98,7 @@ def test_topn_agg_partial_aggregation(spark, sf_dir):
 def test_q6_all_filters_pushed_no_join(spark, sf_dir):
     """Pure scan-filter-agg: every predicate reaches the parquet
     scan and the plan contains no join at all."""
-    p = plan(get_queries()["q6_forecast_revenue"](spark, sf_dir))
+    p = plan(get_all_queries()["q6_forecast_revenue"](spark, sf_dir))
     m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
     assert m, p
     for col in ("l_shipdate", "l_discount", "l_quantity"):
@@ -110,7 +110,7 @@ def test_q6_all_filters_pushed_no_join(spark, sf_dir):
 def test_q10_broadcast_and_take_ordered(spark, sf_dir):
     """Nation (25 rows) broadcasts and the global top-20 compiles to
     TakeOrderedAndProject, never a full sort."""
-    p = plan(get_queries()["q10_returned_items"](spark, sf_dir))
+    p = plan(get_all_queries()["q10_returned_items"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
@@ -120,14 +120,14 @@ def test_q4_exists_is_semi_join(spark, sf_dir):
     """The EXISTS shape must execute as LeftSemi with the non-equi
     lateness predicate as a join residual — no payload duplication,
     no aggregate-side dedup."""
-    p = simple_plan(get_queries()["q4_priority_lateness"](spark, sf_dir))
+    p = simple_plan(get_all_queries()["q4_priority_lateness"](spark, sf_dir))
     assert "LeftSemi" in p, p
 
 
 def test_q14_part_broadcasts(spark, sf_dir):
     """The part dimension joins broadcast; the lineitem date window
     is pushed to the scan."""
-    p = plan(get_queries()["q14_promo_revenue"](spark, sf_dir))
+    p = plan(get_all_queries()["q14_promo_revenue"](spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     m = re.search(r"PushedFilters: \[([^\]]*)l_shipdate([^\]]*)\]", p)
     assert m, p
@@ -137,8 +137,8 @@ def test_q18_having_subquery_is_semi_join(spark, sf_dir):
     """The agg-HAVING IN-subquery must execute as an aggregate
     followed by a LeftSemi against orders — orders must not be
     duplicated through an inner join before its own aggregate."""
-    p = simple_plan(get_queries()["q18_large_volume_orders"](spark, sf_dir))
+    p = simple_plan(get_all_queries()["q18_large_volume_orders"](spark, sf_dir))
     assert "LeftSemi" in p, p
     assert "TakeOrderedAndProject" in plan(
-        get_queries()["q18_large_volume_orders"](spark, sf_dir)
+        get_all_queries()["q18_large_volume_orders"](spark, sf_dir)
     )

@@ -1,0 +1,91 @@
+"""Engine-portable deterministic token hash.
+
+``xxhash64`` (Spark's fast JVM hash) has no DuckDB equivalent, so
+oracle-checking signature algorithms (SimHash) needs a hash BOTH
+engines compute bit-identically from plain SQL. This is a classic
+31-ary polynomial rolling hash over code points, mod 2^31:
+
+    h(t) = ( Σ_{i<min(|t|,40)} code(t_i) · 31^i ) mod 2^31
+
+with the powers 31^i mod 2^31 precomputed as literals so every term
+fits comfortably in a 64-bit integer (≤ 255·2^31 ≈ 2^39; 40 terms
+≤ 2^45 — no overflow, no engine-specific modpow needed).
+
+The production-scale path keeps xxhash64 (one fused JVM intrinsic
+per token); this hash exists so the *algorithm around it* can be
+verified cross-engine. 31 bits of entropy is plenty for that: the
+verifier compares signatures, not collision resistance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PORTABLE_BITS = 31
+PORTABLE_MOD = 1 << PORTABLE_BITS
+MAX_TOKEN_LEN = 40
+
+# A single 31-ary polynomial gives 31 bits of entropy — not enough
+# resolution for a SimHash signature (random 500-doc corpora collide
+# at Hamming ≤ 3 constantly). Composing two independent polynomials
+# (bases 31 and 37), 28 bits from each, yields a 56-bit portable
+# hash: 8 chunks × 7 bits tiles it exactly for pigeonhole blocking.
+COMPOSITE_HALF_BITS = 28
+COMPOSITE_BITS = 2 * COMPOSITE_HALF_BITS
+
+
+def _powers(base: int) -> list[int]:
+    return [pow(base, i, PORTABLE_MOD) for i in range(MAX_TOKEN_LEN)]
+
+
+def _spark_powers(base: int) -> str:
+    return "array(" + ",".join(f"{p}L" for p in _powers(base)) + ")"
+
+
+def _duck_powers(base: int) -> str:
+    return "[" + ",".join(f"CAST({p} AS BIGINT)" for p in _powers(base)) + "]"
+
+
+def portable_hash_col(col: str, base: int = 31) -> Column:
+    """Spark column: portable polynomial hash of a string column."""
+    return F.expr(portable_hash_spark_sql(col, base))
+
+
+def portable_hash_spark_sql(name: str, base: int = 31) -> str:
+    return f"""aggregate(
+              transform(sequence(1, least(length({name}), {MAX_TOKEN_LEN})),
+                        i -> CAST(ascii(substring({name}, i, 1)) AS BIGINT)
+                             * element_at({_spark_powers(base)}, i)),
+              0L, (a, x) -> a + x) % {PORTABLE_MOD}"""
+
+
+def portable_hash_sql(col_sql: str, base: int = 31) -> str:
+    """DuckDB SQL fragment computing the identical hash."""
+    return (
+        f"list_sum(list_transform(range(1, least(length({col_sql}), "
+        f"{MAX_TOKEN_LEN}) + 1), i -> CAST(ascii(substr({col_sql}, "
+        f"CAST(i AS INT), 1)) AS BIGINT) * {_duck_powers(base)}[i])) "
+        f"% {PORTABLE_MOD}"
+    )
+
+
+_HALF_MOD = 1 << COMPOSITE_HALF_BITS
+
+
+def composite_hash_col(col: str) -> Column:
+    """56-bit composite portable hash (Spark side)."""
+    return F.expr(
+        f"(({portable_hash_spark_sql(col, 31)}) % {_HALF_MOD})"
+        f" + (({portable_hash_spark_sql(col, 37)}) % {_HALF_MOD})"
+        f" * {_HALF_MOD}"
+    )
+
+
+def composite_hash_sql(col_sql: str) -> str:
+    """56-bit composite portable hash (DuckDB side, bit-identical)."""
+    return (
+        f"(({portable_hash_sql(col_sql, 31)}) % {_HALF_MOD})"
+        f" + (({portable_hash_sql(col_sql, 37)}) % {_HALF_MOD})"
+        f" * {_HALF_MOD}"
+    )

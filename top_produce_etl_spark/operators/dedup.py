@@ -240,13 +240,22 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_col: Column | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per doc, entirely in JVM expressions.
+    """SimHash per doc, entirely in JVM expressions.
 
-    token → xxhash64 → per-bit vote weighted by term frequency →
+    token → token hash → per-bit vote weighted by term frequency →
     signature bit i = 1 iff vote_i > 0. Output: id_col, simhash
     (bigint, bits packed little-endian).
+
+    ``hash_col`` defaults to ``xxhash64(tok)`` (the fast JVM
+    intrinsic — the 100 TB path). Pass a portable hash column
+    (functions.portable_hash) + matching ``n_bits`` when the
+    signature must be reproducible by a SQL oracle.
     """
     tf = (
         df.select(
@@ -254,20 +263,22 @@ def simhash_signatures(
         )
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("th", F.xxhash64("tok"))
+        .withColumn(
+            "th", hash_col if hash_col is not None else F.xxhash64("tok")
+        )
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
             .otherwise(-F.col("cnt"))
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     voted = tf.groupBy(id_col).agg(*votes)
     sig = reduce(
         lambda acc, i: acc
         + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
-        range(63),  # bit 63 excluded: keep the packed value non-negative
+        range(min(n_bits, 63)),  # bit 63 excluded: keep the packed long non-negative
         F.lit(0).cast("long"),
     )
     return voted.select(F.col(id_col), sig.alias("simhash"))
@@ -279,17 +290,20 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_chunks: int = 8,
+    hash_col: Column | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
-    Blocking by pigeonhole: split the 64-bit signature into
+    Blocking by pigeonhole: split the ``n_bits``-bit signature into
     ``n_chunks`` chunks; distance ≤ d < n_chunks ⇒ at least one
     chunk is identical, so candidates = pairs sharing (chunk_idx,
     chunk_value); verified with exact popcount of XOR.
     """
     assert max_hamming < n_chunks, "pigeonhole requires d < chunks"
-    sig = simhash_signatures(df, id_col, text_col)
-    width = 64 // n_chunks
+    assert n_bits % n_chunks == 0, "chunks must tile the signature"
+    sig = simhash_signatures(df, id_col, text_col, hash_col, n_bits)
+    width = n_bits // n_chunks
     chunks = [
         F.shiftright(F.col("simhash"), i * width)
         .bitwiseAND(F.lit((1 << width) - 1))

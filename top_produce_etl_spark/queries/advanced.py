@@ -62,7 +62,7 @@ def topn_agg_top3_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "grouping_sets_sales",
+    "grouping_sets_sales", extended=True,
     oracle=f"""
     SELECT o.o_orderstatus, l.l_returnflag,
            GROUPING(o.o_orderstatus)::BIGINT * 2
@@ -132,7 +132,7 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "range_frame_spend_30d",
+    "range_frame_spend_30d", extended=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
@@ -162,7 +162,7 @@ def range_frame_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "systematic_sample_orders",
+    "systematic_sample_orders", extended=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -242,7 +242,7 @@ def _sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 @query(
-    "sessionize_pandas_gap",
+    "sessionize_pandas_gap", extended=True,
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts,
@@ -284,7 +284,7 @@ def sessionize_pandas_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stratified_sample_docs",
+    "stratified_sample_docs", extended=True,
     oracle="""
     SELECT doc_id, lang, n_chars FROM (
         SELECT doc_id, lang, n_chars,

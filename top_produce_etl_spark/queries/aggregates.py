@@ -20,7 +20,7 @@ from top_produce_etl_spark.queries import query
 
 
 @query(
-    "customer_stats",
+    "customer_stats", extended=True,
     oracle="""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
@@ -48,7 +48,7 @@ def customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rollup_region_nation",
+    "rollup_region_nation", extended=True,
     oracle="""
     SELECT r_name, n_name,
            COUNT(*) AS n_customers,
@@ -76,7 +76,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cube_status_priority",
+    "cube_status_priority", extended=True,
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
@@ -118,7 +118,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "approx_distinct_parts",
+    "approx_distinct_parts", extended=True,
     # approx_count_distinct is sketch-based and engine-specific →
     # oracle checks the EXACT distinct alongside; the approx column
     # is validated by a relative-error bound in unit tests instead.
@@ -134,7 +134,7 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "value_histogram_events",
+    "value_histogram_events", extended=True,
     oracle="""
     SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
            COUNT(*) AS n,

@@ -14,6 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from top_produce_etl_spark.functions.portable_hash import (
+    COMPOSITE_BITS,
+    composite_hash_col,
+    composite_hash_sql,
+)
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.operators.dedup import (
     exact_dedup,
@@ -79,10 +84,62 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_neardup_pairs")  # rows-only: xxhash64 not in DuckDB
+def _simhash_oracle(n_bits: int = COMPOSITE_BITS, max_hamming: int = 3) -> str:
+    """Generate the DuckDB twin of the SimHash pipeline: token TF →
+    portable polynomial hash → per-bit weighted votes → packed
+    signature → all-pairs Hamming filter. (All-pairs is fine for the
+    oracle — it is the *check*, not the scale path; the Spark side
+    blocks by chunk pigeonhole.)"""
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{i}"
+        for i in range(n_bits)
+    )
+    sig = "\n             + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(n_bits)
+    )
+    return f"""
+    WITH tf AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ), th AS (
+        SELECT doc_id, cnt, {composite_hash_sql('tok')} AS h FROM tf
+    ), votes AS (
+        SELECT doc_id,
+           {votes}
+        FROM th GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id,
+             {sig} AS s
+        FROM votes
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.s, b.s)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
+@query("simhash_neardup_pairs", oracle=_simhash_oracle())
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, oracle-checked end to end: the
+    signature uses the engine-portable 56-bit composite polynomial
+    token hash (functions.portable_hash) so DuckDB reproduces the
+    identical signatures, votes and Hamming distances. The xxhash64
+    64-bit variant (the production fast path — same algorithm,
+    different token hash) stays covered by unit tests."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, n_chunks=8)
+    return simhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        n_chunks=8,
+        hash_col=composite_hash_col("tok"),
+        n_bits=COMPOSITE_BITS,
+    )
 
 
 COMPONENTS_SQL = f"""

@@ -23,7 +23,7 @@ from top_produce_etl_spark.queries import query
 
 
 @query(
-    "tumbling_daily_by_type",
+    "tumbling_daily_by_type", extended=True,
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)                 AS window_start,
            CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
@@ -47,7 +47,7 @@ def tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sliding_daily_12h",
+    "sliding_daily_12h", extended=True,
     oracle="""
     WITH phased AS (
         SELECT TIMESTAMP '1970-01-01'
@@ -82,7 +82,7 @@ def sliding_daily_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "session_windows_30m",
+    "session_windows_30m", extended=True,
     oracle="""
     WITH marked AS (
         SELECT user_id, ts, event_id,
@@ -147,7 +147,7 @@ def dedup_first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
-    "hierarchical_rollup_monthly",
+    "hierarchical_rollup_monthly", extended=True,
     oracle="""
     SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
            event_type,

@@ -29,7 +29,7 @@ from top_produce_etl_spark.queries import query
 
 
 @query(
-    "left_join_order_counts",
+    "left_join_order_counts", extended=True,
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,
            COUNT(o.o_orderkey) AS n_orders
@@ -88,7 +88,7 @@ def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "semi_join_active_customers",
+    "semi_join_active_customers", extended=True,
     oracle="""
     SELECT c_custkey, c_name FROM customer c
     WHERE EXISTS (
@@ -107,7 +107,7 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "anti_join_inactive_customers",
+    "anti_join_inactive_customers", extended=True,
     oracle="""
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (
@@ -123,7 +123,7 @@ def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cross_join_region_status",
+    "cross_join_region_status", extended=True,
     oracle="""
     SELECT r_name, o_orderstatus
     FROM region

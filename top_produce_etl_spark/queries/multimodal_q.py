@@ -25,7 +25,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_byte_stats",
+    "multimodal_byte_stats", extended=True,
     oracle="""
     SELECT doc_id AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -43,11 +43,23 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_fake_features")  # rows-only: byte-level kernel
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(_media(spark, sf_dir))
+    """Full mapInPandas feature extraction (deterministic fake
+    kernel — the media-decode seam is documented in
+    operators/multimodal.py). The float feature vector is projected
+    through ``to_json`` so the driver's pandas canonicalizer gets a
+    hashable scalar instead of a raw list (round-1 harness crash)."""
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "byte_len",
+        "checksum",
+        F.to_json("features").alias("features_json"),
+    )
 
 
 @query(
-    "frame_sampling_plan",
+    "frame_sampling_plan", extended=True,
     oracle="""
     SELECT doc_id AS media_id, frame_ms
     FROM documents,
@@ -61,7 +73,7 @@ def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_frame_samples(_media(spark, sf_dir), every_ms=1000)
 
 
-@query("cosine_topk_numpy")  # float64 BLAS path → rows-only
+@query("cosine_topk_numpy", extended=True)  # float64 BLAS path → rows-only
 def cosine_topk_numpy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+numpy fast path for the brute-force cosine top-k (same
     query set as cosine_topk_bruteforce; float64 scores → not

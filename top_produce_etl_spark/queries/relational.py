@@ -143,7 +143,7 @@ def proj_filter_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "distinct_segments",
+    "distinct_segments", extended=True,
     oracle="SELECT DISTINCT c_mktsegment FROM customer",
 )
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,7 +151,7 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "top_orders_global",
+    "top_orders_global", extended=True,
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders

@@ -44,7 +44,7 @@ def string_pack_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "date_pack_orders",
+    "date_pack_orders", extended=True,
     oracle="""
     SELECT o_orderkey,
            year(o_orderdate)                       AS order_year,
@@ -75,7 +75,7 @@ def date_pack_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "json_pack_events",
+    "json_pack_events", extended=True,
     oracle="""
     SELECT event_id, event_type,
            CAST(json_extract(props, '$.k') AS INT) AS prop_k,
@@ -127,7 +127,7 @@ def conditional_pack_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "null_handling_pack",
+    "null_handling_pack", extended=True,
     oracle="""
     SELECT o_orderkey,
            coalesce(days_late, 0)        AS days_late_filled,

@@ -60,7 +60,7 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "map_pack_events",
+    "map_pack_events", extended=True,
     oracle="""
     SELECT event_id,
            json_keys(props)                             AS prop_keys,
@@ -80,7 +80,7 @@ def map_pack_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "brand_price_median",
+    "brand_price_median", extended=True,
     oracle="""
     SELECT p_brand,
            quantile_cont(p_retailprice, 0.5) AS median_price,

@@ -21,7 +21,7 @@ def _segments(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 
 
 @query(
-    "union_all_segments",
+    "union_all_segments", extended=True,
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     UNION ALL
@@ -37,7 +37,7 @@ def union_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "union_distinct_segments",
+    "union_distinct_segments", extended=True,
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     UNION
@@ -50,7 +50,7 @@ def union_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "intersect_segments",
+    "intersect_segments", extended=True,
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     INTERSECT
@@ -63,7 +63,7 @@ def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "except_all_segments",
+    "except_all_segments", extended=True,
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     EXCEPT ALL
@@ -76,7 +76,7 @@ def except_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "intersect_all_segments",
+    "intersect_all_segments", extended=True,
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     INTERSECT ALL

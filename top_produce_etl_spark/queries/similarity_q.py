@@ -60,7 +60,7 @@ def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
 
 
-@query("cosine_topk_lsh")  # approximate → rows-only
+@query("cosine_topk_lsh", extended=True)  # approximate → rows-only
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3 for the same query set —
     the 100 TB path: bucket join bounds candidates, exact re-score
@@ -74,7 +74,7 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cosine_neardup_pairs")  # approximate → rows-only
+@query("cosine_neardup_pairs", extended=True)  # approximate → rows-only
 def cosine_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection across the whole
     corpus (LSH-blocked, exact-rescored). The fixture embeddings
@@ -207,7 +207,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=1)
 
 
-@query("ivf_topk_embeddings")  # approximate (cell pruning) → rows-only
+@query("ivf_topk_embeddings", extended=True)  # approximate (cell pruning) → rows-only
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF ANN: top-3 neighbors for query vectors vec_id<10,
     scoring only the 4 nearest of 16 learned k-means cells per query

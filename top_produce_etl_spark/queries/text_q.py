@@ -23,7 +23,7 @@ def _marker_sql(markers: tuple[str, ...]) -> str:
 
 
 @query(
-    "text_stats",
+    "text_stats", extended=True,
     oracle=f"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
@@ -51,7 +51,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quality_scores",
+    "quality_scores", extended=True,
     oracle=f"""
     SELECT doc_id,
            least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4
@@ -68,7 +68,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lang_id_heuristic",
+    "lang_id_heuristic", extended=True,
     oracle=f"""
     WITH scores AS (
         SELECT doc_id, lang,
@@ -97,7 +97,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_fingerprints",
+    "doc_fingerprints", extended=True,
     oracle="""
     SELECT doc_id, md5(lower(trim(text))) AS fingerprint
     FROM documents
@@ -113,7 +113,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "regex_token_count",
+    "regex_token_count", extended=True,
     oracle="""
     SELECT doc_id,
            len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens
@@ -132,7 +132,7 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quality_weighted_sample",
+    "quality_weighted_sample", extended=True,
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang, n_chars,

@@ -125,7 +125,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q6_forecast_revenue",
+    "q6_forecast_revenue", extended=True,
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                     * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
@@ -254,7 +254,7 @@ def q4_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_promo_revenue",
+    "q14_promo_revenue", extended=True,
     oracle=f"""
     SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                        THEN {REV_DEC}
@@ -453,7 +453,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "label_centroids",
+    "label_centroids", extended=True,
     oracle="""
     SELECT label, CAST(i - 1 AS INT) AS dim,
            ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid

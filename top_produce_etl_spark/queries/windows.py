@@ -22,7 +22,7 @@ from top_produce_etl_spark.queries import query
 
 
 @query(
-    "order_gaps_lag_lead",
+    "order_gaps_lag_lead", extended=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
            lag(o_orderkey) OVER w AS prev_orderkey,
@@ -52,7 +52,7 @@ def order_gaps_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "running_customer_spend",
+    "running_customer_spend", extended=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
@@ -81,7 +81,7 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "part_price_distribution",
+    "part_price_distribution", extended=True,
     oracle="""
     SELECT p_partkey, p_brand, p_retailprice,
            ntile(4)       OVER w AS price_quartile,
@@ -108,7 +108,7 @@ def part_price_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "brand_size_dense_rank",
+    "brand_size_dense_rank", extended=True,
     oracle="""
     SELECT p_partkey, p_brand, p_size, dr
     FROM (
@@ -134,7 +134,7 @@ def brand_size_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "first_last_order_per_customer",
+    "first_last_order_per_customer", extended=True,
     oracle="""
     SELECT DISTINCT o_custkey,
            first_value(o_orderkey) OVER w AS first_orderkey,
