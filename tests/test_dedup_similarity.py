@@ -198,3 +198,118 @@ def test_ivf_topk_recall_on_fixture(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall@3 = {recall:.2f}"
+
+
+def test_max_df_broadcasts_stop_list_not_keep_list(spark):
+    """Round-1 verdict fix: the stop-shingle guard must broadcast
+    the (small) stop list with a LEFT ANTI join — broadcasting the
+    keep list would ship nearly the whole shingle vocabulary through
+    the driver at scale."""
+    from top_produce_etl_spark.operators.dedup import shingle_table
+    from top_produce_etl_spark.plans.audit import explain_str
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    sh = shingle_table(df, "doc_id", "text", k=5, max_df=2)
+    plan = explain_str(sh, "formatted")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # semantics: shared 10-word dup text has df=3 shingles (docs 1,2,4
+    # share a 6-shingle prefix at k=5? doc2 differs in last word) —
+    # just assert the guard actually removes high-df shingles.
+    with_guard = {r["shingle"] for r in sh.collect()}
+    without = {
+        r["shingle"]
+        for r in shingle_table(df, "doc_id", "text", k=5).collect()
+    }
+    assert with_guard < without
+
+
+def test_jaccard_max_df_path_still_correct(spark):
+    """With a permissive max_df the guarded path must equal the
+    unguarded oracle path exactly."""
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    base = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.5).collect()
+    }
+    guarded = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(
+            df, "doc_id", "text", k=5, threshold=0.5, max_df=100
+        ).collect()
+    }
+    assert base == guarded
+
+
+def test_connected_components_raises_on_exhaustion(spark):
+    """A long chain (diameter > max_iters) must raise, not silently
+    return split components (round-1 advice, medium)."""
+    import pytest
+
+    from top_produce_etl_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 12)]  # path graph, diameter 11
+    pairs = spark.createDataFrame(chain, ["a_id", "b_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+    # and with enough rounds the same graph resolves to one component
+    out = connected_components(pairs, max_iters=20).collect()
+    assert {r["rep_id"] for r in out} == {1}
+
+
+def test_unpersist_all_releases_dedup_caches(spark):
+    from top_produce_etl_spark.operators import dedup
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.5).collect()
+    minhash_lsh_pairs(df, "doc_id", "text", k=5, threshold=0.5).collect()
+    assert dedup.unpersist_all() >= 2
+    assert dedup.unpersist_all() == 0
+
+
+def test_portable_composite_hash_signature_parity(spark):
+    """The portable-hash SimHash variant must produce identical
+    signatures to a pure-Python recomputation (the DuckDB oracle
+    computes the same thing in SQL)."""
+    from top_produce_etl_spark.functions.portable_hash import (
+        COMPOSITE_BITS,
+        MAX_TOKEN_LEN,
+        PORTABLE_MOD,
+        composite_hash_col,
+    )
+
+    def py_hash(tok: str, base: int) -> int:
+        return (
+            sum(
+                ord(c) * pow(base, i, PORTABLE_MOD)
+                for i, c in enumerate(tok[:MAX_TOKEN_LEN])
+            )
+            % PORTABLE_MOD
+        )
+
+    def py_composite(tok: str) -> int:
+        half = 1 << 28
+        return (py_hash(tok, 31) % half) + (py_hash(tok, 37) % half) * half
+
+    def py_simhash(text: str) -> int:
+        from collections import Counter
+
+        tf = Counter(text.split(" "))
+        sig = 0
+        for i in range(COMPOSITE_BITS):
+            vote = sum(
+                cnt if (py_composite(t) >> i) & 1 else -cnt
+                for t, cnt in tf.items()
+            )
+            if vote > 0:
+                sig |= 1 << i
+        return sig
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = simhash_signatures(
+        df, "doc_id", "text",
+        hash_col=composite_hash_col("tok"), n_bits=COMPOSITE_BITS,
+    ).collect()
+    for r in out:
+        expect = py_simhash(dict(DOCS)[r["doc_id"]])
+        assert r["simhash"] == expect, (r["doc_id"], r["simhash"], expect)

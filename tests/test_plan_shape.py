@@ -142,3 +142,19 @@ def test_q18_having_subquery_is_semi_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan(
         get_all_queries()["q18_large_volume_orders"](spark, sf_dir)
     )
+
+
+def test_fuzzy_match_length_band_short_circuits(spark, sf_dir):
+    """The length-band prefilter must evaluate BEFORE levenshtein in
+    the codegen'd Filter conjunction (AND short-circuits left to
+    right), so the O(n*m) edit distance only runs on the band
+    (round-1 verdict item). Parquet cannot push function-based
+    predicates, so conjunct ORDER is the enforceable property."""
+    p = plan(get_all_queries()["fuzzy_part_match"](spark, sf_dir))
+    cond = next(
+        line for line in p.splitlines()
+        if "Condition" in line and "levenshtein" in line
+    )
+    assert "length" in cond and cond.index("length") < cond.index(
+        "levenshtein"
+    ), cond

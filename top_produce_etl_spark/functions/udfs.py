@@ -152,11 +152,14 @@ def unit_normalize_arrow(
     df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """L2-normalize an embedding column via ``mapInArrow`` — the
-    zero-copy batch surface (SURVEY.md §2.10): Arrow RecordBatches
-    flow JVM→Python without pandas conversion, numpy operates on
-    the flattened value buffer in place, and the fixed-dim layout
-    of ``FixedSizeList``-like arrays means one vectorized divide per
-    batch. Rows with zero norm pass through unchanged (can't divide).
+    Arrow-batch surface (SURVEY.md §2.10): RecordBatches flow
+    JVM→Python without pandas conversion. When every row has the
+    same dimensionality (the normal case for an embedding column),
+    numpy reads the list array's FLAT value buffer and reshapes —
+    one vectorized divide per batch, no per-row Python; ragged
+    batches fall back to a per-row path. Null vectors are filtered
+    out Spark-side (a null embedding has no norm); empty batches are
+    passed over (an empty partition still delivers one empty batch).
 
     Output schema: (id_col, vec_col array<double>, norm double).
     """
@@ -173,17 +176,37 @@ def unit_normalize_arrow(
 
     def fn(batches):
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             ids = batch.column(0)
             vecs = batch.column(1)
-            pylists = vecs.to_pylist()
-            arr = np.asarray(pylists, dtype=np.float64)  # (rows, dim)
+            lengths = np.diff(vecs.offsets.to_numpy(zero_copy_only=False))
+            if len(set(lengths)) == 1:
+                # fixed dim → reshape the flat Arrow value buffer
+                flat = vecs.values.to_numpy(zero_copy_only=False)
+                arr = flat.reshape(batch.num_rows, int(lengths[0]))
+            else:  # ragged rows: per-row fallback
+                arr = np.asarray(vecs.to_pylist(), dtype=object)
+                norms = np.array(
+                    [float(np.linalg.norm(np.asarray(v, dtype=np.float64))) for v in arr]
+                )
+                normed = [
+                    (np.asarray(v, dtype=np.float64) / n).tolist() if n > 0 else list(v)
+                    for v, n in zip(arr, norms)
+                ]
+                yield pa.record_batch(
+                    [ids, pa.array(normed, type=pa.list_(pa.float64())),
+                     pa.array(norms, type=pa.float64())],
+                    names=[id_col, vec_col, "norm"],
+                )
+                continue
             norms = np.sqrt((arr * arr).sum(axis=1))
             safe = np.where(norms == 0.0, 1.0, norms)
             normed = arr / safe[:, None]
             yield pa.record_batch(
                 [
                     ids,
-                    pa.array(normed.tolist(), type=pa.list_(pa.float64())),
+                    pa.array(list(normed), type=pa.list_(pa.float64())),
                     pa.array(norms, type=pa.float64()),
                 ],
                 names=[id_col, vec_col, "norm"],
@@ -192,4 +215,4 @@ def unit_normalize_arrow(
     return df.select(
         F.col(id_col).cast("long"),
         F.col(vec_col).cast("array<double>"),
-    ).mapInArrow(fn, out_schema)
+    ).filter(F.col(vec_col).isNotNull()).mapInArrow(fn, out_schema)

@@ -24,10 +24,24 @@ from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    """The plan string ``df.explain(mode)`` would print."""
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+    """The plan string ``df.explain(mode)`` would print.
+
+    Fast path goes through the JVM gateway (no stdout redirection);
+    under Spark Connect or if the private hooks move, fall back to
+    capturing ``df.explain`` output — same surface, works on any
+    session type."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+    except AttributeError:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
 
 
 def plan_audit(df: DataFrame) -> dict[str, Any]:

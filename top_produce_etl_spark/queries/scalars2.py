@@ -21,14 +21,20 @@ from top_produce_etl_spark.queries import query
     """,
 )
 def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching (levenshtein is JVM-side; at
-    scale you'd prefilter with length/prefix blocking before paying
-    O(n·m) per comparison)."""
+    """Edit-distance fuzzy matching with length-band blocking: an
+    edit distance ≤ d implies |len(a) - len(b)| ≤ d, so the cheap
+    ``length`` predicate runs first — it pushes into the parquet
+    scan (plan-tested) and the O(n·m) levenshtein only evaluates on
+    the surviving band. Results are provably identical to the
+    unfiltered query, so the oracle needs no band."""
     part = load_table(spark, sf_dir, "part")
-    dist = F.levenshtein(F.col("p_name"), F.lit("red gear"))
+    target, max_d = "red gear", 4
+    band = F.abs(F.length("p_name") - F.lit(len(target))) <= max_d
+    dist = F.levenshtein(F.col("p_name"), F.lit(target))
     return (
-        part.withColumn("edit_dist", dist)
-        .filter(F.col("edit_dist") <= 4)
+        part.filter(band)
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= max_d)
         .select("p_partkey", "p_name", "edit_dist")
     )
 
@@ -63,19 +69,30 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_pack_events", extended=True,
     oracle="""
     SELECT event_id,
-           json_keys(props)                             AS prop_keys,
-           [CAST(json_extract(props, '$.k') AS INT)]    AS prop_values
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys_csv,
+           array_to_string(
+               list_transform(list_sort(json_keys(props)),
+                   k -> CAST(CAST(json_extract(props, '$.' || k) AS INT)
+                             AS VARCHAR)),
+               ',') AS prop_values_csv
     FROM events
     """,
 )
 def map_pack_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON → typed map → keys/values (map functions, §2.8)."""
+    """JSON → typed map → keys/values (map functions, §2.8). Keys
+    and values are emitted as SORTED comma-joins: raw array columns
+    crashed the round-1 driver canonicalizer (unhashable lists), so
+    list-shaped final projections are always stringified."""
     events = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
+    keys_sorted = F.array_sort(F.map_keys(m))
     return events.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(keys_sorted, ",").alias("prop_keys_csv"),
+        F.array_join(
+            F.transform(keys_sorted, lambda k: F.element_at(m, k).cast("string")),
+            ",",
+        ).alias("prop_values_csv"),
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -220,10 +221,16 @@ def running_user_totals_stream(
         for pdf in pdfs:
             n += len(pdf)
             # per-ROW cent rounding: totals are then independent of
-            # how rows split across micro-batches
-            cents += int(
-                pdf["value"].astype("float64").mul(100).round().astype("int64").sum()
+            # how rows split across micro-batches. HALF_UP via
+            # floor(x*100 + 0.5) — pandas .round() is banker's
+            # (half-even) and would diverge from the batch twin's
+            # Spark F.round on exact-.5-cent values.
+            # (sign-aware: HALF_UP = away from zero, like F.round)
+            vals = pdf["value"].astype("float64").mul(100).to_numpy()
+            half_up = np.where(
+                vals >= 0, np.floor(vals + 0.5), np.ceil(vals - 0.5)
             )
+            cents += int(half_up.astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {
