@@ -26,6 +26,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 RUNS = 3
 
 # One representative per operator family (SURVEY.md §2 / BASELINE.md).
+# Names are stable across rounds for comparability (several now live
+# in the extended registry tier; bench spans both tiers).
 HEADLINE = [
     "flagship_top3_region",      # scan+join+agg+window (the reference's core)
     "q1_pricing_summary",        # aggregate
@@ -42,6 +44,35 @@ HEADLINE = [
     "text_stats",                # text analysis
 ]
 
+# Extension tier: the LLM-data-pipeline operators whose scale
+# behavior should be tracked round-over-round (timed with the same
+# median-of-3 protocol; reported under "extension_queries").
+EXTENSION = [
+    "simhash_neardup_pairs",     # portable-hash SimHash + blocking
+    "dedup_components",          # iterative connected components
+    "kmeans_assignments",        # 3-round Lloyd k-means
+    "ivf_topk_embeddings",       # learned-cell IVF ANN
+    "multimodal_fake_features",  # Arrow mapInPandas kernel
+    "sampling_pack",             # deterministic sampling family
+]
+
+RECALL_K = 3
+
+
+def ivf_recall_at_k(spark, queries, sf_dir: str) -> float:
+    """recall@k of the IVF ANN path vs the exact brute-force top-k —
+    tracked per round so ANN quality regressions surface next to
+    latency (round-1 verdict item 6)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in queries["cosine_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in queries["ivf_topk_embeddings"](spark, sf_dir).collect()
+    }
+    return round(len(exact & approx) / max(len(exact), 1), 4)
+
 
 def main() -> None:
     from top_produce_etl_spark.queries import get_all_queries
@@ -53,18 +84,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_all_queries()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        times = []
-        for i in range(RUNS + 1):
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            if i > 0:  # discard warmup
-                times.append(dt)
-        timings[name] = round(statistics.median(times), 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            times = []
+            for i in range(RUNS + 1):
+                t0 = time.monotonic()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.monotonic() - t0
+                if i > 0:  # discard warmup
+                    times.append(dt)
+            out[name] = round(statistics.median(times), 3)
+            print(f"# {name}: {out[name]}s", file=sys.stderr)
+        return out
+
+    timings = time_set(HEADLINE)
+    extension = time_set(EXTENSION)
+    recall = ivf_recall_at_k(spark, queries, SF_DIR)
+    print(f"# ivf_recall_at_{RECALL_K}: {recall}", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
@@ -73,6 +111,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "extension_queries": extension,
+        "extension_total_sec": round(sum(extension.values()), 3),
+        f"ivf_recall_at_{RECALL_K}": recall,
     }
     print(json.dumps(out))
 

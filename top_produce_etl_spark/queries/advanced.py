@@ -101,6 +101,8 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(STDDEV_SAMP(q), 6)    AS qty_stddev,
            ROUND(VAR_SAMP(q), 6)       AS qty_var,
+           ROUND(quantile_cont(q, 0.5), 6) AS qty_median,
+           ROUND(quantile_cont(p, 0.9), 6) AS price_p90,
            ROUND(CORR(q, p), 6)        AS qty_price_corr,
            ROUND(COVAR_SAMP(q, p), 6)  AS qty_price_covar,
            ROUND(AVG(POW(q - (SELECT AVG(q) FROM b b2
@@ -125,6 +127,8 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         r6(F.stddev_samp(q)).alias("qty_stddev"),
         r6(F.var_samp(q)).alias("qty_var"),
+        r6(F.expr("percentile(l_quantity, 0.5)")).alias("qty_median"),
+        r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("price_p90"),
         r6(F.corr(q, p)).alias("qty_price_corr"),
         r6(F.covar_samp(q, p)).alias("qty_price_covar"),
         r6(F.skewness(q)).alias("qty_skewness"),
