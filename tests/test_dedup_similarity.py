@@ -287,9 +287,16 @@ def test_portable_composite_hash_signature_parity(spark):
             % PORTABLE_MOD
         )
 
+    def py_mix31(h: int) -> int:
+        for _ in range(2):
+            h = ((h ^ (h >> 16)) * 73244475) % PORTABLE_MOD
+        return h ^ (h >> 16)
+
     def py_composite(tok: str) -> int:
         half = 1 << 28
-        return (py_hash(tok, 31) % half) + (py_hash(tok, 37) % half) * half
+        h31 = py_mix31(py_hash(tok, 31))
+        h37 = py_mix31(py_hash(tok, 37))
+        return (h31 % half) + (h37 % half) * half
 
     def py_simhash(text: str) -> int:
         from collections import Counter

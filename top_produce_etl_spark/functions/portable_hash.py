@@ -72,20 +72,54 @@ def portable_hash_sql(col_sql: str, base: int = 31) -> str:
 
 _HALF_MOD = 1 << COMPOSITE_HALF_BITS
 
+# Polynomial hashes of SIMILAR tokens are correlated (no avalanche):
+# one-character edits only perturb low-order structure, which makes
+# SimHash signatures of docs sharing vocabulary cluster far tighter
+# than random and floods the Hamming-≤d candidate set. A two-round
+# multiply-xorshift finalizer (the classic 32-bit integer-hash
+# pattern, adapted to 31 bits so every product fits in int64 even
+# under ANSI overflow checking) decorrelates them. Both engines
+# express it with the same integer ops; only the xor/shift spellings
+# differ (Spark SQL: ^ and shiftright; DuckDB: xor() and >>).
+_MIX_MULT = 73244475  # odd multiplier from the 32-bit finalizer family
+
+
+def _mix31(h: str, xor_fn, shr_fn) -> str:
+    m1 = f"((({xor_fn(h, shr_fn(h, 16))}) * {_MIX_MULT}) % {PORTABLE_MOD})"
+    m2 = f"((({xor_fn(m1, shr_fn(m1, 16))}) * {_MIX_MULT}) % {PORTABLE_MOD})"
+    return f"({xor_fn(m2, shr_fn(m2, 16))})"
+
+
+def _spark_mix31(h: str) -> str:
+    return _mix31(
+        h,
+        lambda a, b: f"({a} ^ {b})",
+        lambda a, n: f"shiftright({a}, {n})",
+    )
+
+
+def _duck_mix31(h: str) -> str:
+    return _mix31(
+        h,
+        lambda a, b: f"xor({a}, {b})",
+        lambda a, n: f"({a} >> {n})",
+    )
+
 
 def composite_hash_col(col: str) -> Column:
-    """56-bit composite portable hash (Spark side)."""
+    """56-bit composite portable hash (Spark side): two independent
+    polynomials, each avalanche-mixed, 28 bits from each half."""
+    h31 = _spark_mix31(f"({portable_hash_spark_sql(col, 31)})")
+    h37 = _spark_mix31(f"({portable_hash_spark_sql(col, 37)})")
     return F.expr(
-        f"(({portable_hash_spark_sql(col, 31)}) % {_HALF_MOD})"
-        f" + (({portable_hash_spark_sql(col, 37)}) % {_HALF_MOD})"
-        f" * {_HALF_MOD}"
+        f"({h31} % {_HALF_MOD}) + ({h37} % {_HALF_MOD}) * {_HALF_MOD}"
     )
 
 
 def composite_hash_sql(col_sql: str) -> str:
     """56-bit composite portable hash (DuckDB side, bit-identical)."""
+    h31 = _duck_mix31(f"({portable_hash_sql(col_sql, 31)})")
+    h37 = _duck_mix31(f"({portable_hash_sql(col_sql, 37)})")
     return (
-        f"(({portable_hash_sql(col_sql, 31)}) % {_HALF_MOD})"
-        f" + (({portable_hash_sql(col_sql, 37)}) % {_HALF_MOD})"
-        f" * {_HALF_MOD}"
+        f"({h31} % {_HALF_MOD}) + ({h37} % {_HALF_MOD}) * {_HALF_MOD}"
     )
