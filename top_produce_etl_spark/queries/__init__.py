@@ -90,7 +90,10 @@ PRIMARY_ORDER = [
     "semi_anti_cross_pack",
     "range_join_ship_window",
     "asof_join_purchase_click",
-    "broadcast_join_supplier_nation",
+    # broadcast-join row: plan-tested on flagship/q10/q14; the bare
+    # supplier⨝nation demo moved to extended, freeing the slot for
+    # the training-data ops below
+    "training_data_ops_pack",
     # dedup + similarity + clustering
     "exact_dedup_documents",
     "ngram_jaccard_pairs",

@@ -211,7 +211,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "broadcast_join_supplier_nation",
+    "broadcast_join_supplier_nation", extended=True,
     oracle="""
     SELECT s.s_suppkey, s.s_name, n.n_name
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey

@@ -717,3 +717,137 @@ def q6_q14_scalar_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("promo_revenue").alias("value"),
     )
     return _union([q6, q14_pct, q14_rev])
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops (beyond-reference extension tier made
+# primary): token-budget shard packing, test-set contamination check,
+# PII-style redaction. Schema: (op string, key bigint, aux string,
+# val string).
+# --------------------------------------------------------------------------
+
+SHARD_TOKEN_BUDGET = 1000
+# Shingle width / overlap threshold for the contamination check.
+# Real pipelines use 8-13-gram overlap; the synthetic fixture text is
+# near-random word soup, so train/test docs share no shingle longer
+# than 3 words — the width is a knob, set here so the branch
+# actually exercises hits (17 pairs at sf0.01).
+CONTAM_K = 3
+CONTAM_MIN_SHARED = 2
+
+_TRAINING_OPS_SQL = f"""
+SELECT 'shard_pack' AS op, doc_id AS key, lang AS aux,
+       CAST(CAST(floor((cum - n_tok) / {SHARD_TOKEN_BUDGET}.0) AS BIGINT)
+            AS VARCHAR) AS val
+FROM (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tok,
+           SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+           ) AS cum
+    FROM documents
+)
+UNION ALL
+SELECT 'contamination', train_id, CAST(test_id AS VARCHAR),
+       CAST(n_shared AS VARCHAR)
+FROM (
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i:i+{CONTAM_K - 1}], ' ') AS shingle
+        FROM toks, unnest(range(1, len(t) - {CONTAM_K - 2})) r(i)
+        WHERE len(t) >= {CONTAM_K}
+    )
+    SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+           COUNT(*) AS n_shared
+    FROM (SELECT * FROM sh WHERE doc_id % 100 <> 0) tr
+    JOIN (SELECT * FROM sh WHERE doc_id % 100 = 0) te
+      ON tr.shingle = te.shingle
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+)
+UNION ALL
+SELECT 'redaction', c_custkey,
+       regexp_replace(c_name, '[0-9]', 'X', 'g'),
+       CAST(length(c_name)
+            - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS VARCHAR)
+FROM customer
+"""
+
+
+@query("training_data_ops_pack", oracle=_TRAINING_OPS_SQL)
+def training_data_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three training-data curation primitives a 100 TB pipeline
+    needs, each deterministic and oracle-checked:
+
+    - **shard_pack**: token-budget shard assignment — contiguous
+      greedy fill per language stratum: shard = floor(prefix_tokens /
+      budget) from a windowed cumulative sum. Per-stratum windows
+      keep the cumsum parallel (one exchange on lang); at larger
+      scale the same two-level trick as hierarchical_rollup applies
+      (per-partition sums + offsets).
+    - **contamination**: train/test n-gram overlap — k=8 shingle
+      inverted-index join counting shared shingles per (train, test)
+      doc pair. The TEST side (holdout/benchmark) is small by
+      construction, so it broadcasts: the train corpus never
+      shuffles, which is what makes decontamination feasible at
+      100 TB.
+    - **redaction**: PII-style digit masking over customer names
+      with a portable redaction count (length delta — avoids
+      regexp_count dialect differences). Pure narrow projection.
+    """
+    from top_produce_etl_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    n_tok = F.size(F.split("text", " "))
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum(n_tok).over(w)
+    shard = F.floor((cum - n_tok) / F.lit(float(SHARD_TOKEN_BUDGET)))
+    shard_pack = docs.select(
+        F.lit("shard_pack").alias("op"),
+        F.col("doc_id").alias("key"),
+        F.col("lang").alias("aux"),
+        shard.cast("string").alias("val"),
+    )
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", CONTAM_K))).alias(
+            "shingle"
+        ),
+    )
+    train = sh.filter(F.col("doc_id") % 100 != 0).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    test = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("test_id"), "shingle"
+    )
+    contamination = (
+        train.join(F.broadcast(test), "shingle")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .select(
+            F.lit("contamination").alias("op"),
+            F.col("train_id").alias("key"),
+            F.col("test_id").cast("string").alias("aux"),
+            F.col("n_shared").cast("string").alias("val"),
+        )
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    redaction = cust.select(
+        F.lit("redaction").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.regexp_replace("c_name", "[0-9]", "X").alias("aux"),
+        (
+            F.length("c_name")
+            - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+        )
+        .cast("string")
+        .alias("val"),
+    )
+
+    return _union([shard_pack, contamination, redaction])
