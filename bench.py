@@ -54,6 +54,7 @@ EXTENSION = [
     "ivf_topk_embeddings",       # learned-cell IVF ANN
     "multimodal_fake_features",  # Arrow mapInPandas kernel
     "sampling_pack",             # deterministic sampling family
+    "training_data_ops_pack",    # shard packing / contamination / redaction
 ]
 
 RECALL_K = 3

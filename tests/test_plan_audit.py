@@ -94,6 +94,13 @@ def test_headline_exchange_budgets(spark, sf_dir):
         "window_offset_frames_pack": 1,  # one o_custkey exchange, 4 specs
         "window_rank_pack": 1,         # one p_brand exchange, 2 specs
         "date_null_pack_orders": 0,    # narrow projection
+        "multimodal_meta_pack": 0,     # mapInPandas + metadata explode
+        "sampling_pack": 1,            # stratified window exchange only
+        "sessions_pack": 2,            # session-window agg + grouped-map
+        "training_data_ops_pack": 2,   # shard window + contamination agg
+        "setops_pack": 4,              # 4 aggregating branches, bag union free
+        "multi_grain_agg_pack": 3,     # one shuffle per lattice branch
+        "window_agg_pack": 4,          # tumbling+sliding+daily+monthly aggs
     }
     for name, budget in budgets.items():
         audit = plan_audit(get_all_queries()[name](spark, sf_dir))
