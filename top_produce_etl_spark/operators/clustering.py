@@ -35,23 +35,34 @@ def _dist_structs(
     vec_col: str, cents: list[tuple[int, list[float]]]
 ) -> Column:
     """Array of (squared-distance, cid) structs against centroid
-    literals — one narrow codegen'd expression, no join."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(v)) for v in cvec]),
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, z: acc + z,
-                ).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cvec in cents
-        ]
+    literals — one narrow codegen'd expression, no join.
+
+    The k distance folds share ONE lambda body: ``zip_with`` over a
+    2-D centroid literal array and a parallel cid array, instead of
+    inlining the fold k times. Same arithmetic in the same order
+    (bit-identical results); the expression tree is ~k× smaller,
+    which keeps Catalyst analysis + codegen cheap as k grows."""
+    cent_vecs = F.array(
+        *[F.array(*[F.lit(float(v)) for v in cvec]) for _, cvec in cents]
+    )
+    cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    return F.zip_with(
+        cent_vecs,
+        cent_ids,
+        # .alias() inside an HOF lambda doesn't name struct fields;
+        # the cast does (and fixes the field types in one place).
+        lambda cvec, cid: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    cvec,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            cid,
+        ).cast("struct<d:double,cid:int>"),
     )
 
 
@@ -99,14 +110,24 @@ def kmeans_fit(
         for i, r in enumerate(init_rows)
     ]
     for _ in range(iters):
-        assign = _assign(df, id_col, vec_col, cents)
         # update: per-(cluster, dim) mean, rounded — k·dim rows back
         # to the driver (model state, broadcast next round as
         # literals; at cluster scale this is the classic
-        # "small model, big data" iteration shape)
+        # "small model, big data" iteration shape). The cluster id is
+        # a narrow expression over the vector itself, so assignment
+        # and update fuse into ONE scan + hash aggregate per round —
+        # no self-join on id (which would shuffle |rows| twice).
+        # The assignment MUST be its own projection below the
+        # posexplode: fused into the same select, the k-centroid
+        # distance scan lands above the Generate and is re-evaluated
+        # per exploded element (measured 13.0s vs 0.8s per round on
+        # sf0.1 — a dim× blowup).
+        assigned = df.select(
+            nearest_cell(vec_col, cents).alias("cluster"),
+            F.col(vec_col).alias("__v"),
+        )
         rows = (
-            df.join(assign, id_col)
-            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            assigned.select("cluster", F.posexplode("__v").alias("dim", "x"))
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("v"))
             .collect()
