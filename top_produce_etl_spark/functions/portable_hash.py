@@ -108,7 +108,12 @@ def _duck_mix31(h: str) -> str:
 
 def composite_hash_col(col: str) -> Column:
     """56-bit composite portable hash (Spark side): two independent
-    polynomials, each avalanche-mixed, 28 bits from each half."""
+    polynomials, each avalanche-mixed, 28 bits from each half.
+
+    Although each avalanche round textually inlines its input 2-3
+    times, runtime subexpression elimination keeps the cost linear —
+    measured no faster when hand-staged through projections, so the
+    single-Column spelling stays."""
     h31 = _spark_mix31(f"({portable_hash_spark_sql(col, 31)})")
     h37 = _spark_mix31(f"({portable_hash_spark_sql(col, 37)})")
     return F.expr(
