@@ -97,7 +97,8 @@ def test_headline_exchange_budgets(spark, sf_dir):
         "multimodal_meta_pack": 0,     # mapInPandas + metadata explode
         "sampling_pack": 1,            # stratified window exchange only
         "sessions_pack": 2,            # session-window agg + grouped-map
-        "training_data_ops_pack": 2,   # shard window + contamination agg
+        "training_data_ops_pack": 3,   # shard window + contamination agg
+                                       # + bm25 1-row stats aggregate
         "setops_pack": 4,              # 4 aggregating branches, bag union free
         "multi_grain_agg_pack": 3,     # one shuffle per lattice branch
         "window_agg_pack": 4,          # tumbling+sliding+daily+monthly aggs

@@ -1,0 +1,264 @@
+"""Ranked-retrieval scoring: BM25 against a fixed query, TF-IDF
+term weighting (SURVEY.md §2.11 text-analysis tier; the relevance
+side of a training-data curation pipeline — e.g. scoring documents
+against quality/topic probe queries before sampling).
+
+Scale design:
+
+- **BM25 vs a small literal query** is a pure broadcast pattern:
+  the only corpus-level state is (n_docs, total_doc_len, df per
+  query term) — a handful of scalars. One single-row aggregate scan
+  computes them; they come back as a broadcast 1-row table joined on
+  a literal key (BroadcastHashJoin — an equi-join on a constant,
+  NOT a nested-loop cartesian), and scoring is a narrow per-row
+  codegen expression. Two corpus scans, ONE 1-row shuffle, zero
+  wide shuffles: per-document term frequencies never leave their
+  row (``F.filter`` over the token array instead of
+  explode+groupBy).
+- **TF-IDF** genuinely needs the (doc, term) matrix, so it earns
+  its explode+groupBy shuffle; document frequencies aggregate to
+  |vocabulary| rows, which broadcast back (natural-language vocab
+  is ~1e6 terms — driver-safe) so the big (doc, term) side never
+  re-shuffles for the join.
+
+Cross-engine determinism (DuckDB oracles): integer token counts and
+integer document frequencies everywhere; ``avgdl`` derived as
+exact-integer-sum / count; the per-term score sum written in fixed
+left-to-right order; final scores scaled by 1e4 and rounded to
+BIGINT so the ≤1-ulp ``ln`` difference between libm and Java
+``Math.log`` cannot flip a hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Classic Robertson/Sparck-Jones defaults.
+BM25_K1 = 1.2
+BM25_B = 0.75
+SCORE_SCALE = 10_000  # fixed-point: round(score * 1e4) → BIGINT
+
+
+def _tokens(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score every document against a fixed bag of query ``terms``.
+
+    Output: (id_col, matched int, score_scaled bigint) for documents
+    matching at least one term; ``score_scaled`` =
+    round(BM25 · 1e4), ``matched`` = number of distinct query terms
+    present.
+
+    BM25(d, q) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                 (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    with idf(t) = ln(1 + (n − df(t) + 0.5)/(df(t) + 0.5)).
+    """
+    def _eq(term: str):
+        # NB: a `lambda x, t=t:` default-arg capture would give the
+        # lambda TWO parameters, which F.filter interprets as the
+        # (element, index) form — a proper closure keeps it unary.
+        return lambda x: x == F.lit(term)
+
+    toks = _tokens(text_col)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # Corpus stats: ONE single-row aggregate (n, Σdl, df per term),
+    # broadcast back onto every row. The join key `pmod(col, 1)` is
+    # always 0 but derived from a data column, so Catalyst cannot
+    # constant-fold it (a literal key folds the condition to `true`
+    # and the join degrades to a BroadcastNestedLoopJoin, which the
+    # scale audit rightly flags; `col·0+1` folds too — non-nullable
+    # times zero simplifies). This plans as a plain equi
+    # BroadcastHashJoin and the operator stays lazy (no driver-side
+    # collect of the stats row).
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).withColumn("__k", F.pmod(F.col("n_docs"), F.lit(1)).cast("int"))
+    scored = per_doc.withColumn(
+        "__k", F.pmod(F.col("dl"), F.lit(1)).cast("int")
+    ).join(F.broadcast(stats), "__k")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    n = F.col("n_docs").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        df_t = F.col(f"df{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df_t + 0.5) / (df_t + 0.5))
+        score = score + idf * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+        )
+    matched = sum(
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms))
+    )
+    return (
+        scored.withColumn("matched", matched)
+        .filter(F.col("matched") > 0)
+        .select(
+            F.col(id_col),
+            F.col("matched"),
+            F.round(score * SCORE_SCALE).cast("bigint").alias("score_scaled"),
+        )
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` — same integer counts,
+    same left-to-right score sum, same 1e4 fixed-point rounding."""
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(string_split({text_col}, ' '), x -> x = '{t}')) "
+        f"AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n           ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * ({k1} + 1.0)"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+        f" * CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / n_docs))))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return f"""
+    WITH per_doc AS (
+        SELECT {id_col}, len(string_split({text_col}, ' ')) AS dl,
+           {tf_cols}
+        FROM {table}
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+           {df_cols}
+        FROM per_doc
+    )
+    SELECT {id_col}, {matched} AS matched,
+           CAST(round((0.0 + {score}) * {SCORE_SCALE}) AS BIGINT)
+               AS score_scaled
+    FROM per_doc, stats
+    WHERE {matched} > 0
+    """
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn convention: tf · (ln((1+n)/(1+df)) + 1)).
+
+    Output: (id_col, term, tfidf_scaled bigint, rank int).
+
+    Plan: explode → (doc, term) tf aggregate (the one unavoidable
+    wide shuffle), df aggregated to |vocab| rows and BROADCAST back
+    so the (doc, term) side joins without moving, then a per-doc
+    ranking window. Deterministic: fixed-point score + term-asc
+    tiebreak."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tfreq"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        # non-foldable always-0 key: see the BroadcastHashJoin note
+        # in bm25_scores
+        .withColumn("__k", F.pmod(F.col("dfreq"), F.lit(1)).cast("int"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "__k", F.pmod(F.col("n_docs"), F.lit(1)).cast("int")
+    )
+    dfreq_n = dfreq.join(F.broadcast(n_docs), "__k").drop("__k")
+    scored = tf.join(F.broadcast(dfreq_n), "term").withColumn(
+        "tfidf_scaled",
+        F.round(
+            F.col("tfreq").cast("double")
+            * (
+                F.log(
+                    (1.0 + F.col("n_docs").cast("double"))
+                    / (1.0 + F.col("dfreq").cast("double"))
+                )
+                + 1.0
+            )
+            * SCORE_SCALE
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_scaled"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col(id_col), "term", "tfidf_scaled", "rank")
+    )
+
+
+def tfidf_oracle_sql(
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms`."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+    ), tf AS (
+        SELECT {id_col}, term, COUNT(*) AS tfreq FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs FROM {table}
+    ), scored AS (
+        SELECT tf.{id_col}, tf.term,
+               CAST(round(CAST(tfreq AS DOUBLE)
+                    * (ln((1.0 + CAST(n_docs AS DOUBLE))
+                          / (1.0 + CAST(dfreq AS DOUBLE))) + 1.0)
+                    * {SCORE_SCALE}) AS BIGINT) AS tfidf_scaled
+        FROM tf JOIN dfreq USING (term), stats
+    )
+    SELECT {id_col}, term, tfidf_scaled, "rank"
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY {id_col}
+            ORDER BY tfidf_scaled DESC, term
+        ) AS "rank"
+        FROM scored
+    )
+    WHERE "rank" <= {top_k}
+    """

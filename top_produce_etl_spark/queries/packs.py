@@ -34,6 +34,7 @@ from top_produce_etl_spark.functions.text import (
     quality_score,
 )
 from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.retrieval import bm25_oracle_sql, bm25_scores
 from top_produce_etl_spark.queries import _ORACLES, query
 
 # Import the source modules so their (extended) queries + oracles are
@@ -735,6 +736,8 @@ SHARD_TOKEN_BUDGET = 1000
 CONTAM_K = 3
 CONTAM_MIN_SHARED = 2
 
+_BM25_SQL = bm25_oracle_sql(_text_q.BM25_TERMS)
+
 _TRAINING_OPS_SQL = f"""
 SELECT 'shard_pack' AS op, doc_id AS key, lang AS aux,
        CAST(CAST(floor((cum - n_tok) / {SHARD_TOKEN_BUDGET}.0) AS BIGINT)
@@ -773,6 +776,10 @@ SELECT 'redaction', c_custkey,
        CAST(length(c_name)
             - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS VARCHAR)
 FROM customer
+UNION ALL
+SELECT 'bm25', doc_id, CAST(matched AS VARCHAR),
+       CAST(score_scaled AS VARCHAR)
+FROM ({_BM25_SQL})
 """
 
 
@@ -796,6 +803,12 @@ def training_data_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     - **redaction**: PII-style digit masking over customer names
       with a portable redaction count (length delta — avoids
       regexp_count dialect differences). Pure narrow projection.
+    - **bm25**: relevance scoring against a fixed probe query
+      (operators/retrieval.py) — the only corpus-level state is a
+      1-row (n, Σdl, df…) aggregate broadcast back on a literal
+      key, scoring itself is a narrow codegen expression;
+      fixed-point (×1e4 → BIGINT) scores keep the cross-engine
+      hash exact despite ``ln``.
     """
     from top_produce_etl_spark.functions.text import word_shingles
 
@@ -850,4 +863,11 @@ def training_data_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("val"),
     )
 
-    return _union([shard_pack, contamination, redaction])
+    bm25 = bm25_scores(docs, "doc_id", "text", _text_q.BM25_TERMS).select(
+        F.lit("bm25").alias("op"),
+        F.col("doc_id").alias("key"),
+        F.col("matched").cast("string").alias("aux"),
+        F.col("score_scaled").cast("string").alias("val"),
+    )
+
+    return _union([shard_pack, contamination, redaction, bm25])

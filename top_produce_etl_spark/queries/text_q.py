@@ -14,6 +14,12 @@ from top_produce_etl_spark.functions.text import (
     quality_score,
 )
 from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.retrieval import (
+    bm25_oracle_sql,
+    bm25_scores,
+    tfidf_oracle_sql,
+    tfidf_top_terms,
+)
 from top_produce_etl_spark.queries import query
 
 
@@ -169,3 +175,38 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__u") < F.col("quality"))
         .drop("__u")
     )
+
+
+# Query terms for the BM25 demo queries: all present in the synthetic
+# corpus vocabulary; scores then discriminate by tf and doc length.
+BM25_TERMS = ["spark", "join", "window"]
+
+
+@query(
+    "bm25_topk", extended=True,
+    oracle=(
+        bm25_oracle_sql(BM25_TERMS)
+        + " ORDER BY score_scaled DESC, doc_id LIMIT 20"
+    ),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 relevance to a fixed query — ranked
+    retrieval over the corpus with only broadcast state (see
+    operators/retrieval.py): one 1-row stats aggregate, narrow
+    per-row scoring, global top-k via orderBy+limit
+    (TakeOrderedAndProject — no full sort, no extra exchange).
+    Fixed-point scores make the cross-engine hash exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", BM25_TERMS).orderBy(
+        F.desc("score_scaled"), F.asc("doc_id")
+    ).limit(20)
+
+
+@query("tfidf_top_terms", oracle=tfidf_oracle_sql(), extended=True)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF:
+    the (doc, term) matrix earns one wide shuffle; document
+    frequencies broadcast back at |vocabulary| size so the matrix
+    never re-shuffles (operators/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
