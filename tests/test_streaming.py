@@ -146,3 +146,20 @@ def test_availablenow_checkpoint_is_incremental(spark, tmp_path):
     run_once()
     got = sorted(r["id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static join (broadcast dim, no join state) + windowed
+    agg must equal the identical batch plan."""
+    from top_produce_etl_spark.streaming.jobs import (
+        enriched_segment_counts_batch,
+        enriched_segment_counts_stream,
+    )
+
+    batch = enriched_segment_counts_batch(spark, sf_dir)
+    stream = enriched_segment_counts_stream(
+        spark, sf_dir, sink_table="t_stream_enriched"
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in stream.collect())
+    assert b == s and len(b) > 0

@@ -28,6 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.numeric import dec_sum
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -87,6 +89,91 @@ def run_windowed_counts_stream(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def enriched_segment_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 day",
+    watermark: str = "1 hour",
+    sink_table: str = "stream_enriched_counts",
+) -> DataFrame:
+    """STREAM-STATIC dimension enrichment feeding a windowed agg:
+    event stream ⨝ broadcast(customer dim) → per-(day, market
+    segment) counts.
+
+    Stream-static joins keep NO state: the static side is re-planned
+    per micro-batch and broadcast (hint it explicitly — the dim is
+    dimension-table-sized at any corpus scale), so unlike the
+    stream-stream join there is no buffering or watermark bound on
+    the join itself; only the downstream window aggregate needs the
+    watermark. This is the standard enrichment topology at 100 TB:
+    the fact stream never shuffles for the join, only for the
+    (window, segment) aggregate — whose shuffled rows are partial
+    aggregates, |windows × segments| per partition.
+
+    Batch parity asserted in tests/test_streaming.py. The value
+    sum goes through exact decimal (repo convention) so micro-batch
+    accumulation order cannot perturb the double.
+    """
+    from top_produce_etl_spark.io.sources import load_table
+
+    events = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey
+    )
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("win"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
+def enriched_segment_counts_batch(
+    spark: SparkSession, sf_dir: str, duration: str = "1 day"
+) -> DataFrame:
+    """Batch twin of :func:`enriched_segment_counts_stream`."""
+    from top_produce_etl_spark.io.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", duration).alias("win"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
