@@ -66,3 +66,27 @@ def test_overwrite_mode(spark, tmp_path):
     write_table(a, p)
     write_table(b, p)
     assert sorted(r["x"] for r in read_table(spark, p).collect()) == [2, 3]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink → ORC source round-trip: schema and rows survive;
+    predicate pushdown works the same as parquet (columnar, embedded
+    schema)."""
+    from top_produce_etl_spark.io.sinks import write_table
+    from top_produce_etl_spark.io.sources import read_table
+    from top_produce_etl_spark.plans.audit import plan_audit
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.0), (3, "a", 7.25)],
+        ["id", "tag", "val"],
+    )
+    path = str(tmp_path / "t_orc")
+    write_table(df, path, fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    filtered = back.filter(back.id > 1).select("id")
+    audit = plan_audit(filtered)
+    assert audit["pushed_filters"], "ORC scan lost predicate pushdown"

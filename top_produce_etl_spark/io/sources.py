@@ -51,6 +51,10 @@ def read_table(
         reader = reader.options(**options)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "orc":
+        # columnar like parquet: schema embedded, predicate pushdown
+        # and column pruning work the same way
+        return reader.orc(path)
     if fmt == "csv":
         # header=true is the sane default for analyst CSVs; schema
         # inference only when no schema given AND caller opted in.
