@@ -56,3 +56,19 @@ def test_extended_tier_preserved():
         "left_join_order_counts",
     ]:
         assert name in all_q and name in all_o
+
+
+def test_primary_outputs_are_hash_friendly(spark, sf_dir):
+    """The driver's canonicalizer (pandas sort_values over all
+    columns) crashes on unhashable cells — CORRECTNESS_r01 lost two
+    queries to array-typed outputs. No primary query may return
+    array/map/struct columns; project them through to_json or a
+    sorted join instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in get_queries().items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
