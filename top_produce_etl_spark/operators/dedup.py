@@ -387,6 +387,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iters: int = 20,
+    path_halving: bool = True,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list —
     the transitive-closure step that turns pairwise matches into
@@ -396,9 +397,16 @@ def connected_components(
 
     Algorithm: iterative min-label propagation. Every node starts
     labeled with its own id; each round, a node's label becomes the
-    min of its own and its neighbors' labels. Converges in
-    O(component diameter) rounds — near-dup graphs are dense
-    cliques-of-cliques, so diameter is small (2-4 typical).
+    min of its own and its neighbors' labels. Plain propagation
+    converges in O(component diameter) rounds — near-dup graphs are
+    dense cliques-of-cliques, so diameter is small (2-4 typical).
+    With ``path_halving`` (default) each round ALSO replaces every
+    label by its label's label (one |V|-row self-join — labels are
+    node ids, so every label resolves): min information then travels
+    ~2^r hops after r rounds, and convergence drops to
+    O(log diameter) — a 10 000-link chain finishes in ~15 rounds
+    instead of 10 000. That removes the pathological case where
+    exhaustion forces the error below.
 
     Scale design: each round is one shuffle-join (edges ⨝ labels on
     the destination) plus one min-aggregate — both partition by node
@@ -432,16 +440,27 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr_min, labels.id == nbr_min.s, "left")
-            .select(
-                F.col("id"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        labels = labels.join(nbr_min, labels.id == nbr_min.s, "left").select(
+            F.col("id"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
         )
+        if path_halving:
+            # label ← label(label): pointer jump. Labels only ever
+            # shrink (parent.label ≤ parent.id = child.label), so the
+            # monotone-sum convergence test still applies; at the
+            # fixpoint both the propagation and the jump are no-ops.
+            parent = labels.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            labels = labels.join(
+                parent, labels.label == parent.p_id, "left"
+            ).select(
+                F.col("id"),
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+            )
+        labels = labels.localCheckpoint()
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             converged = True
