@@ -90,3 +90,31 @@ def test_orc_roundtrip(spark, tmp_path):
     filtered = back.filter(back.id > 1).select("id")
     audit = plan_audit(filtered)
     assert audit["pushed_filters"], "ORC scan lost predicate pushdown"
+
+
+def test_events_ts_is_ltz_timestamp_batch_and_stream(spark, sf_dir):
+    """The events fixture's TIMESTAMP(NANOS) column must land on the
+    LTZ TIMESTAMP type under every decode path (bigint via legacy
+    conf, TIMESTAMP_NTZ on Spark 4, TIMESTAMP passthrough) in BOTH
+    batch and stream — withWatermark rejects NTZ, and parity tests
+    need same-typed sides."""
+    from top_produce_etl_spark.io.sources import load_table, normalize_event_time
+    from top_produce_etl_spark.streaming.jobs import stream_events
+
+    batch = load_table(spark, sf_dir, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+
+    stream = stream_events(spark, sf_dir)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+    # bigint (legacy nanosAsLong) branch: rebuild micros via integer div
+    raw = spark.range(1).select(
+        (F.lit(1700000000).cast("long") * F.lit(1_000_000_000) + F.lit(123_456_789))
+        .cast("long")
+        .alias("ts")
+    )
+    fixed = normalize_event_time(raw)
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    micros = fixed.select(F.unix_micros("ts").alias("us")).collect()[0]["us"]
+    assert micros == 1700000000 * 1_000_000 + 123_456  # truncated, not rounded

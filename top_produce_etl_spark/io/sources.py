@@ -66,26 +66,49 @@ def read_table(
     raise ValueError(f"unsupported format: {fmt}")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local time
+    zone) regardless of how the parquet encoding was decoded:
+
+    - ``bigint`` — legacy ``nanosAsLong`` environments hand back raw
+      int64 nanos; rebuild micros with integer division (``div`` —
+      float division would lose precision above 2^53 ns; truncation
+      matches DuckDB's nanos→micros read).
+    - ``timestamp_ntz`` — Spark 4 reads parquet TIMESTAMP(NANOS)
+      natively as NTZ, but ``withWatermark`` (and every event-time
+      streaming operator) requires the LTZ TIMESTAMP type. The
+      session time zone is pinned to UTC (session.py), so the cast
+      is value-preserving wall-clock-wise.
+    - ``timestamp`` — already LTZ, leave untouched.
+
+    Used by both the batch loader and the stream source so batch
+    twins and streams always agree on the event-time dtype.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from a scale-factor directory.
 
-    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized parquet reader rejects
-    ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw int64 via the
-    legacy conf and rebuild a microsecond timestamp with integer
-    division (``div`` — float division would lose precision above
-    2^53 ns). Truncation matches DuckDB's nanos→micros read.
+    The ``events`` fixture stores ``ts`` as parquet TIMESTAMP(NANOS);
+    depending on Spark version/conf that decodes as int64 nanos,
+    TIMESTAMP_NTZ, or TIMESTAMP — :func:`normalize_event_time`
+    branches on the actual dtype so all three encodings land on the
+    LTZ TIMESTAMP type. (The ``nanosAsLong`` legacy conf, where the
+    runtime still honors it, is set once at session build —
+    session.py — not mutated per read.)
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    from pyspark.sql import functions as F
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_time(spark.read.parquet(path))
 
 
 def load_star(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

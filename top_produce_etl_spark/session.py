@@ -64,6 +64,12 @@ def create_spark_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) handling: on runtimes that still
+        # honor the legacy conf, nanos decode as int64 (normalized in
+        # io.sources.normalize_event_time); Spark 4 ignores it and
+        # reads NTZ natively (normalized by the same helper). Set once
+        # here so no reader mutates session state per call.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -40,12 +40,15 @@ from pyspark.sql.types import (
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture directory, with the
-    same TIMESTAMP(NANOS) normalization as the batch loader."""
-    from top_produce_etl_spark.io.sources import load_table
+    same event-time normalization as the batch loader — so the
+    stream's ``ts`` is always LTZ TIMESTAMP (``withWatermark``
+    rejects TIMESTAMP_NTZ) and batch-parity tests compare
+    same-typed results."""
+    from top_produce_etl_spark.io.sources import load_table, normalize_event_time
 
-    static = load_table(spark, sf_dir, "events")  # sets nanos conf, fixes ts
+    static = load_table(spark, sf_dir, "events")  # normalized batch twin
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema  # post-conf: ts as bigint
+    raw_schema = spark.read.parquet(path).schema  # pre-normalization dtypes
     # The file stream source requires a DIRECTORY; the fixture is a
     # single file → stream the parent dir with a glob filter.
     sdf = (
@@ -53,8 +56,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = normalize_event_time(sdf)
     return sdf.select(*[F.col(c) for c in static.columns])
 
 
