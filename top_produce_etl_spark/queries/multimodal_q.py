@@ -1,9 +1,12 @@
 """Multimodal + UDF-surface queries (SURVEY.md §2.10/§2.11).
 
-The binary-payload feature extraction is rows-only (byte-level
-checksums aren't expressible in DuckDB SQL), but its metadata-level
-projections and the frame-sampling plan ARE oracle-checked — they
-exercise the same multimodal table."""
+The binary-payload feature extraction IS oracle-checked: the fixture
+text is pure ASCII (asserted per scale factor — length ==
+octet_length for every row), so utf-8 bytes == codepoints and the
+byte-level kernel (sum, >>5 histogram) is expressible in DuckDB as
+an ``ascii(substr(...))`` unnest. The float32 features compare
+bit-exactly because both sides round the same double to float32
+(IEEE round-to-nearest) before the driver widens them back."""
 
 from __future__ import annotations
 
@@ -41,20 +44,50 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "byte_len")
 
 
-@query("multimodal_fake_features")  # rows-only: byte-level kernel
+# The kernel's 8 histogram buckets (byte >> 5), re-derived per byte in
+# SQL. float(h)/n is computed in double then rounded to float32 by the
+# Arrow writer; CAST(... AS FLOAT) applies the identical rounding.
+_FAKE_FEATURES_ORACLE = (
+    """
+    WITH per_byte AS (
+        SELECT doc_id, length(text) AS n, ascii(substr(text, i, 1)) AS byte
+        FROM documents, unnest(generate_series(1, length(text))) t(i)
+    )
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(any_value(n) AS BIGINT) AS byte_len,
+           CAST(SUM(byte) % 2147483648 AS BIGINT) AS checksum,
+"""
+    + ",\n".join(
+        f"           CAST(CAST(SUM(CASE WHEN byte // 32 = {i} THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) / any_value(n) AS FLOAT) AS f{i}"
+        for i in range(8)
+    )
+    + """
+    FROM per_byte
+    GROUP BY doc_id
+    """
+)
+
+
+@query("multimodal_fake_features", oracle=_FAKE_FEATURES_ORACLE)
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full mapInPandas feature extraction (deterministic fake
     kernel — the media-decode seam is documented in
-    operators/multimodal.py). The float feature vector is projected
-    through ``to_json`` so the driver's pandas canonicalizer gets a
-    hashable scalar instead of a raw list (round-1 harness crash)."""
+    operators/multimodal.py). The float32 feature vector is spread
+    into scalar columns f0..f7 so the driver's canonicalizer hashes
+    plain floats (it crashed on raw list columns in round 1), and so
+    the byte-level kernel is fully hash-checked against the ASCII
+    re-derivation oracle above — previously this was the one
+    rows-only registry entry."""
     feats = extract_features(_media(spark, sf_dir))
     return feats.select(
         "media_id",
         "media_type",
         "byte_len",
         "checksum",
-        F.to_json("features").alias("features_json"),
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
     )
 
 
