@@ -51,7 +51,9 @@ EXTENSION = [
     "simhash_neardup_pairs",     # portable-hash SimHash + blocking
     "dedup_components",          # iterative connected components
     "kmeans_assignments",        # 3-round Lloyd k-means
-    "ivf_topk_embeddings",       # learned-cell IVF ANN
+    "ivf_topk_embeddings",       # learned-cell IVF ANN (decimal-exact)
+    "ivf_topk_fast",             # IVF ANN, double fast path
+    "cosine_topk_fast",          # brute-force cosine, double fast path
     "multimodal_fake_features",  # Arrow mapInPandas kernel
     "sampling_pack",             # deterministic sampling family
     "training_data_ops_pack",    # shard packing / contamination / redaction
@@ -60,17 +62,17 @@ EXTENSION = [
 RECALL_K = 3
 
 
-def ivf_recall_at_k(spark, queries, sf_dir: str) -> float:
-    """recall@k of the IVF ANN path vs the exact brute-force top-k —
-    tracked per round so ANN quality regressions surface next to
-    latency (round-1 verdict item 6)."""
+def recall_at_k(spark, queries, sf_dir: str, approx_name: str) -> float:
+    """recall@k of an approximate top-k query vs the exact
+    brute-force neighbor sets — tracked per round so ANN quality
+    regressions surface next to latency (verdict items r1#6, r2#7)."""
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in queries["cosine_topk_bruteforce"](spark, sf_dir).collect()
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in queries["ivf_topk_embeddings"](spark, sf_dir).collect()
+        for r in queries[approx_name](spark, sf_dir).collect()
     }
     return round(len(exact & approx) / max(len(exact), 1), 4)
 
@@ -102,8 +104,19 @@ def main() -> None:
 
     timings = time_set(HEADLINE)
     extension = time_set(EXTENSION)
-    recall = ivf_recall_at_k(spark, queries, SF_DIR)
-    print(f"# ivf_recall_at_{RECALL_K}: {recall}", file=sys.stderr)
+    recalls = {
+        f"ivf_recall_at_{RECALL_K}": recall_at_k(
+            spark, queries, SF_DIR, "ivf_topk_embeddings"
+        ),
+        f"lsh_recall_at_{RECALL_K}": recall_at_k(
+            spark, queries, SF_DIR, "cosine_topk_lsh"
+        ),
+        f"ivf_fast_recall_at_{RECALL_K}": recall_at_k(
+            spark, queries, SF_DIR, "ivf_topk_fast"
+        ),
+    }
+    for k, v in recalls.items():
+        print(f"# {k}: {v}", file=sys.stderr)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
@@ -114,7 +127,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "extension_queries": extension,
         "extension_total_sec": round(sum(extension.values()), 3),
-        f"ivf_recall_at_{RECALL_K}": recall,
+        **recalls,
     }
     print(json.dumps(out))
 

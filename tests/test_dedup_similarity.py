@@ -320,3 +320,37 @@ def test_portable_composite_hash_signature_parity(spark):
     for r in out:
         expect = py_simhash(dict(DOCS)[r["doc_id"]])
         assert r["simhash"] == expect, (r["doc_id"], r["simhash"], expect)
+
+
+def test_double_fast_path_matches_decimal_neighbors(spark):
+    """The double-precision scoring fast path (round-2 verdict item
+    4) must return the SAME neighbor sets as the oracle-exact decimal
+    twin at sf0.01 — recall@3 = 1.0 for both brute force and IVF.
+    Scores may differ in accumulation rounding; membership may not."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.clustering import ivf_topk
+    from top_produce_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    bf_dec = pairs(cosine_topk_bruteforce(emb, q, "vec_id", "embedding", k=3))
+    bf_dbl = pairs(
+        cosine_topk_bruteforce(emb, q, "vec_id", "embedding", k=3, scoring="double")
+    )
+    assert bf_dec == bf_dbl and len(bf_dec) == 30
+
+    ivf_dec = pairs(
+        ivf_topk(emb, q, "vec_id", "embedding", k=3, n_cells=16, n_probe=4)
+    )
+    ivf_dbl = pairs(
+        ivf_topk(
+            emb, q, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
+            scoring="double",
+        )
+    )
+    assert ivf_dec == ivf_dbl and len(ivf_dec) > 0

@@ -167,6 +167,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 1,
+    scoring: str = "decimal",
 ) -> DataFrame:
     """IVF approximate nearest neighbors: learn ``n_cells`` k-means
     cells, assign the corpus once (the inverted file), then score
@@ -178,34 +179,38 @@ def ivf_topk(
     enters both assignment maps as literals — no join for routing.
     The only shuffle is the (cell)-keyed equi-join between probed
     queries and the inverted file, then a per-query top-k window.
-    Exact cosine on scored pairs (same `_dec_dot` as brute force) —
-    approximate only in WHICH pairs are scored, so the recall test
-    compares pair sets, not values.
+    Exact cosine on scored pairs (``scoring="decimal"``, the
+    oracle-exact default) — approximate only in WHICH pairs are
+    scored, so the recall test compares pair sets, not values.
+    ``scoring="double"`` swaps in the codegen'd double fast path
+    (operators.similarity._dbl_dot): ~2× cheaper scoring, identical
+    neighbor sets on this fixture (recall-gated in tests).
 
     Output: query_id, neighbor_id, cosine, rank (matches
     cosine_topk_bruteforce's schema).
     """
     from pyspark.sql.window import Window
 
-    from top_produce_etl_spark.operators.similarity import _dec_dot
+    from top_produce_etl_spark.operators.similarity import dot_fn
 
+    dot = dot_fn(scoring)
     cents = kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=iters)
     inv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         nearest_cell(vec_col, cents).alias("cell"),
-    ).withColumn("__cn", F.sqrt(_dec_dot(F.col("__cv"), F.col("__cv"))))
+    ).withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(nearest_cells(vec_col, cents, n_probe)).alias("cell"),
-    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
     scored = (
         probes.join(inv, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            _dec_dot(F.col("__qv"), F.col("__cv"))
+            dot(F.col("__qv"), F.col("__cv"))
             / (F.col("__qn") * F.col("__cn")),
         )
     )

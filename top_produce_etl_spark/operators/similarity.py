@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 
 def _dec_dot(a: Column, b: Column) -> Column:
-    """Exact-decimal dot product of two float arrays (as double)."""
+    """Exact-decimal dot product of two float arrays (as double).
+
+    The ORACLE-EXACT twin: decimal accumulation is associative, so
+    the score is independent of partitioning and bit-comparable to a
+    serial DuckDB fold. Interpreted decimal arithmetic is the main
+    cost of the scoring pass — use :func:`_dbl_dot` where exactness
+    vs an external oracle isn't required (same pattern as SimHash's
+    portable-hash oracle twin vs its xxhash64 production path)."""
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     acc = F.aggregate(
         prod,
@@ -31,6 +38,34 @@ def _dec_dot(a: Column, b: Column) -> Column:
         lambda s, v: (s + v.cast("decimal(28,14)")).cast("decimal(28,14)"),
     )
     return acc.cast("double")
+
+
+def _dbl_dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product — the PRODUCTION fast path.
+
+    Plain IEEE-double left-to-right fold: stays in codegen'd
+    primitive arithmetic (no decimal interpretation), ~2× cheaper on
+    the scoring-dominated ANN queries. Still deterministic per row
+    (the fold is sequential within one array), but NOT
+    bit-comparable to an engine that accumulates in another order —
+    so the decimal twin stays the CORRECTNESS entry and this path is
+    gated by a recall-equality test against it
+    (tests/test_dedup_similarity.py)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def dot_fn(scoring: str):
+    """Select the dot-product kernel: ``"decimal"`` (oracle-exact) or
+    ``"double"`` (fast path)."""
+    if scoring == "decimal":
+        return _dec_dot
+    if scoring == "double":
+        return _dbl_dot
+    raise ValueError(f"unknown scoring mode: {scoring!r}")
 
 
 def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
@@ -43,29 +78,33 @@ def cosine_topk_bruteforce(
     id_col: str,
     vec_col: str,
     k: int = 3,
+    scoring: str = "decimal",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Output: query_id, neighbor_id, cosine, rank (1..k). Excludes
     self-matches. Queries are broadcast; ranking tie-breaks on
-    neighbor id for determinism.
+    neighbor id for determinism. ``scoring="double"`` swaps the
+    oracle-exact decimal dot for the codegen'd double fast path
+    (same neighbor sets on this fixture — recall-gated in tests).
     """
+    dot = dot_fn(scoring)
     # Norms are hoisted out of the pair expression: computed once per
-    # row (|Q|+|C| decimal folds) instead of once per pair (2·|Q|·|C|)
-    # — bit-identical values, ~3× less interpreted-decimal work, and
-    # exactly the oracle's norms-CTE shape.
+    # row (|Q|+|C| folds) instead of once per pair (2·|Q|·|C|)
+    # — bit-identical values, ~3× less scoring work, and exactly the
+    # oracle's norms-CTE shape.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", F.sqrt(_dec_dot(F.col("__cv"), F.col("__cv"))))
+    ).withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = pairs.withColumn(
         "cosine",
-        _dec_dot(F.col("__qv"), F.col("__cv"))
+        dot(F.col("__qv"), F.col("__cv"))
         / (F.col("__qn") * F.col("__cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
