@@ -191,3 +191,37 @@ def test_cli_module_end_to_end(tmp_path):
         ("east", "apple", 1), ("east", "pear", 2),
         ("west", "lime", 1), ("west", "kiwi", 2),
     ]
+
+
+def test_shipped_yaml_configs_drive_topn_job(spark, tmp_path):
+    """The in-tree dual-env YAML configs (reference parity:
+    config_prod.yaml/config_dev.yaml differing only in env + paths)
+    must parse through the YAML loader branch and drive run_topn_job
+    end to end — not just the JSON path."""
+    import dataclasses
+
+    prod = load_config("prod", "/root/repo/configs")
+    dev = load_config("dev", "/root/repo/configs")
+    # dual-env contract: identical processing spec, different env/paths
+    assert prod.env == "prod" and dev.env == "dev"
+    assert prod.processing == dev.processing
+    assert prod.input.source_type == "s3" and dev.input.source_type == "file"
+
+    inp = str(tmp_path / "yaml_in")
+    out = str(tmp_path / "yaml_out")
+    spark.createDataFrame(TOP_PRODUCTS, ["region", "product", "sales"]).write.parquet(inp)
+    cfg = dataclasses.replace(
+        dev,
+        input=dataclasses.replace(dev.input, path=inp),
+        output=dataclasses.replace(dev.output, path=out),
+    )
+    result = run_topn_job(spark, cfg)
+    rows = [(r["region"], r["product"], r["rank"]) for r in result.collect()]
+    assert rows == [
+        ("ASIA", "gadget", 1),
+        ("EU", "widget", 1),
+        ("EU", "gadget", 2),
+        ("EU", "gizmo", 3),
+        ("US", "widget", 1),
+    ]
+    assert spark.read.parquet(out).count() == 5
