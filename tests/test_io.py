@@ -118,3 +118,29 @@ def test_events_ts_is_ltz_timestamp_batch_and_stream(spark, sf_dir):
     assert dict(fixed.dtypes)["ts"] == "timestamp"
     micros = fixed.select(F.unix_micros("ts").alias("us")).collect()[0]["us"]
     assert micros == 1700000000 * 1_000_000 + 123_456  # truncated, not rounded
+
+
+def test_notebook_path_helper(tmp_path, monkeypatch):
+    """add_project_root_to_path walks up to the dir containing the
+    package marker, prepends it to sys.path once, and raises when no
+    ancestor matches."""
+    import sys
+
+    import pytest
+
+    from top_produce_etl_spark.notebook import add_project_root_to_path
+
+    root = tmp_path / "proj"
+    (root / "top_produce_etl_spark").mkdir(parents=True)
+    deep = root / "notebooks" / "exp1"
+    deep.mkdir(parents=True)
+    monkeypatch.chdir(deep)
+    got = add_project_root_to_path()
+    assert got == str(root) and sys.path[0] == str(root)
+    add_project_root_to_path()  # idempotent
+    assert sys.path.count(str(root)) == 1
+    sys.path.remove(str(root))
+
+    monkeypatch.chdir(tmp_path)  # no marker anywhere above
+    with pytest.raises(FileNotFoundError):
+        add_project_root_to_path(marker="definitely_not_a_real_marker_dir")

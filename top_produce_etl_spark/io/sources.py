@@ -44,26 +44,19 @@ def read_table(
 ) -> DataFrame:
     """Read one table. ``fmt`` ∈ {parquet, csv, json}; ``source_type``
     's3'/'file' both route here (the URI scheme differentiates)."""
+    if fmt not in ("parquet", "orc", "csv", "json"):
+        raise ValueError(f"unsupported format: {fmt}")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if fmt == "csv":
+        # header=true is the sane default for analyst CSVs; caller
+        # options may override it. Schema inference only happens when
+        # no schema is given AND the caller opts in via options.
+        reader = reader.option("header", "true")
     if options:
         reader = reader.options(**options)
-    if fmt == "parquet":
-        return reader.parquet(path)
-    if fmt == "orc":
-        # columnar like parquet: schema embedded, predicate pushdown
-        # and column pruning work the same way
-        return reader.orc(path)
-    if fmt == "csv":
-        # header=true is the sane default for analyst CSVs; schema
-        # inference only when no schema given AND caller opted in.
-        opts = {"header": "true"}
-        opts.update(options or {})
-        return spark.read.options(**opts).schema(schema).csv(path) if schema is not None else spark.read.options(**opts).csv(path)
-    if fmt == "json":
-        return reader.json(path)
-    raise ValueError(f"unsupported format: {fmt}")
+    return getattr(reader, fmt)(path)
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:

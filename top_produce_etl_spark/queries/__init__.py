@@ -186,6 +186,7 @@ def _load_all() -> None:
         scalars2,
         setops,
         similarity_q,
+        streaming_q,
         text_q,
         tpch_q,
         windows,

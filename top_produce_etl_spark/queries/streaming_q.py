@@ -1,0 +1,85 @@
+"""Streaming-tier parity queries (SURVEY.md §2.9 watermark row).
+
+These run a REAL watermarked Structured Streaming job
+(``readStream`` → ``withWatermark`` → windowed agg → memory sink,
+availableNow trigger) and return the sink table, so the driver's
+Spark-vs-DuckDB compare checks streaming CORRECTNESS — not just the
+pytest parity suite. The oracle is the batch semantics the
+incremental engine guarantees for a fully-consumed bounded source:
+identical results to the same window aggregate over the static
+table.
+
+Extended tier: streaming jobs are stateful side-effecting runs (a
+memory sink materializes on the driver — fine for the fixture-sized
+sink rows, |windows × types|), so they stay out of the driver's
+50-query primary registry; ``oracle_check.py --all`` gates them
+every round instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.queries import query
+
+
+@query(
+    "stream_tumbling_counts_parity", extended=True,
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+               AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts via the actual streaming
+    runtime (streaming/jobs.py:run_windowed_counts_stream): 1-hour
+    watermark, 1-day windows, complete-mode memory sink. availableNow
+    consumes the whole bounded fixture, so the sink equals the batch
+    aggregate — the §2.9 streaming contract, now hash-checked against
+    DuckDB instead of only asserted in pytest."""
+    from top_produce_etl_spark.streaming.jobs import run_windowed_counts_stream
+
+    return run_windowed_counts_stream(
+        spark, sf_dir, sink_table="oracle_stream_counts"
+    )
+
+
+@query(
+    "stream_attribution_parity", extended=True,
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_ts, p.purchase_value,
+           c.click_id, c.click_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+     AND c.click_ts <  p.purchase_ts
+    """,
+)
+def stream_attribution_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM self-join through the real runtime
+    (streaming/jobs.py:purchase_click_attribution_stream): both sides
+    buffer state bounded by the 2-hour watermark, append-mode sink.
+    The oracle is the identical time-bounded join over the static
+    table — inner stream-stream joins emit exactly the matched rows
+    once both sides arrive, so a fully-consumed bounded source must
+    equal batch row-for-row."""
+    from top_produce_etl_spark.streaming.jobs import (
+        purchase_click_attribution_stream,
+    )
+
+    return purchase_click_attribution_stream(
+        spark, sf_dir, sink_table="oracle_stream_attr"
+    )
