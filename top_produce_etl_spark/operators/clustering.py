@@ -31,24 +31,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dist_structs(
-    vec_col: str, cents: list[tuple[int, list[float]]]
-) -> Column:
-    """Array of (squared-distance, cid) structs against centroid
-    literals — one narrow codegen'd expression, no join.
+def _cents_rel(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """The centroid model as a ONE-ROW relation
+    (``__cent_vecs: array<array<double>>``, ``__cent_cids:
+    array<int>``) — attached to data via broadcast cross join.
 
-    The k distance folds share ONE lambda body: ``zip_with`` over a
-    2-D centroid literal array and a parallel cid array, instead of
-    inlining the fold k times. Same arithmetic in the same order
-    (bit-identical results); the expression tree is ~k× smaller,
-    which keeps Catalyst analysis + codegen cheap as k grows."""
-    cent_vecs = F.array(
-        *[F.array(*[F.lit(float(v)) for v in cvec]) for _, cvec in cents]
+    Why not literals: a k×dim literal array embeds k·dim constant
+    nodes in the expression tree, and Catalyst analysis + codegen of
+    that tree dominated the assignment scan (measured 1.77 s for a
+    5000-row scan at k=16, dim=64 — pure fixed overhead, re-paid on
+    every Lloyd round and every IVF map). A broadcast single-row
+    join carries the same arrays as plain columns: identical
+    arithmetic (bit-identical results), ~k·dim× smaller expression,
+    and the broadcast is one row regardless of corpus size."""
+    vecs = [[float(v) for v in cvec] for _, cvec in cents]
+    cids = [int(cid) for cid, _ in cents]
+    return spark.createDataFrame(
+        [(vecs, cids)],
+        "__cent_vecs array<array<double>>, __cent_cids array<int>",
     )
-    cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+
+
+def _dist_structs(vec_col: str) -> Column:
+    """Array of (squared-distance, cid) structs against the attached
+    centroid columns (see :func:`_cents_rel`).
+
+    The k distance folds share ONE lambda body: ``zip_with`` over
+    the 2-D centroid array and the parallel cid array. The fold is
+    sequential left-to-right per centroid, argmin tie-breaks on cid
+    via the struct ordering — the determinism contract the oracle
+    depends on."""
     return F.zip_with(
-        cent_vecs,
-        cent_ids,
+        F.col("__cent_vecs"),
+        F.col("__cent_cids"),
         # .alias() inside an HOF lambda doesn't name struct fields;
         # the cast does (and fixes the field types in one place).
         lambda cvec, cid: F.struct(
@@ -66,31 +81,56 @@ def _dist_structs(
     )
 
 
-def nearest_cell(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid id as a Column: ``array_min`` over the
+def _attach_cents(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    return df.crossJoin(F.broadcast(_cents_rel(df.sparkSession, cents)))
+
+
+def with_nearest_cell(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    out: str = "cluster",
+) -> DataFrame:
+    """Add the nearest-centroid id: ``array_min`` over the
     (distance, cid) structs is the lexicographic (min-distance,
     then min-cid) argmin."""
-    return F.array_min(_dist_structs(vec_col, cents)).getField("cid")
+    return (
+        _attach_cents(df, cents)
+        .withColumn(out, F.array_min(_dist_structs(vec_col)).getField("cid"))
+        .drop("__cent_vecs", "__cent_cids")
+    )
 
 
-def nearest_cells(
-    vec_col: str, cents: list[tuple[int, list[float]]], n_probe: int
-) -> Column:
-    """The ``n_probe`` nearest centroid ids, as an array — the IVF
-    probe list (sorted structs sort by distance first)."""
-    return F.transform(
-        F.slice(F.array_sort(_dist_structs(vec_col, cents)), 1, n_probe),
-        lambda s: s.getField("cid"),
+def with_probe_cells(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    n_probe: int,
+    out: str = "cells",
+) -> DataFrame:
+    """Add the ``n_probe`` nearest centroid ids as an array — the
+    IVF probe list (sorted structs sort by distance first)."""
+    return (
+        _attach_cents(df, cents)
+        .withColumn(
+            out,
+            F.transform(
+                F.slice(F.array_sort(_dist_structs(vec_col)), 1, n_probe),
+                lambda s: s.getField("cid"),
+            ),
+        )
+        .drop("__cent_vecs", "__cent_cids")
     )
 
 
 def _assign(
     df: DataFrame, id_col: str, vec_col: str, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """Nearest-centroid assignment as one narrow projection."""
-    return df.select(
-        F.col(id_col), nearest_cell(vec_col, cents).alias("cluster")
-    )
+    """Nearest-centroid assignment as one narrow map (broadcast
+    model + projection)."""
+    return with_nearest_cell(
+        df.select(id_col, vec_col), vec_col, cents
+    ).select(F.col(id_col), "cluster")
 
 
 def kmeans_fit(
@@ -122,9 +162,8 @@ def kmeans_fit(
         # distance scan lands above the Generate and is re-evaluated
         # per exploded element (measured 13.0s vs 0.8s per round on
         # sf0.1 — a dim× blowup).
-        assigned = df.select(
-            nearest_cell(vec_col, cents).alias("cluster"),
-            F.col(vec_col).alias("__v"),
+        assigned = with_nearest_cell(
+            df.select(F.col(vec_col).alias("__v")), "__v", cents
         )
         rows = (
             assigned.select("cluster", F.posexplode("__v").alias("dim", "x"))
@@ -195,16 +234,29 @@ def ivf_topk(
 
     dot = dot_fn(scoring)
     cents = kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=iters)
-    inv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        nearest_cell(vec_col, cents).alias("cell"),
+    inv = with_nearest_cell(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "__cv",
+        cents,
+        out="cell",
     ).withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
-    probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(nearest_cells(vec_col, cents, n_probe)).alias("cell"),
-    ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
+    probes = (
+        with_probe_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            "__qv",
+            cents,
+            n_probe,
+            out="__cells",
+        )
+        .select(
+            "query_id", "__qv", F.explode("__cells").alias("cell")
+        )
+        .withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
+    )
     scored = (
         probes.join(inv, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
