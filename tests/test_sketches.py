@@ -1,0 +1,50 @@
+"""HLL sketch-rollup properties (operators/sketches.py): the
+mergeable-sketch answer to COUNT DISTINCT in the stored-rollup
+pattern."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.sketches import (
+    LG_CONFIG_K,
+    hll_daily_sketches,
+    hll_rollup_estimate,
+)
+
+
+def test_union_of_daily_sketches_is_lossless(spark, sf_dir):
+    """Estimating the union of per-day sketches must return EXACTLY
+    the same number as sketching the raw month directly — HLL merge
+    at equal lgConfigK is lossless, which is what makes the stored
+    daily rollup safe to serve coarser grains from."""
+    events = load_table(spark, sf_dir, "events")
+    rolled = {
+        r["month_start"]: r["est_distinct"]
+        for r in hll_rollup_estimate(
+            hll_daily_sketches(events, "ts", "user_id")
+        ).collect()
+    }
+    direct = {
+        r["month_start"]: r["est"]
+        for r in events.groupBy(F.date_trunc("month", "ts").alias("month_start"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", LG_CONFIG_K)
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert rolled == direct and len(rolled) > 0
+
+
+def test_sketch_estimate_within_error_bound(spark, sf_dir):
+    """lgConfigK=12 gives ~1.6% relative standard error; assert the
+    fixture stays within 3 sigma of exact on every month."""
+    from top_produce_etl_spark.queries import get_all_queries
+
+    out = get_all_queries()["sketch_distinct_rollup"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["rel_err"] < 0.05, (r["month_start"], r["rel_err"])

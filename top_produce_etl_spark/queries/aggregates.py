@@ -163,3 +163,36 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("double").alias("hi"),
         )
     )
+
+
+@query("sketch_distinct_rollup", extended=True)  # HLL binary → rows-only
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct users derived from STORED daily HLL sketches
+    (operators/sketches.py) next to the exact answer from the raw
+    table. COUNT DISTINCT partials aren't summable, so the
+    continuous-aggregate pattern (hierarchical_rollup_monthly) needs
+    a mergeable sketch for this metric at 100 TB; union of daily
+    sketches is lossless at equal lgConfigK, so the rollup estimate
+    EQUALS the direct whole-month sketch (pinned with the error
+    bound in tests/test_sketches.py — no SQL oracle, the sketch
+    binary is DataSketches-specific)."""
+    from top_produce_etl_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rollup_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = hll_daily_sketches(events, "ts", "user_id")
+    est = hll_rollup_estimate(daily)
+    exact = events.groupBy(
+        F.date_trunc("month", "ts").alias("month_start")
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "month_start").select(
+        "month_start",
+        "est_distinct",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    )
