@@ -144,3 +144,52 @@ def test_notebook_path_helper(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # no marker anywhere above
     with pytest.raises(FileNotFoundError):
         add_project_root_to_path(marker="definitely_not_a_real_marker_dir")
+
+
+def test_sorted_write_narrows_rowgroup_stats(spark, tmp_path):
+    """sort_by must cluster values so parquet row-group min/max
+    stats become disjoint-ish (data skipping below the partition
+    level). Verified against the actual file footers via pyarrow:
+    sorted output has non-overlapping per-row-group ranges where an
+    unsorted shuffle-salted write overlaps."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = (
+        spark.range(100_000)
+        .selectExpr("cast(hash(id) % 100000 as bigint) as k", "id as v")
+        .repartition(1)
+    )
+    # tiny row groups so each file holds many — the skipping unit
+    opts = {"parquet.block.size": str(64 * 1024)}
+
+    def per_file_ranges(path):
+        out = {}
+        for f in glob.glob(f"{path}/*.parquet"):
+            pf = pq.ParquetFile(f)
+            out[f] = [
+                (
+                    pf.metadata.row_group(g).column(0).statistics.min,
+                    pf.metadata.row_group(g).column(0).statistics.max,
+                )
+                for g in range(pf.metadata.num_row_groups)
+            ]
+        return out
+
+    write_table(df, str(tmp_path / "unsorted"), options=opts)
+    write_table(df, str(tmp_path / "sorted"), sort_by=["k"], options=opts)
+
+    def overlaps(groups):
+        # strict: a shared single boundary value between adjacent
+        # sorted groups is not an overlap for skipping purposes
+        rs = sorted(groups)
+        return sum(1 for a, b in zip(rs, rs[1:]) if b[0] < a[1])
+
+    unsorted = per_file_ranges(str(tmp_path / "unsorted"))
+    srted = per_file_ranges(str(tmp_path / "sorted"))
+    assert all(len(gs) > 3 for gs in srted.values())  # multi-group files
+    # unsorted: every row group spans ~the whole domain -> all overlap
+    assert all(overlaps(gs) == len(gs) - 1 for gs in unsorted.values())
+    # sorted: row groups within a file are disjoint -> stats skip
+    assert all(overlaps(gs) == 0 for gs in srted.values())

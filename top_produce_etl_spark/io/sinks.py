@@ -9,6 +9,12 @@ Scale notes:
   the grouping column) enables static+dynamic partition pruning for
   downstream readers — at 100 TB an unpartitioned output directory
   is a full-scan tax on every consumer.
+- ``sort_by`` clusters rows within each output file so parquet
+  row-group min/max statistics become selective — the data-skipping
+  lever BELOW the directory level: partition pruning skips
+  directories, clustered stats let point/range predicates skip row
+  groups inside the files that remain. Costs one in-partition sort
+  at write time (no extra shuffle), paid once, saved on every read.
 - Writers never ``coalesce(1)``: output file count follows the final
   stage's partitioning (AQE-coalesced), which is what you want on a
   1000-executor cluster.
@@ -25,8 +31,11 @@ def write_table(
     fmt: str = "parquet",
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
     options: dict[str, str] | None = None,
 ) -> None:
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
