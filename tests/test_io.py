@@ -193,3 +193,25 @@ def test_sorted_write_narrows_rowgroup_stats(spark, tmp_path):
     assert all(overlaps(gs) == len(gs) - 1 for gs in unsorted.values())
     # sorted: row groups within a file are disjoint -> stats skip
     assert all(overlaps(gs) == 0 for gs in srted.values())
+
+
+def test_dynamic_partition_overwrite_is_incremental(spark, tmp_path):
+    """dynamic_overwrite must replace only the partitions present in
+    the incoming frame: rewriting day=2 leaves day=1 bytes untouched
+    (incremental re-materialization), where static overwrite would
+    truncate the whole table."""
+    p = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "day int, v string"
+    )
+    write_table(full, p, partition_by=["day"])
+    assert sorted(r["v"] for r in read_table(spark, p).collect()) == ["a", "b", "c"]
+
+    fix2 = spark.createDataFrame([(2, "C2")], "day int, v string")
+    write_table(fix2, p, partition_by=["day"], dynamic_overwrite=True)
+    back = sorted((r["day"], r["v"]) for r in read_table(spark, p).collect())
+    assert back == [(1, "a"), (1, "b"), (2, "C2")]
+
+    # static overwrite of the same single-day frame truncates day=1
+    write_table(fix2, p, partition_by=["day"])
+    assert sorted(tuple(r) for r in read_table(spark, p).select("day", "v").collect()) == [(2, "C2")]
