@@ -61,6 +61,7 @@ def test_registry_wide_scale_audit(spark, sf_dir):
     the operator itself."""
     allowed_cartesian = {
         "cosine_topk_bruteforce",  # deliberate broadcast cross: exact baseline
+        "cosine_topk_fast",  # double-scoring twin of the same shape
         "cross_join_region_status",  # the cross-join demo itself (extended)
         "semi_anti_cross_pack",  # contains the cross-join branch
         "cosine_topk_numpy",  # same broadcast-queries shape as bruteforce

