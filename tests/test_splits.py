@@ -1,0 +1,58 @@
+"""Deterministic split assignment (operators/splits.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.splits import assign_split
+
+
+def test_split_is_deterministic_and_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()
+
+
+def test_split_fractions_approximately_hold(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    counts = {
+        r["split"]: r["n"]
+        for r in assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts.get("train", 0) / n == pytest.approx(0.9, abs=0.06)
+    assert (counts.get("val", 0) + counts.get("test", 0)) / n == pytest.approx(
+        0.1, abs=0.06
+    )
+
+
+def test_split_is_append_stable(spark, sf_dir):
+    """Assignments computed on a subset must agree with assignments
+    computed on the full corpus — the property that makes the split
+    safe under corpus growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    subset = docs.filter(F.col("doc_id") % 2 == 0)
+    full = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id").collect()}
+    part = {r["doc_id"]: r["split"] for r in assign_split(subset, "doc_id").collect()}
+    assert part == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_new_salt_is_a_fresh_split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id", salt="v1").collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id", salt="v2").collect()}
+    assert a != b  # some documents move
+
+
+def test_bad_fractions_rejected(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, "doc_id", {"train": 0.5, "test": 0.4})

@@ -1,0 +1,78 @@
+"""Deterministic train/val/test splits (training-data tier).
+
+Production split assignment must be (a) deterministic — re-running
+the pipeline reassigns nothing; (b) hash-based, not row-number-based
+— adding documents later never moves an existing document between
+splits (a row_number split reshuffles everything on every append,
+silently contaminating yesterday's test set into today's train set);
+(c) salted — a new salt string is a fresh, independent split.
+
+Implementation: bucket = portable 56-bit hash of (salt ‖ key) mod
+``BUCKETS``; cumulative fraction thresholds map buckets to split
+names. A narrow codegen'd expression — no shuffle, no state — and
+the portable hash (functions/portable_hash.py) means DuckDB computes
+the identical assignment, so the split is fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.portable_hash import (
+    composite_hash_col,
+    composite_hash_sql,
+)
+
+BUCKETS = 10_000
+
+
+def _thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {fractions}")
+    out, acc = [], 0.0
+    for name, frac in fractions.items():  # insertion order = priority
+        acc += frac
+        out.append((name, int(round(acc * BUCKETS))))
+    return out
+
+
+def split_column(
+    key_col: str, fractions: dict[str, float], salt: str = "split-v1"
+) -> Column:
+    """Split-label Column for a string-able key column.
+
+    ``composite_hash_col`` inlines its argument into the generated
+    SQL, so the salted-key expression passes straight through."""
+    keyed_sql = f"concat('{salt}', CAST({key_col} AS STRING))"
+    bucket = composite_hash_col(keyed_sql) % BUCKETS
+    cases = _thresholds(fractions)
+    label: Column = F.lit(cases[-1][0])
+    for name, hi in reversed(cases[:-1]):
+        label = F.when(bucket < hi, F.lit(name)).otherwise(label)
+    return label
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    out: str = "split",
+) -> DataFrame:
+    """Attach the deterministic split label."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(out, split_column(key_col, fractions, salt))
+
+
+def split_oracle_sql(
+    key_sql: str, fractions: dict[str, float], salt: str = "split-v1"
+) -> str:
+    """DuckDB CASE expression computing the identical split label."""
+    keyed = f"('{salt}' || CAST({key_sql} AS VARCHAR))"
+    bucket = f"(({composite_hash_sql(keyed)}) % {BUCKETS})"
+    cases = _thresholds(fractions)
+    whens = " ".join(
+        f"WHEN {bucket} < {hi} THEN '{name}'" for name, hi in cases[:-1]
+    )
+    return f"CASE {whens} ELSE '{cases[-1][0]}' END"

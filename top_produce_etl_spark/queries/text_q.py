@@ -210,3 +210,30 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-shuffles (operators/retrieval.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "doc_id", "text", top_k=3)
+
+
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _split_oracle() -> str:
+    from top_produce_etl_spark.operators.splits import split_oracle_sql
+
+    return f"""
+    SELECT doc_id,
+           {split_oracle_sql("doc_id", _SPLIT_FRACTIONS)} AS split
+    FROM documents
+    """
+
+
+@query("train_val_test_split", oracle=_split_oracle(), extended=True)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, append-stable train/val/test assignment
+    (operators/splits.py): bucket = portable hash of (salt || doc_id)
+    so a document's split never changes as the corpus grows — the
+    contamination-safety property a row_number split lacks. Narrow
+    codegen'd expression, zero shuffle; the DuckDB oracle computes
+    the identical label from the identical hash."""
+    from top_produce_etl_spark.operators.splits import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id", _SPLIT_FRACTIONS).select("doc_id", "split")
