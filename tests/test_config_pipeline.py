@@ -225,3 +225,16 @@ def test_shipped_yaml_configs_drive_topn_job(spark, tmp_path):
         ("US", "widget", 1),
     ]
     assert spark.read.parquet(out).count() == 5
+
+
+def test_topn_job_observe_metrics(spark, config_and_data):
+    """observe-based job counters ride the write action — no extra
+    scans — and report input rows, null-metric rows, output rows."""
+    cfg, out_path = config_and_data
+    metrics: dict[str, int] = {}
+    run_topn_job(spark, cfg, metrics_out=metrics)
+    assert metrics == {
+        "rows_in": 6,
+        "null_metric_rows": 0,
+        "rows_out": 5,
+    }

@@ -30,7 +30,11 @@ from top_produce_etl_spark.io.sources import read_table
 from top_produce_etl_spark.operators.topn import top_n_window
 
 
-def run_topn_job(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+def run_topn_job(
+    spark: SparkSession,
+    cfg: JobConfig,
+    metrics_out: dict[str, int] | None = None,
+) -> DataFrame:
     """Reference-parity job: read input, keep the top
     ``cfg.processing.top_n`` rows per ``group_by_column`` by
     ``target_metric`` (row_number semantics, deterministic tiebreak),
@@ -39,13 +43,31 @@ def run_topn_job(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     This is the computation the reference declares
     (``config_prod.yaml:10-13``) with the determinism fix SURVEY §7
     calls out: ties are broken by ``tiebreak_column`` ascending.
+
+    Pass ``metrics_out={}`` to receive job observability counters
+    (``rows_in``, ``null_metric_rows``, ``rows_out``) after the write
+    action completes. They ride ``DataFrame.observe`` accumulators on
+    the running job — ZERO extra Spark actions or scans, which is the
+    only acceptable cost for per-job metrics at 100 TB (a count()
+    would re-run the pipeline).
     """
+    from pyspark.sql import Observation
+
     p = cfg.processing
     df = read_table(
         spark, cfg.input.path, cfg.input.format, options=cfg.input.options
     )
     metric = F.col(p.target_metric).cast("double")
     df = df.withColumn(p.target_metric, metric)
+
+    obs_in = obs_out = None
+    if metrics_out is not None and cfg.output is not None and cfg.output.path:
+        obs_in, obs_out = Observation("topn_in"), Observation("topn_out")
+        df = df.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count(F.when(metric.isNull(), 1)).alias("null_metric_rows"),
+        )
     out = top_n_window(
         df,
         group_by=p.group_by_column,
@@ -53,6 +75,8 @@ def run_topn_job(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         n=p.top_n,
         tiebreak=p.tiebreak_column,
     ).orderBy(p.group_by_column, "rank")
+    if obs_out is not None:
+        out = out.observe(obs_out, F.count(F.lit(1)).alias("rows_out"))
     if cfg.output is not None and cfg.output.path:
         write_table(
             out,
@@ -60,6 +84,9 @@ def run_topn_job(spark: SparkSession, cfg: JobConfig) -> DataFrame:
             fmt=cfg.output.format,
             partition_by=[p.group_by_column],
         )
+        if metrics_out is not None:
+            metrics_out.update(obs_in.get)
+            metrics_out.update(obs_out.get)
     return out
 
 
