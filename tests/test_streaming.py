@@ -163,3 +163,71 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     b = sorted(tuple(r) for r in batch.collect())
     s = sorted(tuple(r) for r in stream.collect())
     assert b == s and len(b) > 0
+
+
+def test_foreachbatch_dynamic_overwrite_materialization(spark, tmp_path):
+    """Continuous materialization: stream → foreachBatch → parquet
+    with dynamic partition overwrite. A second incremental run that
+    only adds events for a NEW day must (a) leave the old days'
+    parquet files byte-untouched, (b) converge to exactly the batch
+    answer over all data."""
+    import glob
+    import os
+
+    import duckdb
+
+    from top_produce_etl_spark.streaming.jobs import (
+        materialize_daily_counts_stream,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    duckdb.sql(f"""
+        COPY (SELECT * FROM (VALUES
+          (TIMESTAMP '2025-01-01 10:00:00', 'view'),
+          (TIMESTAMP '2025-01-01 11:00:00', 'view'),
+          (TIMESTAMP '2025-01-02 09:00:00', 'click')
+        ) t(ts, event_type)) TO '{src}/batch1.parquet' (FORMAT PARQUET)
+    """)
+
+    materialize_daily_counts_stream(spark, str(src), out, ckpt)
+    snap1 = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{out}/day=2025-01-0[12]/*/*.parquet")
+    }
+    assert len(snap1) > 0
+    got1 = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got1 == {
+        ("2025-01-01", "view"): 2,
+        ("2025-01-02", "click"): 1,
+    }
+
+    # incremental: a new file with only a NEW day's events
+    duckdb.sql(f"""
+        COPY (SELECT * FROM (VALUES
+          (TIMESTAMP '2025-01-03 08:00:00', 'purchase')
+        ) t(ts, event_type)) TO '{src}/batch2.parquet' (FORMAT PARQUET)
+    """)
+    materialize_daily_counts_stream(spark, str(src), out, ckpt)
+
+    got2 = {
+        (str(r["day"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {
+        ("2025-01-01", "view"): 2,
+        ("2025-01-02", "click"): 1,
+        ("2025-01-03", "purchase"): 1,
+    }
+    # untouched groups' files identical (same paths, same mtimes):
+    # update mode emitted only day=3, and partition granularity ==
+    # group granularity makes the overwrite surgical
+    snap2 = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{out}/day=2025-01-0[12]/*/*.parquet")
+    }
+    assert snap1 == snap2
