@@ -32,6 +32,8 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    range_partition_by: list[str] | None = None,
+    range_partitions: int | None = None,
     dynamic_overwrite: bool = False,
     options: dict[str, str] | None = None,
 ) -> None:
@@ -45,7 +47,24 @@ def write_table(
     default overwrite is static: it truncates the whole table first.
     Scoped per write via the DataFrameWriter option rather than a
     session-conf mutation.
+
+    ``range_partition_by`` adds a range exchange before the
+    in-partition sort, so output FILES cover disjoint key ranges
+    (globally sorted layout) — readers with a range predicate skip
+    whole files via footer stats, on top of the row-group skipping
+    ``sort_by`` alone gives within each file. Costs one shuffle
+    (sampled range boundaries); the standard layout for time-series
+    and key-ordered tables.
     """
+    if range_partition_by:
+        # range_partitions pins the output file count (AQE otherwise
+        # coalesces small exchanges — right at scale, but callers
+        # targeting a specific file size can override)
+        if range_partitions:
+            df = df.repartitionByRange(range_partitions, *range_partition_by)
+        else:
+            df = df.repartitionByRange(*range_partition_by)
+        sort_by = sort_by or range_partition_by
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode)
