@@ -188,6 +188,7 @@ def _load_all() -> None:
         similarity_q,
         streaming_q,
         text_q,
+        tpch2_q,
         tpch_q,
         windows,
     )
