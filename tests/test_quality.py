@@ -1,0 +1,46 @@
+"""Data-quality checker (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from top_produce_etl_spark.operators.quality import assert_quality, quality_report
+
+
+def test_quality_report_counts_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (2, "c", -1.0), (4, "d", 7.0)],
+        "id bigint, name string, score double",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "id bigint")
+    report = {
+        r["check"]: (r["violations"], r["total"])
+        for r in quality_report(
+            df,
+            [
+                {"check": "not_null", "col": "name"},
+                {"check": "in_range", "col": "score", "lo": 0, "hi": 10},
+                {"check": "matches", "col": "name", "pattern": "^[a-z]$"},
+                {"check": "unique", "cols": ["id"]},
+                {"check": "ref", "col": "id", "ref": dim, "ref_col": "id"},
+            ],
+        ).collect()
+    }
+    assert report == {
+        "not_null_name": (1, 4),
+        "in_range_score": (2, 4),   # 50.0 out of range + null-name row ok; -1.0
+        "matches_name": (1, 4),     # the NULL name counts as violation
+        "unique_id": (1, 4),        # one extra copy of id=2
+        "ref_id": (1, 4),           # id=4 not in dim
+    }
+
+
+def test_assert_quality_raises_with_details(spark):
+    df = spark.createDataFrame([(None,)], "x string")
+    with pytest.raises(ValueError, match="not_null_x: 1/1"):
+        assert_quality(df, [{"check": "not_null", "col": "x"}])
+
+
+def test_assert_quality_passes_clean(spark):
+    df = spark.createDataFrame([("a",)], "x string")
+    assert_quality(df, [{"check": "not_null", "col": "x"}])

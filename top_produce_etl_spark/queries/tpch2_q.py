@@ -270,3 +270,64 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+@query(
+    "quality_report_orders", extended=True,
+    oracle="""
+    SELECT 'not_null_o_custkey' AS check,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS violations,
+           COUNT(*) AS total
+    FROM orders
+    UNION ALL
+    SELECT 'in_set_o_orderstatus',
+           SUM(CASE WHEN o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range_o_totalprice',
+           SUM(CASE WHEN o_totalprice IS NULL
+                      OR o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           (SELECT COALESCE(SUM(n - 1), 0) FROM (
+                SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+            ) WHERE n > 1),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'ref_o_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           COUNT(*)
+    FROM orders
+    """,
+)
+def quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over orders
+    (operators/quality.py): null/set/range checks fused into ONE
+    aggregation pass, a keyed-aggregate uniqueness check, and a
+    broadcast anti-join referential check against customer — the
+    write-gate a production ETL runs before publishing a table."""
+    from top_produce_etl_spark.operators.quality import quality_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return quality_report(
+        orders,
+        [
+            {"check": "not_null", "col": "o_custkey"},
+            {"check": "in_set", "col": "o_orderstatus", "values": ["F", "O", "P"]},
+            {"check": "in_range", "col": "o_totalprice", "lo": 0, "hi": 1_000_000},
+            {"check": "unique", "cols": ["o_orderkey"]},
+            {"check": "ref", "col": "o_custkey", "ref": customer,
+             "ref_col": "c_custkey"},
+        ],
+    )
