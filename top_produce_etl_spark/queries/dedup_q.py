@@ -170,3 +170,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
     return connected_components(pairs)
+
+
+@query(
+    "dedup_survivors",
+    extended=True,
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({JACCARD_SQL}),
+    edges AS (
+        SELECT a_id AS s, b_id AS t FROM pairs
+        UNION ALL
+        SELECT b_id AS s, a_id AS t FROM pairs
+    ),
+    cc AS (
+        SELECT s AS id, s AS label FROM edges
+        UNION
+        SELECT e.s AS id, cc.label FROM edges e JOIN cc ON cc.id = e.t
+    ),
+    comp AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.id <> c.rep_id
+    )
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: the deduplicated corpus itself.
+    pairs → connected components → keep each component's min-id
+    representative, anti-join the losers out of the document table.
+    This is the query a training-data pipeline actually materializes;
+    the pair/component queries above are its building blocks. The
+    loser set is |duplicates|-sized (small), so the anti-join
+    broadcasts and the corpus never shuffles."""
+    from top_produce_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("rep_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
