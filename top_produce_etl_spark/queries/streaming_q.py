@@ -19,7 +19,6 @@ every round instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from top_produce_etl_spark.queries import query
 

@@ -35,6 +35,8 @@ def create_spark_session(
     *,
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
+    arrow_batch_rows: int | None = None,
     enable_hive: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
@@ -46,6 +48,17 @@ def create_spark_session(
     AQE's partition coalescing makes the static number mostly moot,
     but a sane ceiling avoids tiny-partition overhead locally and
     seeds AQE's initial plan.
+
+    The two spill-sizing knobs are exposed (not defaulted) because
+    their right values are deployment facts, not code facts:
+    ``max_partition_bytes`` (``spark.sql.files.maxPartitionBytes``)
+    sizes scan splits so a task's input fits executor memory — at
+    100 TB with wide rows you LOWER it, with tiny rows you raise it;
+    ``arrow_batch_rows`` (``spark.sql.execution.arrow.
+    maxRecordsPerBatch``) bounds Arrow batch footprint for pandas
+    UDFs over wide binary columns (operators/multimodal.py sizing
+    note: batch_bytes ≈ rows × max_payload must fit the Python
+    worker).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
@@ -73,6 +86,14 @@ def create_spark_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if max_partition_bytes is not None:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", max_partition_bytes
+        )
+    if arrow_batch_rows is not None:
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
     if enable_hive:
         builder = builder.enableHiveSupport()
     if extra_conf:
