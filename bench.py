@@ -57,6 +57,10 @@ EXTENSION = [
     "multimodal_fake_features",  # Arrow mapInPandas kernel
     "sampling_pack",             # deterministic sampling family
     "training_data_ops_pack",    # shard packing / contamination / redaction
+    "dedup_survivors",           # full dedup pipeline → materialized corpus
+    "train_val_test_split",      # append-stable hash split
+    "quality_report_orders",     # single-pass data-quality suite
+    "sketch_distinct_rollup",    # HLL mergeable distinct rollup
 ]
 
 RECALL_K = 3

@@ -64,3 +64,18 @@ def test_zorder_narrows_both_dimensions(spark, tmp_path):
     zsort_y = _col_spans(str(tmp_path / "zsort"), 1)
     assert sum(zsort_x) / len(zsort_x) < domain * 0.55
     assert sum(zsort_y) / len(zsort_y) < domain * 0.55
+
+
+def test_zorder_key_is_injective_on_domain(spark):
+    """Morton interleave is a bijection on [0,2^bits)²: no two
+    distinct (x, y) pairs may collide (the property that makes
+    z-range scans exact, not approximate)."""
+    df = (
+        spark.range(4096)
+        .select((F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+        .select("x", "y", zorder_key(["x", "y"], bits=6).alias("z"))
+    )
+    assert df.select("z").distinct().count() == 4096
+    # and the key is exactly the 12-bit interleave: max < 2^12
+    mx = df.agg(F.max("z").alias("m")).collect()[0]["m"]
+    assert mx == 4095
