@@ -238,3 +238,39 @@ def test_topn_job_observe_metrics(spark, config_and_data):
         "null_metric_rows": 0,
         "rows_out": 5,
     }
+
+
+def test_quality_gate_blocks_bad_input(spark, tmp_path):
+    """A config-declared quality gate must abort the job BEFORE any
+    output is written when the input violates its contract, and pass
+    through cleanly when it doesn't."""
+    import os
+
+    inp = str(tmp_path / "gated_in")
+    out = str(tmp_path / "gated_out")
+    spark.createDataFrame(
+        [("EU", "widget", 50.0), ("EU", None, 30.0)],
+        "region string, product string, sales double",
+    ).write.parquet(inp)
+
+    base = {
+        "env": "test",
+        "input": {"path": inp, "format": "parquet"},
+        "output": {"path": out, "format": "parquet"},
+        "processing": {"group_by_column": "region", "target_metric": "sales",
+                       "top_n": 3, "tiebreak_column": "product"},
+    }
+    bad = JobConfig.from_dict(
+        {**base, "quality": [{"check": "not_null", "col": "product"}]}
+    )
+    with pytest.raises(ValueError, match="not_null_product"):
+        run_topn_job(spark, bad)
+    assert not os.path.exists(out)  # nothing written
+
+    ok = JobConfig.from_dict(
+        {**base, "quality": [{"check": "not_null", "col": "region"},
+                             {"check": "in_range", "col": "sales",
+                              "lo": 0, "hi": 100}]}
+    )
+    result = run_topn_job(spark, ok)
+    assert result.count() == 2 and os.path.exists(out)

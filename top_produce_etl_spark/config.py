@@ -48,6 +48,9 @@ class JobConfig:
     input: IOConfig
     output: IOConfig | None
     processing: ProcessingConfig
+    # optional declarative input-quality gate (operators/quality.py
+    # check specs); a failing check aborts before anything is written
+    quality: tuple[dict[str, Any], ...] = ()
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "JobConfig":
@@ -85,6 +88,7 @@ class JobConfig:
                 top_n=top_n,
                 tiebreak_column=proc.get("tiebreak_column"),
             ),
+            quality=tuple(d.get("quality") or ()),
         )
 
 

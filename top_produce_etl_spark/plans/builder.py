@@ -57,6 +57,13 @@ def run_topn_job(
     df = read_table(
         spark, cfg.input.path, cfg.input.format, options=cfg.input.options
     )
+    if cfg.quality:
+        # declarative input gate: abort BEFORE computing/writing
+        # anything if the input violates its contract (single-pass
+        # evaluation; see operators/quality.py)
+        from top_produce_etl_spark.operators.quality import assert_quality
+
+        assert_quality(df, list(cfg.quality))
     metric = F.col(p.target_metric).cast("double")
     df = df.withColumn(p.target_metric, metric)
 
