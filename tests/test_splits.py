@@ -56,3 +56,18 @@ def test_bad_fractions_rejected(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="sum to 1"):
         assign_split(docs, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_folds_balanced_and_deterministic(spark, sf_dir):
+    from top_produce_etl_spark.operators.splits import assign_fold
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["fold"] for r in assign_fold(docs, "doc_id", k=5).collect()}
+    b = {r["doc_id"]: r["fold"] for r in assign_fold(docs, "doc_id", k=5).collect()}
+    assert a == b and set(a.values()) == {0, 1, 2, 3, 4}
+    from collections import Counter
+
+    counts = Counter(a.values())
+    n = len(a)
+    for fold, c in counts.items():
+        assert abs(c / n - 0.2) < 0.08, (fold, c)

@@ -65,6 +65,30 @@ def assign_split(
     return df.withColumn(out, split_column(key_col, fractions, salt))
 
 
+def assign_fold(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "cv-v1",
+    out: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment (cross-validation): fold =
+    portable-hash bucket mod k. Same properties as
+    :func:`assign_split` — append-stable, salted, zero shuffle —
+    and the folds are the equal-probability partition of the bucket
+    space."""
+    keyed_sql = f"concat('{salt}', CAST({key_col} AS STRING))"
+    return df.withColumn(
+        out, (composite_hash_col(keyed_sql) % BUCKETS % k).cast("int")
+    )
+
+
+def fold_oracle_sql(key_sql: str, k: int = 5, salt: str = "cv-v1") -> str:
+    """DuckDB expression computing the identical fold id."""
+    keyed = f"('{salt}' || CAST({key_sql} AS VARCHAR))"
+    return f"CAST((({composite_hash_sql(keyed)}) % {BUCKETS}) % {k} AS INT)"
+
+
 def split_oracle_sql(
     key_sql: str, fractions: dict[str, float], salt: str = "split-v1"
 ) -> str:

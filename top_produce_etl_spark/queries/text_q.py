@@ -237,3 +237,24 @@ def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return assign_split(docs, "doc_id", _SPLIT_FRACTIONS).select("doc_id", "split")
+
+
+def _fold_oracle() -> str:
+    from top_produce_etl_spark.operators.splits import fold_oracle_sql
+
+    return f"""
+    SELECT doc_id, {fold_oracle_sql("doc_id", 5)} AS fold
+    FROM documents
+    """
+
+
+@query("cv_fold_assignment", oracle=_fold_oracle(), extended=True)
+def cv_fold_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment
+    (operators/splits.py): fold = portable-hash bucket mod k —
+    append-stable and salted like the train/val/test split, fully
+    oracle-checked via the shared portable hash."""
+    from top_produce_etl_spark.operators.splits import assign_fold
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_fold(docs, "doc_id", k=5).select("doc_id", "fold")
