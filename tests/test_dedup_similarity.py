@@ -354,3 +354,34 @@ def test_double_fast_path_matches_decimal_neighbors(spark):
         )
     )
     assert ivf_dec == ivf_dbl and len(ivf_dec) > 0
+
+
+def test_ivf_sample_fit_keeps_recall(spark, sf_dir):
+    """The production IVF path fits the cell model on a
+    deterministic sample instead of the full corpus (the model needs
+    points-per-cell, not the corpus). Recall vs exact brute force
+    must stay high, and the run must be reproducible."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.clustering import ivf_topk
+    from top_produce_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, q, "vec_id", "embedding", k=3).collect()
+    }
+    # a thinner fit sample blurs cell boundaries; n_probe is the
+    # compensating knob (probe 6 of 16 instead of 4 — still 2.7×
+    # pruning)
+    kwargs = dict(k=3, n_cells=16, n_probe=6, scoring="double", fit_sample_mod=2)
+    a = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, "vec_id", "embedding", **kwargs).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, "vec_id", "embedding", **kwargs).collect()
+    }
+    assert a == b  # deterministic sample -> reproducible
+    assert len(a & exact) / len(exact) >= 0.8, len(a & exact) / len(exact)

@@ -223,6 +223,7 @@ def ivf_topk(
     n_probe: int = 4,
     iters: int = 1,
     scoring: str = "decimal",
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: learn ``n_cells`` k-means
     cells, assign the corpus once (the inverted file), then score
@@ -249,7 +250,17 @@ def ivf_topk(
     from top_produce_etl_spark.operators.similarity import dot_fn
 
     dot = dot_fn(scoring)
-    cents = kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    fit_corpus = corpus
+    if fit_sample_mod is not None:
+        # production 100 TB path: fit the tiny cell model on a
+        # DETERMINISTIC id-keyed sample (k-means quality needs only
+        # enough points per cell, ~O(100·k), not the corpus), then
+        # assign the FULL corpus. Deterministic mod keeps the model
+        # — and therefore results — reproducible run-to-run.
+        fit_corpus = corpus.filter(
+            F.pmod(F.col(id_col), F.lit(fit_sample_mod)) == 0
+        )
+    cents = kmeans_fit(fit_corpus, id_col, vec_col, k=n_cells, iters=iters)
     inv = with_nearest_cell(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
