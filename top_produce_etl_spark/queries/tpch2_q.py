@@ -331,3 +331,42 @@ def quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              "ref_col": "c_custkey"},
         ],
     )
+
+
+@query(
+    "unpivot_priority_metrics", extended=True,
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric,
+           CAST(n_orders AS DOUBLE) AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'total_price', total_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+)
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native ``unpivot`` (melt) operator
+    — pivot's inverse (§2.4): a per-priority metrics table melts into
+    (priority, metric, value) rows. Narrow generate-style op, no
+    shuffle beyond the upstream aggregate; the oracle spells the same
+    reshape as a UNION ALL."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "total_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
