@@ -14,10 +14,12 @@ from top_produce_etl_spark.queries import (
     get_queries,
 )
 
-# Queries whose outputs are not SQL-expressible → rows-only by design.
-ROWS_ONLY = {
-    "multimodal_fake_features",  # byte-level mapInPandas kernel
-}
+# Primary queries whose outputs are not SQL-expressible → rows-only.
+# Empty since round 3: multimodal_fake_features gained a DuckDB
+# oracle (ASCII byte-kernel re-derivation), so EVERY primary entry
+# is hash-checked. Rows-only queries (approximate ANN variants, HLL
+# estimates) all live in the extended tier.
+ROWS_ONLY: set[str] = set()
 
 
 def test_primary_tier_fits_driver_cap():
