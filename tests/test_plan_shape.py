@@ -29,12 +29,83 @@ def simple_plan(df) -> str:
 
 
 def test_flagship_broadcasts_all_dims(spark, sf_dir):
-    """Star join: customer/nation/region/part are broadcast — the
+    """Star join: at test SF all four dims broadcast (nation/region
+    by fixed-cardinality hint, customer/part via the size-gated
+    ``maybe_broadcast`` — they fit under the threshold here). The
     only shuffle-bearing join allowed is lineitem⨝orders."""
     p = plan(get_all_queries()["flagship_top3_region"](spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 4, p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_flagship_no_oversized_forced_broadcast(spark, sf_dir):
+    """The inverse invariant (round-3 verdict): every broadcast HINT
+    in the flagship's logical plan must be on a build side whose
+    size estimate fits the session threshold — a forced hint on an
+    SF-scaled table would OOM a 100 TB cluster instead of degrading
+    to a shuffle join."""
+    from top_produce_etl_spark.plans.audit import broadcast_hint_audit
+
+    df = get_all_queries()["flagship_top3_region"](spark, sf_dir)
+    assert broadcast_hint_audit(df) == []
+
+
+def test_maybe_broadcast_declines_oversized_input(spark):
+    """maybe_broadcast must NOT hint a frame whose size estimate
+    exceeds the threshold — it returns the input unchanged so the
+    planner/AQE picks the strategy."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+    from top_produce_etl_spark.plans.audit import broadcast_hint_audit
+
+    big = spark.range(3_000_000)    # 8 B/row ⇒ ~24 MB estimate > 10 MB default
+    small = spark.range(1_000)      # ~8 KB — safely under
+    assert maybe_broadcast(big) is big
+    assert maybe_broadcast(small) is not small  # hinted copy
+    # and a small hinted build side never trips the audit
+    joined = spark.range(500_000).join(maybe_broadcast(small), "id")
+    assert broadcast_hint_audit(joined) == []
+
+
+def test_audit_flags_forced_oversized_broadcast(spark):
+    """A raw F.broadcast on an above-threshold build side is exactly
+    the 100 TB OOM pattern — broadcast_hint_audit must flag it and
+    assert_scalable must raise on it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.plans.audit import (
+        assert_scalable,
+        broadcast_hint_audit,
+    )
+
+    bad = spark.range(10).join(F.broadcast(spark.range(3_000_000)), "id")
+    findings = broadcast_hint_audit(bad)
+    assert findings and "forced broadcast hint" in findings[0]
+    with pytest.raises(AssertionError, match="oversized_broadcast_hints"):
+        assert_scalable(bad)
+
+
+def test_maybe_broadcast_defers_to_session_threshold(spark):
+    """The hint helper reads spark.sql.autoBroadcastJoinThreshold at
+    call time: lowering the knob makes the same frame too big to
+    hint; -1 disables hinting entirely (AQE-only strategy choice)."""
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    frame = spark.range(10_000)  # ~80 KB estimate
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "1kb")
+        assert maybe_broadcast(frame) is frame
+        spark.conf.set(key, "-1")
+        assert maybe_broadcast(frame) is frame
+        spark.conf.set(key, "10MB")
+        assert maybe_broadcast(frame) is not frame
+    finally:
+        spark.conf.set(key, orig)
 
 
 def test_proj_filter_cast_pushdown_and_pruning(spark, sf_dir):

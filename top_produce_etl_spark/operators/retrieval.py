@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.joins import maybe_broadcast
 from pyspark.sql.window import Window
 
 # Classic Robertson/Sparck-Jones defaults.
@@ -203,7 +205,7 @@ def tfidf_top_terms(
         "__k", F.pmod(F.col("n_docs"), F.lit(1)).cast("int")
     )
     dfreq_n = dfreq.join(F.broadcast(n_docs), "__k").drop("__k")
-    scored = tf.join(F.broadcast(dfreq_n), "term").withColumn(
+    scored = tf.join(maybe_broadcast(dfreq_n), "term").withColumn(
         "tfidf_scaled",
         F.round(
             F.col("tfreq").cast("double")

@@ -59,6 +59,10 @@ def plan_audit(df: DataFrame) -> dict[str, Any]:
       read_schemas         list of ReadSchema structs per scan
       partial_agg          a map-side (partial) aggregate exists
       aqe                  plan is adaptive
+      oversized_broadcast_hints  forced broadcast hints whose build
+                           side exceeds the broadcast threshold (see
+                           ``broadcast_hint_audit``) — the 100 TB
+                           OOM pattern
     """
     p = explain_str(df, "formatted")
     return {
@@ -79,16 +83,82 @@ def plan_audit(df: DataFrame) -> dict[str, Any]:
         "read_schemas": re.findall(r"ReadSchema: struct<([^>]*)>", p),
         "partial_agg": "partial_" in p,
         "aqe": "AdaptiveSparkPlan" in p,
+        "oversized_broadcast_hints": broadcast_hint_audit(df),
     }
 
 
-_FORBIDDABLE = ("cartesian", "python_row_udf", "sortmerge_joins", "window_nodes")
+def broadcast_hint_audit(
+    df: DataFrame, max_bytes: int | None = None
+) -> list[str]:
+    """Find author-FORCED broadcast hints whose build side's estimated
+    size exceeds the session broadcast threshold (or ``max_bytes``).
+
+    A hint below the threshold is harmless (the planner would
+    broadcast anyway); a hint ABOVE it is the one case where the hint
+    changes behavior — it overrides the size check unconditionally, so
+    on a 100 TB input the job OOMs instead of falling back to a
+    shuffle join. This walks the optimized LOGICAL plan (where hints
+    live on Join nodes after ``EliminateResolvedHint``) — planner- or
+    AQE-chosen broadcasts are not hints and are never flagged.
+
+    Returns one description per violation (empty list = clean). On
+    session types without py4j plan access (Spark Connect) returns []
+    — the rule is advisory there.
+    """
+    from top_produce_etl_spark.operators.joins import broadcast_threshold_bytes
+
+    if max_bytes is None:
+        max_bytes = broadcast_threshold_bytes(df)
+    if max_bytes <= 0:
+        max_bytes = 10 << 20
+    problems: list[str] = []
+    try:
+        root = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
+        return problems
+
+    def check_side(node, opt_hint, side_fn, side_name):
+        if not opt_hint.isDefined():
+            return
+        if "broadcast" not in opt_hint.get().toString().lower():
+            return
+        size = int(side_fn().stats().sizeInBytes())
+        if size > max_bytes:
+            problems.append(
+                f"forced broadcast hint on {side_name} side of a join: "
+                f"estimated {size} bytes > threshold {max_bytes} — "
+                "use operators.joins.maybe_broadcast (size-gated) or no "
+                "hint (AQE) for inputs that grow with the data"
+            )
+
+    def walk(node):
+        if node.nodeName() == "Join":
+            h = node.hint()
+            check_side(node, h.leftHint(), node.left, "left")
+            check_side(node, h.rightHint(), node.right, "right")
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    try:
+        walk(root)
+    except Exception:
+        return problems
+    return problems
+
+
+_FORBIDDABLE = (
+    "cartesian", "python_row_udf", "sortmerge_joins", "window_nodes",
+    "oversized_broadcast_hints",
+)
 
 
 def assert_scalable(
     df: DataFrame,
     max_exchanges: int | None = None,
-    forbid: tuple[str, ...] = ("cartesian", "python_row_udf"),
+    forbid: tuple[str, ...] = (
+        "cartesian", "python_row_udf", "oversized_broadcast_hints"
+    ),
 ) -> dict[str, Any]:
     """Raise ``AssertionError`` when the plan violates scale rules;
     return the audit otherwise. ``forbid`` entries come from

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from top_produce_etl_spark.config import JobConfig
 from top_produce_etl_spark.io.sinks import write_table
 from top_produce_etl_spark.io.sources import read_table
+from top_produce_etl_spark.operators.joins import maybe_broadcast
 from top_produce_etl_spark.operators.topn import top_n_window
 
 
@@ -155,7 +156,10 @@ def build_pipeline(
         elif kind == "join":
             right = resolve(op["table"])
             if op.get("broadcast"):
-                right = F.broadcast(right)
+                # size-gated: the config asserts intent, the engine
+                # still refuses to force-broadcast something that no
+                # longer fits under the session threshold
+                right = maybe_broadcast(right)
             on = op["on"]
             cond = F.expr(on) if isinstance(on, str) and " " in on else on
             df = df.join(right, on=cond, how=op.get("how", "inner"))

@@ -201,9 +201,12 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative, anti-join the losers out of the document table.
     This is the query a training-data pipeline actually materializes;
     the pair/component queries above are its building blocks. The
-    loser set is |duplicates|-sized (small), so the anti-join
-    broadcasts and the corpus never shuffles."""
+    loser set is |duplicates|-sized — usually small, but it grows
+    with the corpus, so the anti-join build side is size-gated
+    (hint only under the broadcast threshold; above it the planner
+    falls back to a shuffle anti-join instead of OOMing)."""
     from top_produce_etl_spark.operators.dedup import connected_components
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
@@ -211,6 +214,6 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.filter(F.col("id") != F.col("rep_id")).select(
         F.col("id").alias("doc_id")
     )
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    return docs.join(maybe_broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )

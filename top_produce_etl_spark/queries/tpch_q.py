@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.joins import maybe_broadcast
 from top_produce_etl_spark.queries import query
 from top_produce_etl_spark.queries.relational import REV_DEC
 
@@ -108,9 +109,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lineitem.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            maybe_broadcast(supplier),
             (lineitem.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
@@ -289,7 +290,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1996-04-01")
         )
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(maybe_broadcast(part), lineitem.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * promo / total).cast("double").alias("promo_pct"),
             promo.alias("promo_revenue"),
@@ -340,8 +341,8 @@ def q7_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1998-01-01")
         )
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -393,7 +394,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(big_orders),
+            maybe_broadcast(big_orders),
             orders.o_orderkey == big_orders.l_orderkey,
             "left_semi",
         )
@@ -447,7 +448,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .join(maybe_broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -545,7 +546,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(maybe_broadcast(part), lineitem.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum(revenue_expr()).cast("double").alias("revenue"),
@@ -602,13 +603,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = revenue_expr()
     flat = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
             F.col("nc_region") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(maybe_broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
     )
     return (

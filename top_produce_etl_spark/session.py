@@ -37,6 +37,7 @@ def create_spark_session(
     shuffle_partitions: int | None = None,
     max_partition_bytes: str | None = None,
     arrow_batch_rows: int | None = None,
+    broadcast_threshold: str | None = None,
     enable_hive: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
@@ -59,6 +60,16 @@ def create_spark_session(
     UDFs over wide binary columns (operators/multimodal.py sizing
     note: batch_bytes ≈ rows × max_payload must fit the Python
     worker).
+
+    ``broadcast_threshold`` sets
+    ``spark.sql.autoBroadcastJoinThreshold`` (e.g. ``"64m"``,
+    ``"-1"`` to disable). This is the load-bearing conf for join
+    strategy: the planner auto-broadcasts below it, AQE switches
+    strategies at runtime around it, and
+    ``operators.joins.maybe_broadcast`` defers to it when deciding
+    whether a hint is safe — so raising it on a big-memory cluster
+    widens the map-side-join window everywhere at once, with no
+    per-query hint edits.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
@@ -89,6 +100,10 @@ def create_spark_session(
     if max_partition_bytes is not None:
         builder = builder.config(
             "spark.sql.files.maxPartitionBytes", max_partition_bytes
+        )
+    if broadcast_threshold is not None:
+        builder = builder.config(
+            "spark.sql.autoBroadcastJoinThreshold", broadcast_threshold
         )
     if arrow_batch_rows is not None:
         builder = builder.config(

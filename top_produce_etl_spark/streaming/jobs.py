@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from top_produce_etl_spark.functions.numeric import dec_sum
+from top_produce_etl_spark.operators.joins import maybe_broadcast
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -125,7 +126,7 @@ def enriched_segment_counts_stream(
         "c_custkey", "c_mktsegment"
     )
     enriched = events.join(
-        F.broadcast(cust), events.user_id == cust.c_custkey
+        maybe_broadcast(cust), events.user_id == cust.c_custkey
     )
     agg = (
         enriched.withWatermark("ts", watermark)
@@ -163,7 +164,7 @@ def enriched_segment_counts_batch(
         "c_custkey", "c_mktsegment"
     )
     return (
-        events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        events.join(maybe_broadcast(cust), events.user_id == cust.c_custkey)
         .groupBy(F.window("ts", duration).alias("win"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
