@@ -65,6 +65,41 @@ EXTENSION = [
 
 RECALL_K = 3
 
+# Calibration: a fixed, data-independent, CPU-bound workload (800M
+# longs through 8 chained xxhash64 rounds, single stage, 1-row
+# result). Its runtime moves with host load/CPU speed and nothing
+# else, so round-over-round headline drift can be attributed:
+#   normalized_headline = value * CAL_REF_SEC / calibration_sec
+# CAL_REF_SEC is the quiet-machine value recorded when the workload
+# was introduced (BASELINE.md round-4 section); a loaded host shows
+# calibration_sec > CAL_REF_SEC and the division compensates.
+CAL_ROWS = 800_000_000
+CAL_ITERS = 8
+CAL_REF_SEC = 3.536  # measured at introduction (round 4, load ~3)
+
+
+def calibration_sec(spark) -> float:
+    """Median-of-3 (after one discarded warmup) of the fixed
+    calibration workload, in seconds."""
+    from pyspark.sql import functions as F
+
+    c = F.col("id")
+    for _ in range(CAL_ITERS):
+        c = F.xxhash64(c, F.lit(17))
+    df = (
+        spark.range(0, CAL_ROWS, 1, CPUS)
+        # pmod keeps the ANSI sum within long range
+        .select(F.pmod(c, F.lit(1000)).alias("h"))
+        .agg(F.sum("h").alias("s"))
+    )
+    times = []
+    for i in range(RUNS + 1):
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        if i > 0:
+            times.append(time.monotonic() - t0)
+    return round(statistics.median(times), 3)
+
 
 def recall_at_k(spark, queries, sf_dir: str, approx_name: str) -> float:
     """recall@k of an approximate top-k query vs the exact
@@ -106,6 +141,8 @@ def main() -> None:
             print(f"# {name}: {out[name]}s", file=sys.stderr)
         return out
 
+    cal = calibration_sec(spark)
+    print(f"# calibration: {cal}s (ref {CAL_REF_SEC}s)", file=sys.stderr)
     timings = time_set(HEADLINE)
     extension = time_set(EXTENSION)
     recalls = {
@@ -131,6 +168,11 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "extension_queries": extension,
         "extension_total_sec": round(sum(extension.values()), 3),
+        "calibration_sec": cal,
+        "calibration_ref_sec": CAL_REF_SEC,
+        "value_normalized": round(
+            sum(timings.values()) * CAL_REF_SEC / cal, 3
+        ),
         **recalls,
     }
     print(json.dumps(out))

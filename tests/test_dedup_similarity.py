@@ -145,11 +145,13 @@ def test_cosine_lsh_recall_on_fixture(spark, sf_dir):
     recall@5 of hyperplane-LSH against brute-force exact top-5 on
     the real embeddings fixture. The fixture's embeddings are
     near-uniform (true neighbors sit at ~60°), the hard case for
-    random-hyperplane LSH: per-table hit rate is ~(1-θ/π)^planes,
-    so recall comes from TABLE COUNT, not plane count — 6 planes ×
-    8 tables measures 0.26 while 4 planes × 16 tables measures 0.88
-    (hyperplanes are hash-seeded, so these are deterministic). The
-    assert pins the (4, 16) configuration above 0.8."""
+    random-hyperplane LSH: per-table hit rate is ~(1-θ/π)^planes.
+    Recall can be bought two ways — more tables (corpus-side cost)
+    or query-side MULTIPROBE (Hamming-1 bucket probes, query-side
+    cost only). The production config (4 planes × 8 tables +
+    multiprobe, double rescoring) measures 1.0 here and ≥0.93 is
+    pinned (round-3 verdict target); the probe-less 4×16 it
+    replaced measured 0.88 at twice the corpus bucketing work."""
     from top_produce_etl_spark.io.sources import load_table
     from top_produce_etl_spark.operators.similarity import (
         cosine_topk_bruteforce,
@@ -168,11 +170,12 @@ def test_cosine_lsh_recall_on_fixture(spark, sf_dir):
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk_lsh(
-            emb, q, "vec_id", "embedding", k=k, n_planes=4, n_tables=16, dim=64
+            emb, q, "vec_id", "embedding", k=k, n_planes=4, n_tables=8,
+            dim=64, multiprobe=True, scoring="double",
         ).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.8, f"recall@{k} = {recall:.2f}"
+    assert recall >= 0.93, f"recall@{k} = {recall:.2f}"
 
 
 def test_ivf_topk_recall_on_fixture(spark, sf_dir):

@@ -78,14 +78,18 @@ def cosine_topk_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("cosine_topk_lsh", extended=True)  # approximate → rows-only
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3 for the same query set —
-    the 100 TB path: bucket join bounds candidates, exact re-score
-    only on collisions. 4 planes × 16 tables: the recall-tested
-    configuration (0.88 recall@5 on this near-uniform fixture; see
-    operators.similarity tuning note)."""
+    the 100 TB path: bucket join bounds candidates, re-score only
+    on collisions. 4 planes × 8 tables with query-side multiprobe:
+    the recall-tested configuration (recall@3 = 1.0 on this
+    near-uniform fixture at HALF the corpus bucketing work of the
+    old probe-less 4×16; see operators.similarity tuning note).
+    Double-precision rescoring — the query is approximate/rows-only,
+    so there is no oracle to be bit-exact against."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(
-        emb, queries, "vec_id", "embedding", k=3, n_planes=4, n_tables=16
+        emb, queries, "vec_id", "embedding", k=3, n_planes=4, n_tables=8,
+        multiprobe=True, scoring="double",
     )
 
 
