@@ -229,3 +229,21 @@ def test_fuzzy_match_length_band_short_circuits(spark, sf_dir):
     assert "length" in cond and cond.index("length") < cond.index(
         "levenshtein"
     ), cond
+
+
+def test_window_topn_uses_window_group_limit(spark):
+    """Per-group top-N via rank-filter relies on WindowGroupLimit
+    (per-partition top-N pushdown below the window sort) — a Spark-4
+    physical optimization (COVERAGE.md §2.6 note). If the engine
+    floor ever drops below the version providing it, every windowed
+    top-N silently degrades to a full per-partition sort; fail loudly
+    here instead."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.topn import top_n_window
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("m")
+    )
+    p = simple_plan(top_n_window(df, group_by="g", metric="m", n=3, tiebreak="m"))
+    assert "WindowGroupLimit" in p, p

@@ -127,3 +127,36 @@ def test_mapinarrow_unit_normalize(spark, sf_dir):
         if r["norm"] > 0:
             assert abs(n2 - 1.0) < 1e-9
         assert r["norm"] >= 0
+
+
+def test_multimodal_ascii_precondition_all_sf():
+    """The multimodal_fake_features oracle re-derives the byte kernel
+    with DuckDB codepoints (ascii(substr(...))), which is only valid
+    while every document text is non-empty pure ASCII (utf-8 bytes ==
+    codepoints; an empty text would drop the row from the oracle's
+    generate_series while the kernel still emits one). This is the
+    per-scale-factor assertion the queries/multimodal_q.py docstring
+    promises: a future fixture regeneration that breaks the
+    precondition fails HERE with a clear message, not as a cryptic
+    battery hash mismatch."""
+    import glob
+    import os
+
+    import duckdb
+
+    checked = 0
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        p = os.path.join(sf_dir, "documents.parquet")
+        if not os.path.exists(p):
+            continue
+        bad = duckdb.sql(
+            f"""SELECT COUNT(*) FROM '{p}'
+            WHERE text IS NULL OR length(text) = 0
+               OR length(text) <> octet_length(CAST(text AS BLOB))"""
+        ).fetchone()[0]
+        assert bad == 0, (
+            f"{sf_dir}: {bad} documents rows violate the non-empty/"
+            "pure-ASCII precondition the multimodal oracle depends on"
+        )
+        checked += 1
+    assert checked >= 1  # the fixture dirs must exist

@@ -45,6 +45,13 @@ def _violation(check: dict[str, Any]) -> Column:
 
 
 def _name(check: dict[str, Any]) -> str:
+    """Report/alias name for a check. An explicit ``"name"`` key wins
+    — required when two checks would otherwise collide (e.g. two
+    ``ref`` checks on the same column against different dimensions,
+    or two ``in_range`` bands on one column); duplicates are
+    rejected in :func:`quality_report` rather than silently merged."""
+    if "name" in check:
+        return str(check["name"])
     kind = check["check"]
     if kind == "unique":
         return f"unique_{'_'.join(check['cols'])}"
@@ -60,9 +67,21 @@ def quality_report(df: DataFrame, checks: list[dict[str, Any]]) -> DataFrame:
     adds one keyed aggregate; each ``ref`` adds one anti-join (hint
     the dimension side small → broadcast, the fact side never
     shuffles)."""
+    if not checks:
+        raise ValueError("quality_report needs at least one check")
+    names = [_name(c) for c in checks]
+    dupes_n = {n for n in names if names.count(n) > 1}
+    if dupes_n:
+        raise ValueError(
+            f"duplicate check names {sorted(dupes_n)} — disambiguate with an "
+            'explicit "name" key on the colliding specs'
+        )
     row_checks = [c for c in checks if c["check"] not in ("unique", "ref")]
     agg_cols = [
-        F.sum(F.when(_violation(c), 1).otherwise(0))
+        # coalesce: on an EMPTY input frame sum() is NULL; a quality
+        # gate on a legitimately-empty incremental batch must read
+        # 0 violations, not crash assert_quality on None > 0
+        F.coalesce(F.sum(F.when(_violation(c), 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias(_name(c))
         for c in row_checks

@@ -26,6 +26,24 @@ from top_produce_etl_spark.functions.portable_hash import (
 
 BUCKETS = 10_000
 
+_SAFE_SALT = __import__("re").compile(r"[A-Za-z0-9_.\-]+")
+_SAFE_IDENT = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _check_safe(salt: str, key: str | None = None) -> None:
+    """Salt and key column are interpolated into generated SQL (both
+    the Spark expression and the DuckDB oracle); restrict them to a
+    quote-free charset so a stray ``'`` can't produce a broken or
+    injected expression with a cryptic parse error."""
+    if not _SAFE_SALT.fullmatch(salt):
+        raise ValueError(
+            f"salt must match {_SAFE_SALT.pattern!r}, got {salt!r}"
+        )
+    if key is not None and not _SAFE_IDENT.fullmatch(key):
+        raise ValueError(
+            f"key column must be a plain identifier, got {key!r}"
+        )
+
 
 def _thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     if abs(sum(fractions.values()) - 1.0) > 1e-9:
@@ -44,6 +62,7 @@ def split_column(
 
     ``composite_hash_col`` inlines its argument into the generated
     SQL, so the salted-key expression passes straight through."""
+    _check_safe(salt, key_col)
     keyed_sql = f"concat('{salt}', CAST({key_col} AS STRING))"
     bucket = composite_hash_col(keyed_sql) % BUCKETS
     cases = _thresholds(fractions)
@@ -77,6 +96,7 @@ def assign_fold(
     :func:`assign_split` — append-stable, salted, zero shuffle —
     and the folds are the equal-probability partition of the bucket
     space."""
+    _check_safe(salt, key_col)
     keyed_sql = f"concat('{salt}', CAST({key_col} AS STRING))"
     return df.withColumn(
         out, (composite_hash_col(keyed_sql) % BUCKETS % k).cast("int")
@@ -85,6 +105,7 @@ def assign_fold(
 
 def fold_oracle_sql(key_sql: str, k: int = 5, salt: str = "cv-v1") -> str:
     """DuckDB expression computing the identical fold id."""
+    _check_safe(salt)
     keyed = f"('{salt}' || CAST({key_sql} AS VARCHAR))"
     return f"CAST((({composite_hash_sql(keyed)}) % {BUCKETS}) % {k} AS INT)"
 
@@ -93,6 +114,7 @@ def split_oracle_sql(
     key_sql: str, fractions: dict[str, float], salt: str = "split-v1"
 ) -> str:
     """DuckDB CASE expression computing the identical split label."""
+    _check_safe(salt)
     keyed = f"('{salt}' || CAST({key_sql} AS VARCHAR))"
     bucket = f"(({composite_hash_sql(keyed)}) % {BUCKETS})"
     cases = _thresholds(fractions)

@@ -82,3 +82,45 @@ def stream_attribution_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_click_attribution_stream(
         spark, sf_dir, sink_table="oracle_stream_attr"
     )
+
+
+@query(
+    "stream_user_totals_parity", extended=True,
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+                         ELSE ceil(value * 100 - 0.5) END AS BIGINT))
+               / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_totals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator through the real runtime
+    (streaming/jobs.py:running_user_totals_stream —
+    ``applyInPandasWithState``, per-user (count, integer-cents)
+    state, update-mode memory sink). The sink holds one emission per
+    (user, micro-batch-touching-user); n_events strictly grows per
+    emission, so the final state is the per-user max-n row. Because
+    state accumulates in per-row HALF_UP integer cents, the final
+    totals are independent of micro-batch boundaries and equal the
+    batch aggregate — which the DuckDB oracle computes with the
+    identical per-row rounding. This closes the last §2.9/§2.10 row
+    that was pytest-only (round-3 verdict item #6)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.streaming.jobs import (
+        running_user_totals_stream,
+        stream_events,
+    )
+
+    sink = running_user_totals_stream(
+        stream_events(spark, sf_dir), sink_table="oracle_stream_totals"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
