@@ -189,6 +189,7 @@ def _load_all() -> None:
         streaming_q,
         text_q,
         tpch2_q,
+        tpch3_q,
         tpch_q,
         windows,
     )
