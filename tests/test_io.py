@@ -278,3 +278,40 @@ def test_zstd_codec_override(spark, tmp_path):
     }
     assert codecs == {"ZSTD"}
     assert read_table(spark, p).count() == 100
+
+
+def test_binary_file_source_reads_payloads(spark, tmp_path):
+    """binaryFile ingestion: payload bytes round-trip, glob filters,
+    and a path/length-only projection prunes the content column out
+    of the scan (no file bytes read for metadata queries)."""
+    import re
+
+    from top_produce_etl_spark.io.sources import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01hello")
+    (tmp_path / "b.bin").write_bytes(b"\xff" * 1000)
+    (tmp_path / "skip.txt").write_text("nope")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    got = {r["path"].split("/")[-1]: bytes(r["content"]) for r in df.collect()}
+    assert got == {"a.bin": b"\x00\x01hello", "b.bin": b"\xff" * 1000}
+
+    meta = df.select("path", "length")
+    plan = meta._sc._jvm.PythonSQLUtils.explainString(
+        meta._jdf.queryExecution(), "formatted"
+    )
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and "content" not in rs.group(1), plan
+
+
+def test_text_source_lines_and_wholetext(spark, tmp_path):
+    from top_produce_etl_spark.io.sources import read_text_lines
+
+    p = tmp_path / "doc.txt"
+    p.write_text("line one\nline two\n")
+    lines = read_text_lines(spark, str(p))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one", "line two",
+    ]
+    whole = read_text_lines(spark, str(p), wholetext=True)
+    assert [r["value"] for r in whole.collect()] == ["line one\nline two\n"]

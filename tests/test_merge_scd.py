@@ -1,0 +1,121 @@
+"""Unit semantics for the keyed-merge / SCD2 / chunking operators
+(queries/etl_q.py carries their oracle-checked battery entries; these
+pin the edge cases small fixtures can't hit)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.chunking import chunk_documents
+from top_produce_etl_spark.operators.merge import apply_cdc, upsert
+from top_produce_etl_spark.operators.scd import scd2_history
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_upsert_update_beats_base_and_latest_wins(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, seq long"
+    )
+    updates = spark.createDataFrame(
+        # k=1: two updates — seq 6 wins; k=3 is a pure insert; k=1's
+        # seq-5 update beats base even though base has seq 10
+        [(1, "a2", 5), (1, "a3", 6), (3, "c", 1)],
+        "k long, v string, seq long",
+    )
+    got = rows(upsert(base, updates, on="k", order_col="seq"), "k", "v")
+    assert got == [(1, "a3"), (2, "b"), (3, "c")]
+
+
+def test_apply_cdc_delete_insert_and_passthrough(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 10, "U"),   # update existing
+            (3, None, 11, "D"),   # delete existing
+            (4, "d", 12, "I"),    # insert new
+            (5, "e", 13, "I"),    # insert then delete → gone
+            (5, None, 14, "D"),
+            (6, None, 15, "D"),   # delete of never-existed key → gone
+            (1, "a9", 16, "U"),   # two changes same key: latest wins
+            (1, "a10", 17, "U"),
+        ],
+        "k long, v string, seq long, op string",
+    )
+    got = rows(apply_cdc(base, changes, on="k", seq_col="seq"), "k", "v")
+    assert got == [(1, "a10"), (2, "b2"), (4, "d")]
+
+
+def test_scd2_collapses_repeats_and_chains_ranges(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    changes = spark.createDataFrame(
+        [
+            (1, "new", t(1), 1),
+            (1, "new", t(2), 2),      # repeat — must collapse
+            (1, "active", t(3), 3),
+            (1, "active", t(4), 4),   # repeat
+            (1, "churned", t(5), 5),
+            (2, "new", t(7), 6),      # second key, single version
+        ],
+        "k long, status string, ts timestamp, id long",
+    )
+    hist = scd2_history(
+        changes, key_cols="k", ts_col="ts", tracked="status", tiebreak="id"
+    )
+    got = sorted(
+        (r["k"], r["status"], r["effective_from"].second,
+         r["effective_to"].second if r["effective_to"] else None,
+         r["is_current"])
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, "active", 3, 5, False),
+        (1, "churned", 5, None, True),
+        (1, "new", 1, 3, False),
+        (2, "new", 7, None, True),
+    ]
+    # ranges tile each key's timeline: every close == next open
+    assert len(got) == 4
+
+
+def test_scd2_null_transitions_are_versions(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    changes = spark.createDataFrame(
+        [(1, None, t(1), 1), (1, "x", t(2), 2), (1, None, t(3), 3)],
+        "k long, status string, ts timestamp, id long",
+    )
+    hist = scd2_history(
+        changes, key_cols="k", ts_col="ts", tracked="status", tiebreak="id"
+    )
+    assert hist.count() == 3  # NULL→x and x→NULL both open versions
+
+
+def test_chunk_documents_exact_windows(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["token_start"], r["n_tokens"],
+         r["chunk_text"])
+        for r in chunk_documents(docs, "doc_id", "text", size=4, stride=3).collect()
+        if r["doc_id"] == 1
+    )
+    assert got == [
+        (1, 0, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 3, 4, "w3 w4 w5 w6"),
+        (1, 2, 6, 4, "w6 w7 w8 w9"),
+        (1, 3, 9, 1, "w9"),
+    ]
+    # empty doc yields nothing — but note tokens("") is [''] in Spark
+    # split semantics, so "empty" means one empty token, 1 chunk; the
+    # real guard is exercised via n>=1 in the operator
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, "doc_id", "text", size=4, stride=5)

@@ -59,6 +59,51 @@ def read_table(
     return getattr(reader, fmt)(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_partition_bytes: str | None = None,
+) -> DataFrame:
+    """Raw-file ingestion via Spark's built-in ``binaryFile`` source —
+    the entry point for multimodal corpora (images/audio/video as
+    opaque payloads; operators/multimodal.py consumes this shape).
+
+    Output schema (fixed by the source): ``path``, ``modificationTime``,
+    ``length``, ``content: binary``. Scale notes: the source never
+    splits a file, so parallelism = |files|; pair with
+    ``spark.sql.files.maxPartitionBytes`` (exposed here per-read via
+    ``max_partition_bytes``) to pack many small media files per task
+    without blowing executor memory on a few huge ones. Column
+    pruning applies — a query touching only ``path``/``length``
+    never reads file bytes.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_partition_bytes is not None:
+        reader = reader.option("maxPartitionBytes", max_partition_bytes)
+    return reader.load(path)
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Plain-text ingestion (``value: string`` per line, or per file
+    with ``wholetext``) — the raw-document entry point upstream of
+    the text/dedup operators when the corpus isn't parquet yet."""
+    # the wholetext/lineSep switches go through the .text() kwargs —
+    # the generic .option() path does not reach this source on all
+    # runtimes
+    kwargs: dict[str, object] = {"wholetext": wholetext}
+    if line_sep is not None:
+        kwargs["lineSep"] = line_sep
+    return spark.read.text(path, **kwargs)
+
+
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column to TIMESTAMP (with local time
     zone) regardless of how the parquet encoding was decoded:

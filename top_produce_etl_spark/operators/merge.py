@@ -1,0 +1,98 @@
+"""Keyed merge operators — the batch MERGE/CDC-apply surface.
+
+A table-format-free engine still needs MERGE semantics: nightly
+snapshots take upsert batches, CDC feeds (Debezium-style
+insert/update/delete rows) compact into current state. Both are
+expressible as ONE shuffle on the merge key plus a ranking window —
+no driver-side state, no iterative logic, no row-at-a-time UDFs —
+so they scale like any keyed aggregate and AQE handles skewed keys.
+
+- ``upsert``: apply a batch of key-addressed rows onto a base
+  snapshot. Updates beat base rows for the same key (source
+  priority), recency (``order_col``) breaks ties within a side.
+- ``apply_cdc``: compact an I/U/D change stream onto a base
+  snapshot: the LATEST change per key wins; ``D`` removes the key,
+  ``I``/``U`` replace the row, untouched base keys pass through.
+  This is the standard "CDC compaction" plan: latest-change window
+  + one full-outer join — semantically what Delta/Iceberg MERGE
+  does, built from primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keys(on: str | list[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    on: str | list[str],
+    order_col: str,
+    tiebreak: str | list[str] | None = None,
+) -> DataFrame:
+    """Latest-wins keyed merge; the updates side has priority over
+    base at equal ``order_col``. Columns are aligned by name
+    (both sides must share the schema)."""
+    keys = _keys(on)
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    tagged = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__src").desc(),
+        F.col(order_col).desc(),
+        *[F.col(t).desc() for t in ties],
+    )
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    on: str | list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Compact a change stream onto a snapshot.
+
+    ``changes`` carries the base columns plus ``op_col`` (values like
+    I/U/D) and a total-ordering ``seq_col`` per key (commit LSN,
+    event id…). Result = base with the latest change per key
+    applied; a latest ``delete_op`` removes the key entirely —
+    including keys that never existed in base (delete-before-insert
+    streams compact to nothing, matching log-compaction semantics).
+    """
+    keys = _keys(on)
+    payload = [c for c in base.columns if c not in keys]
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__c_{c}") for c in payload],
+        )
+    )
+    merged = base.join(latest, on=keys, how="full_outer")
+    kept = merged.filter(
+        F.col("__op").isNull() | (F.col("__op") != delete_op)
+    )
+    out_cols = [F.col(k) for k in keys] + [
+        F.when(F.col("__op").isNotNull(), F.col(f"__c_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in payload
+    ]
+    return kept.select(*out_cols)

@@ -177,6 +177,7 @@ def _load_all() -> None:
         advanced,
         aggregates,
         dedup_q,
+        etl_q,
         eventtime,
         joins_q,
         multimodal_q,

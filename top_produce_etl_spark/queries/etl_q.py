@@ -1,0 +1,158 @@
+"""ETL state-management queries: keyed MERGE/upsert, CDC
+compaction, SCD Type-2 history, and RAG chunking — warehouse/
+training-pipeline staples beyond the relational battery, each
+oracle-checked (extended tier).
+
+The fixture has no real change feed, so each query SYNTHESIZES one
+deterministically from ``events`` (unique ``event_id`` = total
+order; ``event_type`` maps to CDC ops / dimension states) — the
+operators themselves are generic (operators/merge.py, scd.py,
+chunking.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.queries import query
+
+# op mapping for the synthesized CDC feed: signups insert, errors
+# delete, anything else updates. seq = event_id (unique, monotone).
+_CDC_OP = """CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error'  THEN 'D'
+                             ELSE 'U' END"""
+
+
+@query(
+    "cdc_upsert_state", extended=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type AS status, value
+        FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id ASC) AS rn
+            FROM events WHERE event_id < 5000
+        ) WHERE rn = 1
+    ), changes AS (
+        SELECT user_id, event_type AS status, value,
+               event_id AS seq, {_CDC_OP} AS op
+        FROM events WHERE event_id >= 5000
+    ), latest AS (
+        SELECT user_id, status, value, op
+        FROM (
+            SELECT c.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY seq DESC) AS rn
+            FROM changes c
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, l.user_id) AS user_id,
+           CASE WHEN l.user_id IS NOT NULL THEN l.status
+                ELSE b.status END AS status,
+           CASE WHEN l.user_id IS NOT NULL THEN l.value
+                ELSE b.value END AS value
+    FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (operators/merge.py::apply_cdc): base = each
+    user's first event (a profile snapshot), changes = every later
+    event as an I/U/D row ordered by event_id. The latest change per
+    key wins; a final 'error' (D) removes the user — including
+    users born after the snapshot. One key shuffle + one full-outer
+    join; no iteration, no driver state."""
+    from top_produce_etl_spark.operators.merge import apply_cdc
+    from top_produce_etl_spark.operators.topn import top_n_window
+
+    events = load_table(spark, sf_dir, "events")
+    base = (
+        top_n_window(
+            events.filter(F.col("event_id") < 5000)
+            .select("user_id", "event_id", "event_type", "value"),
+            group_by="user_id", metric="event_id", n=1, ascending=True,
+        )
+        .select(
+            "user_id", F.col("event_type").alias("status"), "value"
+        )
+    )
+    changes = events.filter(F.col("event_id") >= 5000).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "value",
+        F.col("event_id").alias("seq"),
+        F.expr(_CDC_OP).alias("op"),
+    )
+    return apply_cdc(base, changes, on="user_id", seq_col="seq")
+
+
+@query(
+    "scd2_user_status_history", extended=True,
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type AS status, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), versions AS (
+        SELECT user_id, status, ts
+        FROM ordered
+        WHERE prev IS NULL OR status <> prev
+    )
+    SELECT user_id, status,
+           ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               AS effective_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               AS is_current
+    FROM versions
+    """,
+)
+def scd2_user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/scd.py): each user's
+    event_type stream becomes versioned rows with effective ranges;
+    consecutive repeats collapse into one version (the classic SCD2
+    subtlety). Single key shuffle, three window passes over the
+    reused exchange."""
+    from top_produce_etl_spark.operators.scd import scd2_history
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+    )
+    return scd2_history(
+        events, key_cols="user_id", ts_col="ts", tracked="status",
+        tiebreak="event_id",
+    ).drop("event_id")
+
+
+@query(
+    "doc_chunks_rag", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(r.i AS INT) // 48 AS chunk_id,
+           CAST(r.i AS INT) AS token_start,
+           LEAST(64, len(t) - CAST(r.i AS INT)) AS n_tokens,
+           array_to_string(t[CAST(r.i AS INT) + 1 : CAST(r.i AS INT) + 64],
+                           ' ') AS chunk_text
+    FROM toks, unnest(range(0, len(t), 48)) r(i)
+    """,
+)
+def doc_chunks_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/chunking.py):
+    64-token windows every 48 tokens (16-token overlap) with full
+    provenance — the RAG/embedding-prep shape. Narrow codegen'd
+    explode, zero shuffle; the doc_id%10 slice keeps the oracle
+    compare small while every expression still runs corpus-wide
+    mechanics."""
+    from top_produce_etl_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return chunk_documents(docs, "doc_id", "text", size=64, stride=48)

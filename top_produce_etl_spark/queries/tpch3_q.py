@@ -144,9 +144,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val"))
     )
-    total = pv.agg(F.sum("val").alias("total"))
+    # non-foldable always-0 key: the 1-row total attaches via a
+    # BroadcastHashJoin, not a nested-loop cartesian (repo-wide
+    # audit forbids cartesians; same pattern as quality.py /
+    # tpch2_q idle-rich stats)
+    total = pv.agg(F.sum("val").alias("total")).withColumn(
+        "__k", F.pmod(F.coalesce(F.col("total"), F.lit(0)), F.lit(1)).cast("int")
+    )
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.withColumn("__k", F.pmod(F.col("l_partkey"), F.lit(1)).cast("int"))
+        .join(F.broadcast(total), "__k")
         .filter(F.col("val") * F.lit(1000) > F.col("total"))
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
