@@ -61,6 +61,10 @@ EXTENSION = [
     "train_val_test_split",      # append-stable hash split
     "quality_report_orders",     # single-pass data-quality suite
     "sketch_distinct_rollup",    # HLL mergeable distinct rollup
+    "cdc_upsert_state",          # CDC compaction (merge/upsert family)
+    "scd2_user_status_history",  # SCD2 version build
+    "doc_chunks_rag",            # sliding-window chunking
+    "split_decontamination_check",  # split ⨉ contamination composition
 ]
 
 RECALL_K = 3
@@ -126,6 +130,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_all_queries()
 
+    from top_produce_etl_spark.operators.dedup import unpersist_all
+
     def time_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -137,6 +143,15 @@ def main() -> None:
                 dt = time.monotonic() - t0
                 if i > 0:  # discard warmup
                     times.append(dt)
+            # release persisted frames BETWEEN queries, not between
+            # runs: the warmup run materializes each query's
+            # persisted shingle/signature tables and the timed runs
+            # reuse them via CacheManager plan-matching — that
+            # steady-state protocol is what every prior round's
+            # numbers measured. Releasing here keeps the long
+            # benchmark from accumulating cached partitions across
+            # queries without changing the per-query measurement.
+            unpersist_all()
             out[name] = round(statistics.median(times), 3)
             print(f"# {name}: {out[name]}s", file=sys.stderr)
         return out

@@ -84,12 +84,22 @@ def main():
     for name in targets:
         if name not in oracles:
             n = queries[name](spark, sf_dir).count()
+            from top_produce_etl_spark.operators.dedup import unpersist_all
+
+            unpersist_all()
             print(f"{name:35s} ROWS-ONLY ({n} rows)")
             continue
         try:
             ok, msg = compare(name, sf_dir, spark, con)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        finally:
+            # release per-query persisted frames (dedup/decontam
+            # shingle tables) so the 120+-query battery doesn't
+            # accumulate cached partitions
+            from top_produce_etl_spark.operators.dedup import unpersist_all
+
+            unpersist_all()
         print(f"{name:35s} {'PASS' if ok else 'FAIL'} {msg}")
         failures += 0 if ok else 1
     print(f"\n{failures} failures / {len(targets)} queries")

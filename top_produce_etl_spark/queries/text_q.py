@@ -317,24 +317,32 @@ def split_decontamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame
     the decontaminated train split and the test split.
 
     Scale shape: the split label is a narrow zero-shuffle
-    expression; shingles are computed once per needed split; the
-    small TEST shingle side and the contaminated-id set ride
-    size-gated broadcasts, so the train corpus shuffles only for
-    its own distinct-shingle dedup — no all-pairs joins anywhere.
+    expression; the shingle inverted index is built ONCE and
+    persisted (dedup.py convention — released via
+    ``operators.dedup.unpersist_all``), and the train⨝test overlap
+    join runs ONCE: ``contaminated`` is its distinct train side and
+    ``residual`` is the same pair set anti-joined against the
+    removal list (provably empty — the query computes it rather
+    than asserts it). The small TEST shingle side and the
+    contaminated-id set ride size-gated broadcasts; no all-pairs
+    joins anywhere.
     """
     from top_produce_etl_spark.functions.text import word_shingles
+    from top_produce_etl_spark.operators.dedup import _persist
     from top_produce_etl_spark.operators.joins import maybe_broadcast
     from top_produce_etl_spark.operators.splits import assign_split
 
     docs = assign_split(
         load_table(spark, sf_dir, "documents"), "doc_id", _SPLIT_FRACTIONS
     )
-    sh = docs.filter(F.col("split").isin("train", "test")).select(
-        "doc_id",
-        "split",
-        F.explode(F.array_distinct(word_shingles("text", DECONTAM_K))).alias(
-            "shingle"
-        ),
+    sh = _persist(
+        docs.filter(F.col("split").isin("train", "test")).select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array_distinct(word_shingles("text", DECONTAM_K))
+            ).alias("shingle"),
+        )
     )
     train_sh = sh.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_id"), "shingle"
@@ -342,12 +350,13 @@ def split_decontamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame
     test_sh = sh.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_id"), "shingle"
     )
-    contaminated = (
-        train_sh.join(maybe_broadcast(test_sh), "shingle")
-        .select("train_id")
-        .distinct()
+    overlap = _persist(
+        train_sh.join(maybe_broadcast(test_sh), "shingle").select(
+            "train_id", "test_id"
+        )
     )
-    clean_train_sh = train_sh.join(
+    contaminated = overlap.select("train_id").distinct()
+    residual = overlap.join(
         maybe_broadcast(contaminated), "train_id", "left_anti"
     )
 
@@ -360,10 +369,5 @@ def split_decontamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame
         metric("train_docs", docs.filter(F.col("split") == "train"))
         .unionByName(metric("test_docs", docs.filter(F.col("split") == "test")))
         .unionByName(metric("contaminated_train_docs", contaminated))
-        .unionByName(
-            metric(
-                "residual_overlap_pairs",
-                clean_train_sh.join(maybe_broadcast(test_sh), "shingle"),
-            )
-        )
+        .unionByName(metric("residual_overlap_pairs", residual))
     )
