@@ -1,0 +1,204 @@
+"""Unit tests for the round-4 analytics/scale operators: runtime
+bloom-filter pruning, heavy hitters, cohort retention, outlier
+fences, and int8-quantized ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.heavy import frequent_items_exact
+from top_produce_etl_spark.operators.runtime_filter import (
+    pruned_semi_join,
+    runtime_filter_tuning,
+)
+from top_produce_etl_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_quantized,
+    quantize_embeddings,
+)
+
+
+# ---------------------------------------------------------------- heavy
+
+
+def _zipf_stream(spark, n=20_000, n_keys=5_000):
+    """Deterministic zipf-ish stream: key = floor(n_keys / rank)
+    concentrates mass on few small keys while the tail stays wide."""
+    return spark.range(n).select(
+        (
+            F.lit(n_keys)
+            / (F.pmod(F.xxhash64("id"), F.lit(n_keys)) + F.lit(1))
+        )
+        .cast("long")
+        .cast("string")
+        .alias("item")
+    )
+
+
+def test_frequent_items_matches_exact_groupby(spark):
+    stream = _zipf_stream(spark)
+    phi = 0.01
+    got = {
+        (r["item"], r["cnt"])
+        for r in frequent_items_exact(
+            stream, "item", phi=phi, capacity=256
+        ).collect()
+    }
+    n = stream.count()
+    import math
+
+    want = {
+        (r["item"], r["cnt"])
+        for r in stream.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= math.ceil(n * phi))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_frequent_items_candidates_bounded_on_skew(spark):
+    """On a skewed stream the MG stage must shrink the verify set
+    far below the distinct-key count — that's the whole point of the
+    sketch (the exact groupBy would shuffle every distinct key)."""
+    stream = _zipf_stream(spark)
+    distinct = stream.distinct().count()
+    # reproduce the candidate stage only
+    from top_produce_etl_spark.operators.heavy import (
+        _TOTAL_KEY,
+        _mg_partial,
+        _SUMMARY_SCHEMA,
+    )
+
+    summaries = stream.mapInPandas(_mg_partial(256), _SUMMARY_SCHEMA)
+    merged = summaries.groupBy("item").agg(F.sum("weight").alias("lb"))
+    n = stream.count()
+    cand = (
+        merged.filter(F.col("item") != _TOTAL_KEY)
+        .filter(F.col("lb") + n / 257 >= F.ceil(F.lit(n * 0.01)))
+        .count()
+    )
+    assert cand < distinct / 4, (cand, distinct)
+
+
+def test_frequent_items_rejects_bad_phi(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        frequent_items_exact(_zipf_stream(spark, 100), "item", phi=0.0)
+
+
+# --------------------------------------------------- runtime filter
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With cluster-scale thresholds tuned down and the broadcast
+    path disabled, Catalyst must inject might_contain/bloom_filter
+    aggregates into the semi-join — the runtime-filter scale path
+    observed at test size."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    with runtime_filter_tuning(
+        spark, app_side_scan_threshold="1KB", force_shuffle_join=True
+    ):
+        df = pruned_semi_join(lineitem, urgent, "l_orderkey", "o_orderkey")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        pruned_count = df.count()
+    # and the rewrite is semantics-preserving vs the untouched plan
+    plain = lineitem.join(
+        urgent, lineitem.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).count()
+    assert pruned_count == plain > 0
+
+
+def test_runtime_filter_tuning_restores_confs(spark):
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    with runtime_filter_tuning(spark, force_shuffle_join=True):
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        )
+    after = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    assert after == before
+
+
+# ------------------------------------------------------------ cohort
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    from top_produce_etl_spark.operators.eventtime import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    rows = cohort_retention(events, "user_id", "ts").collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["week_offset"] >= 0
+    for cohort, rs in by_cohort.items():
+        base = [r for r in rs if r["week_offset"] == 0]
+        assert len(base) == 1 and base[0]["retention"] == 1.0
+        # retention never exceeds the cohort size
+        assert all(r["n_active"] <= base[0]["n_active"] for r in rs)
+
+
+# ----------------------------------------------------------- anomaly
+
+
+def test_iqr_outliers_flag_exactly_the_fence_crossers(spark):
+    from top_produce_etl_spark.operators.anomaly import iqr_outlier_rows
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("a", 500.0), ("a", 800.0)],
+        "g string, v double",
+    )
+    out = iqr_outlier_rows(df, ["g"], "v", keep_cols=["g", "v"])
+    vals = sorted(r["v"] for r in out.collect())
+    # q1≈26.25 q3≈76.75, fence≈152.5 → only the two planted spikes
+    assert vals == [500.0, 800.0]
+    z = {r["v"]: r["zscore6"] for r in out.collect()}
+    assert z[800.0] > z[500.0] > 2.0
+
+
+# --------------------------------------------------------- quantized
+
+
+def test_quantize_embeddings_range_and_norm(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding")
+    row = q.select(
+        F.max(F.array_max("qvec")).alias("hi"),
+        F.min(F.array_min("qvec")).alias("lo"),
+        # every vector's max-|component| quantizes to exactly ±127
+        F.min(
+            F.array_max(F.transform("qvec", lambda x: F.abs(x)))
+        ).alias("peak"),
+    ).collect()[0]
+    assert -127 <= row["lo"] and row["hi"] <= 127
+    assert row["peak"] == 127
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(
+            emb, queries, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_quantized(
+            emb, queries, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    # 8-bit rounding on 64 dims preserves neighbor ordering almost
+    # everywhere; anything below this bound means the quantizer broke
+    assert recall >= 0.9, recall

@@ -1,0 +1,91 @@
+"""Statistical outlier detection per group (data-quality tier,
+sibling of operators/quality.py's declarative checks).
+
+Two classic fences over a numeric column within each group:
+
+- **IQR fence**: value > Q3 + k·(Q3 − Q1) (Tukey upper fence;
+  k=1.5 classically — tighten k for short-tailed distributions,
+  where the 1.5 fence provably never fires, e.g. uniform data).
+- **z-score**: (value − mean) / stddev, reported alongside so
+  downstream thresholds can differ per consumer.
+
+Scale shape: ONE aggregate pass computes every per-group statistic
+(exact interpolated percentiles + decimal-exact moment sums —
+map-side partial agg, |groups| rows out), then the stats frame —
+bounded by |groups|, not data size — broadcasts back onto the rows.
+No window over the raw data, no second shuffle of the fact table.
+
+Engine-portability: moment sums accumulate in DECIMAL (associative
+— partition-order independent and bit-comparable to a serial SQL
+oracle, see functions.numeric rationale); the mean/variance/z
+arithmetic is a fixed-order double expression on those exact sums.
+Percentiles use Spark's exact interpolated ``percentile``, matching
+DuckDB's ``quantile_cont`` (same convention as
+queries/advanced.py's stats_moments_lineitem).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.numeric import dec
+
+
+def group_outlier_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    dec_type: str = "decimal(12,2)",
+    fence_k: float = 1.5,
+) -> DataFrame:
+    """Per-group stats: n, mean, stddev (sample), q1, q3, and the
+    Tukey upper fence — one aggregate pass.
+
+    ``dec_type`` sizes the exact accumulators; its SQUARE must fit
+    an int128 decimal so the sum-of-squares stays portable to a
+    DuckDB oracle (decimal(12,2) covers money-like domains;
+    decimal(18,4)² overflows DuckDB's decimal multiply)."""
+    n = F.count(F.lit(1))
+    s = F.sum(dec(value_col, dec_type)).cast("double")
+    # dec()² keeps the sum of squares exact and associative
+    sq = F.sum(dec(value_col, dec_type) * dec(value_col, dec_type)).cast(
+        "double"
+    )
+    mean = s / n
+    var = (sq - s * s / n) / (n - F.lit(1))
+    q1 = F.expr(f"percentile({value_col}, 0.25)")
+    q3 = F.expr(f"percentile({value_col}, 0.75)")
+    return df.groupBy(*group_cols).agg(
+        n.alias("n"),
+        mean.alias("mean"),
+        F.sqrt(var).alias("stddev"),
+        q1.alias("q1"),
+        q3.alias("q3"),
+        (q3 + F.lit(float(fence_k)) * (q3 - q1)).alias("fence_hi"),
+    )
+
+
+def iqr_outlier_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    keep_cols: list[str] | None = None,
+    fence_k: float = 1.5,
+) -> DataFrame:
+    """Rows above their group's Tukey upper fence, annotated with a
+    z-score. The stats frame is |groups|-sized → broadcast join; the
+    fact side never shuffles."""
+    stats = group_outlier_stats(df, group_cols, value_col, fence_k=fence_k)
+    keep = keep_cols if keep_cols is not None else df.columns
+    joined = df.join(F.broadcast(stats), on=group_cols)
+    return (
+        joined.filter(F.col(value_col) > F.col("fence_hi"))
+        .select(
+            *keep,
+            F.round(
+                (F.col(value_col) - F.col("mean")) / F.col("stddev"), 6
+            ).alias("zscore6"),
+            F.round(F.col("fence_hi"), 6).alias("fence_hi6"),
+        )
+    )

@@ -100,3 +100,58 @@ def with_watermark_batch(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
     watermarks outside streaming) kept so pipelines declare lateness
     bounds once and run unchanged under readStream."""
     return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    tracked across subsequent weeks.
+
+    Output: (cohort_week, week_offset, n_active, retention) where
+    cohort_week = date_trunc('week', first event ts) per user,
+    week_offset = whole weeks between cohort_week and the activity
+    week, n_active = distinct users of that cohort active at that
+    offset, retention = n_active / cohort size (offset-0 count —
+    every user is active in their own first week by construction).
+
+    Scale shape: two key shuffles. (1) min-ts per user — map-side
+    partial min, |users| rows out; the per-user activity distinct
+    reuses the SAME user-keyed exchange (Catalyst co-partitions the
+    join). (2) the (cohort, offset) aggregate over |users × active
+    weeks| rows. The offset-0 cohort size comes from a window over
+    the already-tiny matrix, not a re-scan.
+    """
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first = df.groupBy(user_col).agg(
+        wk(F.min(ts_col)).alias("cohort_week")
+    )
+    active = df.select(
+        F.col(user_col), wk(F.col(ts_col)).alias("__wk")
+    ).distinct()
+    matrix = (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("__wk"), F.col("cohort_week"))
+                / F.lit(period_days)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_active"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cohort_week")
+    size0 = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(w)
+    return matrix.withColumn(
+        "retention",
+        (F.col("n_active").cast("double") / size0.cast("double")),
+    )

@@ -299,3 +299,98 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str, qvec_col: str = "qvec", scale_col: str = "qscale"
+) -> DataFrame:
+    """Symmetric int8 quantization of a float-vector column.
+
+    Per row: ``scale = 127 / max(|v_i|)`` (guarded against the
+    all-zero vector), ``q_i = round(v_i * scale)`` ∈ [-127, 127].
+    The 100 TB rationale: an int8 vector is 4× smaller than float32
+    — 4× less scan, shuffle, and cache footprint for the ANN corpus
+    — and integer dot products stay in codegen'd primitive
+    arithmetic. Quantization is write-once (store ``qvec`` +
+    ``qscale`` alongside or instead of the float column via the
+    normal sink); queries quantize on the fly.
+
+    Deterministic and engine-portable: float→double widening is
+    exact, the scalar expression tree is fixed-order IEEE, and
+    round-half-up on doubles matches DuckDB's round — so quantized
+    scores are bit-comparable to a SQL oracle (no float-accumulation
+    caveat like the double dot-product fast path).
+    """
+    absmax = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))).cast(
+            "double"
+        ),
+        F.lit(1e-12),
+    )
+    scale = F.lit(127.0) / absmax
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    return df.withColumn(qvec_col, qvec).withColumn(scale_col, scale)
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int-vector columns (as
+    long). Bounded by dim·127² — no overflow, no rounding, fully
+    associative: the score is independent of partitioning AND
+    bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k cosine neighbors on int8-quantized vectors.
+
+    Same broadcast-queries / streamed-corpus shape as
+    :func:`cosine_topk_bruteforce`, but scoring runs on the
+    quantized representation: ``qcosine = dot(qa, qb) /
+    (‖qa‖·‖qb‖)`` with exact integer dots. The per-vector scale
+    cancels out of the cosine, so it isn't needed at score time —
+    only ``qvec`` ships. Approximate versus the float cosine (8-bit
+    rounding error), but fully DETERMINISTIC and oracle-checkable,
+    unlike float fast paths; recall vs the exact result is pinned in
+    tests. Output: query_id, neighbor_id, qcosine, rank.
+    """
+    q = quantize_embeddings(
+        queries.select(F.col(id_col).alias("query_id"), vec_col), vec_col
+    ).select("query_id", F.col("qvec").alias("__qv"))
+    c = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col
+    ).select("neighbor_id", F.col("qvec").alias("__cv"))
+    q = q.withColumn(
+        "__qn", F.sqrt(_int_dot(F.col("__qv"), F.col("__qv")).cast("double"))
+    )
+    c = c.withColumn(
+        "__cn", F.sqrt(_int_dot(F.col("__cv"), F.col("__cv")).cast("double"))
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "qcosine",
+        _int_dot(F.col("__qv"), F.col("__cv")).cast("double")
+        / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qcosine", "rank")
+    )

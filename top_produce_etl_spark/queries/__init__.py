@@ -176,6 +176,7 @@ def _load_all() -> None:
     from top_produce_etl_spark.queries import (  # noqa: F401
         advanced,
         aggregates,
+        analytics_q,
         dedup_q,
         etl_q,
         eventtime,
