@@ -202,3 +202,72 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     # 8-bit rounding on 64 dims preserves neighbor ordering almost
     # everywhere; anything below this bound means the quantizer broke
     assert recall >= 0.9, recall
+
+
+# ------------------------------------------------------------ funnel
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_ordered_funnel_strict_order_and_window(spark):
+    import datetime as dt
+
+    from top_produce_etl_spark.operators.eventtime import ordered_funnel
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)  # noqa: E731
+    rows = [
+        # u1: full path in order, inside the window
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE first view → strict order rejects it
+        (2, t(1), "click"), (2, t(2), "view"), (2, t(3), "purchase"),
+        # u3: click after the 7-day window → stops at step 1
+        (3, t(1), "view"), (3, t(9), "click"),
+        # u4: purchase without click → step 2 never reached, so 3
+        # can't be either (ordered semantics, not set semantics)
+        (4, t(1), "view"), (4, t(2), "purchase"),
+        # u5: never does step 1 → absent from the result
+        (5, t(1), "click"), (5, t(2), "purchase"),
+    ]
+    out = {
+        r["user_id"]: r["step_reached"]
+        for r in ordered_funnel(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            steps=["view", "click", "purchase"], within="7 DAYS",
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 1, 4: 1}
+
+
+def test_ordered_funnel_no_window_allows_any_gap(spark):
+    import datetime as dt
+
+    from top_produce_etl_spark.operators.eventtime import ordered_funnel
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), "view"),
+        (1, dt.datetime(2024, 3, 1), "click"),
+    ]
+    out = ordered_funnel(
+        _ev(spark, rows), "user_id", "ts", "event_type",
+        steps=["view", "click"],
+    ).collect()
+    assert out[0]["step_reached"] == 2
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark, sf_dir):
+    from top_produce_etl_spark.operators.eventtime import transition_matrix
+
+    events = load_table(spark, sf_dir, "events")
+    rows = transition_matrix(
+        events, "user_id", "ts", "event_type", "event_id"
+    ).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r["prev_type"]] += r["p"]
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())

@@ -155,3 +155,111 @@ def cohort_retention(
         "retention",
         (F.col("n_active").cast("double") / size0.cast("double")),
     )
+
+
+def ordered_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Strict ordered funnel (à la ClickHouse ``windowFunnel``): per
+    user, the deepest prefix of ``steps`` completed in strict time
+    order, optionally within ``within`` (e.g. ``"7 days"``) of the
+    first step.
+
+    Step k's timestamp = MIN event ts of type steps[k] that is
+    strictly after step k-1's timestamp (and ≤ t1 + within). Output:
+    (user, step_reached, first_ts, last_ts) — one row per user who
+    completed step 1.
+
+    Scale shape: k-1 chained (filter → join → min-aggregate) stages,
+    all keyed on the user — every exchange hashes the same key, so
+    AQE/Catalyst reuse the partitioning, and each stage's input is
+    only the rows of ONE event type (the filter pushes to the scan).
+    No per-user sort, no window over raw events, no Python. This is
+    the relational formulation; the sessionize-style applyInPandas
+    one (operators for which exist in streaming/jobs.py) trades a
+    single shuffle for Python row handling — worse at 100 TB when
+    the step list is short.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    base = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    deadline = (
+        (F.col("t1") + F.expr(f"INTERVAL {within}"))
+        if within
+        else F.lit(None)
+    )
+    prev = base.withColumn("__prev_ts", F.col("t1"))
+    stage_frames = []
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        cond = F.col("__ts") > F.col("__prev_ts")
+        if within:
+            cond = cond & (F.col("__ts") <= deadline)
+        cur = (
+            ev.join(prev, user_col)
+            .filter(cond)
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        stage_frames.append(cur)
+        prev = cur.join(base, user_col).withColumn(
+            "__prev_ts", F.col(f"t{i}")
+        )
+    out = base
+    for frame in stage_frames:
+        out = out.join(frame, user_col, "left")
+    k = len(steps)
+    step_reached = F.lit(1)
+    for i in range(2, k + 1):
+        step_reached = F.when(
+            F.col(f"t{i}").isNotNull(), F.lit(i)
+        ).otherwise(step_reached)
+    last_ts = F.coalesce(
+        *[F.col(f"t{i}") for i in range(k, 1, -1)], F.col("t1")
+    )
+    return out.select(
+        F.col(user_col),
+        step_reached.alias("step_reached"),
+        F.col("t1").alias("first_ts"),
+        last_ts.alias("last_ts"),
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """First-order state transitions per user stream: counts and
+    row-normalized probabilities of (previous event type → event
+    type). One user-keyed exchange feeds the lag window; the
+    (prev, next) aggregate and its normalizing row-sum window both
+    run on |types|² rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    trans = (
+        df.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return trans.withColumn(
+        "p", F.col("n").cast("double") / row_total.cast("double")
+    )

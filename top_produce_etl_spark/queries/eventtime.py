@@ -248,3 +248,78 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("converters", F.lit(0)).alias("converters"),
         )
     )
+
+
+@query(
+    "funnel_3step_strict", extended=True,
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                ELSE 1 END AS step_reached,
+           s1.t1 AS first_ts,
+           COALESCE(t3, t2, s1.t1) AS last_ts
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_3step_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict 3-step ordered funnel view→click→purchase within 7
+    days of the first view (operators/eventtime.py::ordered_funnel —
+    ClickHouse-windowFunnel semantics as chained user-keyed
+    min-aggregates, no per-user sort, no Python). The oracle unrolls
+    the same chain as CTEs."""
+    from top_produce_etl_spark.operators.eventtime import ordered_funnel
+
+    events = load_table(spark, sf_dir, "events")
+    return ordered_funnel(
+        events, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], within="7 DAYS",
+    )
+
+
+@query(
+    "event_transition_matrix", extended=True,
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ), trans AS (
+        SELECT prev AS prev_type, event_type AS next_type,
+               COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) /
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix with row-normalized
+    probabilities (operators/eventtime.py::transition_matrix): one
+    user-keyed exchange for the lag window, then |types|²-row
+    aggregates — the classic behavioral-model feature at any scale."""
+    from top_produce_etl_spark.operators.eventtime import transition_matrix
+
+    events = load_table(spark, sf_dir, "events")
+    return transition_matrix(events, "user_id", "ts", "event_type", "event_id")
