@@ -271,3 +271,41 @@ def test_transition_matrix_probabilities_sum_to_one(spark, sf_dir):
     for r in rows:
         sums[r["prev_type"]] += r["p"]
     assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+# ---------------------------------------------------------- pagerank
+
+
+def test_pagerank_known_graph(spark):
+    from top_produce_etl_spark.operators.graph import pagerank
+
+    # star: a->b, c->b (unit weights): b accrues, a/c stay at base
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "b", 1.0)], "s string, d string, w double"
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, "s", "d", "w", iterations=3).collect()
+    }
+    base = round((1 - 0.85) / 3, 6)
+    assert r["a"] == base and r["c"] == base
+    # b = base + 0.85*(r_a + r_c) after convergence of the leaves
+    assert abs(r["b"] - (base + 0.85 * 2 * base)) < 1e-6
+    assert sum(r.values()) <= 1.0 + 1e-9  # dangling b leaks mass
+
+
+def test_pagerank_weight_proportionality(spark):
+    from top_produce_etl_spark.operators.graph import pagerank
+
+    # a splits 3:1 between b and c → contributions split 3:1
+    edges = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0)], "s string, d string, w double"
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, "s", "d", "w", iterations=1).collect()
+    }
+    base = round(1 / 3, 6)
+    d = 0.85
+    assert abs(r["b"] - ((1 - d) / 3 + d * base * 0.75)) < 1e-6
+    assert abs(r["c"] - ((1 - d) / 3 + d * base * 0.25)) < 1e-6

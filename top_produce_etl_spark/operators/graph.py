@@ -1,0 +1,106 @@
+"""Iterative graph algorithms as DataFrame loops (SURVEY.md §2.11
+iterative tier — sibling of operators/dedup.py's connected
+components and operators/clustering.py's Lloyd k-means).
+
+PageRank here follows the same engine-portable determinism contract
+as k-means: ranks round to 6 dp after every iteration and all
+cross-row accumulation routes through exact DECIMAL, so an unrolled
+chained-CTE SQL oracle reproduces every round bit-for-bit.
+
+Scale shape per iteration: ONE key shuffle (contributions grouped
+by destination). The rank vector is |nodes| rows and joins the
+edge relation on src — when |nodes| is bounded (entity graphs,
+category graphs) Spark broadcasts it automatically; when it isn't,
+the join co-partitions with the previous round's output. Driver
+state is zero: ranks live in DataFrames end-to-end, and the loop
+count is a fixed hyperparameter (no data-dependent convergence
+collect in the hot path).
+
+Dangling nodes (no out-edges) simply leak their mass — the classic
+simplification; ranks still order correctly for link-analysis use.
+Documented rather than patched: redistributing dangling mass needs
+an extra global aggregate per round for little analytical gain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_edges(
+    edges: DataFrame, src: str, dst: str, weight: str
+) -> DataFrame:
+    """Collapse multi-edges and attach transition probabilities:
+    p(u→v) = w(u,v) / Σ_v' w(u,v'). Weights accumulate in DECIMAL so
+    p is identical on any partitioning; output (src, dst, p)."""
+    agg = (
+        edges.groupBy(src, dst)
+        .agg(
+            F.sum(F.col(weight).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("__w")
+        )
+    )
+    outw = agg.groupBy(src).agg(
+        F.sum(F.col("__w").cast("decimal(28,8)")).cast("double").alias("__ow")
+    )
+    return (
+        agg.join(outw, src)
+        .select(src, dst, (F.col("__w") / F.col("__ow")).alias("p"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank, fixed iteration count.
+
+    r_0(v) = 1/N; r_{t+1}(v) = (1−d)/N + d · Σ_u r_t(u)·p(u→v),
+    every r rounded to 6 dp (the determinism contract). Output:
+    (node, rank). N counts distinct nodes on either edge end.
+    """
+    norm = normalize_edges(edges, src, dst, weight)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # N rides along as a broadcast one-row relation (same pattern as
+    # the IVF centroid model) — no literal baked per-plan, no
+    # data-sized driver state.
+    n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    ranks = nodes.crossJoin(n_nodes).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("__n"), 6).alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            norm.join(ranks, norm[src] == ranks["node"])
+            .groupBy(F.col(dst).alias("node"))
+            .agg(
+                F.sum(
+                    (F.col("rank") * F.col("p")).cast("decimal(28,14)")
+                )
+                .cast("double")
+                .alias("__c")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n_nodes)
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                    + F.lit(damping) * F.coalesce("__c", F.lit(0.0)),
+                    6,
+                ).alias("rank"),
+            )
+        )
+    return ranks

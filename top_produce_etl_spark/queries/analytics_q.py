@@ -255,3 +255,87 @@ def cosine_topk_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_quantized(emb, queries, "vec_id", "embedding", k=3)
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled chained-CTE PageRank oracle (same technique as the
+    kmeans_assignments oracle: each Spark iteration becomes one CTE,
+    valid because both engines round ranks to 6 dp per round and
+    accumulate in exact decimal)."""
+    head = f"""
+    WITH edges0 AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst,
+               CAST(SUM(CAST({REV_DEC} AS DECIMAL(28,8))) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+        JOIN customer c ON o.o_custkey   = c.c_custkey
+        JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        GROUP BY 1, 2
+    ), outw AS (
+        SELECT src, CAST(SUM(CAST(w AS DECIMAL(28,8))) AS DOUBLE) AS ow
+        FROM edges0 GROUP BY src
+    ), e AS (
+        SELECT e0.src, e0.dst, e0.w / o.ow AS p
+        FROM edges0 e0 JOIN outw o USING (src)
+    ), nodes AS (
+        SELECT src AS node FROM edges0
+        UNION SELECT dst FROM edges0
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, round(1.0 / nn.n, 6) AS "rank" FROM nodes, nn)"""
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(f""",
+    r{i} AS (
+        SELECT nodes.node,
+               round((1.0 - {damping}) / nn.n
+                     + {damping} * COALESCE(c.c, 0.0), 6) AS "rank"
+        FROM nodes
+        LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(r{i-1}."rank" * e.p AS DECIMAL(28,14)))
+                        AS DOUBLE) AS c
+            FROM e JOIN r{i-1} ON e.src = r{i-1}.node
+            GROUP BY e.dst
+        ) c USING (node), nn
+    )""")
+    return (
+        head + "".join(rounds)
+        + f'\n    SELECT node, "rank" FROM r{iterations}'
+    )
+
+
+@query("trade_pagerank", extended=True, oracle=_pagerank_oracle())
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade-flow graph (edges:
+    supplier nation → customer nation, revenue-weighted), 3 rounds
+    (operators/graph.py). One dst-keyed shuffle per round, rank
+    vector broadcast onto the edge relation, zero driver state —
+    the iterative-algorithm pattern next to k-means and connected
+    components, oracle-checked via round-by-round CTE unrolling."""
+    from top_produce_etl_spark.operators.graph import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst_nation")
+    )
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    edges = (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .select("src_nation", "dst_nation", revenue_expr().alias("w"))
+    )
+    return pagerank(edges, "src_nation", "dst_nation", "w", iterations=3)
