@@ -65,6 +65,14 @@ EXTENSION = [
     "scd2_user_status_history",  # SCD2 version build
     "doc_chunks_rag",            # sliding-window chunking
     "split_decontamination_check",  # split ⨉ contamination composition
+    "runtime_pruned_revenue",    # runtime bloom-filter semi-join
+    "cohort_retention_weekly",   # cohort retention matrix
+    "frequent_bigrams",          # MG heavy hitters + exact verify
+    "segment_price_outliers",    # per-group fence/z-score outliers
+    "cosine_topk_quantized",     # int8-quantized ANN
+    "funnel_3step_strict",       # ordered windowFunnel
+    "event_transition_matrix",   # first-order transitions
+    "trade_pagerank",            # iterative weighted PageRank
 ]
 
 RECALL_K = 3
@@ -169,6 +177,9 @@ def main() -> None:
         ),
         f"ivf_fast_recall_at_{RECALL_K}": recall_at_k(
             spark, queries, SF_DIR, "ivf_topk_fast"
+        ),
+        f"quantized_recall_at_{RECALL_K}": recall_at_k(
+            spark, queries, SF_DIR, "cosine_topk_quantized"
         ),
     }
     for k, v in recalls.items():

@@ -309,3 +309,152 @@ def test_pagerank_weight_proportionality(spark):
     d = 0.85
     assert abs(r["b"] - ((1 - d) / 3 + d * base * 0.75)) < 1e-6
     assert abs(r["c"] - ((1 - d) / 3 + d * base * 0.25)) < 1e-6
+
+
+# --------------------------------------------- histogram quantiles
+
+
+def test_histogram_quantile_close_to_exact(spark, sf_dir):
+    """Histogram estimates vs exact order-statistic percentiles on
+    the DENSE lifetime grain. The in-bin interpolation error is ≤
+    one bin width; comparing against order-statistic percentiles
+    adds at most one local inter-point gap (the q·N vs 1+(n−1)·q
+    position conventions differ by <1 rank), so 2× width is the
+    honest bound — per-month groups at sf0.001 (~19 rows) are too
+    sparse for any bin-width-scale bound and are exercised by the
+    oracle query instead."""
+    from top_produce_etl_spark.operators.sketches import (
+        binned_histogram,
+        histogram_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lifetime = binned_histogram(
+        orders, F.lit("all"), "o_totalprice",
+        lo=0.0, hi=512000.0, n_bins=128,
+    )
+    est = histogram_quantiles(
+        lifetime, [0.5, 0.9], lo=0.0, hi=512000.0, n_bins=128
+    ).collect()[0]
+    exact = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    ).collect()[0]
+    width = 512000.0 / 128
+    assert abs(est["est_p50"] - exact["p50"]) <= 2 * width
+    assert abs(est["est_p90"] - exact["p90"]) <= 2 * width
+
+
+def test_histogram_merge_is_lossless(spark, sf_dir):
+    """Monthly-from-daily must equal monthly-direct — the property
+    that makes the stored rollup trustworthy (HLL-union analogue)."""
+    from top_produce_etl_spark.operators.sketches import (
+        binned_histogram,
+        merge_histograms,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = binned_histogram(
+        orders, F.date_trunc("day", F.col("o_orderdate")),
+        "o_totalprice", lo=0.0, hi=512000.0, n_bins=128,
+    )
+    via_daily = {
+        (r["grain"], r["bin"]): r["cnt"]
+        for r in merge_histograms(
+            daily, F.date_trunc("month", F.col("grain"))
+        ).collect()
+    }
+    direct = {
+        (r["grain"], r["bin"]): r["cnt"]
+        for r in binned_histogram(
+            orders, F.date_trunc("month", F.col("o_orderdate")),
+            "o_totalprice", lo=0.0, hi=512000.0, n_bins=128,
+        ).collect()
+    }
+    assert via_daily == direct
+
+
+# ----------------------------------------------------- text quality
+
+
+def test_repetition_stats_detects_planted_repetition(spark):
+    from top_produce_etl_spark.operators.textquality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight"),
+            (3, "ab"),  # shorter than the n-gram → zero fractions
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    # all trigrams identical → 3 dup of 4; all tokens identical
+    assert abs(out[1]["dup_3gram_frac"] - 3 / 4) < 1e-12
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert abs(out[2]["top_token_frac"] - 1 / 8) < 1e-12
+    assert out[3]["dup_3gram_frac"] == 0.0 and out[3]["top_token_frac"] == 1.0
+
+
+def test_repetition_stats_plan_is_narrow(spark, sf_dir):
+    """The whole point: per-doc stats with no exchange at all."""
+    from top_produce_etl_spark.operators.textquality import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        repetition_stats(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------- incremental agg
+
+
+def test_merge_agg_state_equals_full_recompute(spark, sf_dir):
+    from top_produce_etl_spark.operators.merge import merge_agg_state
+
+    events = load_table(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    merged = merge_agg_state(
+        partial(events.filter(F.col("ts") < cutoff)),
+        partial(events.filter(F.col("ts") >= cutoff)),
+        keys="event_type",
+        sum_cols=["s"],
+    )
+    got = {(r["event_type"], r["cnt"], r["s"]) for r in merged.collect()}
+    want = {(r["event_type"], r["cnt"], r["s"]) for r in partial(events).collect()}
+    assert got == want
+
+
+def test_merge_agg_state_is_iterable(spark):
+    """Folding two deltas one at a time equals folding their union —
+    associativity, the property that lets the state roll forward
+    day after day."""
+    from top_produce_etl_spark.operators.merge import merge_agg_state
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k string, cnt long, s long")
+
+    state = frame([("a", 2, 10), ("b", 1, 5)])
+    d1 = frame([("a", 1, 7)])
+    d2 = frame([("c", 3, 9), ("a", 1, 1)])
+    step = merge_agg_state(
+        merge_agg_state(state, d1, "k", ["s"]), d2, "k", ["s"]
+    )
+    at_once = merge_agg_state(
+        state, d1.unionByName(d2), "k", ["s"]
+    )
+    assert {tuple(r) for r in step.collect()} == {
+        tuple(r) for r in at_once.collect()
+    } == {("a", 4, 18), ("b", 1, 5), ("c", 3, 9)}

@@ -65,6 +65,7 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "cross_join_region_status",  # the cross-join demo itself (extended)
         "semi_anti_cross_pack",  # contains the cross-join branch
         "cosine_topk_numpy",  # same broadcast-queries shape as bruteforce
+        "cosine_topk_quantized",  # broadcast-queries cross on int8 vectors
     }
     for name, fn in sorted(get_all_queries().items()):
         audit = plan_audit(fn(spark, sf_dir))

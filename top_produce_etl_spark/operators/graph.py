@@ -73,11 +73,22 @@ def pagerank(
     )
     # N rides along as a broadcast one-row relation (same pattern as
     # the IVF centroid model) — no literal baked per-plan, no
-    # data-sized driver state.
-    n_nodes = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
-    ranks = nodes.crossJoin(n_nodes).select(
-        "node",
-        F.round(F.lit(1.0) / F.col("__n"), 6).alias("rank"),
+    # data-sized driver state. The always-0 NON-FOLDABLE join key
+    # makes it a BroadcastHashJoin, not a nested-loop cross (house
+    # pattern, see operators/retrieval.py BM25 stats note).
+    k0_node = F.pmod(F.xxhash64("node"), F.lit(1)).cast("int")
+    n_nodes = F.broadcast(
+        nodes.agg(F.count(F.lit(1)).alias("__n")).withColumn(
+            "__k", F.pmod(F.col("__n"), F.lit(1)).cast("int")
+        )
+    )
+    ranks = (
+        nodes.withColumn("__k", k0_node)
+        .join(n_nodes, "__k")
+        .select(
+            "node",
+            F.round(F.lit(1.0) / F.col("__n"), 6).alias("rank"),
+        )
     )
     for _ in range(iterations):
         contrib = (
@@ -93,7 +104,8 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, "node", "left")
-            .crossJoin(n_nodes)
+            .withColumn("__k", k0_node)
+            .join(n_nodes, "__k")
             .select(
                 "node",
                 F.round(

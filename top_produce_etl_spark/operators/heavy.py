@@ -97,6 +97,10 @@ def frequent_items_exact(
     merged = summaries.groupBy("item").agg(
         F.sum("weight").alias("lower_bound")
     )
+    # always-0 NON-FOLDABLE key: makes the one-row totals attach as
+    # a BroadcastHashJoin instead of a nested-loop cross (house
+    # pattern, see operators/retrieval.py BM25 stats note)
+    k0 = lambda c: F.pmod(F.col(c), F.lit(1)).cast("int")  # noqa: E731
     # one-row frame: N and the absolute threshold/slack derived from it
     totals = (
         merged.filter(F.col("item") == _TOTAL_KEY)
@@ -107,10 +111,12 @@ def frequent_items_exact(
             ),
             (F.col("lower_bound") / F.lit(capacity + 1)).alias("slack"),
         )
+        .withColumn("__k", k0("n_total"))
     )
     candidates = (
         merged.filter(F.col("item") != _TOTAL_KEY)
-        .crossJoin(F.broadcast(totals))
+        .withColumn("__k", k0("lower_bound"))
+        .join(F.broadcast(totals), "__k")
         .filter(
             F.col("lower_bound") + F.col("slack") >= F.col("threshold")
         )
@@ -121,7 +127,8 @@ def frequent_items_exact(
         stream.join(F.broadcast(candidates.select("item")), "item", "left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(totals.select("threshold")))
+        .withColumn("__k", k0("cnt"))
+        .join(F.broadcast(totals.select("__k", "threshold")), "__k")
         .filter(F.col("cnt") >= F.col("threshold"))
         .select("item", "cnt")
     )

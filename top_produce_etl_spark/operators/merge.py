@@ -96,3 +96,37 @@ def apply_cdc(
         for c in payload
     ]
     return kept.select(*out_cols)
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: str | list[str],
+    sum_cols: list[str] | None = None,
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Incremental aggregate maintenance for algebraic aggregates:
+    fold a DELTA of partial aggregates into the stored STATE without
+    re-scanning history — the pattern that turns a daily 100 TB
+    re-aggregation into a |new data|-sized job.
+
+    Both inputs carry (keys…, cnt, sum_cols…) where the delta comes
+    from aggregating only the NEW rows with the same grouping. The
+    merge is union + re-aggregate: counts and sums are associative,
+    so state ⊕ delta ≡ the full re-computation (the equivalence a
+    DuckDB oracle checks in queries/analytics_q.py). Derived metrics
+    (avg = sum/cnt) re-derive after merging — never store averages,
+    they don't merge.
+
+    One |state|+|delta| shuffle on the grouping keys; with the state
+    table bucketed on those keys (io/bucketing.py) even that
+    exchange drops to delta-only.
+    """
+    ks = _keys(keys)
+    sums = sum_cols or []
+    cols = ks + [cnt_col] + sums
+    unioned = state.select(*cols).unionByName(delta.select(*cols))
+    return unioned.groupBy(*ks).agg(
+        F.sum(cnt_col).alias(cnt_col),
+        *[F.sum(c).alias(c) for c in sums],
+    )

@@ -46,3 +46,96 @@ def hll_rollup_estimate(
     ).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct")
     )
+
+
+def binned_histogram(
+    df: DataFrame,
+    grain_expr,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """The STORED quantile rollup: fixed-bin counts of ``value_col``
+    per time grain — the deterministic, fully mergeable stand-in for
+    a t-digest (same role HLL plays for COUNT DISTINCT: store
+    per-day summaries, answer any coarser grain without re-scanning
+    the raw stream). Bin counts are exact integers, so unlike real
+    t-digests the WHOLE pipeline — merge included — is
+    oracle-checkable.
+
+    Output: (grain, bin, cnt). Values outside [lo, hi) clamp into
+    the edge bins, so totals are preserved. One hash-agg shuffle of
+    |grains × bins| rows; map-side partial agg does the rest.
+    """
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.select(grain_expr.alias("grain"), b.alias("bin"))
+        .groupBy("grain", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(hist: DataFrame, regroup_expr) -> DataFrame:
+    """Merge fine-grain histograms to a coarser grain — plain count
+    addition (associative/exact), the step real quantile sketches
+    approximate."""
+    return (
+        hist.select(regroup_expr.alias("grain"), "bin", "cnt")
+        .groupBy("grain", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Interpolated quantile estimates from a binned histogram:
+    est(q) = bin_lo + width · (q·N − cum_before) / bin_cnt for the
+    first bin whose cumulative count reaches q·N. In-bin
+    interpolation error ≤ one bin width by construction; versus
+    ORDER-STATISTIC percentiles (a different position convention)
+    add one local inter-point gap — negligible when bins hold many
+    points, dominant on near-empty groups (pinned in tests on the
+    dense grain). Window + filter over
+    |grains × bins| rows — nothing touches raw data. Output:
+    (grain, n, one est_<q> column per quantile)."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy("grain")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grain")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    out = cum.select("grain", "n").distinct()
+    for q in quantiles:
+        target = F.lit(float(q)) * F.col("n").cast("double")
+        hit = (
+            cum.filter(
+                (F.col("cum").cast("double") >= target)
+                & ((F.col("cum") - F.col("cnt")).cast("double") < target)
+            )
+            .select(
+                "grain",
+                (
+                    F.lit(lo)
+                    + F.col("bin").cast("double") * F.lit(width)
+                    + F.lit(width)
+                    * (target - (F.col("cum") - F.col("cnt")).cast("double"))
+                    / F.col("cnt").cast("double")
+                ).alias(f"est_p{int(q * 100)}"),
+            )
+        )
+        out = out.join(hit, "grain")
+    return out

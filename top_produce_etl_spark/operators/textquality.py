@@ -1,0 +1,83 @@
+"""Repetition-based document quality signals (Gopher-rules tier of
+the LLM-pipeline surface; complements queries/text_q.py's
+length/punctuation/stopword scores).
+
+The classic pre-training filters (Rae et al. 2021 "Scaling Language
+Models" §A1.1; public reimplementations in Dolma/CCNet) drop
+documents dominated by repetition: high duplicate-n-gram fraction,
+or one token carrying an outsized share of the text. Both are
+PER-DOCUMENT statistics, so the scalable formulation is a single
+narrow projection over higher-order array functions — tokenize,
+build n-grams, measure — with ZERO shuffle and zero Python: every
+document computes its own stats inside whole-stage codegen, which
+at 100 TB means the filter runs at scan speed.
+
+The top-token share uses a sort+max-run-length fold
+(``aggregate``) instead of a token→count map: sorting the token
+array groups equal tokens adjacently, so the longest run IS the top
+token's count — no per-doc hash map, no explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams of a token array (empty when the doc is too
+    short)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - F.lit(n))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(tokens) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements (= top element count
+    on a sorted array), as a single fold."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """Per-document repetition signals: token count, duplicate
+    n-gram fraction, and top-token share. All-narrow plan."""
+    toks = F.split(F.col(text_col), " ")
+    grams = _ngrams(toks, ngram)
+    n_grams = F.size(grams)
+    dup_frac = F.when(
+        n_grams > 0,
+        (n_grams - F.size(F.array_distinct(grams))).cast("double")
+        / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.size(toks) > 0,
+        _max_run_length(F.sort_array(toks)).cast("double")
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        dup_frac.alias(f"dup_{ngram}gram_frac"),
+        top_frac.alias("top_token_frac"),
+    )

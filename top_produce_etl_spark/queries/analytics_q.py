@@ -339,3 +339,165 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_nation", "dst_nation", revenue_expr().alias("w"))
     )
     return pagerank(edges, "src_nation", "dst_nation", "w", iterations=3)
+
+
+@query(
+    "histogram_quantile_rollup", extended=True,
+    oracle="""
+    WITH binned AS (
+        -- the daily->monthly merge is exact count addition, so
+        -- grouping straight to month is the identical result (the
+        -- Spark side really does daily then merge, proving the
+        -- stored-rollup path; associativity makes this oracle fair)
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS grain,
+               LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 4000.0)
+                                   AS INT), 0), 127) AS bin,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ), cum AS (
+        SELECT grain, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY grain ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY grain) AS n
+        FROM binned
+    ), h50 AS (
+        SELECT grain, n,
+               0.0 + CAST(bin AS DOUBLE) * 4000.0
+                   + 4000.0 * (0.5 * CAST(n AS DOUBLE)
+                               - CAST(cum - cnt AS DOUBLE))
+                     / CAST(cnt AS DOUBLE) AS est_p50
+        FROM cum
+        WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(n AS DOUBLE)
+          AND CAST(cum - cnt AS DOUBLE) < 0.5 * CAST(n AS DOUBLE)
+    ), h90 AS (
+        SELECT grain,
+               0.0 + CAST(bin AS DOUBLE) * 4000.0
+                   + 4000.0 * (0.9 * CAST(n AS DOUBLE)
+                               - CAST(cum - cnt AS DOUBLE))
+                     / CAST(cnt AS DOUBLE) AS est_p90
+        FROM cum
+        WHERE CAST(cum AS DOUBLE) >= 0.9 * CAST(n AS DOUBLE)
+          AND CAST(cum - cnt AS DOUBLE) < 0.9 * CAST(n AS DOUBLE)
+    )
+    SELECT h50.grain AS month, h50.n, h50.est_p50, h90.est_p90
+    FROM h50 JOIN h90 USING (grain)
+    """,
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup (operators/sketches.py): DAILY
+    fixed-bin histograms of o_totalprice → MONTHLY merge (count
+    addition — the lossless analogue of HLL union) → interpolated
+    p50/p90 per month. The deterministic stand-in for a t-digest
+    rollup: any coarser grain answers from |grains × 128| stored
+    rows, never re-scanning raw data, and unlike a real t-digest
+    every step is oracle-checkable. In-bin estimate error ≤ one bin
+    width (4000); pinned at 2× width against exact percentiles on
+    the dense lifetime grain in tests."""
+    from top_produce_etl_spark.operators.sketches import (
+        binned_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = binned_histogram(
+        orders,
+        F.date_trunc("day", F.col("o_orderdate")),
+        "o_totalprice",
+        lo=0.0, hi=512000.0, n_bins=128,
+    )
+    monthly = merge_histograms(
+        daily, F.date_trunc("month", F.col("grain"))
+    )
+    out = histogram_quantiles(
+        monthly, [0.5, 0.9], lo=0.0, hi=512000.0, n_bins=128
+    )
+    return out.select(F.col("grain").alias("month"), "n", "est_p50", "est_p90")
+
+
+@query(
+    "repetition_quality", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(
+                              t[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+                          FOR i IN range(1, len(t) - 1)]
+                    ELSE [] END AS grams
+        FROM toks
+    ), tok_counts AS (
+        SELECT doc_id, MAX(c) AS top_cnt FROM (
+            SELECT doc_id, COUNT(*) AS c
+            FROM toks, unnest(t) AS u(tok)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.n_tokens,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE)
+                ELSE 0.0 END AS dup_3gram_frac,
+           CASE WHEN g.n_tokens > 0
+                THEN CAST(tc.top_cnt AS DOUBLE) / CAST(g.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS top_token_frac
+    FROM g JOIN tok_counts tc USING (doc_id)
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters as per-document higher-order
+    array expressions (operators/textquality.py): duplicate-trigram
+    fraction + top-token share with ZERO shuffle and zero Python —
+    the filter runs at scan speed at any corpus size. The oracle
+    recomputes both signals relationally (unnest + group) — same
+    values, different shape, which is the point: the narrow
+    formulation is the 100 TB one."""
+    from top_produce_etl_spark.operators.textquality import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", ngram=3)
+
+
+@query(
+    "incremental_daily_revenue", extended=True,
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/merge.py::merge_agg_state): yesterday's stored state
+    (events before Jan 20) merged with a delta built from ONLY the
+    new rows — and the oracle is the FULL re-aggregation, proving
+    state ⊕ delta ≡ recompute. Decimal partials keep the merged sums
+    bit-exact; the merge job's cost is |state|+|delta|, independent
+    of history depth."""
+    from top_produce_etl_spark.operators.merge import merge_agg_state
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def daily_partial(df):
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("__sum_dec"),
+        )
+
+    state = daily_partial(events.filter(F.col("ts") < cutoff))
+    delta = daily_partial(events.filter(F.col("ts") >= cutoff))
+    merged = merge_agg_state(
+        state, delta, keys=["day", "event_type"], sum_cols=["__sum_dec"]
+    )
+    return merged.select(
+        "day", "event_type", "cnt",
+        F.col("__sum_dec").cast("double").alias("sum_value"),
+    )
