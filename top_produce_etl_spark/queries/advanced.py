@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from top_produce_etl_spark.functions.numeric import dec, dec_sum, revenue_expr
+from top_produce_etl_spark.functions.numeric import (
+    dec,
+    revenue_sum,
+    units,
+    units_sum_over,
+)
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.operators.joins import maybe_broadcast
 from top_produce_etl_spark.operators.topn import top_n_agg
@@ -55,7 +60,7 @@ def topn_agg_top3_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .join(maybe_broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy("r_name", "p_name")
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .agg(revenue_sum("revenue"))
     )
     return top_n_agg(
         revenue, group_by="r_name", metric="revenue", n=3, tiebreak="p_name"
@@ -162,7 +167,7 @@ def range_frame_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+        units_sum_over(units("o_totalprice", 2), 2, w).alias("spend_30d"),
     )
 
 

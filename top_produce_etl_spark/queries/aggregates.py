@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import dec, dec_sum
+from top_produce_etl_spark.functions.numeric import money_sum, units, units_sum
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.queries import query
 
@@ -42,8 +42,8 @@ def customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
-        dec_sum("c_acctbal", "sum_bal"),
-        (F.sum(dec("c_acctbal")).cast("double") / cnt).alias("avg_bal"),
+        money_sum("c_acctbal", "sum_bal"),
+        (units_sum(units("c_acctbal", 2), 2) / cnt).alias("avg_bal"),
     )
 
 
@@ -71,7 +71,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        dec_sum("c_acctbal", "sum_bal"),
+        money_sum("c_acctbal", "sum_bal"),
     )
 
 
@@ -89,7 +89,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dec_sum("o_totalprice", "sum_price"),
+        money_sum("o_totalprice", "sum_price"),
     )
 
 

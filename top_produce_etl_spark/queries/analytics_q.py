@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import revenue_expr
+from top_produce_etl_spark.functions.numeric import revenue_expr, revenue_sum
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.operators.joins import maybe_broadcast
 from top_produce_etl_spark.queries import query
@@ -49,7 +49,7 @@ def runtime_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned_semi_join(lineitem, urgent, "l_orderkey", "o_orderkey")
         .groupBy("l_returnflag")
         .agg(
-            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            revenue_sum("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

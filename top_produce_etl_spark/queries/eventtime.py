@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import dec, dec_sum
+from top_produce_etl_spark.functions.numeric import dec, money_sum
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.operators.eventtime import (
     dedup_first_by_time,
@@ -41,7 +41,7 @@ def tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "1 day",
         ["event_type"],
-        [F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value")],
+        [F.count(F.lit(1)).alias("n_events"), money_sum("value", "sum_value")],
     )
     return out.select("window_start", "window_end", "event_type", "n_events", "sum_value")
 
@@ -76,7 +76,7 @@ def sliding_daily_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1 day",
         "12 hours",
         [],
-        [F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value")],
+        [F.count(F.lit(1)).alias("n_events"), money_sum("value", "sum_value")],
     )
     return out.select("window_start", "window_end", "n_events", "sum_value")
 

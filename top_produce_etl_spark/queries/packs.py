@@ -26,7 +26,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import dec
+from top_produce_etl_spark.functions.numeric import units, units_sum_over
 from top_produce_etl_spark.functions.text import (
     LANG_MARKERS,
     predict_lang,
@@ -328,11 +328,11 @@ def window_offset_frames_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
             "days_since_prev"
         ),
-        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("cum_spend"),
+        units_sum_over(units("o_totalprice", 2), 2, wf).alias("cum_spend"),
         F.row_number().over(w).alias("order_seq"),
         F.first("o_orderkey").over(wu).alias("first_orderkey"),
         F.last("o_orderkey").over(wu).alias("last_orderkey"),
-        F.sum(dec("o_totalprice")).over(wr).cast("double").alias("spend_30d"),
+        units_sum_over(units("o_totalprice", 2), 2, wr).alias("spend_30d"),
     )
 
 

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import dec, dec_sum, revenue_expr
+from top_produce_etl_spark.functions.numeric import (
+    money_sum,
+    revenue_sum,
+    units,
+    units_sum,
+)
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.operators.joins import maybe_broadcast
 from top_produce_etl_spark.operators.topn import top_n_window
@@ -81,7 +86,9 @@ def flagship_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .join(maybe_broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy("r_name", "p_name")
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        # long-units fast path: bit-identical to the decimal-sum
+        # oracle, ~1.6x cheaper (functions/numeric.py rationale)
+        .agg(revenue_sum("revenue"))
     )
     return top_n_window(
         revenue, group_by="r_name", metric="revenue", n=3, tiebreak="p_name"
@@ -109,13 +116,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial agg means the shuffle carries |groups| rows."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
+    qty_u = units("l_quantity", 1)
     return (
         lineitem.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(revenue_expr()).cast("double").alias("sum_disc_price"),
-            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            units_sum(qty_u, 1, "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            revenue_sum("sum_disc_price"),
+            (units_sum(qty_u, 1) / cnt).alias("avg_qty"),
             cnt.alias("count_order"),
         )
     )

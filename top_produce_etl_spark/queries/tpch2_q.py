@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import dec, revenue_expr
+from top_produce_etl_spark.functions.numeric import (
+    money_sum,
+    revenue_units,
+    units,
+    units_sum,
+)
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.operators.joins import maybe_broadcast
 from top_produce_etl_spark.queries import query
@@ -52,7 +57,11 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    profit = revenue_expr() - dec("p_retailprice") * dec("l_quantity")
+    # long-units profit: rev in 1e-6 units minus (cents × integer
+    # qty × 10^4) — exact, same value as the decimal oracle expr
+    profit_u = revenue_units() - units("p_retailprice", 2) * units(
+        "l_quantity", 0
+    ) * F.lit(10000)
     return (
         li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -62,7 +71,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .agg(units_sum(profit_u, 6, "sum_profit"))
     )
 
 
@@ -138,16 +147,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     w = Window.partitionBy("l_partkey")
+    # integer quantities → the below-average comparison is exact in
+    # pure long arithmetic (same booleans as the decimal oracle);
+    # per-part windows are bounded (~7 lineitems/order key), so a
+    # single long window accumulator can't overflow at any SF
+    qty_u = units("l_quantity", 0)
     stats = joined.withColumn("cnt", F.count(F.lit(1)).over(w)).withColumn(
-        "sum_qty", F.sum(dec("l_quantity")).over(w)
+        "sum_qty", F.sum(qty_u).over(w)
     )
-    small = stats.filter(
-        dec("l_quantity") * F.lit(5) * F.col("cnt") < F.col("sum_qty")
-    )
+    small = stats.filter(qty_u * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
     return small.agg(
-        (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
-            "avg_yearly"
-        ),
+        (money_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_small"),
     )
 
@@ -255,21 +265,24 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "1999-01-01"
     )
+    # above-average test in exact long units: bal_u·cnt > Σbal_u is
+    # the same boolean as the decimal cross-multiplication
+    bal_u = units("c_acctbal", 2)
     stats = cust.agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(dec("c_acctbal")).alias("sum_bal"),
+        F.sum(bal_u).alias("sum_bal_u"),
     ).withColumn("__k", F.pmod(F.col("cnt"), F.lit(1)).cast("int"))
     rich = (
         cust.withColumn("__k", F.pmod(F.col("c_custkey"), F.lit(1)).cast("int"))
         .join(F.broadcast(stats), "__k")
-        .filter(dec("c_acctbal") * F.col("cnt") > F.col("sum_bal"))
+        .filter(bal_u * F.col("cnt") > F.col("sum_bal_u"))
     )
     idle_rich = rich.join(
         orders, rich.c_custkey == orders.o_custkey, "left_anti"
     )
     return idle_rich.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        money_sum("c_acctbal", "totacctbal"),
     )
 
 
@@ -362,7 +375,7 @@ def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     wide = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
-        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        money_sum("o_totalprice", "total_price"),
         F.max("o_totalprice").cast("double").alias("max_price"),
     )
     return wide.unpivot(

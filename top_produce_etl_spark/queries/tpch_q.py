@@ -52,7 +52,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import revenue_sum
 
     return (
         customer.filter(F.col("c_mktsegment") == "BUILDING")
@@ -61,7 +61,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .filter(F.col("l_shipdate") > "1998-01-01")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .agg(revenue_sum("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(20)
@@ -91,7 +91,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer.nation = supplier.nation), so the supplier join is an
     equi-join on TWO keys. All dims broadcast; lineitem⨝orders is
     the only exchange-bearing join."""
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import revenue_sum
 
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -121,7 +121,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation.n_regionkey == region.r_regionkey,
         )
         .groupBy("n_name")
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .agg(revenue_sum("revenue"))
     )
 
 
@@ -186,7 +186,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     Selective date window on orders, flag filter on lineitem, nation
     broadcast; high-cardinality group key (customer) then global
     top-20 via TakeOrderedAndProject."""
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import revenue_sum
 
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -205,7 +205,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .agg(revenue_sum("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -275,16 +275,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conditional aggregation over a fact⨝dim join; part broadcasts,
     both decimal sums are exact so the final double division is
     bit-deterministic across partition orders."""
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import (
+        revenue_units,
+        units_sum,
+    )
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = revenue_expr()
-    zero = F.lit(0).cast("decimal(18,4)")
-    promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
-    ).cast("double")
-    total = F.sum(rev).cast("double")
+    rev_u = revenue_units()
+    promo = units_sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(F.lit(0)), 6)
+    total = units_sum(rev_u, 6)
     return (
         lineitem.filter(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -322,7 +322,7 @@ def q7_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO roles — broadcast twice under different aliases — and the
     inequality between the roles is a post-join residual (it
     references both sides, so it cannot push below either join)."""
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import revenue_sum
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -349,7 +349,7 @@ def q7_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .agg(revenue_sum("revenue"))
     )
 
 
@@ -432,7 +432,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel every row through one task); equality is safe because
     both sides derive the double from the same exact-decimal sum.
     Ties all surface, matching the SQL semantics."""
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import revenue_sum
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -442,7 +442,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(revenue_expr()).cast("double").alias("total_revenue"))
+        .agg(revenue_sum("total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (
@@ -535,7 +535,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes the OR of quantity ranges, the part scan pushes the OR of
     (brand, size) conjuncts (verified in PushedFilters), and the
     full residual evaluates after the broadcast join."""
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import revenue_sum
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -549,7 +549,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(maybe_broadcast(part), lineitem.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            revenue_sum("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -585,7 +585,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     q14's global ratio). Both the conditional and total sums stay
     exact-decimal until the final per-year division of identically
     derived doubles, so the ratio is bit-deterministic."""
-    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.functions.numeric import (
+        revenue_units,
+        units_sum,
+    )
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -599,8 +602,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = nation.select(
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
-    zero = F.lit(0).cast("decimal(18,4)")
-    vol = revenue_expr()
+    vol_u = revenue_units()
     flat = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -616,10 +618,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(zero)
-                ).cast("double")
-                / F.sum(vol).cast("double")
+                units_sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol_u).otherwise(
+                        F.lit(0)
+                    ),
+                    6,
+                )
+                / units_sum(vol_u, 6)
             )
             .cast("double")
             .alias("mkt_share")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.functions.numeric import dec
+from top_produce_etl_spark.functions.numeric import units, units_sum_over
 from top_produce_etl_spark.io.sources import load_table
 from top_produce_etl_spark.queries import query
 
@@ -75,7 +75,7 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec("o_totalprice")).over(frame).cast("double").alias("cum_spend"),
+        units_sum_over(units("o_totalprice", 2), 2, frame).alias("cum_spend"),
         F.row_number().over(w).alias("order_seq"),
     )
 
