@@ -81,3 +81,61 @@ def repetition_stats(
         dup_frac.alias(f"dup_{ngram}gram_frac"),
         top_frac.alias("top_token_frac"),
     )
+
+
+def token_runs(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 2
+) -> DataFrame:
+    """Run-length encoding of each document's token stream: one row
+    per maximal run of ``min_len``+ consecutive equal tokens —
+    ``(id, run_start, term, run_len)`` with 1-based token offsets.
+
+    The localized form of the repetition signals above: where
+    :func:`repetition_stats` says *how much* a document repeats,
+    this says *where* (the rows feed span-level cleanup — trim the
+    run, keep the document).
+
+    Scale: pure higher-order array expressions — run starts are the
+    positions whose token differs from its predecessor
+    (``filter`` over ``sequence``), run lengths are the deltas of
+    adjacent starts (``zip_with`` against the shifted starts) — and
+    the ``min_len`` filter is applied INSIDE the array before
+    ``explode``, so short runs never become rows. Zero shuffle,
+    zero Python; at 100 TB this runs at scan speed like the rest of
+    the quality tier. A native Python-UDTF twin lives in
+    ``functions/udtfs.py`` (API-surface coverage, SURVEY §2.10) and
+    shares this operator's oracle.
+    """
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    # 1-based start positions of maximal runs
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(t, i) != F.element_at(t, i - F.lit(1))),
+    )
+    # end[i] = start[i+1] (the next run begins where this one ends),
+    # last run ends at n+1; concat keeps lengths equal for zip_with
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - F.lit(1), F.lit(0))),
+        F.array(n + F.lit(1)),
+    )
+    runs = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                s.alias("run_start"), (e - s).alias("run_len")
+            ),
+        ),
+        lambda r: r["run_len"] >= F.lit(min_len),
+    )
+    return (
+        df.select(F.col(id_col), t.alias("__t"), F.explode(runs).alias("__r"))
+        .select(
+            F.col(id_col),
+            F.col("__r.run_start").alias("run_start"),
+            F.element_at(F.col("__t"), F.col("__r.run_start")).alias("term"),
+            F.col("__r.run_len").alias("run_len"),
+        )
+    )

@@ -371,3 +371,59 @@ def split_decontamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(metric("contaminated_train_docs", contaminated))
         .unionByName(metric("residual_overlap_pairs", residual))
     )
+
+
+# Shared oracle for both token-run queries (column-expression twin
+# and native Python UDTF): gaps-and-islands — a run is a maximal
+# group where position minus per-(doc,term) rank is constant.
+TOKEN_RUNS_ORACLE = """
+WITH s AS (
+    SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), toks AS (
+    SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS i
+    FROM s
+), g AS (
+    SELECT doc_id, term, i,
+           i - ROW_NUMBER() OVER (PARTITION BY doc_id, term ORDER BY i) AS grp
+    FROM toks
+)
+SELECT doc_id,
+       CAST(MIN(i) AS INT)      AS run_start,
+       term,
+       CAST(COUNT(*) AS INT)    AS run_len
+FROM g
+GROUP BY doc_id, term, grp
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("token_runs_expr", oracle=TOKEN_RUNS_ORACLE, extended=True)
+def token_runs_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Localized repetition: run-length encoding of each document's
+    token stream (runs of >= 2 equal consecutive tokens) via pure
+    higher-order array expressions — the zero-shuffle production
+    path (operators/textquality.py:token_runs)."""
+    from top_produce_etl_spark.operators.textquality import token_runs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_runs(docs, "doc_id", "text", min_len=2)
+
+
+@query("token_runs_udtf", oracle=TOKEN_RUNS_ORACLE, extended=True)
+def token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same rows through the native Python UDTF surface
+    (functions/udtfs.py:TokenRunsUDTF) called from SQL in a LATERAL
+    correlated position — SURVEY §2.10 row-explode UDTF coverage.
+    Hash-matching the column-expression twin's oracle is the proof
+    the two paths are equivalent."""
+    from top_produce_etl_spark.functions.udtfs import register_udtfs
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__token_runs_docs")
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.run_start, t.term, t.run_len
+        FROM __token_runs_docs d, LATERAL token_runs(d.text, 2) t
+        """
+    )
