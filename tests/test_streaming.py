@@ -231,3 +231,25 @@ def test_foreachbatch_dynamic_overwrite_materialization(spark, tmp_path):
         for f in glob.glob(f"{out}/day=2025-01-0[12]/*/*.parquet")
     }
     assert snap1 == snap2
+
+
+def test_stream_dedup_within_watermark_matches_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark under availableNow (single
+    micro-batch, no eviction) == exact batch DISTINCT key set."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.streaming.jobs import distinct_event_keys_stream
+
+    got = {
+        (r.user_id, r.event_type)
+        for r in distinct_event_keys_stream(
+            spark, sf_dir, sink_table="t_stream_dedup"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -124,3 +124,21 @@ def stream_user_totals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+@query(
+    "stream_distinct_keys_parity", extended=True,
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_distinct_keys_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup (dropDuplicatesWithinWatermark —
+    bounded, watermark-evicted state) through the actual streaming
+    runtime, hash-checked against batch DISTINCT. Valid because the
+    availableNow fixture run is a single micro-batch: no eviction
+    occurs, so stream output == exact distinct (the eviction trade
+    is documented on the job)."""
+    from top_produce_etl_spark.streaming.jobs import distinct_event_keys_stream
+
+    return distinct_event_keys_stream(
+        spark, sf_dir, sink_table="oracle_stream_distinct"
+    )

@@ -516,3 +516,47 @@ def purchase_click_attribution_batch(
         "click_id",
         "click_ts",
     )
+
+
+def distinct_event_keys_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    sink_table: str = "stream_distinct_keys",
+) -> DataFrame:
+    """Streaming deduplication via the native
+    ``dropDuplicatesWithinWatermark`` operator (Spark 3.5+): emit
+    each distinct (user_id, event_type) once, with dedup state
+    EVICTED once the watermark passes — the bounded-memory contract
+    plain ``dropDuplicates`` on a stream cannot give (its state
+    grows with the key universe forever; at 100 TB of events that
+    is the difference between a fixed-size state store and an OOM).
+
+    The trade is explicit and documented: two occurrences of a key
+    separated by more than the watermark delay may BOTH be emitted
+    after eviction. Consumers needing global uniqueness de-dup
+    downstream (cheap: re-emissions are rare and keyed); consumers
+    needing bounded state at line rate use this operator as-is.
+
+    Parity: under ``availableNow`` the fixture is one micro-batch —
+    the watermark never advances mid-run, nothing is evicted, so the
+    output is EXACTLY the distinct key set and the job is verified
+    against a ``SELECT DISTINCT`` DuckDB oracle
+    (queries/streaming_q.py:stream_distinct_keys_parity).
+    """
+    events = stream_events(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
