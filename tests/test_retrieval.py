@@ -75,3 +75,21 @@ def test_bm25_plan_shape(docs):
     assert audit["exchanges"] <= 1
     assert not audit["cartesian"]
     assert not audit["sortmerge_joins"]
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Tiny corpus, hand-derived micro-nat values: corpus a:2 b:2
+    c:1, T=5; L(5)=1609438, L(2)=693147, L(1)=0."""
+    from top_produce_etl_spark.operators.retrieval import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.info_micro, r.mean_info_micro)
+        for r in unigram_surprisal(df, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: (3, 3 * (1609438 - 693147), 1609438 - 693147),
+        2: (2, (1609438 - 693147) + 1609438, ((1609438 - 693147) + 1609438) // 2),
+    }

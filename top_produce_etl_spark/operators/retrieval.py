@@ -264,3 +264,95 @@ def tfidf_oracle_sql(
     )
     WHERE "rank" <= {top_k}
     """
+
+
+# Fixed-point scale for log-probabilities (micro-nats).
+INFO_SCALE = 1_000_000
+
+
+def unigram_surprisal(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram language-model surprisal — the classic
+    cheap perplexity proxy for pre-training quality filtering (CCNet
+    /Gopher lineage: documents whose tokens are uniformly corpus-rare
+    or corpus-dominant are boilerplate/noise candidates; the mean
+    per-token information in nats ranks them).
+
+    For token t with corpus count c(t) out of T total tokens,
+    information = -ln(c(t)/T) = ln T - ln c(t). Output per document:
+    ``n_tokens``, ``info_micro`` (total information in micro-nats),
+    ``mean_info_micro`` (integer mean).
+
+    Cross-engine determinism: each DISTINCT count's log is rounded
+    to micro-nat BIGINT first (L(x) = round(ln(x)·1e6)); per-doc
+    totals are then pure integer sums — associative, so Spark's
+    aggregation order cannot perturb the value, and the DuckDB twin
+    is bit-identical. ln T ≥ ln c(t) and rounding is monotone, so
+    every contribution is a non-negative integer.
+
+    Scale: the same shape as :func:`tfidf_top_terms` — ONE wide
+    (doc, term) shuffle for tf; corpus term counts derive from tf
+    (|vocab| rows, natural-language vocab ~1e6 — broadcast back so
+    the big side never re-shuffles); the corpus total rides a 1-row
+    broadcast on a non-foldable key. No data-sized driver state.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tfreq"))
+    ct = tf.groupBy("term").agg(F.sum("tfreq").alias("ctotal"))
+    total = (
+        ct.agg(F.sum("ctotal").alias("ttotal"))
+        # non-foldable always-0 key: see the BroadcastHashJoin note
+        # in bm25_scores
+        .withColumn("__k", F.pmod(F.col("ttotal"), F.lit(1)).cast("int"))
+    )
+    ct_t = ct.withColumn(
+        "__k", F.pmod(F.col("ctotal"), F.lit(1)).cast("int")
+    ).join(F.broadcast(total), "__k").drop("__k")
+
+    def L(c):  # micro-nat fixed-point log
+        return F.round(F.log(c.cast("double")) * INFO_SCALE).cast("bigint")
+
+    scored = tf.join(maybe_broadcast(ct_t), "term").withColumn(
+        "__contrib", F.col("tfreq") * (L(F.col("ttotal")) - L(F.col("ctotal")))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tfreq").alias("n_tokens"),
+            F.sum("__contrib").alias("info_micro"),
+        )
+        .withColumn(
+            "mean_info_micro", F.expr("info_micro DIV n_tokens")
+        )
+    )
+
+
+def surprisal_oracle_sql(
+    id_col: str = "doc_id", table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`unigram_surprisal` (identical integer
+    fixed-point arithmetic)."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+    ), tf AS (
+        SELECT {id_col}, term, COUNT(*) AS tfreq FROM toks GROUP BY 1, 2
+    ), ct AS (
+        SELECT term, SUM(tfreq) AS ctotal FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT SUM(ctotal) AS ttotal FROM ct
+    ), scored AS (
+        SELECT tf.{id_col}, tf.tfreq,
+               tf.tfreq * (CAST(round(ln(CAST(ttotal AS DOUBLE)) * {INFO_SCALE}) AS BIGINT)
+                         - CAST(round(ln(CAST(ctotal AS DOUBLE)) * {INFO_SCALE}) AS BIGINT))
+                   AS contrib
+        FROM tf JOIN ct USING (term), tot
+    )
+    SELECT {id_col},
+           SUM(tfreq)  AS n_tokens,
+           SUM(contrib) AS info_micro,
+           SUM(contrib) // SUM(tfreq) AS mean_info_micro
+    FROM scored GROUP BY {id_col}
+    """

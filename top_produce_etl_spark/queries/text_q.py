@@ -427,3 +427,16 @@ def token_runs_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __token_runs_docs d, LATERAL token_runs(d.text, 2) t
         """
     )
+
+
+from top_produce_etl_spark.operators.retrieval import surprisal_oracle_sql
+
+
+@query("unigram_surprisal_scores", extended=True, oracle=surprisal_oracle_sql())
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality proxy (integer micro-nat fixed
+    point; operators/retrieval.py:unigram_surprisal)."""
+    from top_produce_etl_spark.operators.retrieval import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "doc_id", "text")
