@@ -1,0 +1,184 @@
+"""Data-mixture rebalancing — deterministic downsampling to target
+category proportions (training-data tier).
+
+Pre-training corpora are blended to a recipe ("50% en, 20% code,
+…"). Given integer target weights per category, this operator keeps
+the LARGEST corpus achievable at exactly those proportions without
+upsampling: the binding category is kept whole(-ish) and every other
+category is deterministically downsampled.
+
+All sizing is integer arithmetic (no float rates), so both engines
+agree bit-for-bit:
+
+    W      = Σ weights
+    cap_c  = n_c · W div w_c        (total size if c binds)
+    S      = min_c cap_c            (achievable total)
+    keep_c = w_c · S div W          (≤ n_c by construction)
+
+Two selection strategies, both salted + append-stable via the
+portable hash (same contract as operators/splits.py):
+
+- ``hash`` (the 100 TB default): keep a row iff
+  ``bucket · n_c < keep_c · BUCKETS`` — a narrow per-row predicate
+  after a tiny |categories|-row broadcast join. Zero wide shuffle,
+  zero sort; hits keep_c in expectation (±binomial noise).
+- ``exact``: rank rows per category by (hash, key) and keep the
+  first keep_c — exact counts, at the cost of a per-category
+  window sort. Fine when categories are balanced; at 100 TB with a
+  dominant category prefer ``hash`` (the sort partitions by
+  category — the skew note on operators/topn.py applies).
+
+Both strategies are fully deterministic, so both carry complete
+DuckDB oracles (queries/text_q.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.portable_hash import (
+    composite_hash_col,
+    composite_hash_sql,
+)
+from top_produce_etl_spark.operators.splits import BUCKETS, _check_safe
+
+_SAFE_CATEGORY = re.compile(r"[A-Za-z0-9_.\-]+")
+
+
+def _validate(
+    weights: dict[str, int], salt: str, category_col: str, key_col: str
+) -> int:
+    _check_safe(salt, key_col)
+    _check_safe("x", category_col)  # identifier check only
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for cat, w in weights.items():
+        if not _SAFE_CATEGORY.fullmatch(cat):
+            raise ValueError(
+                f"category value must match {_SAFE_CATEGORY.pattern!r}, "
+                f"got {cat!r} (values are interpolated into SQL)"
+            )
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weights must be positive ints, got {cat}={w!r}")
+    return sum(weights.values())
+
+
+def _weight_case(category_col: str, weights: dict[str, int]):
+    expr = None
+    for cat, w in weights.items():
+        cond = F.col(category_col) == cat
+        expr = F.when(cond, w) if expr is None else expr.when(cond, w)
+    return expr.otherwise(None).cast("bigint")
+
+
+def _keep_counts(
+    df: DataFrame, category_col: str, weights: dict[str, int], W: int
+) -> DataFrame:
+    """|categories|-row frame (category, n, keep) via the integer
+    sizing rule; rides broadcast joins thereafter."""
+    cnt = (
+        df.filter(F.col(category_col).isin(*weights))
+        .groupBy(category_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", _weight_case(category_col, weights))
+        .withColumn("__cap", F.expr(f"__n * {W} DIV __w"))
+    )
+    s = cnt.agg(F.min("__cap").alias("__s")).withColumn(
+        "__k", F.pmod(F.col("__s"), F.lit(1)).cast("int")
+    )
+    return (
+        cnt.withColumn("__k", F.pmod(F.col("__cap"), F.lit(1)).cast("int"))
+        .join(F.broadcast(s), "__k")
+        .withColumn("__keep", F.expr(f"__w * __s DIV {W}"))
+        .select(category_col, "__n", "__keep")
+    )
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    category_col: str,
+    key_col: str,
+    weights: dict[str, int],
+    salt: str = "mix-v1",
+    strategy: str = "hash",
+) -> DataFrame:
+    """Downsample ``df`` to the target category mixture. Returns the
+    kept rows (original columns). See module docstring for the
+    sizing rule and the two strategies."""
+    W = _validate(weights, salt, category_col, key_col)
+    if strategy not in ("hash", "exact"):
+        raise ValueError(f"strategy must be hash|exact, got {strategy!r}")
+    keep = _keep_counts(df, category_col, weights, W)
+    bucket = (
+        composite_hash_col(f"concat('{salt}', CAST({key_col} AS STRING))")
+        % BUCKETS
+    )
+    cols = df.columns
+    joined = df.join(F.broadcast(keep), category_col)
+    if strategy == "hash":
+        out = joined.filter(bucket * F.col("__n") < F.col("__keep") * BUCKETS)
+    else:
+        w = Window.partitionBy(category_col).orderBy(
+            bucket.alias("__b"), F.col(key_col)
+        )
+        out = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__keep"))
+        )
+    return out.select(*cols)
+
+
+def mixture_oracle_sql(
+    weights: dict[str, int],
+    category_col: str,
+    key_col: str,
+    salt: str = "mix-v1",
+    strategy: str = "hash",
+    table: str = "documents",
+    select_cols: str | None = None,
+) -> str:
+    """DuckDB twin computing the identical kept-row set."""
+    W = _validate(weights, salt, category_col, key_col)
+    select_cols = select_cols or f"{key_col}, {category_col}"
+    case = " ".join(
+        f"WHEN '{c}' THEN {w}" for c, w in weights.items()
+    )
+    in_list = ", ".join(f"'{c}'" for c in weights)
+    keyed = f"('{salt}' || CAST({key_col} AS VARCHAR))"
+    bucket = f"(({composite_hash_sql(keyed)}) % {BUCKETS})"
+    base = f"""
+    base AS (
+        SELECT *, CASE {category_col} {case} END AS __w,
+               {bucket} AS __b
+        FROM {table}
+        WHERE {category_col} IN ({in_list})
+    ), cnt AS (
+        SELECT {category_col} AS __c, COUNT(*) AS __n, MAX(__w) AS __cw
+        FROM base GROUP BY 1
+    ), s AS (
+        SELECT MIN(__n * {W} // __cw) AS __s FROM cnt
+    ), keep AS (
+        SELECT __c, __n, __cw * __s // {W} AS __keep FROM cnt, s
+    )"""
+    if strategy == "hash":
+        return f"""
+    WITH {base}
+    SELECT {select_cols}
+    FROM base JOIN keep ON base.{category_col} = keep.__c
+    WHERE __b * __n < __keep * {BUCKETS}
+    """
+    return f"""
+    WITH {base}
+    SELECT {select_cols}
+    FROM (
+        SELECT base.*, __keep,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {category_col} ORDER BY __b, {key_col}
+               ) AS __rn
+        FROM base JOIN keep ON base.{category_col} = keep.__c
+    )
+    WHERE __rn <= __keep
+    """

@@ -440,3 +440,35 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_surprisal(docs, "doc_id", "text")
+
+
+MIX_WEIGHTS = {"en": 40, "de": 20, "es": 20, "fr": 10, "zh": 10}
+
+
+def _mix_query(strategy: str):
+    from top_produce_etl_spark.operators.mixture import rebalance_mixture
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return rebalance_mixture(
+            docs, "lang", "doc_id", MIX_WEIGHTS, strategy=strategy
+        ).select("doc_id", "lang")
+
+    fn.__name__ = f"mixture_rebalance_{strategy}"
+    fn.__doc__ = (
+        "Deterministic data-mixture rebalancing to target language "
+        f"proportions, {strategy} strategy (operators/mixture.py)."
+    )
+    return fn
+
+
+from top_produce_etl_spark.operators.mixture import mixture_oracle_sql
+
+query(
+    "mixture_rebalance_hash", extended=True,
+    oracle=mixture_oracle_sql(MIX_WEIGHTS, "lang", "doc_id", strategy="hash"),
+)(_mix_query("hash"))
+query(
+    "mixture_rebalance_exact", extended=True,
+    oracle=mixture_oracle_sql(MIX_WEIGHTS, "lang", "doc_id", strategy="exact"),
+)(_mix_query("exact"))
