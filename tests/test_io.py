@@ -315,3 +315,47 @@ def test_text_source_lines_and_wholetext(spark, tmp_path):
     ]
     whole = read_text_lines(spark, str(p), wholetext=True)
     assert [r["value"] for r in whole.collect()] == ["line one\nline two\n"]
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    """64 tiny files -> ceil(total/target) files, rows preserved."""
+    from top_produce_etl_spark.io.sinks import compact_table
+
+    out = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(out)
+    assert len(spark.read.parquet(out).inputFiles()) == 64
+
+    stats = compact_table(spark, out, target_file_bytes=1 << 30)
+    got = spark.read.parquet(out)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1 == len(got.inputFiles())
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_compact_table_sorted_layout(spark, tmp_path):
+    """sort_by re-clusters while compacting: files cover disjoint
+    key ranges (footer min/max verified via per-file aggregation)."""
+    import pyspark.sql.functions as F
+    from top_produce_etl_spark.io.sinks import compact_table
+
+    out = str(tmp_path / "frag_sorted")
+    spark.range(0, 50_000).withColumnRenamed("id", "k").repartition(
+        32
+    ).write.parquet(out)
+
+    # force multiple outputs with a small target
+    compact_table(spark, out, target_file_bytes=64 << 10, sort_by=["k"])
+    got = spark.read.parquet(out)
+    per_file = (
+        got.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 2
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (_, hi_prev), (lo, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo  # disjoint ranges
+    assert got.count() == 50_000

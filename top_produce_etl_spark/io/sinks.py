@@ -75,3 +75,68 @@ def write_table(
     if options:
         writer = writer.options(**options)
     writer.format(fmt).save(path)
+
+
+def _dir_bytes(df: DataFrame) -> tuple[int, int]:
+    """(total_bytes, n_files) of the files backing ``df``, from the
+    Hadoop FileSystem API (works for any supported scheme — local,
+    HDFS, s3a — unlike driver-side os.stat)."""
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    total = n = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        total += fs.getFileStatus(p).getLen()
+        n += 1
+    return total, n
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+    sort_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Compact a small-file table in place: read, repartition to
+    ``ceil(total_bytes / target_file_bytes)`` outputs, rewrite via a
+    temp directory + atomic-ish swap. Returns
+    ``{files_before, files_after, bytes}``.
+
+    The small-file problem is a first-order 100 TB cost: streaming
+    and incremental writers emit per-trigger/per-task files, and a
+    table of 10 KB files makes every downstream scan pay open/seek/
+    footer overhead per file (plus NameNode/S3-listing pressure).
+    Periodic compaction to ~128 MB files restores scan throughput.
+
+    Notes for the cluster path:
+    - file count comes from a round-robin ``repartition`` (or a
+      sorted layout when ``sort_by`` is given — re-clusters row-group
+      stats while compacting, see ``write_table``);
+    - the swap is two renames, not transactional — production tables
+      with concurrent readers want a table format (Delta/Iceberg
+      OPTIMIZE) on top; this is the engine-level primitive.
+    """
+    df = spark.read.format(fmt).load(path)
+    total, before = _dir_bytes(df)
+    n_out = max(1, -(-total // max(1, target_file_bytes)))
+    if sort_by:
+        compacted = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        compacted = df.repartition(n_out)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    compacted.write.mode("overwrite").format(fmt).save(tmp)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    fs.rename(hp, old)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hp)
+    fs.delete(old, True)
+    after = len(spark.read.format(fmt).load(path).inputFiles())
+    return {"files_before": before, "files_after": after, "bytes": total}
