@@ -253,3 +253,42 @@ def test_stream_dedup_within_watermark_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tws_running_totals_or_documented_gap(spark, sf_dir):
+    """transformWithStateInPandas path: runs with batch parity when
+    protobuf is present; otherwise must fail with the documented
+    dependency error (never a cryptic worker crash)."""
+    import pytest
+
+    from top_produce_etl_spark.streaming.jobs import (
+        running_user_totals_tws,
+        stream_events,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(ImportError, match="protobuf"):
+            running_user_totals_tws(stream_events(spark, sf_dir))
+        pytest.skip("google.protobuf not installed in this environment")
+
+    from top_produce_etl_spark.io.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.user_id: (round(r.total_value, 6), r.n_events)
+        for r in running_user_totals_tws(
+            stream_events(spark, sf_dir), sink_table="t_tws_totals"
+        ).collect()
+    }
+    want = {
+        r.user_id: (round(r.total_value, 6), r.n_events)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert got == want

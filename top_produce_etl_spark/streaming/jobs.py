@@ -560,3 +560,113 @@ def distinct_event_keys_stream(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def tws_available() -> bool:
+    """Spark 4's transformWithStateInPandas needs ``google.protobuf``
+    in the Python env (its state-server protocol is protobuf-framed;
+    pyspark does not vendor it). Absent here, so the job below gates
+    on this check — ``applyInPandasWithState``
+    (:func:`running_user_totals_stream`) is the covered stateful
+    path in this environment."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(
+    events: DataFrame, sink_table: str = "stream_user_totals_tws"
+) -> DataFrame:
+    """Per-user running totals via the Spark 4 ``StatefulProcessor``
+    API (``transformWithStateInPandas`` + RocksDB state store) — the
+    successor to applyInPandasWithState: typed state handles
+    (value/list/map), timers, TTL, and state-schema evolution.
+
+    Semantically identical to :func:`running_user_totals_stream`;
+    exists so a user on the new API has a worked example. Raises
+    with the dependency story when protobuf is unavailable (this
+    sandbox) — see :func:`tws_available`.
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf) for its state-server protocol; not "
+            "installed in this environment. Use "
+            "running_user_totals_stream (applyInPandasWithState) instead."
+        )
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self.state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("total", DoubleType()),
+                        StructField("n", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, n = 0.0, 0
+            if self.state.exists():
+                total, n = self.state.get()
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self.state.update((total, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_value": [total],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self):
+            pass
+
+    res = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return events.sparkSession.table(sink_table)
