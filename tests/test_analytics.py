@@ -458,3 +458,37 @@ def test_merge_agg_state_is_iterable(spark):
     assert {tuple(r) for r in step.collect()} == {
         tuple(r) for r in at_once.collect()
     } == {("a", 4, 18), ("b", 1, 5), ("c", 3, 9)}
+
+
+def test_gapfill_edges(spark):
+    """Gapfill: locf carries values across holes, zero fills counts,
+    single-bucket series yields one non-gap row, bad fill rejects."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.eventtime import gapfill
+
+    t = lambda d: dt.datetime(2025, 1, d)  # noqa: E731
+    df = spark.createDataFrame(
+        [("a", t(1), 10.0), ("a", t(4), 40.0), ("b", t(2), 5.0)],
+        "k string, ts timestamp, v double",
+    )
+    locf = {
+        (r.k, r.ts.day): (r.v, r.is_gap)
+        for r in gapfill(df, "k", "ts", "v", "1 day", "locf").collect()
+    }
+    assert locf == {
+        ("a", 1): (10.0, False),
+        ("a", 2): (10.0, True),
+        ("a", 3): (10.0, True),
+        ("a", 4): (40.0, False),
+        ("b", 2): (5.0, False),
+    }
+    zero = gapfill(df, "k", "ts", "v", "1 day", "zero")
+    assert zero.filter(F.col("is_gap")).agg(F.sum("v")).first()[0] == 0.0
+    nul = gapfill(df, "k", "ts", "v", "1 day", "null")
+    assert nul.filter(F.col("is_gap") & F.col("v").isNotNull()).count() == 0
+    with pytest.raises(ValueError):
+        gapfill(df, "k", "ts", "v", "1 day", "interpolate")

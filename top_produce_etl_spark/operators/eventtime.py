@@ -19,7 +19,7 @@ task — same tradeoff as any per-key ordered computation).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -263,3 +263,70 @@ def transition_matrix(
     return trans.withColumn(
         "p", F.col("n").cast("double") / row_total.cast("double")
     )
+
+
+def gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 day",
+    fill: str = "locf",
+) -> DataFrame:
+    """Time-series gap filling (the hypertable
+    ``time_bucket_gapfill`` staple): densify each series to a
+    regular grid from its first to its last bucket, marking and
+    filling the holes.
+
+    Input rows must already be bucketed to ``step`` boundaries (one
+    row per (key, bucket) — aggregate first). Output: (key, ts,
+    value, is_gap) where ``fill`` is
+
+    - ``"locf"`` — last observation carried forward (state-like
+      metrics: balances, gauges);
+    - ``"zero"`` — 0 for missing buckets (count/sum metrics);
+    - ``"null"`` — leave holes NULL (downstream interpolation).
+
+    Scale shape: per-key grid generated from a (key, min, max)
+    aggregate — ONE groupBy shuffle, grid rows ≈ series length ×
+    |keys| (never data²) — then a left join back on (key, ts) and,
+    for locf only, a per-key ordered window. The join and window
+    both hash on the key, so AQE reuses the exchange; skew follows
+    the key distribution (salt upstream if one series dominates).
+    The grid explode is bounded by (max−min)/step per key — a
+    malformed series spanning decades at second granularity is the
+    failure mode, so validate time bounds upstream (the data-quality
+    tier's in_range check).
+    """
+    if fill not in ("locf", "zero", "null"):
+        raise ValueError(f"fill must be locf|zero|null, got {fill!r}")
+    grid = (
+        df.groupBy(key_col)
+        .agg(F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+            ).alias(ts_col),
+        )
+    )
+    joined = grid.join(
+        df.select(key_col, ts_col, value_col), [key_col, ts_col], "left"
+    ).withColumn("is_gap", F.col(value_col).isNull())
+    if fill == "locf":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        joined = joined.withColumn(
+            value_col, F.last(value_col, ignorenulls=True).over(w)
+        )
+    elif fill == "zero":
+        joined = joined.withColumn(
+            value_col,
+            F.coalesce(
+                F.col(value_col), F.lit(0).cast(joined.schema[value_col].dataType)
+            ),
+        )
+    return joined.select(key_col, ts_col, value_col, "is_gap")

@@ -323,3 +323,80 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return transition_matrix(events, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "gapfill_daily_counts_zero", extended=True,
+    oracle="""
+    WITH b AS (
+        SELECT user_id, date_trunc('day', ts) AS day_ts, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id, MIN(day_ts) AS lo, MAX(day_ts) AS hi
+        FROM b GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day_ts
+        FROM r
+    )
+    SELECT g.user_id, g.day_ts,
+           COALESCE(b.n, 0) AS n,
+           b.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN b USING (user_id, day_ts)
+    """,
+)
+def gapfill_daily_counts_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (hypertable time_bucket_gapfill
+    shape): per-user daily event counts on a regular grid with
+    zero-filled holes (operators/eventtime.py::gapfill)."""
+    from top_produce_etl_spark.operators.eventtime import gapfill
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return gapfill(daily, "user_id", "day_ts", "n", step="1 day", fill="zero")
+
+
+@query(
+    "gapfill_daily_value_locf", extended=True,
+    oracle="""
+    WITH b AS (
+        SELECT user_id, date_trunc('day', ts) AS day_ts,
+               MAX(value) AS peak_value
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT user_id, MIN(day_ts) AS lo, MAX(day_ts) AS hi
+        FROM b GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day_ts
+        FROM r
+    ), holes AS (
+        SELECT g.user_id, g.day_ts, b.peak_value,
+               b.peak_value IS NULL AS is_gap
+        FROM grid g LEFT JOIN b USING (user_id, day_ts)
+    )
+    SELECT user_id, day_ts,
+           last_value(peak_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS peak_value,
+           is_gap
+    FROM holes
+    """,
+)
+def gapfill_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with last-observation-carried-forward — the
+    gauge/state-metric variant (operators/eventtime.py::gapfill)."""
+    from top_produce_etl_spark.operators.eventtime import gapfill
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.max("value").alias("peak_value"))
+    )
+    return gapfill(
+        daily, "user_id", "day_ts", "peak_value", step="1 day", fill="locf"
+    )
