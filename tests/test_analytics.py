@@ -492,3 +492,30 @@ def test_gapfill_edges(spark):
     assert nul.filter(F.col("is_gap") & F.col("v").isNotNull()).count() == 0
     with pytest.raises(ValueError):
         gapfill(df, "k", "ts", "v", "1 day", "interpolate")
+
+
+def test_pairwise_stats_exact_and_guarded(spark):
+    """Known tiny dataset: corr(x,y)=1 for y=2x; constant column
+    yields NULL corr/beta; two-pass equality (determinism)."""
+    import pytest
+
+    from top_produce_etl_spark.operators.stats import pairwise_stats
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 7.0), (2.0, 4.0, 7.0), (3.0, 6.0, 7.0)],
+        "x double, y double, c double",
+    )
+    rows = {
+        (r.x, r.y): (r.n, r.corr_micro, r.beta_micro)
+        for r in pairwise_stats(df, ["x", "y", "c"]).collect()
+    }
+    assert rows[("x", "y")] == (3, 1_000_000, 2_000_000)  # y = 2x exactly
+    # zero variance in c: corr undefined; slope of c~x is exactly 0
+    assert rows[("x", "c")] == (3, None, 0)
+    rows2 = {
+        (r.x, r.y): (r.n, r.corr_micro, r.beta_micro)
+        for r in pairwise_stats(df, ["x", "y", "c"]).collect()
+    }
+    assert rows == rows2
+    with pytest.raises(ValueError):
+        pairwise_stats(df, ["x"])

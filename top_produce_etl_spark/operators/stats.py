@@ -1,0 +1,128 @@
+"""Pairwise column statistics — Pearson correlation and simple
+linear-regression slope — from EXACT decimal co-moments.
+
+``df.stat.corr`` (and SQL ``corr()``) streams floating co-moments
+whose value depends on partition merge order — fine for exploration,
+un-oracle-able and run-to-run jittery at the last ulps. This
+operator instead aggregates the five raw moments
+(Σx, Σy, Σx², Σy², Σxy) in exact DECIMAL — associative, so Spark's
+partial-aggregate merge order cannot perturb them and a 1000-
+executor run equals a 1-executor run bit-for-bit — then evaluates
+the closed forms
+
+    corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ))
+    beta = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²ᵗᵒᵗ)
+
+in IEEE-754 double with a FIXED expression tree, so DuckDB computes
+the identical bits from the identical exact moments (both engines'
+×, −, / and sqrt are correctly rounded). Results ship as 1e6
+fixed-point BIGINT.
+
+Scale: ONE aggregate pass computes all k² moments for k columns
+(map-side partial agg → a single 1-row reduce); the pair expansion
+is a driver-free explode of a k(k−1)/2-element literal-shaped array
+on that one row. No second scan, no shuffle beyond the 1-row
+reduce, no driver collect.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.numeric import dec
+
+STAT_SCALE = 1_000_000
+
+
+def pairwise_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Correlation + OLS slope for every unordered column pair.
+
+    Output: (x, y, n, corr_micro, beta_micro) with beta the slope of
+    y regressed on x. Pairs with zero variance in either column
+    yield NULL corr/beta (0/0 guarded).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"ss_{c}"))
+    for x, y in combinations(cols, 2):
+        aggs.append(F.sum(dec(x) * dec(y)).alias(f"sp_{x}_{y}"))
+    m = df.agg(*aggs)
+
+    def _pair(x: str, y: str):
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        sxx, syy = (
+            F.col(f"ss_{x}").cast("double"),
+            F.col(f"ss_{y}").cast("double"),
+        )
+        sxy = F.col(f"sp_{x}_{y}").cast("double")
+        cov_n = n * sxy - sx * sy
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        corr = F.when(
+            (var_x > 0) & (var_y > 0),
+            cov_n / (F.sqrt(var_x) * F.sqrt(var_y)),
+        )
+        beta = F.when(var_x > 0, cov_n / var_x)
+        return F.struct(
+            F.lit(x).alias("x"),
+            F.lit(y).alias("y"),
+            F.col("n").alias("n"),
+            F.round(corr * STAT_SCALE).cast("bigint").alias("corr_micro"),
+            F.round(beta * STAT_SCALE).cast("bigint").alias("beta_micro"),
+        )
+
+    pairs = F.array(*[_pair(x, y) for x, y in combinations(cols, 2)])
+    return m.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def pairwise_stats_oracle_sql(
+    cols: list[str], table: str = "lineitem", dec_typ: str = "DECIMAL(19,4)"
+) -> str:
+    """DuckDB twin: identical exact moments, identical double
+    expression tree, identical fixed-point rounding.
+
+    Operands cast to DECIMAL(19,4) — one digit wider than the Spark
+    side's (18,4) — because DuckDB executes a (18,4)×(18,4) product
+    in int64 physical storage and overflows; 19 digits forces int128.
+    Both engines' moments are exact integers-scaled values either
+    way, so the declared-width difference cannot change a value."""
+    sels = ["COUNT(*) AS n"]
+    for c in cols:
+        sels.append(f"SUM(CAST({c} AS {dec_typ})) AS s_{c}")
+        sels.append(
+            f"SUM(CAST({c} AS {dec_typ}) * CAST({c} AS {dec_typ})) AS ss_{c}"
+        )
+    for x, y in combinations(cols, 2):
+        sels.append(
+            f"SUM(CAST({x} AS {dec_typ}) * CAST({y} AS {dec_typ})) AS sp_{x}_{y}"
+        )
+    rows = []
+    for x, y in combinations(cols, 2):
+        n = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+        sxx, syy = f"CAST(ss_{x} AS DOUBLE)", f"CAST(ss_{y} AS DOUBLE)"
+        sxy = f"CAST(sp_{x}_{y} AS DOUBLE)"
+        cov_n = f"(({n} * {sxy}) - ({sx} * {sy}))"
+        var_x = f"(({n} * {sxx}) - ({sx} * {sx}))"
+        var_y = f"(({n} * {syy}) - ({sy} * {sy}))"
+        corr = (
+            f"CASE WHEN {var_x} > 0 AND {var_y} > 0 THEN "
+            f"{cov_n} / (sqrt({var_x}) * sqrt({var_y})) END"
+        )
+        beta = f"CASE WHEN {var_x} > 0 THEN {cov_n} / {var_x} END"
+        rows.append(
+            f"SELECT '{x}' AS x, '{y}' AS y, n, "
+            f"CAST(round(({corr}) * {STAT_SCALE}) AS BIGINT) AS corr_micro, "
+            f"CAST(round(({beta}) * {STAT_SCALE}) AS BIGINT) AS beta_micro "
+            f"FROM m"
+        )
+    return f"WITH m AS (SELECT {', '.join(sels)} FROM {table})\n" + (
+        "\nUNION ALL\n".join(rows)
+    )

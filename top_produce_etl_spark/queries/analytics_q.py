@@ -501,3 +501,24 @@ def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "event_type", "cnt",
         F.col("__sum_dec").cast("double").alias("sum_value"),
     )
+
+
+from top_produce_etl_spark.operators.stats import (  # noqa: E402
+    pairwise_stats,
+    pairwise_stats_oracle_sql,
+)
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@query(
+    "pairwise_corr_lineitem", extended=True,
+    oracle=pairwise_stats_oracle_sql(_CORR_COLS),
+)
+def pairwise_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope for all lineitem measure
+    pairs from exact decimal co-moments (operators/stats.py) — one
+    aggregate pass, deterministic at any parallelism, unlike
+    streaming-co-moment corr()."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return pairwise_stats(lineitem, _CORR_COLS)
