@@ -359,3 +359,28 @@ def test_compact_table_sorted_layout(spark, tmp_path):
     for (_, hi_prev), (lo, _) in zip(spans, spans[1:]):
         assert hi_prev < lo  # disjoint ranges
     assert got.count() == 50_000
+
+
+def test_read_table_evolved_merges_schemas(spark, tmp_path):
+    """Files written under schema v1 (a,b) and v2 (a,b,c) read as
+    the union schema, v1 rows NULL in c; plain read would drop or
+    mis-type the late column depending on footer pick."""
+    import pyspark.sql.functions as F
+    from top_produce_etl_spark.io.sources import read_table_evolved
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "x")], "a long, b string").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "a long, b string, c double"
+    ).write.mode("append").parquet(out)
+
+    got = read_table_evolved(spark, out)
+    assert set(got.columns) == {"a", "b", "c"}
+    rows = {r.a: (r.b, r.c) for r in got.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9.5)}
+    assert got.filter(F.col("c").isNull()).count() == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_table_evolved(spark, out, fmt="csv")

@@ -152,3 +152,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_star(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load the fixture star schema as a dict of DataFrames."""
     return {t: load_table(spark, sf_dir, t) for t in tables}
+
+
+def read_table_evolved(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a table whose files were written under EVOLVING schemas
+    (columns added over time — the normal life of a long-lived
+    ingest directory): ``mergeSchema=true`` unions the per-file
+    schemas; rows from files lacking a column read NULL there.
+
+    Scale note: schema merging reads every file's FOOTER at planning
+    time (not the data) — O(|files|) driver-side planning cost, which
+    is why Spark defaults it off. Use for the evolving-ingest case;
+    once a table is compacted/republished (io/sinks.py:compact_table)
+    the schemas converge and the plain reader applies again. Only
+    parquet/orc carry per-file schemas; other formats reject.
+    """
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"schema merge requires parquet/orc, got {fmt}")
+    reader = spark.read.option("mergeSchema", "true")
+    if options:
+        reader = reader.options(**options)
+    return getattr(reader, fmt)(path)

@@ -154,3 +154,30 @@ def assert_quality(df: DataFrame, checks: list[dict[str, Any]]) -> None:
     ]
     if bad:
         raise ValueError("quality checks failed: " + "; ".join(bad))
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Quasi-identifier groups occurring fewer than ``k`` times —
+    the release-gate check for k-anonymity (a combination of
+    quasi-identifiers shared by < k rows re-identifies individuals;
+    training-data compliance runs this before publishing a corpus
+    alongside the PII redaction pass).
+
+    Output: (quasi_cols..., group_size) for violating groups only.
+    One hash-aggregate shuffle on the quasi-identifier key — the
+    same cost profile as any distinct-count; no all-pairs anything.
+    NULL quasi-values group together (SQL GROUP BY semantics), which
+    is the conservative choice: an all-NULL combination is itself a
+    quasi-identifier.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

@@ -156,3 +156,24 @@ def doc_chunks_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0
     )
     return chunk_documents(docs, "doc_id", "text", size=64, stride=48)
+
+
+@query(
+    "k_anonymity_customer", extended=True,
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, n AS group_size
+    FROM (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    )
+    WHERE n < 8
+    """,
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate: (nation, segment) quasi-identifier
+    groups with fewer than k=8 members
+    (operators/quality.py::k_anonymity_violations)."""
+    from top_produce_etl_spark.operators.quality import k_anonymity_violations
+
+    customer = load_table(spark, sf_dir, "customer")
+    return k_anonymity_violations(customer, ["c_nationkey", "c_mktsegment"], 8)
