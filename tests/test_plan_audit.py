@@ -67,11 +67,16 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "cosine_topk_numpy",  # same broadcast-queries shape as bruteforce
         "cosine_topk_quantized",  # broadcast-queries cross on int8 vectors
     }
+    # the one deliberate Python-UDTF query: API-surface coverage whose
+    # production twin (token_runs_expr) is the pure-codegen path
+    allowed_udtf = {"token_runs_udtf"}
     for name, fn in sorted(get_all_queries().items()):
         audit = plan_audit(fn(spark, sf_dir))
         if name not in allowed_cartesian:
             assert not audit["cartesian"], f"{name} plans a cartesian join"
         assert not audit["python_row_udf"], f"{name} uses a row Python UDF"
+        if name not in allowed_udtf:
+            assert not audit["python_udtf"], f"{name} plans a Python UDTF"
 
 
 def test_headline_exchange_budgets(spark, sf_dir):

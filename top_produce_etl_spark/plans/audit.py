@@ -53,7 +53,15 @@ def plan_audit(df: DataFrame) -> dict[str, Any]:
       broadcast_joins / sortmerge_joins / shuffled_hash_joins
       cartesian            CartesianProduct or BroadcastNestedLoopJoin present
       window_nodes         window operator count (skew-sensitive)
-      python_row_udf       row-at-a-time Python UDF present (BatchEvalPython)
+      python_row_udf       row-at-a-time Python UDF present
+                           (BatchEvalPython — NOT counting UDTF nodes,
+                           reported separately)
+      python_udtf          Python table function present
+                           (BatchEvalPythonUDTF / ArrowEvalPythonUDTF) —
+                           a Python-process path like a row UDF, but a
+                           distinct, deliberate API surface; the
+                           registry audit allows it only for the
+                           explicitly-exempted UDTF-coverage queries
       arrow_udf            Arrow-batched pandas UDF present
       pushed_filters       list of PushedFilters entries (non-empty scans)
       read_schemas         list of ReadSchema structs per scan
@@ -73,7 +81,11 @@ def plan_audit(df: DataFrame) -> dict[str, Any]:
         "shuffled_hash_joins": p.count("ShuffledHashJoin"),
         "cartesian": "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p,
         "window_nodes": len(re.findall(r"\(\d+\) (?:Running)?Window", p)),
-        "python_row_udf": "BatchEvalPython" in p,
+        "python_row_udf": bool(
+            re.search(r"BatchEvalPython(?!UDTF)", p)
+        ),
+        "python_udtf": "BatchEvalPythonUDTF" in p
+        or "ArrowEvalPythonUDTF" in p,
         "arrow_udf": "ArrowEvalPython" in p
         or "FlatMapGroupsInPandas" in p
         or "MapInPandas" in p,
