@@ -73,6 +73,11 @@ EXTENSION = [
     "funnel_3step_strict",       # ordered windowFunnel
     "event_transition_matrix",   # first-order transitions
     "trade_pagerank",            # iterative weighted PageRank
+    "token_runs_expr",           # run-length encoding, array exprs
+    "unigram_surprisal_scores",  # unigram-LM quality scoring
+    "mixture_rebalance_hash",    # mixture rebalance, hash strategy
+    "gapfill_daily_counts_zero",  # time-series grid densification
+    "pairwise_corr_lineitem",    # exact-co-moment correlation
 ]
 
 RECALL_K = 3

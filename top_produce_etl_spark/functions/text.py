@@ -18,18 +18,32 @@ def tokens(col: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def word_shingles(col: Column | str, k: int) -> Column:
-    """k-word shingles as an array of space-joined strings.
+def shingles_of(t: Column, k: int) -> Column:
+    """k-word shingles from an ALREADY-MATERIALIZED token-array
+    column (an attribute reference, not a ``split`` expression).
     Documents shorter than k tokens yield an empty array (the
     guard matters: Spark's ``sequence(a, b)`` steps DOWNWARD when
-    a > b, which would silently fabricate bogus shingles)."""
-    t = tokens(col)
+    a > b, which would silently fabricate bogus shingles).
+
+    Hot paths must tokenize in their OWN projection and pass the
+    column here: the per-position lambda references the array once
+    per shingle, and codegen inlines a raw ``split`` expression into
+    every reference — re-tokenizing the document per position,
+    O(n²) total (measured 2.8× on the sf0.1 shingle build). An
+    attribute reference is O(1) per access."""
     n = F.size(t)
     gen = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
     )
     return F.when(n >= k, gen).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, k: int) -> Column:
+    """k-word shingles of a raw text column. Convenience form for
+    one-off use; hot paths should stage tokenization and call
+    :func:`shingles_of` (see its inlining note)."""
+    return shingles_of(tokens(col), k)
 
 
 # Deterministic marker-word lists for the language-ID heuristic.

@@ -96,10 +96,18 @@ def shingle_sets(
     so this is a pure map — ZERO shuffles — unlike the classic
     explode+distinct inverted-index build, which shuffles the whole
     exploded corpus. Docs shorter than k words drop out (empty set:
-    Jaccard undefined/0 against everything)."""
-    return df.select(
+    Jaccard undefined/0 against everything).
+
+    Tokenization is STAGED into its own projection so the shingle
+    lambda reads a materialized array attribute — inlining the split
+    into the per-position lambda re-tokenizes per shingle, O(n²)
+    per doc (functions.text.shingles_of note; measured 2.8× here)."""
+    from top_produce_etl_spark.functions.text import shingles_of, tokens
+
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, k)).alias("sset"),
+        F.array_distinct(shingles_of(F.col("__toks"), k)).alias("sset"),
     ).filter(F.size("sset") > 0)
 
 

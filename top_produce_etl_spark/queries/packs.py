@@ -811,7 +811,6 @@ def training_data_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       fixed-point (×1e4 → BIGINT) scores keep the cross-engine
       hash exact despite ``ln``.
     """
-    from top_produce_etl_spark.functions.text import word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -826,11 +825,14 @@ def training_data_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.cast("string").alias("val"),
     )
 
-    sh = docs.select(
+    # staged tokenization: see functions.text.shingles_of inlining note
+    from top_produce_etl_spark.functions.text import shingles_of, tokens
+
+    sh = docs.select("doc_id", tokens("text").alias("__toks")).select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", CONTAM_K))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.array_distinct(shingles_of(F.col("__toks"), CONTAM_K))
+        ).alias("shingle"),
     )
     train = sh.filter(F.col("doc_id") % 100 != 0).select(
         F.col("doc_id").alias("train_id"), "shingle"

@@ -327,7 +327,6 @@ def split_decontamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame
     contaminated-id set ride size-gated broadcasts; no all-pairs
     joins anywhere.
     """
-    from top_produce_etl_spark.functions.text import word_shingles
     from top_produce_etl_spark.operators.dedup import _persist
     from top_produce_etl_spark.operators.joins import maybe_broadcast
     from top_produce_etl_spark.operators.splits import assign_split
@@ -335,12 +334,17 @@ def split_decontamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = assign_split(
         load_table(spark, sf_dir, "documents"), "doc_id", _SPLIT_FRACTIONS
     )
+    # staged tokenization: see functions.text.shingles_of inlining note
+    from top_produce_etl_spark.functions.text import shingles_of, tokens
+
     sh = _persist(
-        docs.filter(F.col("split").isin("train", "test")).select(
+        docs.filter(F.col("split").isin("train", "test"))
+        .select("doc_id", "split", tokens("text").alias("__toks"))
+        .select(
             "doc_id",
             "split",
             F.explode(
-                F.array_distinct(word_shingles("text", DECONTAM_K))
+                F.array_distinct(shingles_of(F.col("__toks"), DECONTAM_K))
             ).alias("shingle"),
         )
     )
