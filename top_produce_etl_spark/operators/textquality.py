@@ -61,8 +61,16 @@ def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 3
 ) -> DataFrame:
     """Per-document repetition signals: token count, duplicate
-    n-gram fraction, and top-token share. All-narrow plan."""
-    toks = F.split(F.col(text_col), " ")
+    n-gram fraction, and top-token share. All-narrow plan.
+
+    Tokenization staged into its own projection: the n-gram lambda
+    indexes the token array per position, and an inlined split()
+    would re-tokenize per n-gram — O(n²) per doc (the
+    functions.text.shingles_of inlining note)."""
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     grams = _ngrams(toks, ngram)
     n_grams = F.size(grams)
     dup_frac = F.when(
@@ -75,7 +83,7 @@ def repetition_stats(
         _max_run_length(F.sort_array(toks)).cast("double")
         / F.size(toks).cast("double"),
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return toked.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         dup_frac.alias(f"dup_{ngram}gram_frac"),
