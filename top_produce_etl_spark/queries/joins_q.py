@@ -223,3 +223,74 @@ def broadcast_join_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFram
     return broadcast_dim_join(
         supplier, nation, on=supplier.s_nationkey == nation.n_nationkey
     ).select("s_suppkey", "s_name", "n_name")
+
+
+@query(
+    "null_semantics_pack", extended=True,
+    oracle="""
+    WITH l AS (
+        SELECT nullif(o_custkey % 50, 0) AS k FROM orders
+    ), r AS (
+        SELECT nullif(c_custkey % 50, 7) AS k FROM customer
+    )
+    SELECT 'nullsafe_inner' AS op,
+           (SELECT COUNT(*) FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k) AS n
+    UNION ALL
+    SELECT 'plain_inner',
+           (SELECT COUNT(*) FROM l JOIN r ON l.k = r.k)
+    UNION ALL
+    SELECT 'not_in_trap',
+           (SELECT COUNT(*) FROM l WHERE k NOT IN (SELECT k FROM r))
+    UNION ALL
+    SELECT 'not_exists',
+           (SELECT COUNT(*) FROM l WHERE NOT EXISTS (
+                SELECT 1 FROM r WHERE r.k = l.k))
+    """,
+)
+def null_semantics_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join semantics in one pack — the four shapes every
+    engine must get right and users routinely get wrong:
+
+    - ``nullsafe_inner``: ``<=>`` (eqNullSafe) matches NULL with
+      NULL — NULL-keyed rows join each other (cartesian of the two
+      NULL groups);
+    - ``plain_inner``: ``=`` never matches NULL — NULL-keyed rows
+      silently drop;
+    - ``not_in_trap``: ``NOT IN`` against a set CONTAINING a NULL is
+      three-valued-logic empty — the classic silent-zero footgun;
+    - ``not_exists``: the anti-join (left_anti) keeps unmatched rows
+      INCLUDING NULL-keyed ones — what ``NOT IN`` writers usually
+      meant.
+
+    Scale note: a null-safe equi key still hash-partitions (NULLs
+    co-locate in one bucket — a skew source if NULL is frequent;
+    the skew-salting operator applies)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    left = orders.select(
+        F.nullif((F.col("o_custkey") % 50), F.lit(0)).alias("k")
+    )
+    right = customer.select(
+        F.nullif((F.col("c_custkey") % 50), F.lit(7)).alias("k")
+    )
+
+    def cnt(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    nullsafe = left.join(right, left["k"].eqNullSafe(right["k"]))
+    plain = left.join(right, left["k"] == right["k"])
+    # NOT IN via the SQL expression (three-valued logic preserved)
+    left.createOrReplaceTempView("__null_l")
+    right.createOrReplaceTempView("__null_r")
+    not_in = spark.sql(
+        "SELECT k FROM __null_l WHERE k NOT IN (SELECT k FROM __null_r)"
+    )
+    not_exists = left.join(right, left["k"] == right["k"], "left_anti")
+    return (
+        cnt("nullsafe_inner", nullsafe)
+        .unionByName(cnt("plain_inner", plain))
+        .unionByName(cnt("not_in_trap", not_in))
+        .unionByName(cnt("not_exists", not_exists))
+    )
