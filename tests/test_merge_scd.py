@@ -119,3 +119,33 @@ def test_chunk_documents_exact_windows(spark):
     # real guard is exercised via n>=1 in the operator
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, "doc_id", "text", size=4, stride=5)
+
+
+def test_pit_lookup_boundaries(spark):
+    """Facts at version boundaries: inclusive at effective_from,
+    exclusive at effective_to; before first version -> NULL; after
+    last change -> current version."""
+    import datetime as dt
+
+    from top_produce_etl_spark.operators.scd import pit_lookup, scd2_history
+
+    t = lambda d: dt.datetime(2025, 1, d)  # noqa: E731
+    changes = spark.createDataFrame(
+        [(1, "bronze", t(2), 1), (1, "silver", t(5), 2), (1, "gold", t(9), 3)],
+        "user_id long, status string, ts timestamp, event_id long",
+    )
+    hist = scd2_history(
+        changes, "user_id", "ts", "status", tiebreak="event_id"
+    ).drop("event_id")
+    facts = spark.createDataFrame(
+        [(10, 1, t(1)),   # before first version
+         (11, 1, t(2)),   # exactly at first effective_from (inclusive)
+         (12, 1, t(5)),   # boundary: silver starts, bronze ends (exclusive)
+         (13, 1, t(30))], # after last change -> current (gold)
+        "fact_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.fact_id: r.status
+        for r in pit_lookup(facts, hist, "user_id", "ts").collect()
+    }
+    assert got == {10: None, 11: "bronze", 12: "silver", 13: "gold"}

@@ -68,3 +68,56 @@ def scd2_history(
             F.col("effective_to").isNull().alias("is_current"),
         )
     )
+
+
+def pit_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: str | list[str],
+    fact_ts: str,
+    attrs: list[str] | None = None,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD2 history: for
+    each fact row, attach the version whose
+    ``effective_from <= fact_ts < effective_to`` (open ``to`` = the
+    current version). The correctness backbone of temporal ETL —
+    joining facts to ``is_current`` instead silently rewrites
+    history (training-data leakage / restated reports).
+
+    LEFT join semantics: facts before a key's first version keep
+    NULLs. Since SCD2 ranges are non-overlapping per key, each fact
+    matches at most one version.
+
+    Scale: an equi-join on the key with a residual range predicate
+    (operators/joins.py:range_join — hash/sort-merge, never a
+    nested loop); versions-per-key is small by construction, so the
+    per-key match work is bounded.
+    """
+    from top_produce_etl_spark.operators.joins import range_join
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if attrs is None:
+        attrs = [
+            c
+            for c in history.columns
+            if c not in keys and c not in (from_col, to_col, "is_current")
+        ]
+    hist = history.select(
+        *[F.col(k).alias(f"__h_{k}") for k in keys],
+        *attrs,
+        F.col(from_col),
+        F.coalesce(
+            F.col(to_col), F.lit("9999-01-01 00:00:00").cast("timestamp")
+        ).alias("__eff_hi"),
+    )
+    return range_join(
+        facts,
+        hist,
+        equi_on=[(k, f"__h_{k}") for k in keys],
+        left_ts=fact_ts,
+        right_lo=from_col,
+        right_hi="__eff_hi",
+        how="left",
+    ).drop(*[f"__h_{k}" for k in keys], from_col, "__eff_hi")

@@ -177,3 +177,54 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = load_table(spark, sf_dir, "customer")
     return k_anonymity_violations(customer, ["c_nationkey", "c_mktsegment"], 8)
+
+
+@query(
+    "pit_status_at_purchase", extended=True,
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type AS status, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type <> 'purchase'
+    ), versions AS (
+        SELECT user_id, status,
+               ts AS effective_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS effective_to
+        FROM ordered
+        WHERE prev IS NULL OR status <> prev
+    )
+    SELECT f.event_id, f.user_id, v.status AS status_at_purchase
+    FROM (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ) f
+    LEFT JOIN versions v
+      ON v.user_id = f.user_id
+     AND v.effective_from <= f.ts
+     AND (v.effective_to IS NULL OR f.ts < v.effective_to)
+    """,
+)
+def pit_status_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (operators/scd.py::pit_lookup):
+    each purchase joins the user-status version ACTIVE AT purchase
+    time (versions built from the non-purchase event stream) — the
+    temporal-correctness join that is-current enrichment gets wrong.
+    Purchases before a user's first version keep NULL (left join)."""
+    from top_produce_etl_spark.operators.scd import pit_lookup, scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    history = scd2_history(
+        events.filter(F.col("event_type") != "purchase").select(
+            "user_id", F.col("event_type").alias("status"), "ts", "event_id"
+        ),
+        key_cols="user_id", ts_col="ts", tracked="status",
+        tiebreak="event_id",
+    ).drop("event_id")
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return pit_lookup(facts, history, "user_id", "ts", attrs=["status"]).select(
+        "event_id", "user_id", F.col("status").alias("status_at_purchase")
+    )
