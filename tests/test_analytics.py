@@ -519,3 +519,50 @@ def test_pairwise_stats_exact_and_guarded(spark):
     assert rows == rows2
     with pytest.raises(ValueError):
         pairwise_stats(df, ["x"])
+
+
+def test_multi_touch_attribution_weights(spark):
+    """Position model: n=1 -> 100%; n=2 -> 50/50; n=4 -> 40/10/10/40;
+    weights sum to 1e6 per conversion; linear model uniform."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.attribution import (
+        multi_touch_attribution,
+    )
+
+    t = lambda d, h=0: dt.datetime(2025, 1, d, h)  # noqa: E731
+    conv = spark.createDataFrame(
+        [(1, 101, t(8), 100.0), (2, 102, t(8), 100.0),
+         (3, 103, t(8), 100.0)],
+        "user_id long, pid long, ts timestamp, value double",
+    )
+    touches = spark.createDataFrame(
+        [(1, 11, t(7, 1)),
+         (2, 21, t(7, 1)), (2, 22, t(7, 2)),
+         (3, 31, t(7, 1)), (3, 32, t(7, 2)), (3, 33, t(7, 3)),
+         (3, 34, t(7, 4)),
+         (3, 35, t(20))],  # AFTER conversion: excluded
+        "user_id long, cid long, ts timestamp",
+    )
+    got = multi_touch_attribution(
+        conv, touches, "user_id", "pid", "ts", "value", "cid", "ts",
+        lookback="7 days", model="position",
+    )
+    by_conv = {}
+    for r in got.collect():
+        by_conv.setdefault(r.pid, {})[r.cid] = r.weight_micro
+    assert by_conv[101] == {11: 1_000_000}
+    assert by_conv[102] == {21: 500_000, 22: 500_000}
+    assert by_conv[103] == {31: 400_000, 32: 100_000, 33: 100_000,
+                            34: 400_000}
+    sums = got.groupBy("pid").agg(F.sum("weight_micro").alias("s")).collect()
+    assert all(r.s == 1_000_000 for r in sums)
+
+    lin = multi_touch_attribution(
+        conv, touches, "user_id", "pid", "ts", "value", "cid", "ts",
+        lookback="7 days", model="linear",
+    )
+    w3 = {r.cid: r.weight_micro for r in lin.filter("pid = 103").collect()}
+    assert set(w3.values()) == {250_000}

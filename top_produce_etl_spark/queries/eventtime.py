@@ -400,3 +400,66 @@ def gapfill_daily_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill(
         daily, "user_id", "day_ts", "peak_value", step="1 day", fill="locf"
     )
+
+
+@query(
+    "multi_touch_attribution_position", extended=True,
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT event_id AS click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), joined AS (
+        SELECT c.purchase_id, t.click_id, c.value, t.click_ts
+        FROM c JOIN t
+          ON c.user_id = t.user_id
+         AND t.click_ts >= c.ts - INTERVAL 7 DAY
+         AND t.click_ts < c.ts
+    ), ranked AS (
+        SELECT purchase_id, click_id, value,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                  ORDER BY click_ts, click_id)
+                   AS touch_rank,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+        FROM joined
+    )
+    SELECT purchase_id, click_id, touch_rank, n_touches,
+           CAST(round(w * 1000000) AS BIGINT) AS weight_micro,
+           CAST(round(value * w * 1000000) AS BIGINT) AS attributed_micro
+    FROM (
+        SELECT *,
+               CASE WHEN n_touches = 2 THEN 0.5
+                    WHEN n_touches = 1 THEN 1.0
+                    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
+                    ELSE 0.2 / (CAST(n_touches AS DOUBLE) - 2.0)
+               END AS w
+        FROM ranked
+    )
+    """,
+)
+def multi_touch_attribution_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped multi-touch attribution: every click within 7 days
+    of a purchase gets fractional credit (40/20/40)
+    (operators/attribution.py). Completes the attribution family:
+    as-of join = last touch, funnel = path existence."""
+    from top_produce_etl_spark.operators.attribution import (
+        multi_touch_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return multi_touch_attribution(
+        purchases, clicks,
+        user_col="user_id", conv_id="purchase_id", conv_ts="ts",
+        value_col="value", touch_id="click_id", touch_ts="ts",
+        lookback="7 days", model="position",
+    )
