@@ -566,3 +566,18 @@ def test_multi_touch_attribution_weights(spark):
     )
     w3 = {r.cid: r.weight_micro for r in lin.filter("pid = 103").collect()}
     assert set(w3.values()) == {250_000}
+
+
+def test_chi_squared_known_value(spark):
+    """2x2 table [[10,20],[20,10]]: chi2 = 60*(10*10-20*20)^2 /
+    (30*30*30*30) = 6.666..., dof 1."""
+    from top_produce_etl_spark.operators.stats import chi_squared
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, h string")
+    r = chi_squared(df, "g", "h").first()
+    assert r.n == 60 and r.dof == 1
+    assert abs(r.chi2_micro - 6_666_667) <= 2  # 20/3 ≈ 6.666667

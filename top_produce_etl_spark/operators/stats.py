@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from top_produce_etl_spark.functions.numeric import dec
@@ -125,4 +125,53 @@ def pairwise_stats_oracle_sql(
         )
     return f"WITH m AS (SELECT {', '.join(sels)} FROM {table})\n" + (
         "\nUNION ALL\n".join(rows)
+    )
+
+
+def chi_squared(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-squared independence test between two categorical
+    columns (corpus composition drift: is ``lang`` independent of
+    ``source``? — the release-gate companion to the mixture
+    rebalancer).
+
+    One (a, b) hash aggregate builds the contingency table
+    (|A|·|B| rows — tiny); margins come from windows OVER THAT
+    TABLE, not a rescan. Per-cell contributions
+    ``(O−E)²/E`` round to 1e6 fixed point BEFORE summing, so the
+    total is an associative integer sum — deterministic and
+    bit-identical to the DuckDB oracle (a raw double Σ over cells
+    would be merge-order-dependent). Output: one row
+    (n, dof, chi2_micro) where chi2_micro = Σ round(cell·1e6).
+    """
+    counts = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    cells = counts.select(
+        col_a,
+        col_b,
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    contrib = F.round(d * d / e * STAT_SCALE).cast("bigint")
+    return (
+        cells.withColumn("__c", contrib)
+        .agg(
+            F.max("n").alias("n"),
+            (
+                (F.count_distinct(F.col(col_a)) - 1)
+                * (F.count_distinct(F.col(col_b)) - 1)
+            ).cast("int").alias("dof"),
+            F.sum("__c").alias("chi2_micro"),
+        )
     )

@@ -522,3 +522,47 @@ def pairwise_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-co-moment corr()."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return pairwise_stats(lineitem, _CORR_COLS)
+
+
+@query(
+    "chi2_lang_source", extended=True,
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS o
+        FROM documents GROUP BY 1, 2
+    ), cells AS (
+        SELECT lang, source, o,
+               SUM(o) OVER (PARTITION BY lang)   AS ra,
+               SUM(o) OVER (PARTITION BY source) AS cb,
+               SUM(o) OVER ()                    AS n
+        FROM counts
+    ), contrib AS (
+        SELECT n, lang, source,
+               CAST(round(
+                   ((CAST(o AS DOUBLE)
+                     - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    * (CAST(o AS DOUBLE)
+                       - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                    / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                       / CAST(n AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS c
+        FROM cells
+    )
+    SELECT MAX(n) AS n,
+           CAST((COUNT(DISTINCT lang) - 1)
+                * (COUNT(DISTINCT source) - 1) AS INT) AS dof,
+           SUM(c) AS chi2_micro
+    FROM contrib
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence of lang × source — corpus
+    composition drift gate (operators/stats.py::chi_squared); cell
+    contributions fixed-pointed before the associative integer
+    sum."""
+    from top_produce_etl_spark.operators.stats import chi_squared
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi_squared(docs, "lang", "source")
