@@ -34,7 +34,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from top_produce_etl_spark.functions.text import word_shingles
 
 # DataFrames persisted by operators in this module (they feed
 # multiple consumers inside one returned plan, so they cannot be
