@@ -1,0 +1,51 @@
+"""Custom Python Data Source: schema/options/partition planning,
+determinism, planted-duplicate ground truth feeding exact_dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.synth_source import (
+    _doc_text,
+    register_synth_source,
+)
+
+
+def _read(spark, **opts):
+    register_synth_source(spark)
+    r = spark.read.format("synthdocs")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_synthdocs_rows_partitions_and_determinism(spark):
+    df = _read(spark, rows=1000, partitions=7, tokens=20)
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 7
+    assert df.columns == ["doc_id", "text"]
+    # all ids exactly once; every doc has the requested token count
+    assert df.select("doc_id").distinct().count() == 1000
+    assert (
+        df.filter(F.size(F.split("text", " ")) != 20).count() == 0
+    )
+    # deterministic across reads and partitionings
+    a = {r.doc_id: r.text for r in df.collect()}
+    b = {
+        r.doc_id: r.text
+        for r in _read(spark, rows=1000, partitions=3, tokens=20).collect()
+    }
+    assert a == b
+    # and matches the driver-side pure function (executor == driver)
+    assert a[17] == _doc_text(17, 20, 0)
+
+
+def test_synthdocs_planted_duplicates_feed_dedup(spark):
+    from top_produce_etl_spark.operators.dedup import exact_dedup
+
+    df = _read(spark, rows=500, partitions=4, tokens=30, dup_every=10)
+    # ids 1, 11, 21, ... copy the text of 0, 10, 20, ...
+    dups = exact_dedup(df, "text", "doc_id").filter(F.col("n_dups") > 1)
+    rows = {r.doc_id: r.n_dups for r in dups.collect()}
+    assert set(rows) == set(range(0, 500, 10))
+    assert all(v == 2 for v in rows.values())

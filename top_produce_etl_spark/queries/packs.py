@@ -874,3 +874,33 @@ def training_data_ops_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _union([shard_pack, contamination, redaction, bm25])
+
+
+@query(
+    "variant_props_events", extended=True,
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` → binary variant → typed ``variant_get`` path
+    extraction. The modern alternative to the string-JSON pack
+    (json_map_pack_events): variant parses ONCE into a binary
+    encoding and each extraction is a cheap binary probe, where
+    get_json_object re-parses the string per call — at 100 TB with
+    multiple extractions per row that is the difference between one
+    parse and k parses. DuckDB has no variant; the oracle extracts
+    the same typed values from the JSON text (values, not encoding,
+    are the contract)."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return events.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+    )
