@@ -384,3 +384,30 @@ def test_read_table_evolved_merges_schemas(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_table_evolved(spark, out, fmt="csv")
+
+
+def test_write_table_bloom_filters_add_footer_payload(spark, tmp_path):
+    """Bloom-enabled writes carry the filter payload (size delta) and
+    round-trip point-predicate reads exactly."""
+    from top_produce_etl_spark.io.sinks import write_table
+
+    import glob
+    import os
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id AS k", "CAST(xxhash64(id) AS STRING) AS payload"
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    write_table(df, plain)
+    write_table(
+        df, bloomed, bloom_filter_cols=["payload"], bloom_filter_ndv=20_000
+    )
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+    )
+    assert size(bloomed) > size(plain) + 1000  # filter bytes present
+    probe = spark.read.parquet(bloomed).filter(
+        "k = 12345"
+    ).select("payload").first()
+    want = df.filter("k = 12345").select("payload").first()
+    assert probe == want
