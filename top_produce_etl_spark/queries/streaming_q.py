@@ -19,6 +19,7 @@ every round instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from top_produce_etl_spark.queries import query
 
@@ -142,3 +143,54 @@ def stream_distinct_keys_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_event_keys_stream(
         spark, sf_dir, sink_table="oracle_stream_distinct"
     )
+
+
+@query(
+    "stream_outer_attribution_parity", extended=True,
+    oracle="""
+    SELECT p.user_id, p.purchase_id, c.click_id
+    FROM (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ) p
+    LEFT JOIN (
+        SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ) c
+      ON p.user_id = c.c_user
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 DAY
+     AND c.click_ts < p.purchase_ts
+    WHERE p.purchase_ts <= (SELECT MAX(ts) FROM events) - INTERVAL 2 DAY
+    """,
+)
+def stream_outer_attribution_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join through the real
+    streaming runtime — unmatched purchases held in state until the
+    watermark proves no click can arrive, then emitted with NULLs.
+
+    Parity is asserted on the provably-CLOSED region: purchases in
+    the final watermark window are legitimately unemittable at
+    termination (see the job docstring), so BOTH engines filter to
+    purchase_ts ≤ max(ts) − 2 days (≫ the 1 h watermark delay) and
+    match exactly there."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.streaming.jobs import (
+        purchase_click_outer_attribution_stream,
+    )
+
+    sink = purchase_click_outer_attribution_stream(
+        spark, sf_dir, sink_table="oracle_stream_outer_attr"
+    )
+    bound = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .first()
+        .m
+    )
+    import datetime as dt
+
+    return sink.filter(
+        F.col("purchase_ts") <= F.lit(bound - dt.timedelta(days=2))
+    ).select("user_id", "purchase_id", "click_id")

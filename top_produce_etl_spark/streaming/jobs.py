@@ -670,3 +670,63 @@ def running_user_totals_tws(
     )
     q.awaitTermination()
     return events.sparkSession.table(sink_table)
+
+
+def purchase_click_outer_attribution_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "1 DAY",
+    watermark: str = "1 hour",
+    sink_table: str = "stream_outer_attr",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits, matched
+    to prior clicks within ``lookback`` or with NULL click columns —
+    the harder sibling of the inner attribution join
+    (:func:`purchase_click_attribution_stream`).
+
+    Mechanics the inner join doesn't exercise: unmatched left rows
+    are HELD IN STATE until the watermark proves no matching right
+    row can still arrive, then emitted with NULLs — so emission
+    latency is the watermark delay, and state is bounded by
+    (lookback + watermark) of left rows. Under ``availableNow`` the
+    final watermark advance flushes all remaining unmatched state,
+    which is why the run matches the batch left join exactly
+    (parity: ext ``stream_outer_attribution_parity``).
+    """
+    events = stream_events(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""user_id = c_user
+            AND click_ts >= purchase_ts - INTERVAL {lookback}
+            AND click_ts < purchase_ts"""
+        ),
+        "leftOuter",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
