@@ -117,3 +117,48 @@ def brand_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(p_retailprice, 0.5)").alias("median_price"),
         F.count(F.lit(1)).alias("n_parts"),
     )
+
+
+@query(
+    "ansi_try_pack", extended=True,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                ELSE l_quantity / CAST(l_linenumber % 3 AS DOUBLE)
+           END AS safe_div,
+           TRY_CAST(l_returnflag AS INT) AS cast_miss,
+           string_split(l_returnflag || ' ' || l_linestatus, ' ')[l_linenumber]
+               AS maybe_tok
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def ansi_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar surface: Spark 4 runs with
+    ``spark.sql.ansi.enabled=true`` (division by zero / bad casts /
+    overflow RAISE instead of silently corrupting — the correct
+    default for a pipeline engine), and the ``try_*`` family is the
+    per-expression escape hatch that degrades to NULL where the
+    author expects dirty data:
+
+    - ``try_divide`` → NULL on zero divisor (vs ANSI raise);
+    - ``try_cast`` → NULL on unparseable strings;
+    - ``try_element_at`` → NULL beyond array bounds (1-based).
+
+    The oracle encodes the same semantics with explicit guards —
+    which is exactly the boilerplate ``try_*`` replaces."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    toks = F.split(
+        F.concat_ws(" ", F.col("l_returnflag"), F.col("l_linestatus")), " "
+    )
+    return lineitem.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_quantity"), (F.col("l_linenumber") % 3).cast("double")
+        ).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("cast_miss"),
+        F.try_element_at(toks, F.col("l_linenumber").cast("int")).alias(
+            "maybe_tok"
+        ),
+    )
