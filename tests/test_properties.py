@@ -133,3 +133,93 @@ def test_connected_components_properties(spark):
     assert all(rep <= i for i, rep in out.items())
     assert all(rep in out for rep in out.values())
     assert all(out[a] == out[b] for a, b in pairs)
+
+
+# ----------------------------------------------------- mixture sizing
+
+
+WCOUNTS = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(min_value=1, max_value=60),
+    min_size=2,
+    max_size=4,
+)
+WEIGHTS = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.integers(min_value=1, max_value=9),
+    min_size=2,
+    max_size=4,
+)
+
+
+@given(counts=WCOUNTS, weights=WEIGHTS)
+@SETTINGS
+def test_mixture_sizing_invariants(spark, counts, weights):
+    """For ANY counts/weights: keep_c <= n_c (never upsample), the
+    kept set is a subset, exact strategy hits the integer sizing
+    rule exactly, and achieved proportions are within integer-floor
+    slack of the recipe."""
+    weights = {k: v for k, v in weights.items() if k in counts}
+    if len(weights) < 2:
+        return
+    from top_produce_etl_spark.operators.mixture import rebalance_mixture
+
+    rows = [
+        (f"{cat}-{i}", cat) for cat, n in counts.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, cat string")
+    out = rebalance_mixture(df, "cat", "k", weights, strategy="exact")
+    got = {r.cat: r.n for r in out.groupBy("cat").count()
+           .withColumnRenamed("count", "n").collect()}
+    W = sum(weights.values())
+    S = min(counts[c] * W // weights[c] for c in weights)
+    want = {c: weights[c] * S // W for c in weights}
+    assert {c: got.get(c, 0) for c in weights} == want
+    assert all(got.get(c, 0) <= counts[c] for c in weights)
+
+
+# ------------------------------------------------------------ gapfill
+
+
+@given(
+    points=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=1, max_value=12),
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SETTINGS
+def test_gapfill_properties(spark, points):
+    """For ANY sparse series: the grid is dense (every day between a
+    key's min and max present exactly once), observed rows survive
+    unchanged and un-flagged, locf never yields NULL after the first
+    observation, and gap count = grid - observed."""
+    import datetime as dt
+
+    from top_produce_etl_spark.operators.eventtime import gapfill
+
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2025, 3, d), v) for k, d, v in points],
+        "k string, ts timestamp, v double",
+    )
+    out = gapfill(df, "k", "ts", "v", "1 day", "locf").collect()
+    obs = {(k, d): v for k, d, v in points}
+    spans = {}
+    for k, d, _ in points:
+        lo, hi = spans.get(k, (d, d))
+        spans[k] = (min(lo, d), max(hi, d))
+    grid = {(k, d) for k, (lo, hi) in spans.items()
+            for d in range(lo, hi + 1)}
+    got_keys = [(r.k, r.ts.day) for r in out]
+    assert sorted(got_keys) == sorted(grid)  # dense, exactly once
+    for r in out:
+        key = (r.k, r.ts.day)
+        if key in obs:
+            assert not r.is_gap and r.v == obs[key]
+        else:
+            assert r.is_gap and r.v is not None  # locf filled
