@@ -162,3 +162,94 @@ def ansi_try_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maybe_tok"
         ),
     )
+
+
+@query(
+    "collation_group_pack", extended=True,
+    oracle="""
+    SELECT lower(p_type) AS type_ci, COUNT(*) AS n,
+           COUNT(DISTINCT p_type) AS case_variants
+    FROM part GROUP BY 1
+    """,
+)
+def collation_group_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: grouping/equality under UTF8_LCASE
+    compares case-insensitively WITHOUT rewriting every expression
+    through lower() — the collation is a property of the comparison,
+    so joins/aggregations/sorts all honor it and Catalyst still
+    prunes and pushes down. DuckDB has no session collations here,
+    so the oracle states the same semantics via lower(); the output
+    key is normalized to lower for cross-engine comparability
+    (collated GROUP BY keeps an arbitrary representative case)."""
+    part = load_table(spark, sf_dir, "part")
+    ci = F.collate(F.col("p_type"), "UTF8_LCASE")
+    return (
+        part.groupBy(ci.alias("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.collate(F.col("p_type"), "UTF8_BINARY")).alias(
+                "case_variants"
+            ),
+        )
+        .select(F.lower("__k").alias("type_ci"), "n", "case_variants")
+    )
+
+
+@query(
+    "explode_outer_semantics", extended=True,
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN []
+                    ELSE string_split(o_orderpriority, '-')
+               END AS arr
+        FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT 'inner' AS op, COUNT(*) AS n
+    FROM (SELECT o_orderkey, unnest(arr) FROM src)
+    UNION ALL
+    SELECT 'outer', COUNT(*)
+    FROM (
+        SELECT o_orderkey,
+               CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END AS arr2
+        FROM src
+    ) t, LATERAL (SELECT unnest(arr2)) u
+    UNION ALL
+    SELECT 'pos_max', COALESCE(MAX(p), -1)
+    FROM (
+        SELECT generate_subscripts(arr, 1) - 1 AS p
+        FROM src WHERE len(arr) > 0
+    )
+    """,
+)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-explosion semantics pack: ``explode`` DROPS rows with
+    empty/NULL arrays (an inner lateral — the silent row-loss
+    footgun when flattening optional nested data), ``explode_outer``
+    keeps them with NULL elements, and ``posexplode`` carries the
+    0-based ordinal. Counts + max ordinal, oracle-matched."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.split("o_orderpriority", "-"))
+        .alias("arr"),
+    )
+
+    def cnt(op, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    inner = src.select("o_orderkey", F.explode("arr"))
+    outer = src.select("o_orderkey", F.explode_outer("arr"))
+    pos_max = (
+        src.select(F.posexplode("arr").alias("p", "v"))
+        .agg(F.coalesce(F.max("p"), F.lit(-1)).alias("n"))
+        .select(F.lit("pos_max").alias("op"), F.col("n").cast("long"))
+    )
+    return cnt("inner", inner).unionByName(cnt("outer", outer)).unionByName(
+        pos_max
+    )
