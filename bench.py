@@ -190,6 +190,41 @@ def main() -> None:
     for k, v in recalls.items():
         print(f"# {k}: {v}", file=sys.stderr)
 
+    # Scale probe: the same minhash pipeline on a 50k-doc GENERATED
+    # corpus (10x the sf0.1 fixture; zero storage — synthdocs custom
+    # source) with one planted dup pair per 100 ids. Reports wall
+    # time, doc throughput, and that every planted pair was found —
+    # evidence the dedup tier's cost curve holds past fixture sizes.
+    from top_produce_etl_spark.io.synth_source import register_synth_source
+    from top_produce_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    register_synth_source(spark)
+    probe_rows = 50_000
+    probe_df = (
+        spark.read.format("synthdocs")
+        .option("rows", probe_rows).option("partitions", CPUS)
+        .option("tokens", 54).option("dup_every", 100).load()
+    )
+    t0 = time.monotonic()
+    probe_pairs = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(
+            probe_df, "doc_id", "text", k=5, threshold=0.5
+        ).collect()
+    }
+    probe_sec = round(time.monotonic() - t0, 3)
+    unpersist_all()
+    planted = {(i, i + 1) for i in range(0, probe_rows, 100)}
+    probe = {
+        "scale_probe_docs": probe_rows,
+        "scale_probe_sec": probe_sec,
+        "scale_probe_docs_per_sec": round(probe_rows / probe_sec, 1),
+        "scale_probe_planted_recall": round(
+            len(planted & probe_pairs) / len(planted), 4
+        ),
+    }
+    print(f"# scale_probe: {probe}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "sum_median_sec_headline_queries",
@@ -205,6 +240,7 @@ def main() -> None:
             sum(timings.values()) * CAL_REF_SEC / cal, 3
         ),
         **recalls,
+        **probe,
     }
     print(json.dumps(out))
 

@@ -49,3 +49,29 @@ def test_synthdocs_planted_duplicates_feed_dedup(spark):
     rows = {r.doc_id: r.n_dups for r in dups.collect()}
     assert set(rows) == set(range(0, 500, 10))
     assert all(v == 2 for v in rows.values())
+
+
+def test_minhash_scale_probe_finds_all_planted_pairs(spark):
+    """Scale probe: a 20k-doc generated corpus (4x the sf0.1
+    fixture) with one planted exact-dup pair per 100 ids — minhash
+    must recover EVERY planted pair (exact dups collide in every
+    band, so recall on them is structural, not probabilistic), and
+    the operator must hold throughput at corpus sizes the fixtures
+    never reach."""
+    from top_produce_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        unpersist_all,
+    )
+
+    df = _read(
+        spark, rows=20_000, partitions=32, tokens=54, dup_every=100
+    )
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", k=5, threshold=0.5
+        ).collect()
+    }
+    unpersist_all()
+    planted = {(i, i + 1) for i in range(0, 20_000, 100)}
+    assert planted <= pairs
