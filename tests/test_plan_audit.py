@@ -77,6 +77,12 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         assert not audit["python_row_udf"], f"{name} uses a row Python UDF"
         if name not in allowed_udtf:
             assert not audit["python_udtf"], f"{name} plans a Python UDTF"
+        # no query may move data-sized input to a single task via an
+        # unpartitioned window (registry is exemption-free: tiny-frame
+        # totals use the 1-row broadcast pattern instead)
+        assert not audit["global_window"], (
+            f"{name} plans an unpartitioned (global) window"
+        )
 
 
 def test_headline_exchange_budgets(spark, sf_dir):

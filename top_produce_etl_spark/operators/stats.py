@@ -148,14 +148,24 @@ def chi_squared(
     counts = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
     wa = Window.partitionBy(col_a)
     wb = Window.partitionBy(col_b)
-    wall = Window.partitionBy()
-    cells = counts.select(
-        col_a,
-        col_b,
-        "o",
-        F.sum("o").over(wa).alias("ra"),
-        F.sum("o").over(wb).alias("cb"),
-        F.sum("o").over(wall).alias("n"),
+    # grand total via the 1-row broadcast pattern, NOT an
+    # unpartitioned window — plans/audit.py's global_window rule
+    # flags empty-partition windows as the all-to-one-task scale
+    # killer, and this operator keeps the registry exemption-free
+    total = counts.agg(F.sum("o").alias("n")).withColumn(
+        "__k", F.pmod(F.col("n"), F.lit(1)).cast("int")
+    )
+    cells = (
+        counts.select(
+            col_a,
+            col_b,
+            "o",
+            F.sum("o").over(wa).alias("ra"),
+            F.sum("o").over(wb).alias("cb"),
+        )
+        .withColumn("__k", F.pmod(F.col("o"), F.lit(1)).cast("int"))
+        .join(F.broadcast(total), "__k")
+        .drop("__k")
     )
     e = (
         F.col("ra").cast("double")

@@ -81,6 +81,18 @@ def plan_audit(df: DataFrame) -> dict[str, Any]:
         "shuffled_hash_joins": p.count("ShuffledHashJoin"),
         "cartesian": "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p,
         "window_nodes": len(re.findall(r"\(\d+\) (?:Running)?Window", p)),
+        # windowspecdefinition whose FIRST argument is already the
+        # ordering (col ASC/DESC) or the frame itself = no PARTITION
+        # BY: the whole input moves to ONE task — fine over a
+        # cell/aggregate-sized frame, a scale-killer over data-sized
+        # input (WindowExec "No Partition Defined" warning)
+        "global_window": bool(
+            re.search(
+                r"windowspecdefinition\((?:[^,()\s]+ (?:ASC|DESC)"
+                r"|specifiedwindowframe)",
+                p,
+            )
+        ),
         "python_row_udf": bool(
             re.search(r"BatchEvalPython(?!UDTF)", p)
         ),
