@@ -217,3 +217,49 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(maybe_broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+INCREMENTAL_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+    FROM toks, unnest(range(1, len(t) - 3)) r(i)
+    WHERE len(t) >= 5
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    GROUP BY 1, 2
+)
+SELECT new_id, dup_of,
+       c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON common.new_id = sa.doc_id
+JOIN sizes sb ON common.dup_of = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+@query(
+    "incremental_neardup_gate", extended=True,
+    oracle=INCREMENTAL_JACCARD_SQL,
+)
+def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate near-dup: the doc_id%10==0 slice plays the new
+    batch, the rest the indexed corpus
+    (operators/dedup.py::incremental_neardup over
+    minhash_signature_index). Matches the exact cross-set Jaccard
+    oracle up to LSH recall, like minhash_lsh_pairs."""
+    from top_produce_etl_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_signature_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    index = minhash_signature_index(corpus, "doc_id", "text")
+    return incremental_neardup(batch, index, "doc_id", "text", threshold=0.5)
