@@ -149,3 +149,23 @@ def test_pit_lookup_boundaries(spark):
         for r in pit_lookup(facts, hist, "user_id", "ts").collect()
     }
     assert got == {10: None, 11: "bronze", 12: "silver", 13: "gold"}
+
+
+def test_pit_lookup_rejects_ambiguous_attrs(spark):
+    import datetime as dt
+
+    import pytest
+
+    from top_produce_etl_spark.operators.scd import pit_lookup
+
+    t = dt.datetime(2025, 1, 1)
+    hist = spark.createDataFrame(
+        [(1, "a", t, None)],
+        "user_id long, status string, effective_from timestamp, "
+        "effective_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(1, t, "x")], "user_id long, ts timestamp, status string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        pit_lookup(facts, hist, "user_id", "ts")

@@ -154,8 +154,13 @@ def compact_table(
     hp = jvm.org.apache.hadoop.fs.Path(path)
     fs = hp.getFileSystem(conf)
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
-    fs.rename(hp, old)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hp)
+    # Hadoop rename() reports failure by RETURN VALUE, not exception
+    # — an unchecked swap could silently leave the table missing
+    if not fs.rename(hp, old):
+        raise IOError(f"compact_table: could not move {path} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hp):
+        fs.rename(old, hp)  # roll back
+        raise IOError(f"compact_table: could not install {tmp} at {path}")
     fs.delete(old, True)
     after = len(spark.read.format(fmt).load(path).inputFiles())
     return {"files_before": before, "files_after": after, "bytes": total}

@@ -104,6 +104,12 @@ def pit_lookup(
             for c in history.columns
             if c not in keys and c not in (from_col, to_col, "is_current")
         ]
+    clash = set(attrs) & set(facts.columns)
+    if clash:
+        raise ValueError(
+            f"history attribute(s) {sorted(clash)} collide with fact "
+            "columns — rename on one side (the output would be ambiguous)"
+        )
     hist = history.select(
         *[F.col(k).alias(f"__h_{k}") for k in keys],
         *attrs,
