@@ -48,3 +48,39 @@ def test_sketch_estimate_within_error_bound(spark, sf_dir):
     assert len(out) > 0
     for r in out:
         assert r["rel_err"] < 0.05, (r["month_start"], r["rel_err"])
+
+
+def test_rolling_hll_matches_exact_in_sparse_regime(spark, sf_dir):
+    """Trailing-7-day sketch union == exact trailing distinct at
+    fixture cardinalities (sparse/exact HLL regime) — and monotone
+    vs the 1-day estimate."""
+    import pyspark.sql.functions as F
+
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rolling_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    daily = hll_daily_sketches(events, "ts", "user_id")
+    r7 = {
+        r.day: r.est_distinct_7d
+        for r in hll_rolling_estimate(daily, 7).collect()
+    }
+    r1 = {
+        r.day: r.est_distinct_1d
+        for r in hll_rolling_estimate(daily, 1).collect()
+    }
+    exact = {
+        r.day: r.n
+        for r in events.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert r1 == exact  # 1-day window: sketch est == exact distinct
+    assert all(r7[d] >= r1[d] for d in r7)  # union only grows

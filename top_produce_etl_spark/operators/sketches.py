@@ -139,3 +139,33 @@ def histogram_quantiles(
         )
         out = out.join(hit, "grain")
     return out
+
+
+def hll_rolling_estimate(
+    daily: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Rolling distinct-count estimates from STORED daily sketches:
+    ``hll_union_agg`` over a ROWS window frame unions each day's
+    trailing ``window_days`` sketches, then estimates — the
+    "7-day active users" metric computed from |days| sketch rows
+    instead of re-scanning the raw stream per day (at 100 TB the
+    naive version re-reads a week of events for every day of
+    output; this reads 2^lgk bytes × window per day).
+
+    Single-series window (ordered by day): the input is the DAILY
+    ROLLUP — bounded at |days| rows — so it rides one tiny exchange,
+    keyed here by a constant-free sort; callers with per-tenant
+    rollups should partition the window by tenant.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias(
+            f"est_distinct_{window_days}d"
+        ),
+    )

@@ -463,3 +463,37 @@ def multi_touch_attribution_position(
         value_col="value", touch_id="click_id", touch_ts="ts",
         lookback="7 days", model="position",
     )
+
+
+@query(
+    "rolling_active_users_7d", extended=True,
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               user_id
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM b)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS est_distinct_7d
+    FROM days d
+    JOIN b ON b.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users from STORED daily HLL sketches
+    (operators/sketches.py::hll_rolling_estimate): union over a
+    ROWS frame instead of re-scanning a week of raw events per
+    output day. Oracle is the exact trailing distinct — equal here
+    because the per-window cardinality sits in the sketch's exact
+    (sparse) regime, the same est==direct contract
+    sketch_distinct_rollup pins."""
+    from top_produce_etl_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rolling_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_rolling_estimate(
+        hll_daily_sketches(events, "ts", "user_id"), 7
+    )
