@@ -581,3 +581,35 @@ def test_chi_squared_known_value(spark):
     r = chi_squared(df, "g", "h").first()
     assert r.n == 60 and r.dof == 1
     assert abs(r.chi2_micro - 6_666_667) <= 2  # 20/3 ≈ 6.666667
+
+
+def test_seasonal_zscores_detects_planted_spike(spark):
+    """Synthetic 6 weeks of flat weekday counts with one spiked
+    Tuesday: that day gets the max z; same-weekday flat days stay
+    near zero; zero-variance seasons yield NULL."""
+    import datetime as dt
+
+    from top_produce_etl_spark.operators.anomaly import seasonal_zscores
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2025, 1, 6)  # a Monday
+    for week in range(6):
+        for dow in range(7):
+            day = base + dt.timedelta(days=week * 7 + dow)
+            n = 10
+            if dow == 1 and week == 3:  # spiked Tuesday
+                n = 50
+            if dow == 5:
+                n = 7  # Saturdays flat at a different level (var 0)
+            for _ in range(n):
+                rows.append((eid, day))
+                eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r.day.date(): (r.z_micro, r.n) for r in
+           seasonal_zscores(df, "ts").collect()}
+    spike_day = (base + dt.timedelta(days=3 * 7 + 1)).date()
+    zs = {d: z for d, (z, _) in out.items() if z is not None}
+    assert max(zs, key=zs.get) == spike_day
+    sat = (base + dt.timedelta(days=5)).date()
+    assert out[sat][0] is None  # zero-variance season

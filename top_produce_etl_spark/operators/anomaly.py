@@ -89,3 +89,54 @@ def iqr_outlier_rows(
             F.round(F.col("fence_hi"), 6).alias("fence_hi6"),
         )
     )
+
+
+def seasonal_zscores(
+    df: DataFrame,
+    ts_col: str,
+    season_expr: str = "dayofweek",
+) -> DataFrame:
+    """Season-aware volume anomaly scores: each day's event count
+    z-scored against ITS OWN season's baseline (same day-of-week by
+    default) — the metric that catches "this Tuesday is unlike other
+    Tuesdays" where a flat baseline hides the weekly cycle.
+
+    Determinism: per-day counts are integers, per-season moments are
+    integer sums, and the z-score evaluates in a fixed IEEE double
+    tree from those integers → 1e6 fixed point, DuckDB-oracle-exact.
+    Seasons with zero variance yield NULL z.
+
+    Scale: one day-grain aggregate over the stream (map-side
+    partial), then |seasons|-row stats joined back via broadcast —
+    the fact-side day table never re-shuffles.
+    """
+    if season_expr not in ("dayofweek", "month"):
+        raise ValueError(f"unsupported season_expr: {season_expr}")
+    season = (
+        F.dayofweek(F.col("day"))
+        if season_expr == "dayofweek"
+        else F.month(F.col("day"))
+    )
+    daily = (
+        df.groupBy(F.date_trunc("day", ts_col).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("season", season.cast("int"))
+    )
+    stats = daily.groupBy("season").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    joined = daily.join(F.broadcast(stats), "season")
+    cnt = F.col("cnt").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / cnt
+    var = (cnt * s2 - s1 * s1) / (cnt * cnt)
+    z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var))
+    return joined.select(
+        "day",
+        "season",
+        "n",
+        F.round(z * F.lit(1_000_000)).cast("bigint").alias("z_micro"),
+    )

@@ -566,3 +566,43 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chi_squared(docs, "lang", "source")
+
+
+@query(
+    "seasonal_volume_zscores", extended=True,
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ), seasoned AS (
+        SELECT day, n, CAST(dayofweek(day) + 1 AS INT) AS season
+        FROM daily
+    ), stats AS (
+        SELECT season, COUNT(*) AS cnt, SUM(n) AS s1, SUM(n * n) AS s2
+        FROM seasoned GROUP BY 1
+    )
+    SELECT day, season, n,
+           CAST(round(
+               CASE WHEN ((CAST(cnt AS DOUBLE) * CAST(s2 AS DOUBLE))
+                          - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                        / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) > 0
+               THEN (CAST(n AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+                    / sqrt(((CAST(cnt AS DOUBLE) * CAST(s2 AS DOUBLE))
+                            - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)))
+                           / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)))
+               END * 1000000) AS BIGINT) AS z_micro
+    FROM seasoned JOIN stats USING (season)
+    """,
+)
+def seasonal_volume_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-aware volume anomalies
+    (operators/anomaly.py::seasonal_zscores): each day z-scored
+    against its own weekday's baseline, integer moments → fixed
+    double tree → 1e6 fixed point. DuckDB dayofweek is 0-based
+    Sunday; Spark is 1-based — the oracle shifts by one."""
+    from top_produce_etl_spark.operators.anomaly import seasonal_zscores
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_zscores(events, "ts")
