@@ -77,3 +77,51 @@ def test_salt_is_deterministic(spark):
     a = sorted(map(tuple, salted_agg(df, "k", {"s": ("sum", "v")}).collect()))
     b = sorted(map(tuple, salted_agg(df, "k", {"s": ("sum", "v")}).collect()))
     assert a == b
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling (the runtime safety net beside explicit
+    salting): with thresholds scaled to test size, a join whose one
+    key carries 100x the others must show SortMergeJoin(skew=true)
+    + AQEShuffleRead skewed in the FINAL adaptive plan — and the
+    result must equal the unsplit join exactly."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.skew import aqe_skew_tuning
+
+    left = (
+        spark.range(0, 500_000)
+        .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        .union(
+            spark.range(0, 5_000).select(
+                (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+    )
+    right = spark.range(0, 51).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    with aqe_skew_tuning(spark):
+        j = left.join(right, "k")
+        agg = {
+            (r.k, r.n, r.sv)
+            for r in j.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        }
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    # plan inspection needs the join's own executed QE → collect it
+    with aqe_skew_tuning(spark):
+        j2 = left.join(right, "k")
+        j2.collect()
+        plan = j2._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
+    want = {
+        (r.k, r.n, r.sv)
+        for r in left.join(F.broadcast(right), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert agg == want

@@ -27,6 +27,8 @@ produce duplicate/lost rows.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,3 +102,66 @@ def salted_join(
     )
     out = l_salted.join(r_replicated, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+_AQE_SKEW_CONFS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+)
+
+
+@contextmanager
+def aqe_skew_tuning(
+    spark,
+    factor: str = "1",
+    threshold: str = "16KB",
+    advisory: str = "16KB",
+):
+    """Temporarily tune AQE's skew-join thresholds down to
+    cluster-proportional values so the OptimizeSkewedJoin rewrite is
+    observable at TEST data sizes, restoring confs on exit.
+
+    This is the runtime HALF of the skew story: :func:`salted_agg` /
+    :func:`salted_join` are the author-side rewrite for KNOWN-skewed
+    keys (they change the plan unconditionally); AQE skew handling
+    is the safety net for skew you didn't predict — it measures the
+    actual map-output sizes at the shuffle boundary and splits
+    oversized partitions into parallel sub-joins, replicating the
+    matching build-side rows. At 100 TB the DEFAULTS (factor 5,
+    256 MB) are right; this helper only scales the thresholds to the
+    test corpus, it never disables the mechanism.
+
+    Broadcast is also turned off inside the context — a skewed probe
+    side that broadcast-joins never shuffles, so there is nothing
+    for the skew optimizer to split (and at real scale the build
+    side wouldn't fit anyway, which is exactly the regime this
+    rehearses).
+    """
+    old = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", factor
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            threshold,
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
