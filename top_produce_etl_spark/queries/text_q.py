@@ -476,3 +476,110 @@ query(
     "mixture_rebalance_exact", extended=True,
     oracle=mixture_oracle_sql(MIX_WEIGHTS, "lang", "doc_id", strategy="exact"),
 )(_mix_query("exact"))
+
+
+def _curation_oracle() -> str:
+    from top_produce_etl_spark.operators.retrieval import (
+        surprisal_oracle_sql,
+    )
+
+    quality = """
+        least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4
+        + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' '))) * 0.4
+        + greatest(0.0, 1.0
+            - (CAST({stop} AS DOUBLE)
+               / len(string_split(text, ' '))) * 2.0) * 0.2
+    """.format(stop=_marker_sql(LANG_MARKERS["en"]))
+    grams = (
+        "list_transform(range(1, len(string_split(text,' ')) - 1), "
+        "i -> array_to_string(string_split(text,' ')[i:i+2], ' '))"
+    )
+    return f"""
+    WITH sup AS ({surprisal_oracle_sql()}),
+    sig AS (
+        SELECT d.doc_id,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+                    WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+                    WHEN s_de > 0 THEN 'de'
+                    ELSE 'other' END AS plang,
+               ({quality}) AS quality,
+               CASE WHEN len({grams}) > 0
+                    THEN CAST(len({grams})
+                              - len(list_distinct({grams})) AS DOUBLE)
+                         / len({grams})
+                    ELSE 0.0 END AS dupfrac,
+               sup.mean_info_micro AS info
+        FROM (
+            SELECT doc_id, text,
+                   {_marker_sql(LANG_MARKERS["en"])} AS s_en,
+                   {_marker_sql(LANG_MARKERS["es"])} AS s_es,
+                   {_marker_sql(LANG_MARKERS["de"])} AS s_de
+            FROM documents
+        ) d JOIN sup ON d.doc_id = sup.doc_id
+    )
+    SELECT doc_id,
+           (plang = 'en' AND quality >= 0.65 AND dupfrac <= 0.05
+            AND info <= 3450000) AS keep,
+           concat_ws(',',
+               CASE WHEN plang <> 'en' THEN 'lang' END,
+               CASE WHEN quality < 0.65 THEN 'quality' END,
+               CASE WHEN dupfrac > 0.05 THEN 'repetition' END,
+               CASE WHEN info > 3450000 THEN 'entropy' END
+           ) AS fail_reasons
+    FROM sig
+    """
+
+
+@query("curation_funnel", extended=True, oracle=_curation_oracle())
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END in one oracle-checked query:
+    language-ID × quality score × duplicate-3-gram repetition ×
+    unigram surprisal, composed into a keep/drop decision with
+    per-rule failure attribution (the audit trail a data-curation
+    run must emit — 'dropped: quality,entropy' beats a bare boolean).
+
+    Composition is the point: every signal is an already-verified
+    operator (predict_lang, quality_score, repetition_stats'
+    dup-fraction, unigram_surprisal), and the only shuffle is the
+    surprisal (doc, term) aggregate — the narrow signals ride the
+    same scan. Thresholds chosen at the fixture's median so both
+    branches of every rule are exercised."""
+    from top_produce_etl_spark.functions.text import (
+        predict_lang,
+        quality_score,
+    )
+    from top_produce_etl_spark.operators.retrieval import unigram_surprisal
+    from top_produce_etl_spark.operators.textquality import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    sup = unigram_surprisal(docs, "doc_id", "text").select(
+        "doc_id", "mean_info_micro"
+    )
+    rep = repetition_stats(docs, "doc_id", "text", ngram=3).select(
+        "doc_id", F.col("dup_3gram_frac").alias("dupfrac")
+    )
+    sig = (
+        docs.select(
+            "doc_id",
+            predict_lang("text").alias("plang"),
+            quality_score("text").alias("quality"),
+        )
+        .join(rep, "doc_id")
+        .join(sup, "doc_id")
+    )
+    r_lang = F.col("plang") != "en"
+    r_quality = F.col("quality") < 0.65
+    r_rep = F.col("dupfrac") > 0.05
+    r_info = F.col("mean_info_micro") > 3_450_000
+    return sig.select(
+        "doc_id",
+        (~r_lang & ~r_quality & ~r_rep & ~r_info).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(r_lang, "lang"),
+            F.when(r_quality, "quality"),
+            F.when(r_rep, "repetition"),
+            F.when(r_info, "entropy"),
+        ).alias("fail_reasons"),
+    )
