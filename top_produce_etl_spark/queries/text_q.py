@@ -583,3 +583,50 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(r_info, "entropy"),
         ).alias("fail_reasons"),
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang", extended=True,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS n_tokens,
+           CAST(round(
+               CAST(SUM(length(text)) AS DOUBLE)
+               / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+               * 1000000) AS BIGINT) AS chars_per_token_micro,
+           CAST(round(
+               CAST(SUM(octet_length(CAST(text AS BLOB))) AS DOUBLE)
+               / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+               * 1000000) AS BIGINT) AS bytes_per_token_micro
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — chars/token and
+    bytes/token, THE capacity-planning ratio for token budgets
+    (bytes-per-token varies 2-4x across languages for BPE
+    vocabularies; here whitespace tokens over the synthetic corpus
+    demonstrate the measurement). Integer sums → fixed double tree →
+    1e6 fixed point; one hash-agg shuffle on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("n_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("__chars"),
+        F.sum(F.octet_length("text").cast("bigint")).alias("__bytes"),
+    )
+    def ratio(num):
+        return (
+            F.round(
+                F.col(num).cast("double")
+                / F.col("n_tokens").cast("double")
+                * 1_000_000
+            ).cast("bigint")
+        )
+    return agg.select(
+        "lang", "n_docs", "n_tokens",
+        ratio("__chars").alias("chars_per_token_micro"),
+        ratio("__bytes").alias("bytes_per_token_micro"),
+    )
