@@ -613,3 +613,26 @@ def test_seasonal_zscores_detects_planted_spike(spark):
     assert max(zs, key=zs.get) == spike_day
     sat = (base + dt.timedelta(days=5)).date()
     assert out[sat][0] is None  # zero-variance season
+
+
+def test_interval_guard_rejects_injection(spark):
+    import datetime as dt
+
+    import pytest
+
+    from top_produce_etl_spark.operators.eventtime import (
+        check_interval,
+        gapfill,
+    )
+
+    assert check_interval("1 day") == "1 day"
+    assert check_interval("30 MINUTES") == "30 MINUTES"
+    for bad in ("1 day'--", "day", "1; DROP", "1 fortnight"):
+        with pytest.raises(ValueError):
+            check_interval(bad)
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2025, 1, 1), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError):
+        gapfill(df, "k", "ts", "v", step="1 day) --", fill="zero")

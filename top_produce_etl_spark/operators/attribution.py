@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from top_produce_etl_spark.operators.eventtime import check_interval
+
 WEIGHT_SCALE = 1_000_000
 
 
@@ -62,7 +64,7 @@ def multi_touch_attribution(
     joined = c.join(
         t,
         (c[user_col] == t["__t_user"])
-        & (t["__t_ts"] >= c[conv_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (t["__t_ts"] >= c[conv_ts] - F.expr(f"INTERVAL {check_interval(lookback, 'lookback')}"))
         & (t["__t_ts"] < c[conv_ts]),
     )
     w = Window.partitionBy(conv_id).orderBy(

@@ -533,6 +533,16 @@ def incremental_neardup(
     (run :func:`minhash_lsh_pairs` on the batch for that); after the
     gate, append the batch's signatures to the index.
     """
+    missing = [
+        c for c in [f"h{i}" for i in range(num_perm)] + ["sset", id_col]
+        if c not in index.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"index lacks column(s) {missing[:3]}… — it must come from "
+            f"minhash_signature_index with num_perm={num_perm} and the "
+            "same id column (mismatched k/num_perm silently zeroes recall)"
+        )
     new_sig = _persist(
         minhash_signature_index(new_docs, id_col, text_col, k, num_perm)
     )

@@ -23,6 +23,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_SAFE_INTERVAL = __import__("re").compile(
+    r"(?i)\d+\s+(?:second|minute|hour|day|week|month|year)s?"
+)
+
+
+def check_interval(s: str, what: str = "interval") -> str:
+    """Validate a user-supplied duration before interpolating it into
+    an ``INTERVAL`` SQL fragment (same hygiene as operators/splits.py
+    salts): restrict to ``<n> <unit>`` so a stray quote or expression
+    can't produce a broken or injected parse."""
+    if not _SAFE_INTERVAL.fullmatch(s.strip()):
+        raise ValueError(
+            f"{what} must look like '<n> <unit>' (e.g. '1 day'), got {s!r}"
+        )
+    return s.strip()
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,
@@ -193,7 +210,7 @@ def ordered_funnel(
         .agg(F.min(ts_col).alias("t1"))
     )
     deadline = (
-        (F.col("t1") + F.expr(f"INTERVAL {within}"))
+        (F.col("t1") + F.expr(f"INTERVAL {check_interval(within, 'within')}"))
         if within
         else F.lit(None)
     )
@@ -306,7 +323,7 @@ def gapfill(
         .select(
             key_col,
             F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+                F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {check_interval(step, 'step')}"))
             ).alias(ts_col),
         )
     )

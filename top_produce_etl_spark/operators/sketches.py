@@ -159,6 +159,8 @@ def hll_rolling_estimate(
     """
     from pyspark.sql import Window
 
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
     w = (
         Window.orderBy("day")
         .rowsBetween(-(window_days - 1), Window.currentRow)
