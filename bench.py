@@ -78,6 +78,7 @@ EXTENSION = [
     "mixture_rebalance_hash",    # mixture rebalance, hash strategy
     "gapfill_daily_counts_zero",  # time-series grid densification
     "pairwise_corr_lineitem",    # exact-co-moment correlation
+    "curation_funnel",           # 4-signal keep/drop composition
 ]
 
 RECALL_K = 3
