@@ -263,3 +263,102 @@ def incremental_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     index = minhash_signature_index(corpus, "doc_id", "text")
     return incremental_neardup(batch, index, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "shingle_novelty_scores", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, unnest(range(1, len(t) - 3)) r(i)
+        WHERE len(t) >= 5
+    ), df AS (
+        SELECT shingle, COUNT(*) AS d FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS novel,
+           CAST(round(
+               CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) * 1000000) AS BIGINT) AS novelty_micro
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative novelty: the fraction of a document's 5-gram
+    shingles appearing NOWHERE else — the inverse signal of the
+    near-dup tier (novelty ≈ 0 marks boilerplate/templates even when
+    no single pair crosses the dup threshold; curation keeps the
+    high-novelty tail). Plan: the shared shingle explode, one
+    shingle-keyed document-frequency aggregate, the vocab broadcast
+    back (TF-IDF shape), per-doc re-aggregate. Integer counts →
+    fixed double → 1e6 fixed point."""
+    from top_produce_etl_spark.operators.dedup import shingle_table
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    sh = shingle_table(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    novel = F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+    return (
+        sh.join(maybe_broadcast(dfreq), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("novel"),
+        )
+        .withColumn(
+            "novelty_micro",
+            F.round(
+                F.col("novel").cast("double")
+                / F.col("n_shingles").cast("double")
+                * 1_000_000
+            ).cast("bigint"),
+        )
+    )
+
+
+@query(
+    "duplication_by_source", extended=True,
+    oracle="""
+    WITH groups AS (
+        SELECT source, text, COUNT(*) AS n
+        FROM documents GROUP BY source, text
+    )
+    SELECT source,
+           SUM(n) AS n_docs,
+           COUNT(*) AS n_distinct_texts,
+           SUM(n) - COUNT(*) AS n_duplicates,
+           CAST(round(CAST(SUM(n) - COUNT(*) AS DOUBLE)
+                      / SUM(n) * 1000000) AS BIGINT) AS dup_rate_micro
+    FROM groups GROUP BY source
+    """,
+)
+def duplication_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication report — the provenance-level
+    view curation teams triage by (one crawler misbehaving shows up
+    as ITS source's dup_rate spiking). One (source, text) hash
+    aggregate — text hashes in the shuffle key exactly like
+    exact_dedup — then a |sources|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy("source", "text").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        groups.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            (F.sum("n") - F.count(F.lit(1))).alias("n_duplicates"),
+        )
+        .withColumn(
+            "dup_rate_micro",
+            F.round(
+                F.col("n_duplicates").cast("double")
+                / F.col("n_docs").cast("double")
+                * 1_000_000
+            ).cast("bigint"),
+        )
+    )
