@@ -46,7 +46,23 @@ def main(argv: list[str] | None = None) -> int:
         f"top-produce-{cfg.env}", master=args.master
     )
     try:
-        out = run_topn_job(spark, cfg)
+        try:
+            out = run_topn_job(spark, cfg)
+        except Exception as e:  # clean message for the common misstep
+            if "PATH_NOT_FOUND" in str(e):
+                log.error(
+                    "input path %s does not exist — point config_%s at "
+                    "real data, or seed a demo input first, e.g.:\n"
+                    "  python -c \"import duckdb; duckdb.sql(\\\"COPY "
+                    "(SELECT r_name AS region, CAST(p_partkey AS VARCHAR)"
+                    " AS product, p_retailprice AS sales FROM "
+                    "'/root/testdata/sf0.01/part.parquet' p, "
+                    "'/root/testdata/sf0.01/region.parquet' r"
+                    ") TO '%s' (FORMAT PARQUET)\\\")\"",
+                    cfg.input.path, cfg.env, cfg.input.path,
+                )
+                return 2
+            raise
         n = out.count()
         log.info(
             "job done: %d rows%s", n,
