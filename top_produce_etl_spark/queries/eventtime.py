@@ -497,3 +497,55 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rolling_estimate(
         hll_daily_sketches(events, "ts", "user_id"), 7
     )
+
+
+@query(
+    "conversion_lag_histogram", extended=True,
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), prior AS (
+        SELECT p.event_id, p.ts AS pts, MAX(v.ts) AS vts
+        FROM p LEFT JOIN v
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+        GROUP BY p.event_id, p.ts
+    )
+    SELECT CASE WHEN vts IS NULL THEN NULL
+                ELSE date_diff('second', vts, pts) // 3600
+           END AS lag_hours,
+           COUNT(*) AS n
+    FROM prior GROUP BY 1
+    """,
+)
+def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each purchase matched to the
+    LATEST prior view via the as-of join (operators/joins.py —
+    second consumer, union+window single-shuffle formulation), lag
+    bucketed to whole hours, exact counts (mergeable histogram, the
+    repo's quantile convention). Purchases with no prior view land
+    in the NULL bucket — the funnel's never-viewed cohort."""
+    from top_produce_etl_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    matched = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=[],
+    )
+    lag_sec = (
+        F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")
+    ).cast("bigint")
+    return (
+        matched.select(lag_sec.alias("__lag"))  # NULL when no prior view
+        .select(F.expr("__lag DIV 3600").alias("lag_hours"))
+        .groupBy("lag_hours")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
