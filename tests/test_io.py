@@ -334,6 +334,38 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
 
 
+def test_compact_table_recovers_crash_leftovers(spark, tmp_path):
+    """Entry recovery for the non-transactional swap (round-4
+    advice): (a) table moved aside but tmp never installed → restore
+    from __compact_old; (b) stale __compact_old/__compact_tmp beside
+    an intact table → cleared, not merged into the next run."""
+    import shutil
+
+    from top_produce_etl_spark.io.sinks import compact_table
+
+    out = str(tmp_path / "crashy")
+    spark.range(0, 1000).withColumnRenamed("id", "k").repartition(
+        8
+    ).write.parquet(out)
+
+    # (a) crash between the two renames: data lives at __compact_old,
+    # nothing at path (plus a half-written tmp)
+    shutil.move(out, out + "__compact_old")
+    (tmp_path / "crashy__compact_tmp").mkdir()
+    stats = compact_table(spark, out, target_file_bytes=1 << 30)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000 and stats["files_before"] == 8
+    assert not (tmp_path / "crashy__compact_old").exists()
+    assert len(got.inputFiles()) == 1
+
+    # (b) crash after install, before cleanup: stale old dir beside
+    # the live table must be deleted, not restored over it
+    shutil.copytree(out, out + "__compact_old")
+    compact_table(spark, out, target_file_bytes=1 << 30)
+    assert not (tmp_path / "crashy__compact_old").exists()
+    assert spark.read.parquet(out).count() == 1000
+
+
 def test_compact_table_sorted_layout(spark, tmp_path):
     """sort_by re-clusters while compacting: files cover disjoint
     key ranges (footer min/max verified via per-file aggregation)."""

@@ -151,6 +151,31 @@ def test_pit_lookup_boundaries(spark):
     assert got == {10: None, 11: "bronze", 12: "silver", 13: "gold"}
 
 
+def test_pit_lookup_preserves_fact_range_named_columns(spark):
+    """A facts column named like the history's from/to columns must
+    survive — the history's range columns ride reserved aliases, so
+    the post-join drop cannot eat the facts copy (round-4 advice)."""
+    import datetime as dt
+
+    from top_produce_etl_spark.operators.scd import pit_lookup
+
+    t = lambda d: dt.datetime(2025, 1, d)  # noqa: E731
+    hist = spark.createDataFrame(
+        [(1, "bronze", t(1), None)],
+        "user_id long, status string, effective_from timestamp, "
+        "effective_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, t(3), t(2))],
+        "fact_id long, user_id long, ts timestamp, effective_from timestamp",
+    )
+    out = pit_lookup(facts, hist, "user_id", "ts")
+    assert out.columns.count("effective_from") == 1
+    row = out.collect()[0]
+    assert row["effective_from"] == t(2)  # the FACTS copy, untouched
+    assert row["status"] == "bronze"
+
+
 def test_pit_lookup_rejects_ambiguous_attrs(spark):
     import datetime as dt
 

@@ -72,6 +72,21 @@ def test_hash_strategy_close_to_targets(spark, sf_dir):
         assert abs(got.get(c, 0) - k) <= 4 * sigma, (c, got.get(c), k)
 
 
+def test_absent_weighted_category_yields_empty(spark, sf_dir):
+    # a weights key with zero matching rows caps S at 0: the only
+    # corpus matching the recipe is empty (round-4 advice — was a
+    # silent drop of the key, i.e. wrong proportions)
+    docs = load_table(spark, sf_dir, "documents")
+    w = dict(WEIGHTS, nosuchlang=10)
+    for strategy in ("hash", "exact"):
+        assert (
+            rebalance_mixture(
+                docs, "lang", "doc_id", w, strategy=strategy
+            ).count()
+            == 0
+        ), strategy
+
+
 def test_validation_rejects_bad_inputs(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError):

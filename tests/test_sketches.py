@@ -84,3 +84,32 @@ def test_rolling_hll_matches_exact_in_sparse_regime(spark, sf_dir):
     }
     assert r1 == exact  # 1-day window: sketch est == exact distinct
     assert all(r7[d] >= r1[d] for d in r7)  # union only grows
+
+
+def test_rolling_hll_calendar_range_on_sparse_days(spark):
+    """A gap in the daily rollup must NARROW the trailing window, not
+    pull older days into it (RANGE-over-epoch-day frame; round-4
+    advice: the ROWS formulation spanned >window_days calendar days
+    on sparse inputs)."""
+    from top_produce_etl_spark.operators.sketches import (
+        hll_daily_sketches,
+        hll_rolling_estimate,
+    )
+
+    # users 1,2 on Jan 1; user 3 on Jan 2; user 4 on Jan 10 — the
+    # trailing-7d window at Jan 10 covers Jan 4-10 → only user 4
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 08:00:00", 1),
+            ("2024-01-01 09:00:00", 2),
+            ("2024-01-02 08:00:00", 3),
+            ("2024-01-10 08:00:00", 4),
+        ],
+        "ts_s string, user_id int",
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id")
+    daily = hll_daily_sketches(events, "ts", "user_id")
+    got = {
+        str(r.day)[:10]: r.est_distinct_7d
+        for r in hll_rolling_estimate(daily, 7).collect()
+    }
+    assert got == {"2024-01-01": 2, "2024-01-02": 3, "2024-01-10": 1}

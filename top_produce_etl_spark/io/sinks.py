@@ -136,8 +136,36 @@ def compact_table(
       stats while compacting, see ``write_table``);
     - the swap is two renames, not transactional — production tables
       with concurrent readers want a table format (Delta/Iceberg
-      OPTIMIZE) on top; this is the engine-level primitive.
+      OPTIMIZE) on top; this is the engine-level primitive. The
+      crash window between the two renames leaves the data under
+      ``<path>__compact_old`` with nothing at ``path``; entry
+      recovery below detects that state and rolls the rename back
+      (and clears a stale ``__compact_tmp`` / a ``__compact_old``
+      whose swap completed), so a re-run after any crash point
+      converges instead of compounding the mess (round-4 advice).
     """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(conf)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    tmp_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    if fs.exists(old):
+        if not fs.exists(hp):
+            # crashed between "move aside" and "install tmp":
+            # the original table IS the __compact_old dir — restore it
+            if not fs.rename(old, hp):
+                raise IOError(
+                    f"compact_table: found crash leftover {old} with no "
+                    f"table at {path} but could not restore it"
+                )
+        else:
+            # crashed after install, before cleanup: old is garbage
+            fs.delete(old, True)
+    if fs.exists(tmp_p):
+        # stale partial write from an aborted run
+        fs.delete(tmp_p, True)
+
     df = spark.read.format(fmt).load(path)
     total, before = _dir_bytes(df)
     n_out = max(1, -(-total // max(1, target_file_bytes)))
@@ -149,16 +177,11 @@ def compact_table(
         compacted = df.repartition(n_out)
     tmp = path.rstrip("/") + "__compact_tmp"
     compacted.write.mode("overwrite").format(fmt).save(tmp)
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hp = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hp.getFileSystem(conf)
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
     # Hadoop rename() reports failure by RETURN VALUE, not exception
     # — an unchecked swap could silently leave the table missing
     if not fs.rename(hp, old):
         raise IOError(f"compact_table: could not move {path} aside")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hp):
+    if not fs.rename(tmp_p, hp):
         fs.rename(old, hp)  # roll back
         raise IOError(f"compact_table: could not install {tmp} at {path}")
     fs.delete(old, True)

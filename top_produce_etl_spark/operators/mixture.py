@@ -15,6 +15,11 @@ agree bit-for-bit:
     S      = min_c cap_c            (achievable total)
     keep_c = w_c · S div W          (≤ n_c by construction)
 
+with n_c taken over EVERY key in ``weights`` (n_c = 0 when the
+category has no matching rows — a typo'd name or a post-filter
+empty). A zero count caps S at 0, so the result is EMPTY rather
+than a corpus at silently-wrong proportions (round-4 advice).
+
 Two selection strategies, both salted + append-stable via the
 portable hash (same contract as operators/splits.py):
 
@@ -66,24 +71,38 @@ def _validate(
     return sum(weights.values())
 
 
-def _weight_case(category_col: str, weights: dict[str, int]):
-    expr = None
-    for cat, w in weights.items():
-        cond = F.col(category_col) == cat
-        expr = F.when(cond, w) if expr is None else expr.when(cond, w)
-    return expr.otherwise(None).cast("bigint")
-
-
 def _keep_counts(
     df: DataFrame, category_col: str, weights: dict[str, int], W: int
 ) -> DataFrame:
     """|categories|-row frame (category, n, keep) via the integer
-    sizing rule; rides broadcast joins thereafter."""
+    sizing rule; rides broadcast joins thereafter.
+
+    Absent-category rule: counting starts from the WEIGHTS relation
+    (left join to the observed counts), so a weighted category with
+    zero matching rows contributes cap = 0, which forces S = 0 and
+    an EMPTY result — the only corpus that matches the recipe when
+    an ingredient is missing. Defined behavior beats the silent
+    alternative (dropping the key and returning a corpus at the
+    WRONG proportions); it stays lazy (no eager validation count)
+    and both engines share it."""
+    cats = df.sparkSession.createDataFrame(
+        [(c, w) for c, w in weights.items()],
+        f"{category_col} string, __w bigint",
+    )
     cnt = (
-        df.filter(F.col(category_col).isin(*weights))
-        .groupBy(category_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__w", _weight_case(category_col, weights))
+        # broadcast the RIGHT (non-preserved) side: the |categories|-
+        # row count aggregate. Hinting the preserved side of an outer
+        # join is unsupported (planner warns and ignores it).
+        cats.join(
+            F.broadcast(
+                df.filter(F.col(category_col).isin(*weights))
+                .groupBy(category_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+            ),
+            category_col,
+            "left",
+        )
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
         .withColumn("__cap", F.expr(f"__n * {W} DIV __w"))
     )
     s = cnt.agg(F.min("__cap").alias("__s")).withColumn(
@@ -143,21 +162,25 @@ def mixture_oracle_sql(
     """DuckDB twin computing the identical kept-row set."""
     W = _validate(weights, salt, category_col, key_col)
     select_cols = select_cols or f"{key_col}, {category_col}"
-    case = " ".join(
-        f"WHEN '{c}' THEN {w}" for c, w in weights.items()
-    )
+    vals = ", ".join(f"('{c}', {w})" for c, w in weights.items())
     in_list = ", ".join(f"'{c}'" for c in weights)
     keyed = f"('{salt}' || CAST({key_col} AS VARCHAR))"
     bucket = f"(({composite_hash_sql(keyed)}) % {BUCKETS})"
+    # counting starts from the weights VALUES relation (left join) so
+    # an absent weighted category yields __n = 0 → S = 0 → empty —
+    # the same defined behavior as _keep_counts on the Spark side
     base = f"""
     base AS (
-        SELECT *, CASE {category_col} {case} END AS __w,
-               {bucket} AS __b
+        SELECT *, {bucket} AS __b
         FROM {table}
         WHERE {category_col} IN ({in_list})
+    ), wts(__wc, __cw) AS (
+        VALUES {vals}
     ), cnt AS (
-        SELECT {category_col} AS __c, COUNT(*) AS __n, MAX(__w) AS __cw
-        FROM base GROUP BY 1
+        SELECT w.__wc AS __c, w.__cw AS __cw,
+               COUNT(b.{category_col}) AS __n
+        FROM wts w LEFT JOIN base b ON b.{category_col} = w.__wc
+        GROUP BY 1, 2
     ), s AS (
         SELECT MIN(__n * {W} // __cw) AS __s FROM cnt
     ), keep AS (

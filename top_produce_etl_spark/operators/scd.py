@@ -110,10 +110,14 @@ def pit_lookup(
             f"history attribute(s) {sorted(clash)} collide with fact "
             "columns — rename on one side (the output would be ambiguous)"
         )
+    # the history's range/key columns enter the join under RESERVED
+    # aliases, so the post-join drop-by-name can never eat a facts
+    # column that happens to share from_col/to_col's name (e.g. facts
+    # carrying their own 'effective_from' — round-4 advice)
     hist = history.select(
         *[F.col(k).alias(f"__h_{k}") for k in keys],
         *attrs,
-        F.col(from_col),
+        F.col(from_col).alias("__eff_lo"),
         F.coalesce(
             F.col(to_col), F.lit("9999-01-01 00:00:00").cast("timestamp")
         ).alias("__eff_hi"),
@@ -123,7 +127,7 @@ def pit_lookup(
         hist,
         equi_on=[(k, f"__h_{k}") for k in keys],
         left_ts=fact_ts,
-        right_lo=from_col,
+        right_lo="__eff_lo",
         right_hi="__eff_hi",
         how="left",
-    ).drop(*[f"__h_{k}" for k in keys], from_col, "__eff_hi")
+    ).drop(*[f"__h_{k}" for k in keys], "__eff_lo", "__eff_hi")

@@ -156,18 +156,30 @@ def hll_rolling_estimate(
     ROLLUP — bounded at |days| rows — so it rides one tiny exchange,
     keyed here by a constant-free sort; callers with per-tenant
     rollups should partition the window by tenant.
+
+    Calendar semantics: the frame is a RANGE over the day's epoch
+    number, so each output day unions exactly the sketches within
+    the trailing ``window_days`` CALENDAR days — a gap in the daily
+    rollup (no events that day) narrows the union instead of
+    silently pulling older days into it, which is what the previous
+    ROWS formulation did on sparse inputs (round-4 advice).
     """
     from pyspark.sql import Window
 
     if window_days < 1:
         raise ValueError(f"window_days must be >= 1, got {window_days}")
     w = (
-        Window.orderBy("day")
-        .rowsBetween(-(window_days - 1), Window.currentRow)
+        Window.orderBy("__day_epoch")
+        .rangeBetween(-(window_days - 1), Window.currentRow)
     )
-    return daily.select(
-        "day",
-        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias(
-            f"est_distinct_{window_days}d"
-        ),
+    return (
+        daily.withColumn(
+            "__day_epoch", F.datediff(F.col("day"), F.lit("1970-01-01"))
+        )
+        .select(
+            "day",
+            F.hll_sketch_estimate(F.hll_union_agg("sketch").over(w)).alias(
+                f"est_distinct_{window_days}d"
+            ),
+        )
     )
