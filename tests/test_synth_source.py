@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from top_produce_etl_spark.io.synth_source import (
+    VOCAB,
     _doc_text,
     register_synth_source,
 )
@@ -49,6 +50,42 @@ def test_synthdocs_planted_duplicates_feed_dedup(spark):
     rows = {r.doc_id: r.n_dups for r in dups.collect()}
     assert set(rows) == set(range(0, 500, 10))
     assert all(v == 2 for v in rows.values())
+
+
+def test_synthdocs_vectorized_matches_scalar_reference(spark):
+    """The numpy-vectorized partition kernel must stay bit-identical
+    to the scalar reference generator, across every option (zipf
+    skew, hot cluster, planted dups)."""
+    rows, tokens = 300, 12
+    df = _read(
+        spark, rows=rows, partitions=5, tokens=tokens, dup_every=10,
+        hot_cluster=40, zipf=1.2, vocab=5000,
+    )
+    got = {r.doc_id: r.text for r in df.collect()}
+    assert len(got) == rows
+    for i in (0, 1, 9, 10, 11, 137, 259, 260, 261, 299):
+        assert got[i] == _doc_text(
+            i, tokens, 10, rows=rows, hot_cluster=40, zipf=1.2, vocab=5000
+        ), i
+
+
+def test_synthdocs_hot_cluster_and_zipf_skew(spark):
+    import collections
+
+    rows = 400
+    df = _read(
+        spark, rows=rows, partitions=4, tokens=30, hot_cluster=50, zipf=1.3
+    )
+    data = {r.doc_id: r.text for r in df.collect()}
+    # the last hot_cluster ids all share ONE text
+    hot_texts = {data[i] for i in range(rows - 50, rows)}
+    assert len(hot_texts) == 1
+    # zipf skew: the most frequent token dominates a uniform draw
+    counts = collections.Counter(
+        t for i, txt in data.items() if i < rows - 50 for t in txt.split()
+    )
+    top = counts.most_common(1)[0][1]
+    assert top > 2.5 * (sum(counts.values()) / len(VOCAB))
 
 
 def test_minhash_scale_probe_finds_all_planted_pairs(spark):

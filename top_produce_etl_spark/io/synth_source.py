@@ -11,9 +11,35 @@ regardless of N.
 
 Determinism contract: doc text is a pure function of doc_id (seeded
 xorshift over a fixed vocabulary), so any two reads — any
-partitioning, any engine — produce identical rows; planted
-duplicates appear every ``dup_every`` ids (text of id is reused at
-id+1), giving the dedup operators known ground truth at any scale.
+partitioning, any engine — produce identical rows. Ground-truth
+plants for the dedup tier:
+
+- ``dup_every``: id k·dup_every+1 reuses k·dup_every's text — one
+  exact-dup pair per ``dup_every`` ids, at any scale.
+- ``hot_cluster``: the LAST ``hot_cluster`` ids all share one text —
+  a pathological hot-key duplicate cluster (every near-dup band
+  bucket for those ids collides), the skew case a 100 TB dedup run
+  must survive. Downstream, connected components must collapse the
+  cluster into ONE group of exactly ``hot_cluster`` members.
+- ``zipf``: token draw skew. 0 (default) = uniform over the vocab
+  (byte-identical to the original generator); s > 0 draws token
+  ranks from a Zipf(s) distribution, concentrating mass on a few
+  hot tokens — and therefore hot SHINGLES, the shuffle-skew stressor
+  for the inverted-index/jaccard paths.
+- ``vocab``: vocabulary size. Defaults to the built-in 30-word list;
+  larger values switch to generated tokens ``t0..t{vocab-1}``.
+  Zipf skew REQUIRES a realistically large vocab: over a 30-word
+  vocab, Zipf concentration makes every pair of documents genuinely
+  similar (the shingle space collapses), so a near-dup join's output
+  is legitimately quadratic — that is corpus degeneracy, not
+  operator stress. Real text is Zipf over 10^4-10^6 types; with
+  ``vocab=10000, zipf=1.1`` individual shingles get hot (the skew
+  stressor) while unrelated docs stay dissimilar.
+
+The generation kernel is numpy-vectorized per partition (the per-row
+Python loop was the probe bottleneck at 500k docs); the scalar
+:func:`_doc_text` remains the reference implementation and the
+vectorized path is pinned bit-identical to it by unit test.
 
 This is also the §2.1 coverage row for the Python DataSource API
 itself: schema declaration, option plumbing, partition planning
@@ -24,6 +50,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 VOCAB = (
@@ -32,18 +60,65 @@ VOCAB = (
     "order customer agg spark"
 ).split()
 
+_M32 = 0xFFFFFFFF
 
-def _doc_text(doc_id: int, n_tokens: int, dup_every: int) -> str:
-    # planted duplicate: id k*dup_every+1 repeats k*dup_every's text
-    base = doc_id - 1 if dup_every and doc_id % dup_every == 1 else doc_id
-    x = (base * 2654435761 + 1) & 0xFFFFFFFF
+
+def _zipf_cdf(s: float, n: int) -> np.ndarray:
+    """CDF over ``n`` vocab ranks with p(r) ∝ 1/r^s (rank = vocab
+    position). Computed in float64 once; BOTH the scalar and
+    vectorized paths draw through this same array, so they agree
+    bitwise."""
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return np.cumsum(w) / np.sum(w)
+
+
+def _vocab_array(n: int) -> np.ndarray:
+    """The token strings for a vocab of size ``n``: the built-in
+    word list when it suffices, generated ``t{i}`` tokens beyond."""
+    if n <= len(VOCAB):
+        return np.array(VOCAB[:n])
+    return np.char.add("t", np.arange(n).astype(str))
+
+
+def _effective_id(
+    doc_id: int, rows: int, dup_every: int, hot_cluster: int
+) -> int:
+    """The id whose seed actually generates doc_id's text (identity
+    for ordinary docs; the shared base id for planted dups and the
+    hot cluster)."""
+    if hot_cluster and doc_id >= rows - hot_cluster:
+        doc_id = rows - hot_cluster
+    if dup_every and doc_id % dup_every == 1:
+        doc_id -= 1
+    return doc_id
+
+
+def _doc_text(
+    doc_id: int,
+    n_tokens: int,
+    dup_every: int,
+    rows: int = 0,
+    hot_cluster: int = 0,
+    zipf: float = 0.0,
+    vocab: int | None = None,
+) -> str:
+    """Scalar reference generator — pure function of doc_id."""
+    base = _effective_id(doc_id, rows, dup_every, hot_cluster)
+    n_vocab = vocab or len(VOCAB)
+    words = _vocab_array(n_vocab)
+    cdf = _zipf_cdf(zipf, n_vocab) if zipf > 0 else None
+    x = (base * 2654435761 + 1) & _M32
     out = []
     for _ in range(n_tokens):
         # xorshift32 — cheap, deterministic, seedable per doc
-        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= (x << 13) & _M32
         x ^= x >> 17
-        x ^= (x << 5) & 0xFFFFFFFF
-        out.append(VOCAB[x % len(VOCAB)])
+        x ^= (x << 5) & _M32
+        if cdf is None:
+            out.append(words[x % n_vocab])
+        else:
+            u = x / 4294967296.0
+            out.append(words[int(np.searchsorted(cdf, u, side="right"))])
     return " ".join(out)
 
 
@@ -58,6 +133,9 @@ class SynthDocsReader(DataSourceReader):
         self.n_parts = max(1, int(options.get("partitions", 8)))
         self.n_tokens = int(options.get("tokens", 50))
         self.dup_every = int(options.get("dup_every", 0))
+        self.hot_cluster = int(options.get("hot_cluster", 0))
+        self.zipf = float(options.get("zipf", 0.0))
+        self.vocab = int(options.get("vocab", len(VOCAB)))
 
     def partitions(self):
         step = -(-self.rows // self.n_parts)
@@ -67,8 +145,36 @@ class SynthDocsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for doc_id in range(partition.start, partition.end):
-            yield doc_id, _doc_text(doc_id, self.n_tokens, self.dup_every)
+        # Vectorized across the partition's docs: the xorshift state
+        # advances once per TOKEN over an (n_docs,) uint32 vector, so
+        # the Python-level loop is n_tokens long, not n_docs*n_tokens.
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        eff = ids.copy()
+        if self.hot_cluster:
+            hot_base = self.rows - self.hot_cluster
+            eff[eff >= hot_base] = hot_base
+        if self.dup_every:
+            eff = eff - (eff % self.dup_every == 1)
+        x = ((eff * 2654435761 + 1) & _M32).astype(np.uint32)
+        cdf = _zipf_cdf(self.zipf, self.vocab) if self.zipf > 0 else None
+        vocab = _vocab_array(self.vocab)
+        cols = []
+        for _ in range(self.n_tokens):
+            x ^= x << np.uint32(13)
+            x ^= x >> np.uint32(17)
+            x ^= x << np.uint32(5)
+            if cdf is None:
+                cols.append(x % np.uint32(self.vocab))
+            else:
+                u = x.astype(np.float64) / 4294967296.0
+                cols.append(
+                    np.searchsorted(cdf, u, side="right").astype(np.uint32)
+                )
+        # (n_docs, n_tokens) token-index matrix -> joined strings
+        idx = np.stack(cols, axis=1)
+        toks = vocab[idx]
+        for doc_id, row in zip(ids.tolist(), toks):
+            yield doc_id, " ".join(row)
 
 
 class SynthDocsDataSource(DataSource):
