@@ -123,18 +123,47 @@ def with_probe_cells(
     cents: list[tuple[int, list[float]]],
     n_probe: int,
     out: str = "cells",
+    margin: float | None = None,
+    max_probe: int | None = None,
 ) -> DataFrame:
-    """Add the ``n_probe`` nearest centroid ids as an array — the
-    IVF probe list (sorted structs sort by distance first)."""
+    """Add the probe list — the centroid ids a query must search —
+    as an array (sorted structs sort by distance first).
+
+    ``margin=None``: the fixed ``n_probe`` nearest cells.
+
+    ``margin=m`` (distance-ordered multiprobe, round-4 verdict #4):
+    the ``n_probe`` nearest PLUS every further cell whose squared
+    distance exceeds the ``n_probe``-th nearest's by at most
+    ``m × (d_{n_probe-1} − d_0)`` — the gap measured RELATIVE to the
+    query's own routing spread, capped at ``max_probe`` (default
+    ``2·n_probe``). Recall misses under fixed probing are boundary
+    queries — the true neighbor's cell ranks just past n_probe,
+    separated by a sliver — and in high dimensions raw distances
+    concentrate (every cell sits within a few % of every other), so
+    an absolute or multiplicative threshold is unselective; the
+    per-query spread normalization is what separates "rank-5 is a
+    coin flip from rank-4" from "rank-5 is genuinely farther".
+    Spending extra probes only where the gap is thin buys the recall
+    tail for a near-zero mean-probe increase (the same reallocation
+    that took LSH 0.8667 → 1.0 at half cost).
+    """
+    ranked = F.array_sort(_dist_structs(vec_col))
+    if margin is None:
+        probes = F.slice(ranked, 1, n_probe)
+    else:
+        # F.get is 0-based and NULL-safe past the end (ANSI mode);
+        # a corpus with <= n_probe cells probes everything
+        d0 = F.get(ranked, 0).getField("d")
+        dn = F.get(ranked, n_probe - 1).getField("d")
+        thr = dn + F.lit(float(margin)) * (dn - d0)
+        probes = F.filter(
+            F.slice(ranked, 1, max_probe or 2 * n_probe),
+            lambda s: s.getField("d")
+            <= F.coalesce(thr, F.lit(float("inf"))),
+        )
     return (
         _attach_cents(df, vec_col, cents)
-        .withColumn(
-            out,
-            F.transform(
-                F.slice(F.array_sort(_dist_structs(vec_col)), 1, n_probe),
-                lambda s: s.getField("cid"),
-            ),
-        )
+        .withColumn(out, F.transform(probes, lambda s: s.getField("cid")))
         .drop("__cent_vecs", "__cent_cids")
     )
 
@@ -224,6 +253,8 @@ def ivf_topk(
     iters: int = 1,
     scoring: str = "decimal",
     fit_sample_mod: int | None = None,
+    probe_margin: float | None = None,
+    max_probe: int | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: learn ``n_cells`` k-means
     cells, assign the corpus once (the inverted file), then score
@@ -278,6 +309,8 @@ def ivf_topk(
             cents,
             n_probe,
             out="__cells",
+            margin=probe_margin,
+            max_probe=max_probe,
         )
         .select(
             "query_id", "__qv", F.explode("__cells").alias("cell")

@@ -241,17 +241,21 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ivf_topk_embeddings", extended=True)  # approximate (cell pruning) → rows-only
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF ANN: top-3 neighbors for query vectors vec_id<10,
-    scoring only the 4 nearest of 16 learned k-means cells per query
-    (~4× pruning here; n_cells scales with corpus so the ratio is
-    the knob). Exact decimal cosine on scored pairs — approximate
-    only in WHICH pairs are scored; recall vs brute force is pinned
-    in tests/test_dedup_similarity.py."""
+    scoring only ~4 of 16 learned k-means cells per query (~4×
+    pruning here; n_cells scales with corpus so the ratio is the
+    knob) with gap-adaptive multiprobe (probe_margin: a boundary
+    query whose next cell is a hair past the probe horizon extends
+    its probe list; interior queries stay at n_probe). Exact decimal
+    cosine on scored pairs — approximate only in WHICH pairs are
+    scored; recall vs brute force is pinned in
+    tests/test_dedup_similarity.py and gated at 1.0 in bench."""
     from top_produce_etl_spark.operators.clustering import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(
-        emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=4
+        emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
+        probe_margin=0.02,
     )
 
 
@@ -270,5 +274,5 @@ def ivf_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(
         emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
-        scoring="double",
+        scoring="double", probe_margin=0.02,
     )
