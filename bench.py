@@ -196,38 +196,98 @@ def main() -> None:
     for k, v in recalls.items():
         print(f"# {k}: {v}", file=sys.stderr)
 
-    # Scale probe: the same minhash pipeline on a 50k-doc GENERATED
-    # corpus (10x the sf0.1 fixture; zero storage — synthdocs custom
-    # source) with one planted dup pair per 100 ids. Reports wall
-    # time, doc throughput, and that every planted pair was found —
-    # evidence the dedup tier's cost curve holds past fixture sizes.
+    # Scale probe: the UNCHANGED minhash + connected-components
+    # pipeline on a 500k-doc GENERATED corpus (100x the sf0.1
+    # documents fixture; zero storage — synthdocs custom source) with
+    # three planted ground truths:
+    #   - one exact-dup pair per 100 ids (recall must be 1.0 — exact
+    #     dups collide in every band, a miss means the operator broke)
+    #   - a 1000-doc HOT-KEY duplicate cluster: every band bucket for
+    #     those ids collides, the candidate join's worst skew case;
+    #     components must collapse it into ONE group of exactly 1000
+    #   - Zipf(1.1) token skew over a 10k-token vocabulary — hot
+    #     shingles without corpus degeneracy (zipf over a tiny vocab
+    #     makes every doc pair genuinely similar and the pair set
+    #     legitimately quadratic; see io/synth_source.py docstring)
+    # Reported: cold wall time, doc throughput, planted recall, hot-
+    # cluster grouping, and the candidate-join task-skew ratio
+    # (max/median per-partition rows — the "does one task eat the hot
+    # bucket" number; the hot keys hash-spread across bands, so the
+    # ratio stays bounded without manual salting).
     from top_produce_etl_spark.io.synth_source import register_synth_source
-    from top_produce_etl_spark.operators.dedup import minhash_lsh_pairs
+    from top_produce_etl_spark.operators.dedup import (
+        band_buckets,
+        connected_components,
+        minhash_lsh_pairs,
+        minhash_signature_index,
+    )
+
+    from pyspark.sql import functions as F
 
     register_synth_source(spark)
-    probe_rows = 50_000
+    probe_rows, probe_hot = 500_000, 1_000
     probe_df = (
         spark.read.format("synthdocs")
         .option("rows", probe_rows).option("partitions", CPUS)
-        .option("tokens", 54).option("dup_every", 100).load()
+        .option("tokens", 54).option("dup_every", 100)
+        .option("hot_cluster", probe_hot)
+        .option("zipf", 1.1).option("vocab", 10_000).load()
     )
     t0 = time.monotonic()
-    probe_pairs = {
-        (r.a_id, r.b_id)
-        for r in minhash_lsh_pairs(
-            probe_df, "doc_id", "text", k=5, threshold=0.5
-        ).collect()
-    }
+    pairs = minhash_lsh_pairs(
+        probe_df, "doc_id", "text", k=5, threshold=0.5
+    ).persist()
+    n_pairs = pairs.count()
+    comp_top = (
+        connected_components(pairs)
+        .groupBy("rep_id")
+        .count()
+        .orderBy(F.col("count").desc())
+        .first()
+    )
     probe_sec = round(time.monotonic() - t0, 3)
+    probe_pairs = {
+        (r.a_id, r.b_id) for r in pairs.select("a_id", "b_id").collect()
+    }
+    planted = {
+        (i, i + 1) for i in range(0, probe_rows - probe_hot - 1, 100)
+    }
+    # task-skew diagnostic: rebuild the candidate join off the still-
+    # persisted signature table (CacheManager plan-matches it, so only
+    # the join re-executes) and count output rows per shuffle
+    # partition
+    sig = minhash_signature_index(probe_df, "doc_id", "text", 5, 64)
+    b = band_buckets(sig, "doc_id", 64, 2)
+    part_rows = [
+        r.n
+        for r in b.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+        .join(
+            b.select(F.col("doc_id").alias("b_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    part_rows.sort()
+    skew_ratio = round(
+        part_rows[-1] / max(part_rows[len(part_rows) // 2], 1), 2
+    )
+    pairs.unpersist()
     unpersist_all()
-    planted = {(i, i + 1) for i in range(0, probe_rows, 100)}
     probe = {
         "scale_probe_docs": probe_rows,
         "scale_probe_sec": probe_sec,
         "scale_probe_docs_per_sec": round(probe_rows / probe_sec, 1),
+        "scale_probe_pairs": n_pairs,
         "scale_probe_planted_recall": round(
             len(planted & probe_pairs) / len(planted), 4
         ),
+        "scale_probe_hot_cluster": probe_hot,
+        "scale_probe_hot_component_size": int(comp_top["count"]),
+        "scale_probe_task_skew_ratio": skew_ratio,
     }
     print(f"# scale_probe: {probe}", file=sys.stderr)
 

@@ -68,6 +68,77 @@ def test_asof_keys_do_not_leak_across_partitions(spark):
     assert out.collect()[0]["rval"] is None
 
 
+def test_asof_forward_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), "L1"), (1, ts("2024-01-01 12:00"), "L2"),
+         (1, ts("2024-01-01 14:00"), "L3")],
+        ["k", "lts", "lval"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00"), "R10"),  # equal ts matches forward
+            (1, ts("2024-01-01 13:00"), "R13"),
+        ],
+        ["k", "rts", "rval"],
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        direction="forward",
+    )
+    got = {r["lval"]: r["rval"] for r in out.collect()}
+    assert got == {"L1": "R10", "L2": "R13", "L3": None}
+
+
+def test_asof_nearest_ties_to_backward(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), "L1"),   # back 1h, fwd 2h -> back
+         (1, ts("2024-01-01 12:30"), "L2"),   # back 3.5h, fwd 0.5h -> fwd
+         (1, ts("2024-01-01 11:00"), "L3")],  # back 2h, fwd 2h tie -> back
+        ["k", "lts", "lval"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00"), "R9"), (1, ts("2024-01-01 13:00"), "R13")],
+        ["k", "rts", "rval"],
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        direction="nearest",
+    )
+    got = {r["lval"]: r["rval"] for r in out.collect()}
+    assert got == {"L1": "R9", "L2": "R13", "L3": "R9"}
+
+
+def test_asof_tolerance_inclusive_boundary(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00"), "at"),    # lag exactly 1h -> kept
+         (1, ts("2024-01-01 10:01"), "past")], # lag 61min -> nulled
+        ["k", "lts", "lval"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00"), "R9")], ["k", "rts", "rval"]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        tolerance=3600,
+    )
+    got = {r["lval"]: (r["rval"], r["rts_asof"]) for r in out.collect()}
+    assert got == {
+        "at": ("R9", ts("2024-01-01 09:00")),
+        "past": (None, None),
+    }
+    # every left row survives regardless of tolerance (left join)
+    assert out.count() == 2
+
+
+def test_asof_rejects_bad_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00"))], ["k", "lts"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, on="k", left_ts="lts", right_ts="lts",
+                  direction="sideways")
+
+
 def test_range_join_bounds(spark):
     left = spark.createDataFrame(
         [(1, 5), (1, 10), (1, 15)], ["k", "x"]

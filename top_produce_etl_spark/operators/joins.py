@@ -21,11 +21,12 @@ author knows more than the optimizer:
 - ``range_join``: equi-key + interval predicate. The equi key keeps
   it a hash/sort-merge join (NOT a cartesian product); the range
   predicate is evaluated post-match.
-- ``asof_join``: "latest right-row at-or-before each left row" —
-  no native Spark primitive. Implemented as union + window
-  ``last(ignorenulls)`` which is a single shuffle on the key
-  (union-sort), NOT an O(n·m) range join. This is the scalable
-  formulation: one exchange + one per-key ordered scan.
+- ``asof_join``: merge_asof semantics (backward/forward/nearest
+  direction, optional tolerance) — no native Spark primitive.
+  Implemented as union + window fills, a single shuffle on the key
+  (union-sort) for EVERY direction, NOT an O(n·m) range join. This
+  is the scalable formulation: one exchange + one per-key ordered
+  scan.
 """
 
 from __future__ import annotations
@@ -148,24 +149,51 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, attach the most recent right
-    row with the same key and ``right_ts <= left_ts``.
+    """As-of join with full merge_asof semantics: for each left row,
+    attach the nearest right row with the same key —
 
-    Strategy (single shuffle): tag both sides, union by name, sort
-    per key by (ts, side-tag) with a window, and carry the latest
-    right values forward via ``last(..., ignorenulls=True)``. Right
-    rows at exactly left_ts match (tag orders right before left at
-    equal ts). Left rows with no prior right row get NULLs.
+    - ``direction="backward"`` (default): latest ``right_ts <=
+      left_ts``;
+    - ``direction="forward"``: earliest ``right_ts >= left_ts``;
+    - ``direction="nearest"``: whichever of the two is closer in
+      time, ties to backward (pandas ``merge_asof`` convention);
+
+    and, with ``tolerance`` (max |lag| in SECONDS), only when the
+    match is within tolerance — the nearest candidate beyond it
+    yields NULLs (any other candidate is farther still, so nulling
+    the nearest equals filtering; left rows are always kept).
+
+    Strategy (single shuffle for every direction): tag both sides,
+    union by name, sort per key by (ts, side-tag) with a window, and
+    fill right values across the ordering — ``last(ignorenulls)``
+    over the preceding frame for backward, ``first(ignorenulls)``
+    over the following frame for forward, both frames over the SAME
+    sort for nearest (one exchange + one per-key ordered scan;
+    Catalyst computes both frames from a single sort). Side-tag
+    placement makes equal timestamps match in every direction: the
+    right row sorts into whichever frame the direction reads from —
+    for nearest an equal-ts right lands in the backward frame with
+    lag 0, which wins the tie exactly as the convention requires.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
 
+    # equal-ts right rows must sort INTO the frame the direction
+    # reads: before the left row for backward/nearest (preceding
+    # frame), after it for forward (following frame)
+    l_side, r_side = (0, 1) if direction == "forward" else (1, 0)
     l_tag = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
@@ -173,27 +201,77 @@ def asof_join(
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.col(right_ts).alias("__rts"),
     )
     unioned = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(*keys).orderBy(
+        F.col("__ts").asc(), F.col("__side").asc()
     )
-    filled = unioned.select(
-        *keys,
-        "__side",
-        "__lrow",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_cols
-        ],
-        F.last(F.col("__rts"), ignorenulls=True).over(w).alias("__rts"),
-    ).filter(F.col("__side") == 1)
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def back(c):
+        return F.last(F.col(c), ignorenulls=True).over(wb)
+
+    def fwd(c):
+        return F.first(F.col(c), ignorenulls=True).over(wf)
+
+    fill_cols = [f"__r_{c}" for c in right_cols] + ["__rts"]
+    if direction == "backward":
+        filled = unioned.select(
+            "__side", "__lrow", "__ts",
+            *[back(c).alias(c) for c in fill_cols],
+        )
+    elif direction == "forward":
+        filled = unioned.select(
+            "__side", "__lrow", "__ts",
+            *[fwd(c).alias(c) for c in fill_cols],
+        )
+    else:  # nearest: both fills off the one sort, then choose
+        both = unioned.select(
+            "__side", "__lrow", "__ts",
+            *[back(c).alias(f"__b{c}") for c in fill_cols],
+            *[fwd(c).alias(f"__f{c}") for c in fill_cols],
+        )
+        # lag comparison in seconds (timestamps cast to epoch double;
+        # numeric ts columns pass through the same cast)
+        ts_d = F.col("__ts").cast("double")
+        use_back = F.col("__f__rts").isNull() | (
+            F.col("__b__rts").isNotNull()
+            & (
+                ts_d - F.col("__b__rts").cast("double")
+                <= F.col("__f__rts").cast("double") - ts_d
+            )
+        )
+        filled = both.select(
+            "__side", "__lrow", "__ts",
+            *[
+                F.when(use_back, F.col(f"__b{c}"))
+                .otherwise(F.col(f"__f{c}"))
+                .alias(c)
+                for c in fill_cols
+            ],
+        )
+    filled = filled.filter(F.col("__side") == l_side)
+    if tolerance is not None:
+        # null the match when |lag| > tolerance: the nearest
+        # candidate is the only one that could be in range
+        ok = (
+            F.abs(
+                F.col("__ts").cast("double") - F.col("__rts").cast("double")
+            )
+            <= F.lit(float(tolerance))
+        )
+        filled = filled.select(
+            "__side", "__lrow", "__ts",
+            *[
+                F.when(ok, F.col(c)).alias(c)
+                for c in fill_cols
+            ],
+        )
     out = filled.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c + suffix if c in left.columns else c) for c in right_cols],

@@ -513,7 +513,8 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON v.user_id = p.user_id AND v.ts <= p.ts
         GROUP BY p.event_id, p.ts
     )
-    SELECT CASE WHEN vts IS NULL THEN NULL
+    SELECT CASE WHEN vts IS NULL
+                  OR date_diff('second', vts, pts) > 259200 THEN NULL
                 ELSE date_diff('second', vts, pts) // 3600
            END AS lag_hours,
            COUNT(*) AS n
@@ -522,11 +523,13 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: each purchase matched to the
-    LATEST prior view via the as-of join (operators/joins.py —
-    second consumer, union+window single-shuffle formulation), lag
-    bucketed to whole hours, exact counts (mergeable histogram, the
-    repo's quantile convention). Purchases with no prior view land
-    in the NULL bucket — the funnel's never-viewed cohort."""
+    LATEST prior view via the as-of join's TOLERANCE path
+    (operators/joins.py merge_asof semantics), lag bucketed to whole
+    hours, exact counts (mergeable histogram, the repo's quantile
+    convention). The 72-hour attribution window is the tolerance:
+    purchases with no prior view OR whose last view is staler than
+    the window land in the NULL bucket — never-viewed plus expired,
+    the standard attribution-window semantics."""
     from top_produce_etl_spark.operators.joins import asof_join
 
     events = load_table(spark, sf_dir, "events")
@@ -538,7 +541,7 @@ def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matched = asof_join(
         purchases, views, on="user_id", left_ts="ts", right_ts="ts",
-        right_cols=[],
+        right_cols=[], tolerance=72 * 3600,
     )
     lag_sec = (
         F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")

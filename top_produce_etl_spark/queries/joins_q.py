@@ -211,6 +211,138 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_purchase_click", extended=True,
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS click_event_id,
+           c.ts       AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_forward_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (merge_asof direction="forward"): for each
+    purchase, the EARLIEST click by the same user at-or-after it —
+    the "next touch" lookup. Same single union-sort shuffle as
+    backward, filled from the following frame; DuckDB's ASOF JOIN
+    with `<=` is the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts",
+        right_ts="click_ts", right_cols=["click_event_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "click_event_id",
+        F.col("click_ts_asof").alias("click_ts"),
+    )
+
+
+@query(
+    "asof_nearest_purchase_click", extended=True,
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               c.event_id AS b_id, c.ts AS b_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ), f AS (
+        SELECT p.event_id, c.event_id AS f_id, c.ts AS f_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN use_back THEN b_id ELSE f_id END AS click_event_id,
+           CASE WHEN use_back THEN b_ts ELSE f_ts END AS click_ts
+    FROM (
+        SELECT b.*, f.f_id, f.f_ts,
+               (f_ts IS NULL OR (b_ts IS NOT NULL AND
+                epoch(b.ts) - epoch(b_ts) <= epoch(f_ts) - epoch(b.ts)))
+               AS use_back
+        FROM b JOIN f ON b.event_id = f.event_id
+    ) b
+    """,
+)
+def asof_nearest_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (merge_asof direction="nearest", ties to
+    backward): each purchase matched to its closest click either
+    side. Still ONE shuffle — both fills (preceding-frame last,
+    following-frame first) ride the same union sort. Oracle composes
+    DuckDB's backward and forward ASOF joins with the identical
+    tie rule."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts",
+        right_ts="click_ts", right_cols=["click_event_id"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "click_event_id",
+        F.col("click_ts_asof").alias("click_ts"),
+    )
+
+
+@query(
+    "asof_tolerance_purchase_click", extended=True,
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 21600
+                THEN c.event_id END AS click_event_id,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 21600
+                THEN c.ts END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_tolerance_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with TOLERANCE (merge_asof tolerance): the
+    latest prior click counts only within 6 hours of the purchase —
+    beyond it the row keeps NULLs. Nulling the nearest candidate
+    equals filtering (every other candidate is farther), which is
+    exactly the CASE the oracle applies on DuckDB's ASOF match."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts",
+        right_ts="click_ts", right_cols=["click_event_id"],
+        direction="backward", tolerance=6 * 3600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "click_event_id",
+        F.col("click_ts_asof").alias("click_ts"),
+    )
+
+
+@query(
     "broadcast_join_supplier_nation", extended=True,
     oracle="""
     SELECT s.s_suppkey, s.s_name, n.n_name
