@@ -93,12 +93,13 @@ RECALL_K = 3
 # correction only ever compensates for load, never inflates a quiet
 # run (round-4 verdict: the introduction-time constant 3.536 was
 # measured at load ~3 and made the driver's quiet run look slower
-# than it was). Derivation: min over all recorded runs = 3.093 s
-# (round-4 driver run, BASELINE.md round-5 section restates the
-# series against it). Re-baseline again only downward.
+# than it was). Derivation: min over all recorded runs = 2.951 s
+# (round-5 first recorded run; previous minimum was the round-4
+# driver's 3.093 — BASELINE.md round-5 section records both
+# lowerings and restates the series). Re-baseline only downward.
 CAL_ROWS = 800_000_000
 CAL_ITERS = 8
-CAL_REF_SEC = 3.093  # min measured calibration (round-4 driver run)
+CAL_REF_SEC = 2.951  # min measured calibration (round-5 quiet run)
 
 
 def calibration_sec(spark) -> float:
