@@ -158,3 +158,66 @@ def token_runs(
             F.col("__r.run_len").alias("run_len"),
         )
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang: str = "en",
+    min_quality: float = 0.65,
+    max_dup_ngram_frac: float = 0.05,
+    max_mean_info_micro: int = 3_450_000,
+    ngram: int = 3,
+) -> DataFrame:
+    """The curation pipeline as ONE reusable operator: language-ID ×
+    quality score × duplicate-n-gram repetition × unigram surprisal,
+    composed into a keep/drop decision with per-rule failure
+    attribution ('dropped: quality,entropy' beats a bare boolean —
+    the audit trail a data-curation run must emit).
+
+    Composition is the point: every signal is an already-verified
+    operator (functions.text.predict_lang / quality_score,
+    repetition_stats' dup fraction, retrieval.unigram_surprisal),
+    and the only shuffle is the surprisal (doc, term) aggregate —
+    the narrow signals ride the same scan. Output: (id_col, keep,
+    fail_reasons). Thresholds are the config surface
+    (plans/builder.py op "curation_funnel"; the oracle-checked
+    query queries/text_q.py::curation_funnel delegates here).
+    """
+    from top_produce_etl_spark.functions.text import (
+        predict_lang,
+        quality_score,
+    )
+    from top_produce_etl_spark.operators.retrieval import unigram_surprisal
+
+    sup = unigram_surprisal(df, id_col, text_col).select(
+        id_col, "mean_info_micro"
+    )
+    rep = repetition_stats(df, id_col, text_col, ngram=ngram).select(
+        F.col(id_col), F.col(f"dup_{ngram}gram_frac").alias("__dupfrac")
+    )
+    sig = (
+        df.select(
+            F.col(id_col),
+            predict_lang(text_col).alias("__plang"),
+            quality_score(text_col).alias("__quality"),
+        )
+        .join(rep, id_col)
+        .join(sup, id_col)
+    )
+    r_lang = F.col("__plang") != lang
+    r_quality = F.col("__quality") < min_quality
+    r_rep = F.col("__dupfrac") > max_dup_ngram_frac
+    r_info = F.col("mean_info_micro") > max_mean_info_micro
+    return sig.select(
+        F.col(id_col),
+        (~r_lang & ~r_quality & ~r_rep & ~r_info).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(r_lang, "lang"),
+            F.when(r_quality, "quality"),
+            F.when(r_rep, "repetition"),
+            F.when(r_info, "entropy"),
+        ).alias("fail_reasons"),
+    )

@@ -175,6 +175,22 @@ def run_topn_job(
 # Generalized declarative pipeline: {"source": ..., "ops": [...]}
 # ---------------------------------------------------------------------------
 
+def load_pipeline_spec(path: str) -> dict[str, Any]:
+    """Load a declarative pipeline spec (the :func:`build_pipeline`
+    input) from a YAML or JSON file — the config surface that
+    extends the reference's config-driven shape
+    (config_prod.yaml:10-13) to arbitrary op pipelines, including
+    the curation funnel (configs/pipeline_curation.yaml)."""
+    import json
+
+    with open(path) as f:
+        if path.endswith(".json"):
+            return json.load(f)
+        import yaml  # type: ignore
+
+        return yaml.safe_load(f)
+
+
 def build_pipeline(
     spark: SparkSession, spec: dict[str, Any], tables: dict[str, DataFrame] | None = None
 ) -> DataFrame:
@@ -194,7 +210,10 @@ def build_pipeline(
         {"op": "distinct"} | {"op": "sort", "by": ["k"]} |
         {"op": "limit", "n": 10} |
         {"op": "union", "table": "other"} | {"op": "dropna", ...} |
-        {"op": "fillna", "value": 0, "cols": [...]}
+        {"op": "fillna", "value": 0, "cols": [...]},
+        {"op": "curation_funnel", "id_col": "doc_id", "text_col": "text",
+         "lang": "en", "min_quality": 0.65, "max_dup_ngram_frac": 0.05,
+         "max_mean_info_micro": 3450000, "keep_only": false}
       ]
     }
 
@@ -276,6 +295,38 @@ def build_pipeline(
             )
         elif kind == "sample":
             df = df.sample(fraction=float(op["fraction"]), seed=int(op.get("seed", 42)))
+        elif kind == "curation_funnel":
+            # the LLM-data curation deliverable as a declarative
+            # stage: four verified signals + thresholds straight from
+            # config (operators/textquality.py::curation_funnel — the
+            # oracle-checked query delegates to the same function, so
+            # a YAML-driven run inherits its verification)
+            from top_produce_etl_spark.operators.textquality import (
+                curation_funnel,
+            )
+
+            verdicts = curation_funnel(
+                df,
+                op["id_col"],
+                op["text_col"],
+                lang=op.get("lang", "en"),
+                min_quality=float(op.get("min_quality", 0.65)),
+                max_dup_ngram_frac=float(op.get("max_dup_ngram_frac", 0.05)),
+                max_mean_info_micro=int(
+                    op.get("max_mean_info_micro", 3_450_000)
+                ),
+                ngram=int(op.get("ngram", 3)),
+            )
+            if op.get("keep_only"):
+                # keep-side corpus with original columns (the funnel
+                # as a FILTER: survivors only, audit trail dropped)
+                df = df.join(
+                    verdicts.filter(F.col("keep")).select(op["id_col"]),
+                    op["id_col"],
+                    "left_semi",
+                )
+            else:
+                df = verdicts
         else:
             raise ValueError(f"unknown op: {kind}")
     return df

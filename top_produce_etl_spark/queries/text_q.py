@@ -544,44 +544,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-fraction, unigram_surprisal), and the only shuffle is the
     surprisal (doc, term) aggregate — the narrow signals ride the
     same scan. Thresholds chosen at the fixture's median so both
-    branches of every rule are exercised."""
-    from top_produce_etl_spark.functions.text import (
-        predict_lang,
-        quality_score,
-    )
-    from top_produce_etl_spark.operators.retrieval import unigram_surprisal
-    from top_produce_etl_spark.operators.textquality import repetition_stats
+    branches of every rule are exercised. Delegates to the reusable
+    operator (operators/textquality.py::curation_funnel), which is
+    also the config surface: the same funnel is YAML-drivable via
+    plans/builder.py's "curation_funnel" op and
+    configs/config_curation.yaml, sharing this oracle."""
+    from top_produce_etl_spark.operators.textquality import curation_funnel
 
     docs = load_table(spark, sf_dir, "documents")
-    sup = unigram_surprisal(docs, "doc_id", "text").select(
-        "doc_id", "mean_info_micro"
-    )
-    rep = repetition_stats(docs, "doc_id", "text", ngram=3).select(
-        "doc_id", F.col("dup_3gram_frac").alias("dupfrac")
-    )
-    sig = (
-        docs.select(
-            "doc_id",
-            predict_lang("text").alias("plang"),
-            quality_score("text").alias("quality"),
-        )
-        .join(rep, "doc_id")
-        .join(sup, "doc_id")
-    )
-    r_lang = F.col("plang") != "en"
-    r_quality = F.col("quality") < 0.65
-    r_rep = F.col("dupfrac") > 0.05
-    r_info = F.col("mean_info_micro") > 3_450_000
-    return sig.select(
-        "doc_id",
-        (~r_lang & ~r_quality & ~r_rep & ~r_info).alias("keep"),
-        F.concat_ws(
-            ",",
-            F.when(r_lang, "lang"),
-            F.when(r_quality, "quality"),
-            F.when(r_rep, "repetition"),
-            F.when(r_info, "entropy"),
-        ).alias("fail_reasons"),
+    return curation_funnel(
+        docs, "doc_id", "text", lang="en", min_quality=0.65,
+        max_dup_ngram_frac=0.05, max_mean_info_micro=3_450_000, ngram=3,
     )
 
 
