@@ -294,6 +294,43 @@ def test_pagerank_known_graph(spark):
     assert sum(r.values()) <= 1.0 + 1e-9  # dangling b leaks mass
 
 
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """Both variants on the same dangling graph (star a->b, c->b; b
+    has no out-edges): the default leaks b's mass, the redistributing
+    variant conserves Σrank = 1 (up to 6dp rounding) and boosts every
+    node by the spread D/N term."""
+    from top_produce_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "b", 1.0)], "s string, d string, w double"
+    )
+    leak = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, "s", "d", "w", iterations=3).collect()
+    }
+    cons = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, "s", "d", "w", iterations=3, redistribute_dangling=True
+        ).collect()
+    }
+    assert sum(leak.values()) < 0.75  # the leak is real on this graph
+    assert abs(sum(cons.values()) - 1.0) < 1e-4  # conserved
+    # redistribution only ADDS mass, uniformly
+    assert all(cons[n] > leak[n] for n in leak)
+    # hand-check round 1: D_0 = 1/3 -> every node gets d*D/N on top
+    base, d = 1 / 3, 0.85
+    one = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, "s", "d", "w", iterations=1, redistribute_dangling=True
+        ).collect()
+    }
+    spread = d * round(base, 6) / 3
+    assert abs(one["a"] - ((1 - d) / 3 + spread)) < 1e-6
+    assert abs(one["b"] - ((1 - d) / 3 + d * 2 * round(base, 6) + spread)) < 2e-6
+
+
 def test_pagerank_weight_proportionality(spark):
     from top_produce_etl_spark.operators.graph import pagerank
 

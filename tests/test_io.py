@@ -334,6 +334,46 @@ def test_compact_table_merges_small_files(spark, tmp_path):
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
 
 
+def test_write_time_file_size_targeting(spark, tmp_path):
+    """target_file_bytes must land output files near the target at
+    BOTH a narrow and a wide row shape (round-4 verdict item 7): the
+    sampled probe measures real on-disk bytes/row, so the records-
+    per-file cap adapts to width and compression."""
+    import os
+
+    from top_produce_etl_spark.io.sinks import write_table
+
+    import pyspark.sql.functions as F
+
+    target = 256 << 10  # 256 KB
+    narrow = spark.range(0, 400_000).select(
+        F.col("id").alias("k"), F.xxhash64("id").alias("h")
+    ).repartition(2)
+    wide = spark.range(0, 40_000).select(
+        F.col("id").alias("k"),
+        # incompressible-ish wide payload: hex chains keyed by id
+        F.concat(*[
+            F.hex(F.xxhash64(F.col("id") + F.lit(i))) for i in range(16)
+        ]).alias("payload"),
+    ).repartition(2)
+    for name, df in (("narrow", narrow), ("wide", wide)):
+        out = str(tmp_path / name)
+        write_table(df, out, target_file_bytes=target)
+        sizes = [
+            e.stat().st_size
+            for e in os.scandir(out)
+            if e.name.endswith(".parquet")
+        ]
+        assert len(sizes) >= 3, (name, sizes)
+        # every file capped near target; the BULK of files (all but
+        # each task's remainder file) inside the band
+        assert max(sizes) <= 2.0 * target, (name, sizes)
+        in_band = [s for s in sizes if 0.5 * target <= s <= 1.5 * target]
+        assert len(in_band) >= len(sizes) - 2, (name, sorted(sizes))
+        # probe dir cleaned up
+        assert not os.path.exists(out + "__sizing_tmp")
+
+
 def test_compact_table_recovers_crash_leftovers(spark, tmp_path):
     """Entry recovery for the non-transactional swap (round-4
     advice): (a) table moved aside but tmp never installed → restore

@@ -58,12 +58,26 @@ def pagerank(
     weight: str,
     iterations: int = 3,
     damping: float = 0.85,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank, fixed iteration count.
 
     r_0(v) = 1/N; r_{t+1}(v) = (1−d)/N + d · Σ_u r_t(u)·p(u→v),
     every r rounded to 6 dp (the determinism contract). Output:
     (node, rank). N counts distinct nodes on either edge end.
+
+    ``redistribute_dangling=True`` adds the mass-conserving term:
+    r_{t+1}(v) = (1−d)/N + d · (Σ_u r_t(u)·p(u→v) + D_t/N) where
+    D_t = Σ_{u dangling} r_t(u) — the rank parked on nodes with no
+    out-edges, spread uniformly instead of leaking (Σ r stays 1 up
+    to rounding). Cost: ONE extra global aggregate per round (a
+    1-row decimal sum over the dangling slice of the rank vector,
+    attached back via the same broadcast one-row-relation pattern as
+    N) — the plan stays one dst-keyed shuffle per round with zero
+    data-sized driver state. The default leaks the mass (ordering is
+    usually unaffected for link analysis); flip this on when rank
+    VALUES feed a downstream computation that assumes a probability
+    distribution.
     """
     norm = normalize_edges(edges, src, dst, weight)
     nodes = (
@@ -90,6 +104,14 @@ def pagerank(
             F.round(F.lit(1.0) / F.col("__n"), 6).alias("rank"),
         )
     )
+    dangling = None
+    if redistribute_dangling:
+        # nodes with no out-edges — static over the iteration
+        dangling = nodes.join(
+            norm.select(F.col(src).alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
     for _ in range(iterations):
         contrib = (
             norm.join(ranks, norm[src] == ranks["node"])
@@ -102,15 +124,35 @@ def pagerank(
                 .alias("__c")
             )
         )
+        inflow = F.coalesce("__c", F.lit(0.0))
+        step = nodes.join(contrib, "node", "left").withColumn("__k", k0_node)
+        if redistribute_dangling:
+            # D_t as a broadcast ONE-ROW relation (decimal sum over
+            # the dangling slice; non-foldable always-0 key keeps the
+            # attach a BroadcastHashJoin — house pattern)
+            dm = F.broadcast(
+                ranks.join(dangling, "node", "left_semi")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(28,14)")),
+                        F.lit(0).cast("decimal(28,14)"),
+                    )
+                    .cast("double")
+                    .alias("__dm")
+                )
+                .withColumn(
+                    "__k", F.pmod(F.col("__dm").cast("int"), F.lit(1)).cast("int")
+                )
+            )
+            step = step.join(dm, "__k")
+            inflow = inflow + F.col("__dm") / F.col("__n")
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .withColumn("__k", k0_node)
-            .join(n_nodes, "__k")
+            step.join(n_nodes, "__k")
             .select(
                 "node",
                 F.round(
                     (F.lit(1.0) - F.lit(damping)) / F.col("__n")
-                    + F.lit(damping) * F.coalesce("__c", F.lit(0.0)),
+                    + F.lit(damping) * inflow,
                     6,
                 ).alias("rank"),
             )

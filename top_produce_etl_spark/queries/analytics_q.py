@@ -257,11 +257,14 @@ def cosine_topk_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_quantized(emb, queries, "vec_id", "embedding", k=3)
 
 
-def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    iterations: int = 3, damping: float = 0.85, redistribute: bool = False
+) -> str:
     """Unrolled chained-CTE PageRank oracle (same technique as the
     kmeans_assignments oracle: each Spark iteration becomes one CTE,
     valid because both engines round ranks to 6 dp per round and
-    accumulate in exact decimal)."""
+    accumulate in exact decimal). ``redistribute`` adds the per-round
+    dangling-mass CTE mirroring operators/graph.py's variant."""
     head = f"""
     WITH edges0 AS (
         SELECT n1.n_name AS src, n2.n_name AS dst,
@@ -283,14 +286,30 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
         SELECT src AS node FROM edges0
         UNION SELECT dst FROM edges0
     ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    dang AS (
+        SELECT node FROM nodes
+        WHERE node NOT IN (SELECT src FROM edges0)
+    ),
     r0 AS (SELECT node, round(1.0 / nn.n, 6) AS "rank" FROM nodes, nn)"""
     rounds = []
     for i in range(1, iterations + 1):
+        if redistribute:
+            rounds.append(f""",
+    d{i} AS (
+        SELECT CAST(COALESCE(SUM(CAST(r."rank" AS DECIMAL(28,14))),
+                             0) AS DOUBLE) AS dm
+        FROM r{i-1} r JOIN dang ON r.node = dang.node
+    )""")
+        inflow = "COALESCE(c.c, 0.0)"
+        extra = ""
+        if redistribute:
+            inflow = f"(COALESCE(c.c, 0.0) + d{i}.dm / nn.n)"
+            extra = f", d{i}"
         rounds.append(f""",
     r{i} AS (
         SELECT nodes.node,
                round((1.0 - {damping}) / nn.n
-                     + {damping} * COALESCE(c.c, 0.0), 6) AS "rank"
+                     + {damping} * {inflow}, 6) AS "rank"
         FROM nodes
         LEFT JOIN (
             SELECT e.dst AS node,
@@ -298,7 +317,7 @@ def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
                         AS DOUBLE) AS c
             FROM e JOIN r{i-1} ON e.src = r{i-1}.node
             GROUP BY e.dst
-        ) c USING (node), nn
+        ) c USING (node), nn{extra}
     )""")
     return (
         head + "".join(rounds)
@@ -339,6 +358,48 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_nation", "dst_nation", revenue_expr().alias("w"))
     )
     return pagerank(edges, "src_nation", "dst_nation", "w", iterations=3)
+
+
+@query(
+    "trade_pagerank_dangling", extended=True,
+    oracle=_pagerank_oracle(redistribute=True),
+)
+def trade_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-conserving PageRank twin (round-4 verdict item 8): the
+    same trade graph with dangling-node rank redistributed uniformly
+    each round — one extra 1-row global aggregate per round, oracle
+    via the same unrolled-CTE scheme with a per-round dangling-mass
+    CTE. The nation graph is strongly connected at most SFs (D≈0);
+    the known-graph unit test exercises the leak-vs-conserve split
+    on a graph WITH dangling nodes."""
+    from top_produce_etl_spark.operators.graph import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst_nation")
+    )
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    edges = (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .select("src_nation", "dst_nation", revenue_expr().alias("w"))
+    )
+    return pagerank(
+        edges, "src_nation", "dst_nation", "w", iterations=3,
+        redistribute_dangling=True,
+    )
 
 
 @query(
