@@ -433,3 +433,29 @@ def test_incremental_neardup_against_persisted_index(spark, sf_dir, tmp_path):
     # the corpus text is never rescanned: the candidate plan's file
     # scans are the index parquet + nothing from the corpus side
     unpersist_all()
+
+
+def test_survivors_by_policy(spark):
+    """survivors_by: default keeps the min-id representative; a
+    prefer column keeps the group's best row (ties to min id)."""
+    from top_produce_etl_spark.operators.dedup import survivors_by
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    # one component {1,2,3}, one {4}, 9 untouched by any pair
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "id long, rep_id long"
+    )
+    default = {
+        r.doc_id for r in survivors_by(docs, comps, "doc_id").collect()
+    }
+    assert default == {1, 4, 9}  # min-id rep + singleton + non-member
+    longest = {
+        r.doc_id
+        for r in survivors_by(
+            docs, comps, "doc_id", prefer_col="n_chars"
+        ).collect()
+    }
+    assert longest == {2, 4, 9}  # 2 beats 3 on the id tiebreak at 50

@@ -121,6 +121,54 @@ def test_chunk_documents_exact_windows(spark):
         chunk_documents(docs, "doc_id", "text", size=4, stride=5)
 
 
+def test_table_diff_classifies_and_omits_unchanged(spark):
+    from top_produce_etl_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 31), (4, "d", 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {r.k: r.change_type for r in table_diff(old, new, "k").collect()}
+    # 1 removed; 2 unchanged (omitted); 3 value change; 4 NULL->'d'
+    # (null-safe compare catches it); 5 added
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_table_diff_validates_cdc_apply(spark):
+    """The reconciliation property: diff(apply_cdc(base, changes),
+    expected_next_snapshot) must be EMPTY — the audit a CDC pipeline
+    runs against the next full snapshot."""
+    from top_produce_etl_spark.operators.merge import apply_cdc, table_diff
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "b2", 1, "U"), (3, "c", 2, "I"), (1, None, 3, "D")],
+        "k long, s string, seq long, op string",
+    )
+    nxt = apply_cdc(base, changes, on="k", seq_col="seq")
+    expected = spark.createDataFrame(
+        [(2, "b2"), (3, "c")], "k long, s string"
+    )
+    assert table_diff(nxt, expected, "k").count() == 0
+
+
+def test_table_diff_rejects_missing_compare_cols(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame([(1, "a")], "k long, s string")
+    new = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="absent"):
+        table_diff(old, new, "k")
+
+
 def test_pit_lookup_boundaries(spark):
     """Facts at version boundaries: inclusive at effective_from,
     exclusive at effective_to; before first version -> NULL; after

@@ -576,3 +576,58 @@ def incremental_neardup(
         .select("new_id", "dup_of", "jaccard")
     )
     return verified
+
+
+def survivors_by(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    prefer_col: str | None = None,
+    prefer_desc: bool = True,
+) -> DataFrame:
+    """Survivor SELECTION POLICY over dedup components: keep one
+    document per near-dup group — by default the min-id
+    representative (the :func:`connected_components` label), or,
+    with ``prefer_col``, the group's best row by that metric
+    (``prefer_desc=True`` keeps the max — e.g. longest / highest
+    quality — ties broken by min id for determinism). Returns the
+    kept rows of ``docs`` with their original columns.
+
+    Why policy matters: min-id keeps an ARBITRARY member; a curation
+    pipeline usually wants the longest or highest-quality copy of
+    each duplicated document. The component structure is identical
+    either way — only the per-group argmax changes.
+
+    Plan shape: the |members|-row component relation (small — only
+    docs that appear in a pair) joins the corpus to fetch the metric,
+    one per-group window picks the winner, and the loser set
+    anti-joins the corpus (size-gated broadcast — grows with the
+    duplicate count, not the corpus).
+    """
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    members = components.select(
+        F.col("id").alias(id_col), F.col("rep_id")
+    )
+    if prefer_col is None:
+        losers = members.filter(F.col(id_col) != F.col("rep_id")).select(
+            id_col
+        )
+    else:
+        metric = F.col(prefer_col)
+        order = [
+            metric.desc() if prefer_desc else metric.asc(),
+            F.col(id_col).asc(),
+        ]
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("rep_id").orderBy(*order)
+        losers = (
+            members.join(
+                docs.select(F.col(id_col), F.col(prefer_col)), id_col
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(id_col)
+        )
+    return docs.join(maybe_broadcast(losers), id_col, "left_anti")

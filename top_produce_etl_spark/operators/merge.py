@@ -130,3 +130,68 @@ def merge_agg_state(
         F.sum(cnt_col).alias(cnt_col),
         *[F.sum(c).alias(c) for c in sums],
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: classify every key across two table versions as
+    ``added`` (only in new), ``removed`` (only in old), or
+    ``changed`` (in both, any compared column differs null-safely).
+    Unchanged keys are omitted — at 100 TB the diff is the small
+    output, the inputs are the big ones. Output: key cols +
+    ``change_type``.
+
+    The reconciliation primitive behind incremental re-publication
+    (ship only what changed), snapshot auditing, and CDC validation
+    (does apply_cdc(base, stream) equal the next snapshot? diff must
+    be empty). One full-outer shuffle join on the key, column
+    comparison as a narrow expression — no hashing, so engines agree
+    without a portable-hash contract.
+    """
+    keys = _keys(on)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    missing = [c for c in compare_cols if c not in new.columns]
+    if missing:
+        raise ValueError(
+            f"compare column(s) {missing} absent from the new side — "
+            "diff would misreport them as changed"
+        )
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = o[f"__ko_{k}"] == n[f"__kn_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(differs, "changed")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+        )
+    )

@@ -219,6 +219,56 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_survivors_longest",
+    extended=True,
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({JACCARD_SQL}),
+    edges AS (
+        SELECT a_id AS s, b_id AS t FROM pairs
+        UNION ALL
+        SELECT b_id AS s, a_id AS t FROM pairs
+    ),
+    cc AS (
+        SELECT s AS id, s AS label FROM edges
+        UNION
+        SELECT e.s AS id, cc.label FROM edges e JOIN cc ON cc.id = e.t
+    ),
+    comp AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+    ranked AS (
+        SELECT c.id, ROW_NUMBER() OVER (
+            PARTITION BY c.rep_id ORDER BY d.n_chars DESC, c.id ASC
+        ) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ranked r WHERE r.id = d.doc_id AND r.rn > 1
+    )
+    """,
+)
+def dedup_survivors_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-POLICY twin of `dedup_survivors` (r5): same pairs →
+    components structure, but each near-dup group keeps its LONGEST
+    member (n_chars desc, tie min id) instead of the arbitrary
+    min-id representative — the policy a curation pipeline actually
+    wants (operators/dedup.py::survivors_by). Oracle shares the
+    recursive-CTE components and ranks per group the same way."""
+    from top_produce_etl_spark.operators.dedup import (
+        connected_components,
+        survivors_by,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    comp = connected_components(pairs)
+    return survivors_by(
+        docs.select("doc_id", "lang", "n_chars"), comp, "doc_id",
+        prefer_col="n_chars",
+    )
+
+
 INCREMENTAL_JACCARD_SQL = """
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents

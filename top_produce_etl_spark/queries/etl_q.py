@@ -89,6 +89,55 @@ def cdc_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff_orders", extended=True,
+    oracle="""
+    WITH old_v AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ), new_v AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + 1 ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'changed' END AS change_type
+    FROM old_v o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (r5, operators/merge.py::table_diff): two
+    deterministic versions of the orders table (different key
+    subsets, a price bump on keys %3==0) reconciled into
+    added/removed/changed keys — the incremental-republication /
+    CDC-validation primitive. One full-outer key join, null-safe
+    column comparison, no hashing (engines agree without a portable-
+    hash contract)."""
+    from top_produce_etl_spark.operators.merge import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old_v = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_v = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return table_diff(old_v, new_v, on="o_orderkey")
+
+
+@query(
     "scd2_user_status_history", extended=True,
     oracle="""
     WITH ordered AS (
