@@ -1,0 +1,173 @@
+"""Round-5 operator wave: session path mining, trailing EWMA,
+weighted reservoir sampling, boilerplate stripping, and label
+propagation. Oracle parity is locked by the extended battery
+(session_top_paths, ewma_daily_revenue, weighted_sample_orders,
+strip_boilerplate_docs, supply_communities_lpa); these tests pin the
+operator-level contracts the oracles can't see — truncation,
+determinism under repartitioning, null/edge handling, and known
+tiny-input answers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.graph import label_propagation
+from top_produce_etl_spark.operators.sequences import session_paths, top_paths
+from top_produce_etl_spark.operators.splits import weighted_reservoir
+from top_produce_etl_spark.operators.stats import (
+    ewma_weights,
+    trailing_ewma,
+)
+from top_produce_etl_spark.operators.textquality import strip_boilerplate
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+def test_session_paths_orders_truncates_and_marks(spark):
+    rows = [
+        # one user, one session of 4 events (gap < 30m), shuffled input
+        ("u1", _ts(3), 3, "c"),
+        ("u1", _ts(0), 1, "a"),
+        ("u1", _ts(1), 2, "b"),
+        ("u1", _ts(5), 4, "d"),
+        # second session after a 40-minute gap
+        ("u1", _ts(45), 5, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "step"])
+    out = session_paths(
+        df, "user_id", "ts", "step", "event_id",
+        gap="30 minutes", max_steps=3,
+    ).orderBy("session_start")
+    got = [(r.path, r.n_steps) for r in out.collect()]
+    # 4 steps truncated at 3 with the ellipsis marker; order is by ts
+    assert got == [("a>b>c>…", 4), ("x", 1)]
+
+
+def test_session_paths_tiebreak_on_equal_ts(spark):
+    rows = [("u", _ts(0), 2, "late"), ("u", _ts(0), 1, "early")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "step"])
+    out = session_paths(df, "user_id", "ts", "step", "event_id")
+    assert out.collect()[0].path == "early>late"
+
+
+def test_top_paths_deterministic_tie_cut(spark):
+    paths = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",)], ["path"]
+    )
+    # counts: a=2, b=1, c=1 — the n=2 cut must take (a, b): count
+    # DESC then path ASC.
+    got = {r.path: r.n_sessions for r in top_paths(paths, 2).collect()}
+    assert got == {"a": 2, "b": 1}
+    with pytest.raises(ValueError):
+        top_paths(paths, 0)
+
+
+def test_ewma_matches_hand_series_and_renormalizes_head(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0)],
+        ["key", "t", "x"],
+    )
+    out = {
+        r.t: r.ewma_micro
+        for r in trailing_ewma(
+            df, ["key"], ["t"], "x", alpha=0.5, span=3
+        ).collect()
+    }
+    # adjust=True semantics: head rows renormalize over existing lags
+    assert out[1] == 10_000_000
+    assert out[2] == round((20 + 0.5 * 10) / 1.5 * 1e6)
+    assert out[3] == round((30 + 0.5 * 20 + 0.25 * 10) / 1.75 * 1e6)
+
+
+def test_ewma_weights_guards():
+    assert ewma_weights(1.0, 2) == [1.0, 0.0]
+    with pytest.raises(ValueError):
+        ewma_weights(0.0, 3)
+    with pytest.raises(ValueError):
+        ewma_weights(0.5, 0)
+
+
+def test_weighted_reservoir_exact_n_stable_and_filters(spark):
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2), float(i + 1)) for i in range(40)]
+        + [(100, "g0", 0.0), (101, "g1", None)],
+        ["k", "g", "w"],
+    )
+    a = weighted_reservoir(df, "k", "w", 5, group_cols=["g"])
+    got = sorted(r.k for r in a.collect())
+    assert len(got) == 10  # exactly 5 per group
+    assert 100 not in got and 101 not in got  # zero/null weight out
+    # deterministic under repartitioning
+    b = weighted_reservoir(
+        df.repartition(7, "g"), "k", "w", 5, group_cols=["g"]
+    )
+    assert sorted(r.k for r in b.collect()) == got
+    # a different salt is an independent draw (overwhelmingly)
+    c = weighted_reservoir(df, "k", "w", 5, group_cols=["g"], salt="wrs-v2")
+    assert sorted(r.k for r in c.collect()) != got
+    # global (ungrouped) path: TakeOrderedAndProject, same contract
+    g = weighted_reservoir(df, "k", "w", 3)
+    assert g.count() == 3
+    assert "__r" not in g.columns
+
+
+def test_weighted_reservoir_prefers_heavy_rows(spark):
+    # one row carries ~all the mass: it must be sampled for any salt
+    df = spark.createDataFrame(
+        [(0, 1e12)] + [(i, 1e-6) for i in range(1, 30)], ["k", "w"]
+    )
+    for salt in ("s1", "s2", "s3"):
+        got = {r.k for r in weighted_reservoir(df, "k", "w", 1, salt=salt).collect()}
+        assert got == {0}, salt
+
+
+def test_strip_boilerplate_known_corpus(spark):
+    shared = "alpha beta gamma delta"  # one 4-token chunk, in 2 docs
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one two three"),
+            (2, shared),
+            (3, "solo words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r
+        for r in strip_boilerplate(docs, "doc_id", "text", 4, 2).collect()
+    }
+    assert out[1].cleaned_text == "unique one two three"
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    # fully-boilerplate doc still emits a row, with empty text
+    assert out[2].cleaned_text == "" and out[2].n_removed == 1
+    # untouched doc passes through byte-identical
+    assert out[3].cleaned_text == "solo words only here"
+    assert out[3].n_removed == 0
+    with pytest.raises(ValueError):
+        strip_boilerplate(docs, "doc_id", "text", 4, 1)
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by one weak bridge: each triangle must
+    # converge to its own min node label; the bridge must not merge
+    # them (triangle edges w=10 vs bridge w=1).
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    edges = spark.createDataFrame(
+        [(u, v, 10) for u, v in tri1 + tri2] + [("c", "x", 1)],
+        ["u", "v", "w"],
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, "u", "v", "w", 4).collect()
+    }
+    assert {got[n] for n in "abc"} == {"a"}
+    assert {got[n] for n in "xyz"} == {"x"}
+    with pytest.raises(ValueError):
+        label_propagation(edges, "u", "v", "w", 0)

@@ -158,3 +158,113 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    weight: str,
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) with a
+    deterministic update rule, fixed iteration count — the third
+    iterative-DataFrame algorithm beside :func:`pagerank` and
+    operators/dedup.py's connected components.
+
+    The graph is treated as UNDIRECTED (edges are symmetrized and
+    multi-edges collapsed, weights accumulated in exact DECIMAL).
+    Every node starts labeled with its own id; each round, node v
+    adopts the label carrying the max total incident weight among
+    its neighbors' current labels, ties broken by MIN label — the
+    classic LPA tiebreak made engine-portable: the argmax is
+    ``min(struct(-score, label))``, a lexicographic struct min over
+    exact decimals, so partition merge order cannot perturb it and
+    an unrolled-CTE SQL oracle reproduces every round exactly.
+
+    Scale shape per round: ONE join of the label vector onto the
+    edge relation (co-partitioned on the node key across rounds) +
+    ONE (node, label)-keyed agg + ONE node-keyed argmax agg. Driver
+    state: none (labels live in a DataFrame; iteration count is a
+    hyperparameter, as in pagerank — no convergence collect).
+
+    Output: (node, label) — nodes sharing a label form a community.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    w_dec = F.col("__w").cast("decimal(28,8)")
+    und = (
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"),
+            F.col(weight).alias("__w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"),
+                F.col(weight).alias("__w"),
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum(w_dec).alias("w"))
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        scores = (
+            und.join(labels, und["u"] == labels["node"])
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.sum("w").alias("s"))
+        )
+        labels = (
+            scores.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("s")).alias("ns"), F.col("label"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iterations: int = 3
+) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`label_propagation`.
+
+    ``edges_sql`` must select columns (u, v, w) — DIRECTED edges with
+    raw weights; symmetrization and multi-edge collapse happen here,
+    mirroring the operator. The per-round argmax is a window
+    ``row_number() OVER (PARTITION BY v ORDER BY s DESC, label)`` —
+    the same total order as the struct min."""
+    parts = [
+        f"""raw AS ({edges_sql}),
+    edges0 AS (
+        SELECT u, v, SUM(CAST(w AS DECIMAL(28,8))) AS w
+        FROM (
+            SELECT u, v, w FROM raw
+            UNION ALL
+            SELECT v AS u, u AS v, w FROM raw
+        )
+        GROUP BY u, v
+    ),
+    labels0 AS (SELECT DISTINCT u AS node, u AS label FROM edges0)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""s{i} AS (
+        SELECT e.v, l.label, SUM(e.w) AS s
+        FROM edges0 e JOIN labels{i - 1} l ON e.u = l.node
+        GROUP BY 1, 2
+    ),
+    labels{i} AS (
+        SELECT v AS node, label FROM (
+            SELECT v, label,
+                   row_number() OVER (
+                       PARTITION BY v ORDER BY s DESC, label
+                   ) AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    )""")
+    body = ",\n    ".join(parts)
+    return f"WITH {body}\n    SELECT node, label FROM labels{iterations}"

@@ -122,3 +122,82 @@ def split_oracle_sql(
         f"WHEN {bucket} < {hi} THEN '{name}'" for name, hi in cases[:-1]
     )
     return f"CASE {whens} ELSE '{cases[-1][0]}' END"
+
+
+_U_SCALE = float(2**56)  # exact power of two → exact double scaling
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    group_cols: list[str] | None = None,
+    salt: str = "wrs-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — exactly
+    ``n`` rows (per group), inclusion probability ∝ weight.
+
+    The A-ES / exponential-race scheme (Efraimidis & Spirakis 2006):
+    every row draws u ~ U(0,1] and keeps key r = ln(u)/w; the n
+    LARGEST r win. Here u is the salted portable hash of the key
+    scaled by 2⁻⁵⁶ (an exact power-of-two scale, so u's bits are
+    identical in any engine), which makes the "random" draw
+    reproducible across engines, retries, and cluster sizes, and
+    append-stable per salt — the same auditability contract as
+    :func:`assign_split`.
+
+    Rows with NULL or non-positive weight are excluded (they have
+    zero inclusion probability by definition).
+
+    Scale shape: grouped → ONE key shuffle + partitioned-window
+    top-n; global → TakeOrderedAndProject (per-partition n-row heads,
+    no global sort). The priority column is dropped from the output —
+    downstream sees only sampled rows, so the cross-engine contract
+    is pure membership (boundary ties are broken by key ASC, and the
+    hash makes r collisions across distinct keys a measure-zero
+    event).
+    """
+    _check_safe(salt, key_col)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    keyed_sql = f"concat('{salt}', CAST({key_col} AS STRING))"
+    u = (composite_hash_col(keyed_sql) + 1).cast("double") / F.lit(_U_SCALE)
+    w = F.col(weight_col).cast("double")
+    r = F.log(u) / w
+    kept = df.filter(w.isNotNull() & (w > 0)).withColumn("__r", r)
+    if group_cols:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*group_cols).orderBy(
+            F.col("__r").desc(), F.col(key_col).asc()
+        )
+        out = (
+            kept.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+    else:
+        out = kept.orderBy(F.col("__r").desc(), F.col(key_col).asc()).limit(n)
+    return out.drop("__r")
+
+
+def weighted_reservoir_rank_sql(
+    key_sql: str,
+    weight_sql: str,
+    partition_sql: str | None = None,
+    salt: str = "wrs-v1",
+) -> str:
+    """DuckDB ``row_number() OVER (…)`` expression ranking rows by
+    the identical exponential-race priority (rank ≤ n = sampled).
+    Compose it in a QUALIFY/subquery with the same n."""
+    _check_safe(salt)
+    keyed = f"('{salt}' || CAST({key_sql} AS VARCHAR))"
+    u = (
+        f"(CAST(({composite_hash_sql(keyed)}) + 1 AS DOUBLE) / {_U_SCALE!r})"
+    )
+    r = f"(ln({u}) / CAST({weight_sql} AS DOUBLE))"
+    part = f"PARTITION BY {partition_sql} " if partition_sql else ""
+    return (
+        f"row_number() OVER ({part}ORDER BY {r} DESC, {key_sql} ASC)"
+    )

@@ -185,3 +185,97 @@ def chi_squared(
             F.sum("__c").alias("chi2_micro"),
         )
     )
+
+
+def ewma_weights(alpha: float, span: int) -> list[float]:
+    """Trailing-EWMA weights w_i = (1-alpha)^i, i = 0..span-1, as
+    Python doubles. Computed ONCE here and inlined as literals into
+    BOTH engines' expressions, so no engine's pow() implementation
+    ever participates — the float literals round-trip identically
+    (shortest-repr) and the weighted sum is a fixed expression tree
+    of correctly-rounded IEEE ops, hence bit-portable."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    w, out = 1.0, []
+    for _ in range(span):
+        out.append(w)
+        w *= 1.0 - alpha
+    return out
+
+
+def trailing_ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    span: int = 7,
+    out_col: str = "ewma_micro",
+) -> DataFrame:
+    """Per-key trailing exponentially-weighted moving average over
+    the last ``span`` rows (pandas ``ewm(alpha, adjust=True)``
+    restricted to a bounded window):
+
+        ewma_t = Σ_{i<span} w_i·x_{t−i} / Σ_{i<span, t−i exists} w_i
+
+    emitted as 1e6 fixed-point BIGINT (house determinism contract).
+
+    Shape: ``span − 1`` LAG columns over ONE partitioned window —
+    a single key shuffle, whole-stage-codegen arithmetic after it,
+    bounded frame by construction (no unpartitioned data-sized
+    window; the early rows simply renormalize over the lags that
+    exist). The span is a constant, so the shuffle key width and the
+    expression size are independent of data volume.
+    """
+    if not keys:
+        raise ValueError("trailing_ewma requires >= 1 partition key")
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    ws = ewma_weights(alpha, span)
+    x = F.col(value_col).cast("double")
+    lags = [x] + [F.lag(x, i).over(w) for i in range(1, span)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for wi, li in zip(ws, lags):
+        num = num + F.coalesce(li * F.lit(wi), F.lit(0.0))
+        den = den + F.when(li.isNotNull(), F.lit(wi)).otherwise(F.lit(0.0))
+    return df.withColumn(
+        out_col,
+        F.round(num / den * F.lit(float(STAT_SCALE))).cast("bigint"),
+    )
+
+
+def trailing_ewma_oracle_sql(
+    value_sql: str,
+    partition_sql: str,
+    order_sql: str,
+    alpha: float = 0.3,
+    span: int = 7,
+) -> str:
+    """DuckDB expression computing :func:`trailing_ewma`'s fixed
+    point bit-identically: the same weight literals (Python repr →
+    nearest double in both parsers), the same left-fold tree order,
+    the same null renormalization."""
+    ws = ewma_weights(alpha, span)
+    over = f"OVER (PARTITION BY {partition_sql} ORDER BY {order_sql})"
+    terms_n, terms_d = [], []
+    for i, wi in enumerate(ws):
+        li = (
+            f"CAST({value_sql} AS DOUBLE)"
+            if i == 0
+            else f"lag(CAST({value_sql} AS DOUBLE), {i}) {over}"
+        )
+        terms_n.append(f"coalesce(({li}) * {wi!r}, 0.0)")
+        terms_d.append(
+            f"CASE WHEN ({li}) IS NOT NULL THEN {wi!r} ELSE 0.0 END"
+        )
+    # left-fold starting at 0.0 — must match the Spark tree exactly
+    num = "0.0"
+    den = "0.0"
+    for tn, td in zip(terms_n, terms_d):
+        num = f"({num} + {tn})"
+        den = f"({den} + {td})"
+    return (
+        f"CAST(round({num} / {den} * {float(STAT_SCALE)!r}) AS BIGINT)"
+    )

@@ -221,3 +221,95 @@ def curation_funnel(
             F.when(r_info, "entropy"),
         ).alias("fail_reasons"),
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal — the C4/CCNet rewrite step
+    that DELETES repeated spans instead of scoring or dropping whole
+    documents (complements dedup: survivors keep their unique prose,
+    shared headers/footers/navigation chrome vanish).
+
+    Documents are cut into consecutive non-overlapping
+    ``chunk_tokens``-token chunks (the last chunk may be shorter); a
+    chunk whose corpus document-frequency reaches ``min_df`` is
+    boilerplate, and the cleaned text is the in-order concatenation
+    of the surviving chunks (possibly empty — fully-boilerplate docs
+    still emit a row, so downstream counts reconcile).
+
+    Scale shape: one narrow explode (doc → chunks with position),
+    ONE chunk-keyed hash agg for document frequency (map-side
+    partials; distinct-doc count per chunk), one join of chunks
+    against the flagged-chunk relation (size-gated broadcast — the
+    boilerplate set is small by construction at sane ``min_df``),
+    and ONE doc-keyed reassembly agg whose in-group state is a
+    single document's chunk list — bounded by document length, never
+    by corpus size. Chunks join on their string value here for
+    oracle transparency; at 100 TB swap the join key for
+    ``xxhash64(chunk)`` (the house fast-path pattern, see
+    operators/dedup.py's simhash notes) without changing the plan
+    shape.
+
+    Output: (id, cleaned_text, n_chunks, n_removed).
+    """
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+    )
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"), chunk_at(i).alias("chunk")
+                ),
+            )
+        ).alias("c"),
+    ).select("id", "c.pos", "c.chunk")
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("chunk", F.lit(True).alias("__boiler"))
+    )
+    flagged = chunks.join(maybe_broadcast(boiler), "chunk", "left").select(
+        "id",
+        "pos",
+        "chunk",
+        F.coalesce(F.col("__boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "chunk", "is_boiler"))
+            ).alias("__cs"),
+        )
+        .select(
+            "id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter("__cs", lambda c: ~c["is_boiler"]),
+                    lambda c: c["chunk"],
+                ),
+            ).alias("cleaned_text"),
+            F.size("__cs").alias("n_chunks"),
+            F.size(F.filter("__cs", lambda c: c["is_boiler"])).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -667,3 +667,137 @@ def seasonal_volume_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return seasonal_zscores(events, "ts")
+
+
+@query(
+    "session_top_paths", extended=True,
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, sess_id,
+               list(event_type ORDER BY ts, event_id) AS steps
+        FROM numbered
+        GROUP BY user_id, sess_id
+    ), pathed AS (
+        SELECT array_to_string(steps[1:12], '>')
+               || CASE WHEN len(steps) > 12 THEN '>…' ELSE '' END AS path
+        FROM sessions
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM pathed
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common session journeys: events sessionized per
+    user with a 30-minute gap (same island semantics as
+    session_windows_30m), each session rendered as its ordered
+    event-type path, truncated at 12 steps so the group-by key stays
+    bounded (operators/sequences.py). Deterministic boundary: the
+    (count DESC, path ASC) sort key is unique per path."""
+    from top_produce_etl_spark.operators.sequences import (
+        session_paths,
+        top_paths,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    paths = session_paths(
+        events, "user_id", "ts", "event_type", "event_id",
+        gap="30 minutes", max_steps=12,
+    )
+    return top_paths(paths, 20)
+
+
+def _EWMA_ORACLE() -> str:
+    from top_produce_etl_spark.operators.stats import (
+        trailing_ewma_oracle_sql,
+    )
+
+    expr = trailing_ewma_oracle_sql(
+        "revenue", "o_orderpriority", "day", alpha=0.3, span=7
+    )
+    return f"""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day, revenue, {expr} AS ewma_micro
+    FROM daily
+    """
+
+
+@query("ewma_daily_revenue", extended=True, oracle=_EWMA_ORACLE())
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing EWMA of daily order revenue per priority class
+    (operators/stats.py::trailing_ewma): exact decimal daily rollup,
+    then a fixed-literal weighted window — the smoothing baseline a
+    volume-anomaly monitor compares against. One shuffle for the
+    rollup, one partitioned window; weights are Python literals so
+    neither engine's pow() participates (bit-portable)."""
+    from top_produce_etl_spark.functions.numeric import money_sum
+    from top_produce_etl_spark.operators.stats import trailing_ewma
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(money_sum("o_totalprice", "revenue"))
+    return trailing_ewma(
+        daily, ["o_orderpriority"], ["day"], "revenue", alpha=0.3, span=7
+    )
+
+
+def _LPA_ORACLE() -> str:
+    from top_produce_etl_spark.operators.graph import (
+        label_propagation_oracle_sql,
+    )
+
+    return label_propagation_oracle_sql(
+        """SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                  'p' || CAST(l_partkey AS VARCHAR) AS v,
+                  COUNT(*) AS w
+           FROM lineitem GROUP BY 1, 2""",
+        iterations=3,
+    )
+
+
+@query("supply_communities_lpa", extended=True, oracle=_LPA_ORACLE())
+def supply_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the supplier–part supply
+    graph (operators/graph.py::label_propagation, 3 synchronous
+    rounds): suppliers and the parts they ship cluster into
+    procurement communities. Deterministic argmax (exact-decimal
+    scores, min-label tiebreak) → round-by-round CTE-unrolled
+    oracle, like trade_pagerank."""
+    from top_produce_etl_spark.operators.graph import label_propagation
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("v"),
+            "w",
+        )
+    )
+    return label_propagation(edges, "u", "v", "w", iterations=3)

@@ -603,3 +603,85 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio("__chars").alias("chars_per_token_micro"),
         ratio("__bytes").alias("bytes_per_token_micro"),
     )
+
+
+def _WRS_ORACLE() -> str:
+    from top_produce_etl_spark.operators.splits import (
+        weighted_reservoir_rank_sql,
+    )
+
+    rank = weighted_reservoir_rank_sql(
+        "o_orderkey", "o_totalprice", partition_sql="o_orderpriority"
+    )
+    return f"""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               {rank} AS rn
+        FROM orders
+    )
+    WHERE rn <= 50
+    """
+
+
+@query("weighted_sample_orders", extended=True, oracle=_WRS_ORACLE())
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 orders per priority class, sampled WITHOUT
+    replacement with inclusion probability ∝ o_totalprice
+    (operators/splits.py::weighted_reservoir — the Efraimidis-
+    Spirakis exponential race on a salted portable hash). The
+    deterministic counterpart of `df.sample()` for spend-weighted
+    audits: same 50 rows on any engine, partitioning, or retry."""
+    from top_produce_etl_spark.operators.splits import weighted_reservoir
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = weighted_reservoir(
+        orders, "o_orderkey", "o_totalprice", 50,
+        group_cols=["o_orderpriority"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+
+
+@query(
+    "strip_boilerplate_docs", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(t[i*4+1 : i*4+4], ' ') AS chunk
+        FROM toks, unnest(range(0, CAST(ceil(len(t) / 4.0) AS BIGINT))) r(i)
+    ), dfreq AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS d FROM chunks GROUP BY 1
+    ), flagged AS (
+        SELECT c.doc_id, c.pos, c.chunk, (d.d >= 2) AS is_boiler
+        FROM chunks c JOIN dfreq d USING (chunk)
+    )
+    SELECT doc_id AS id,
+           coalesce(
+               string_agg(chunk, ' ' ORDER BY pos)
+                   FILTER (WHERE NOT is_boiler),
+               '') AS cleaned_text,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_removed
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate removal over documents: 4-token chunks seen
+    in ≥2 documents are deleted, text reassembled in order
+    (operators/textquality.py::strip_boilerplate). The REWRITE
+    counterpart of shingle_novelty_scores' scoring — same repeated-
+    span signal, but producing the cleaned training text."""
+    from top_produce_etl_spark.operators.textquality import (
+        strip_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(docs, "doc_id", "text", 4, 2)
