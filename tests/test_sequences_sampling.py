@@ -11,7 +11,6 @@ tiny-input answers.
 from __future__ import annotations
 
 import datetime as dt
-import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -171,3 +170,33 @@ def test_label_propagation_two_cliques(spark):
     assert {got[n] for n in "xyz"} == {"x"}
     with pytest.raises(ValueError):
         label_propagation(edges, "u", "v", "w", 0)
+
+
+def test_mmr_diversifies_against_pure_relevance(spark):
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_topk,
+    )
+
+    # corpus: two near-identical high-relevance vectors (1, 2), one
+    # moderately relevant orthogonal-ish vector (3). Pure top-2 takes
+    # {1, 2}; MMR must swap the redundant twin for the diverse doc.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # query
+        (1, [0.99, 0.1, 0.0]),
+        (2, [0.99, 0.11, 0.0]),
+        (3, [0.6, 0.0, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    rel = cosine_topk_bruteforce(df, q, "vec_id", "embedding", k=2)
+    assert {r.neighbor_id for r in rel.collect()} == {1, 2}
+    mmr = mmr_topk(
+        df, q, "vec_id", "embedding", k=2, pool=3,
+        rel_weight=50, div_weight=50,
+    )
+    got = {r.mmr_rank: r.neighbor_id for r in mmr.collect()}
+    assert got[1] in (1, 2)  # round 1 is pure relevance
+    assert got[2] == 3       # round 2 penalizes the twin
+    with pytest.raises(ValueError):
+        mmr_topk(df, q, "vec_id", "embedding", k=5, pool=3)

@@ -394,3 +394,138 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qcosine", "rank")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    pool: int = 10,
+    rel_weight: int = 70,
+    div_weight: int = 30,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: k results per query
+    that trade relevance against redundancy — the diversified
+    retrieval step a RAG / training-data sampler runs AFTER ANN so
+    its k slots don't fill with near-duplicates of one hit.
+
+    Two stages:
+    1. Candidate pool — exact top-``pool`` per query
+       (:func:`cosine_topk_bruteforce`, decimal scoring).
+    2. Greedy MMR over the pool: pick argmax of
+       ``rel_weight·rel − div_weight·max_sim_to_selected`` each
+       round (λ = rel_weight/(rel_weight+div_weight) in the classic
+       formulation, expressed as INTEGER weights over 1e6
+       fixed-point cosines so every comparison is exact integer
+       arithmetic — no cross-engine float ordering risk), ties by
+       min neighbor id. Round 1 is pure relevance.
+
+    The greedy loop unrolls to k−1 DataFrame rounds (k is a small
+    constant): each round ONE join of the pairwise-sim relation onto
+    the selected set + ONE argmax agg via ``min(struct(-score,
+    id))`` — the LPA/pagerank house pattern. All relations are
+    bounded by |Q|·pool² (pairwise sims among candidates), never by
+    corpus size; the corpus is touched only by stage 1's scan.
+
+    Output: (query_id, neighbor_id, mmr_rank 1..k).
+    """
+    if not 1 <= k <= pool:
+        raise ValueError(f"need 1 <= k <= pool, got k={k}, pool={pool}")
+    if rel_weight < 0 or div_weight < 0 or rel_weight + div_weight == 0:
+        raise ValueError("weights must be non-negative, not both zero")
+    micro = lambda c: F.round(c * F.lit(1e6)).cast("long")  # noqa: E731
+    cands = cosine_topk_bruteforce(
+        corpus, queries, id_col, vec_col, k=pool, scoring="decimal"
+    ).select("query_id", "neighbor_id", micro(F.col("cosine")).alias("rel_micro"))
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    ).withColumn("__n", F.sqrt(_dec_dot(F.col("__v"), F.col("__v"))))
+    ca = cands.join(vecs, cands["neighbor_id"] == vecs["__vid"]).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    cb = cands.join(vecs, cands["neighbor_id"] == vecs["__vid"]).select(
+        F.col("query_id").alias("__qb"),
+        F.col("neighbor_id").alias("other_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        ca.join(
+            cb,
+            (ca["query_id"] == cb["__qb"])
+            & (ca["cand_id"] != cb["other_id"]),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "other_id",
+            micro(
+                _dec_dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("sim_micro"),
+        )
+    )
+    pick1 = (
+        cands.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("rel_micro")).alias("ns"),
+                    F.col("neighbor_id").alias("id"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "query_id",
+            F.col("m.id").alias("neighbor_id"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    selected = pick1
+    for t in range(2, k + 1):
+        sel_ids = selected.select("query_id", "neighbor_id")
+        maxsim = (
+            pairs.join(
+                sel_ids.withColumnRenamed("neighbor_id", "other_id"),
+                ["query_id", "other_id"],
+            )
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("sim_micro").alias("maxsim"))
+        )
+        # remaining candidates = pool minus selected (per query)
+        rem = cands.join(sel_ids, ["query_id", "neighbor_id"], "left_anti")
+        scored = rem.join(
+            maxsim,
+            (rem["query_id"] == maxsim["query_id"])
+            & (rem["neighbor_id"] == maxsim["cand_id"]),
+        ).select(
+            rem["query_id"],
+            rem["neighbor_id"],
+            (
+                F.lit(rel_weight) * F.col("rel_micro")
+                - F.lit(div_weight) * F.col("maxsim")
+            ).alias("score"),
+        )
+        pick = (
+            scored.groupBy("query_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("ns"),
+                        F.col("neighbor_id").alias("id"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "query_id",
+                F.col("m.id").alias("neighbor_id"),
+                F.lit(t).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected

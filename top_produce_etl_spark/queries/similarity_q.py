@@ -276,3 +276,122 @@ def ivf_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
         scoring="double", probe_margin=0.02,
     )
+
+
+def _MMR_ORACLE(k: int = 5, pool: int = 10, a: int = 70, b: int = 30) -> str:
+    """Unrolled-CTE DuckDB oracle for mmr_topk on the embeddings
+    fixture (queries = vec_id < 10): the same decimal dots, the same
+    1e6 fixed-point cosines, the same integer MMR score
+    ``a·rel − b·max_sim`` and min-id tiebreak, one CTE pair per
+    greedy round."""
+    rounds = []
+    for t in range(2, k + 1):
+        rounds.append(f"""sel{t} AS (
+    SELECT query_id, neighbor_id, {t} AS mmr_rank FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY ({a} * c.rel_micro - {b} * m.maxsim) DESC,
+                            c.neighbor_id
+               ) AS rn
+        FROM cand c
+        JOIN (
+            SELECT p.query_id, p.cand_id, MAX(p.sim_micro) AS maxsim
+            FROM pairs p
+            JOIN selall{t - 1} s
+              ON p.query_id = s.query_id AND p.other_id = s.neighbor_id
+            GROUP BY 1, 2
+        ) m ON c.query_id = m.query_id AND c.neighbor_id = m.cand_id
+        WHERE NOT EXISTS (
+            SELECT 1 FROM selall{t - 1} s2
+            WHERE s2.query_id = c.query_id
+              AND s2.neighbor_id = c.neighbor_id
+        )
+    ) WHERE rn = 1
+), selall{t} AS (
+    SELECT query_id, neighbor_id FROM selall{t - 1}
+    UNION ALL
+    SELECT query_id, neighbor_id FROM sel{t}
+)""")
+    round_sql = ",\n".join(rounds)
+    picks = "\nUNION ALL\n".join(
+        f"SELECT * FROM sel{t}" for t in range(1, k + 1)
+    )
+    return f"""
+WITH ex AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+), qd AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM ex q JOIN ex c ON q.i = c.i
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+), cand AS (
+    SELECT query_id, neighbor_id, rel_micro FROM (
+        SELECT d.query_id, d.neighbor_id,
+               CAST(round(d.dot / (nq.nrm * nc.nrm) * 1000000.0)
+                    AS BIGINT) AS rel_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.neighbor_id
+               ) AS rn
+        FROM qd d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id
+    ) WHERE rn <= {pool}
+), pd_ AS (
+    SELECT a.query_id, a.neighbor_id AS cand_id, b.neighbor_id AS other_id,
+           CAST(SUM(CAST(x.v * y.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM cand a
+    JOIN cand b ON a.query_id = b.query_id
+               AND a.neighbor_id <> b.neighbor_id
+    JOIN ex x ON x.vec_id = a.neighbor_id
+    JOIN ex y ON y.vec_id = b.neighbor_id AND y.i = x.i
+    GROUP BY 1, 2, 3
+), pairs AS (
+    SELECT p.query_id, p.cand_id, p.other_id,
+           CAST(round(p.dot / (na.nrm * nb.nrm) * 1000000.0)
+                AS BIGINT) AS sim_micro
+    FROM pd_ p
+    JOIN norms na ON p.cand_id = na.vec_id
+    JOIN norms nb ON p.other_id = nb.vec_id
+), sel1 AS (
+    SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rel_micro DESC, neighbor_id
+               ) AS rn
+        FROM cand
+    ) WHERE rn = 1
+), selall1 AS (
+    SELECT query_id, neighbor_id FROM sel1
+),
+{round_sql}
+{picks}
+"""
+
+
+@query("mmr_diverse_topk", extended=True, oracle=_MMR_ORACLE())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 per query vector
+    (operators/similarity.py::mmr_topk): exact top-10 candidate
+    pool, then greedy selection on integer fixed-point scores
+    (70·relevance − 30·max-sim-to-selected), so the whole greedy
+    trajectory — not just the final set — is bit-reproducible and
+    CTE-unrollable. The post-ANN re-rank step that keeps a RAG
+    context window or a sampled training batch from filling with
+    near-duplicates of one hit."""
+    from top_produce_etl_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mmr_topk(
+        emb, queries, "vec_id", "embedding",
+        k=5, pool=10, rel_weight=70, div_weight=30,
+    )

@@ -194,3 +194,51 @@ def stream_outer_attribution_parity(
     return sink.filter(
         F.col("purchase_ts") <= F.lit(bound - dt.timedelta(days=2))
     ).select("user_id", "purchase_id", "click_id")
+
+
+@query(
+    "stream_session_windows_parity", extended=True,
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_windows_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SESSION windows through the real streaming runtime
+    (streaming/jobs.py:sessionize_stream): state-store-backed
+    ``session_window`` aggregation with a 1-hour watermark,
+    complete-mode memory sink, availableNow over the bounded
+    fixture. The oracle is the same gap-and-island SQL that checks
+    the batch session_windows_30m — closing the loop batch =
+    stream = oracle for the §2.9 session row (tumbling, join,
+    stateful, dedup, and outer-join parities already have theirs)."""
+    from top_produce_etl_spark.streaming.jobs import (
+        sessionize_stream,
+        stream_events,
+    )
+
+    events = stream_events(spark, sf_dir)
+    return sessionize_stream(
+        events, sink_table="oracle_stream_sessions"
+    )
