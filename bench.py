@@ -79,6 +79,13 @@ EXTENSION = [
     "gapfill_daily_counts_zero",  # time-series grid densification
     "pairwise_corr_lineitem",    # exact-co-moment correlation
     "curation_funnel",           # 4-signal keep/drop composition
+    "session_top_paths",         # sessionized path mining (r5)
+    "weighted_sample_orders",    # A-ES weighted reservoir (r5)
+    "strip_boilerplate_docs",    # corpus boilerplate rewrite (r5)
+    "supply_communities_lpa",    # label-propagation communities (r5)
+    "mmr_diverse_topk",          # MMR diversified retrieval (r5)
+    "ewma_daily_revenue",        # trailing-EWMA smoothing (r5)
+    "order_value_trend_by_priority",  # per-group OLS drift (r5)
 ]
 
 RECALL_K = 3

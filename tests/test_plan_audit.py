@@ -66,6 +66,8 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "semi_anti_cross_pack",  # contains the cross-join branch
         "cosine_topk_numpy",  # same broadcast-queries shape as bruteforce
         "cosine_topk_quantized",  # broadcast-queries cross on int8 vectors
+        "mmr_diverse_topk",  # stage 1 IS the bruteforce baseline; the
+        # greedy stages are equi-joins on |Q|·pool² relations
     }
     # the one deliberate Python-UDTF query: API-surface coverage whose
     # production twin (token_runs_expr) is the pure-codegen path

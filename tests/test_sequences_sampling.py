@@ -200,3 +200,23 @@ def test_mmr_diversifies_against_pure_relevance(spark):
     assert got[2] == 3       # round 2 penalizes the twin
     with pytest.raises(ValueError):
         mmr_topk(df, q, "vec_id", "embedding", k=5, pool=3)
+
+
+def test_grouped_trend_known_slope(spark):
+    from top_produce_etl_spark.operators.stats import grouped_trend
+
+    df = spark.createDataFrame(
+        # g1: y = 2x + 1 exactly; g2: constant (zero variance in y);
+        # g3: single point (zero variance in x)
+        [("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+         ("g2", 1.0, 4.0), ("g2", 2.0, 4.0),
+         ("g3", 5.0, 9.0)],
+        ["g", "x", "y"],
+    )
+    out = {r.g: r for r in grouped_trend(df, ["g"], "x", "y").collect()}
+    assert out["g1"].beta_micro == 2_000_000
+    assert out["g1"].corr_micro == 1_000_000
+    assert out["g2"].beta_micro == 0 and out["g2"].corr_micro is None
+    assert out["g3"].beta_micro is None
+    with pytest.raises(ValueError):
+        grouped_trend(df, [], "x", "y")

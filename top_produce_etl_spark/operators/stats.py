@@ -279,3 +279,85 @@ def trailing_ewma_oracle_sql(
     return (
         f"CAST(round({num} / {den} * {float(STAT_SCALE)!r}) AS BIGINT)"
     )
+
+
+def grouped_trend(
+    df: DataFrame, keys: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group OLS slope + correlation of y on x — the grouped twin
+    of :func:`pairwise_stats` (same exact-decimal moments, same fixed
+    double tree, same 1e6 fixed point), for trend monitoring per
+    segment ("is revenue drifting down for THIS priority class?").
+
+    ONE group-keyed hash agg computes the five moments (map-side
+    partials), then the closed forms evaluate per group row — no
+    second pass, no window. Zero-variance groups yield NULL
+    corr/beta (0/0 guarded). Output: (*keys, n, corr_micro,
+    beta_micro).
+    """
+    if not keys:
+        raise ValueError("grouped_trend requires >= 1 group key")
+    x, y = dec(x_col), dec(y_col)
+    m = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = F.when(
+        (var_x > 0) & (var_y > 0), cov_n / (F.sqrt(var_x) * F.sqrt(var_y))
+    )
+    beta = F.when(var_x > 0, cov_n / var_x)
+    return m.select(
+        *keys,
+        "n",
+        F.round(corr * STAT_SCALE).cast("bigint").alias("corr_micro"),
+        F.round(beta * STAT_SCALE).cast("bigint").alias("beta_micro"),
+    )
+
+
+def grouped_trend_oracle_sql(
+    keys_sql: str,
+    x_sql: str,
+    y_sql: str,
+    table: str,
+    dec_typ: str = "DECIMAL(19,4)",
+) -> str:
+    """DuckDB twin of :func:`grouped_trend` (see
+    :func:`pairwise_stats_oracle_sql` for the (19,4) width note)."""
+    xd, yd = f"CAST({x_sql} AS {dec_typ})", f"CAST({y_sql} AS {dec_typ})"
+    n = "CAST(n AS DOUBLE)"
+    sx, sy = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxx, syy = "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)"
+    sxy = "CAST(sxy AS DOUBLE)"
+    cov_n = f"(({n} * {sxy}) - ({sx} * {sy}))"
+    var_x = f"(({n} * {sxx}) - ({sx} * {sx}))"
+    var_y = f"(({n} * {syy}) - ({sy} * {sy}))"
+    corr = (
+        f"CASE WHEN {var_x} > 0 AND {var_y} > 0 THEN "
+        f"{cov_n} / (sqrt({var_x}) * sqrt({var_y})) END"
+    )
+    beta = f"CASE WHEN {var_x} > 0 THEN {cov_n} / {var_x} END"
+    return f"""
+    WITH m AS (
+        SELECT {keys_sql}, COUNT(*) AS n,
+               SUM({xd}) AS sx, SUM({yd}) AS sy,
+               SUM({xd} * {xd}) AS sxx, SUM({yd} * {yd}) AS syy,
+               SUM({xd} * {yd}) AS sxy
+        FROM {table}
+        GROUP BY {keys_sql}
+    )
+    SELECT {keys_sql}, n,
+           CAST(round(({corr}) * {STAT_SCALE}) AS BIGINT) AS corr_micro,
+           CAST(round(({beta}) * {STAT_SCALE}) AS BIGINT) AS beta_micro
+    FROM m
+    """

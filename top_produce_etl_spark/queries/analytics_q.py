@@ -801,3 +801,38 @@ def supply_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return label_propagation(edges, "u", "v", "w", iterations=3)
+
+
+def _TREND_ORACLE() -> str:
+    from top_produce_etl_spark.operators.stats import (
+        grouped_trend_oracle_sql,
+    )
+
+    return grouped_trend_oracle_sql(
+        "o_orderpriority",
+        "date_diff('day', DATE '1970-01-01', o_orderdate)",
+        "o_totalprice",
+        "orders",
+    )
+
+
+@query(
+    "order_value_trend_by_priority", extended=True, oracle=_TREND_ORACLE()
+)
+def order_value_trend_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority OLS trend of order value over time
+    (operators/stats.py::grouped_trend): slope + correlation of
+    o_totalprice against epoch-day, one hash agg of exact decimal
+    moments per segment — the drift monitor behind 'is this segment's
+    spend trending?'. Deterministic at any parallelism, like
+    pairwise_corr_lineitem."""
+    from top_produce_etl_spark.operators.stats import grouped_trend
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "epoch_day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    return grouped_trend(
+        orders, ["o_orderpriority"], "epoch_day", "o_totalprice"
+    )
