@@ -86,6 +86,7 @@ EXTENSION = [
     "mmr_diverse_topk",          # MMR diversified retrieval (r5)
     "ewma_daily_revenue",        # trailing-EWMA smoothing (r5)
     "order_value_trend_by_priority",  # per-group OLS drift (r5)
+    "standardized_embeddings",   # per-dim z-scoring, broadcast model (r5)
 ]
 
 RECALL_K = 3

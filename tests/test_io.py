@@ -483,3 +483,30 @@ def test_write_table_bloom_filters_add_footer_payload(spark, tmp_path):
     ).select("payload").first()
     want = df.filter("k = 12345").select("payload").first()
     assert probe == want
+
+
+def test_xml_roundtrip_native_spark4(spark, tmp_path):
+    """XML is a NATIVE source in Spark 4 (spark-xml merged into
+    core): write with rowTag, read back through the registry
+    dispatch with an explicit schema — same no-inference contract as
+    CSV/JSON."""
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 7.25)], "id bigint, name string, v double"
+    )
+    p = str(tmp_path / "xml_out")
+    write_table(df, p, fmt="xml", options={"rowTag": "row"})
+    back = read_table(
+        spark, p, fmt="xml", schema="id bigint, name string, v double"
+    )
+    assert sorted(map(tuple, back.select("id", "name", "v").collect())) == [
+        (1, "a", 2.5), (2, "b", 7.25),
+    ]
+
+
+def test_avro_dispatch_raises_actionable_error(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="spark-avro"):
+        read_table(spark, "/tmp/nope", fmt="avro")
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_table(spark, "/tmp/nope", fmt="xlsx")

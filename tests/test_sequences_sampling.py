@@ -220,3 +220,23 @@ def test_grouped_trend_known_slope(spark):
     assert out["g3"].beta_micro is None
     with pytest.raises(ValueError):
         grouped_trend(df, [], "x", "y")
+
+
+def test_standardize_embeddings_known_values(spark):
+    from top_produce_etl_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    # dim 0: values 0,10 → mean 5, pop-std 5 → z = ∓1
+    # dim 1: constant → zero variance → NULL z
+    df = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [10.0, 7.0])], ["vec_id", "embedding"]
+    )
+    out = {
+        r.id: r.z_micro
+        for r in standardize_embeddings(df, "vec_id", "embedding", 2).collect()
+    }
+    assert out[1] == [-1_000_000, None]
+    assert out[2] == [1_000_000, None]
+    with pytest.raises(ValueError):
+        standardize_embeddings(df, "vec_id", "embedding", 0)

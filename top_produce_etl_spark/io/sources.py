@@ -42,9 +42,24 @@ def read_table(
     schema: StructType | str | None = None,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Read one table. ``fmt`` ∈ {parquet, csv, json}; ``source_type``
-    's3'/'file' both route here (the URI scheme differentiates)."""
-    if fmt not in ("parquet", "orc", "csv", "json"):
+    """Read one table. ``fmt`` ∈ {parquet, orc, csv, json, xml};
+    ``source_type`` 's3'/'file' both route here (the URI scheme
+    differentiates).
+
+    XML is the Spark 4 NATIVE source (spark-xml was folded into core
+    in 4.0) — callers must pass a ``rowTag`` option (default
+    ``row``); like CSV/JSON, production reads should pass an explicit
+    schema (inference = a second full pass). Avro is deliberately NOT
+    dispatched: it ships as an external module (spark-avro jar), so a
+    bare session raises a confusing "Failed to find data source";
+    this registry surfaces the actionable error instead."""
+    if fmt == "avro":
+        raise ValueError(
+            "avro needs the external spark-avro package on the session "
+            "classpath (--packages org.apache.spark:spark-avro_2.13); "
+            "add it, then read via spark.read.format('avro') directly"
+        )
+    if fmt not in ("parquet", "orc", "csv", "json", "xml"):
         raise ValueError(f"unsupported format: {fmt}")
     reader = spark.read
     if schema is not None:
@@ -54,8 +69,12 @@ def read_table(
         # options may override it. Schema inference only happens when
         # no schema is given AND the caller opts in via options.
         reader = reader.option("header", "true")
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row")
     if options:
         reader = reader.options(**options)
+    if fmt == "xml":
+        return reader.format("xml").load(path)
     return getattr(reader, fmt)(path)
 
 

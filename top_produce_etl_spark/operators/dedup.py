@@ -32,32 +32,15 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-
-# DataFrames persisted by operators in this module (they feed
-# multiple consumers inside one returned plan, so they cannot be
-# unpersisted before the caller materializes the result). Long-lived
-# sessions issuing many dedup calls should release them afterwards
-# via :func:`unpersist_all`.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(df)
-    return df
-
-
-def unpersist_all() -> int:
-    """Release every shingle/signature table persisted by dedup
-    operators since the last call. Returns the number released.
-    Call after materializing the pair/component output (the caches
-    only exist to share work across the consumers of ONE plan)."""
-    n = len(_PERSISTED)
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-    return n
+# The persisted-DataFrame registry moved to operators/_cache.py when
+# the iterative graph/MMR operators started needing it too;
+# ``unpersist_all`` is re-exported here unchanged because bench and
+# the oracle harness call it under this module's name.
+from top_produce_etl_spark.operators._cache import (  # noqa: F401
+    persist_tracked as _persist,
+    unpersist_all,
+)
 
 
 def _drop_stop_shingles(sh: DataFrame, max_df: int) -> DataFrame:

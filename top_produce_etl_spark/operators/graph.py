@@ -79,7 +79,11 @@ def pagerank(
     VALUES feed a downstream computation that assumes a probability
     distribution.
     """
-    norm = normalize_edges(edges, src, dst, weight)
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    # both the transition relation and the node set feed every
+    # iteration's plan — persist them once (same rationale as LPA)
+    norm = persist_tracked(normalize_edges(edges, src, dst, weight))
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -207,6 +211,12 @@ def label_propagation(
         .groupBy("u", "v")
         .agg(F.sum(w_dec).alias("w"))
     )
+    # the edge relation is re-read by EVERY round's join — persist it
+    # once or the upstream build (source joins + symmetrize + agg)
+    # re-executes O(iterations) times (see operators/_cache.py)
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    und = persist_tracked(und)
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

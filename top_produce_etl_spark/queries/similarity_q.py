@@ -395,3 +395,43 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding",
         k=5, pool=10, rel_weight=70, div_weight=30,
     )
+
+
+@query(
+    "standardized_embeddings", extended=True,
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, 65)) r(i)
+    ), st AS (
+        SELECT i, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE) AS ss
+        FROM ex GROUP BY i
+    ), stats AS (
+        SELECT i, s / n AS mean,
+               CASE WHEN (n * ss - s * s) > 0
+                    THEN sqrt((n * ss - s * s) / (n * n)) END AS std
+        FROM st
+    )
+    SELECT e.vec_id AS id,
+           list(CAST(round((e.v - st.mean) / st.std * 1000000.0) AS BIGINT)
+                ORDER BY e.i) AS z_micro
+    FROM ex e JOIN stats st USING (i)
+    GROUP BY e.vec_id
+    """,
+)
+def standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide per-dimension z-scored embeddings
+    (operators/similarity.py::standardize_embeddings): exact-decimal
+    per-dim moments refolded into a one-row broadcast model, then a
+    single zip_with per row — the corpus never shuffles. Output is
+    1e6 fixed-point integer arrays so the cross-engine compare is
+    exact. The preprocessing stage upstream of kmeans_assignments /
+    the IVF queries when dimensions need commensurate scales."""
+    from top_produce_etl_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb, "vec_id", "embedding", dim=64)
