@@ -87,6 +87,7 @@ EXTENSION = [
     "ewma_daily_revenue",        # trailing-EWMA smoothing (r5)
     "order_value_trend_by_priority",  # per-group OLS drift (r5)
     "standardized_embeddings",   # per-dim z-scoring, broadcast model (r5)
+    "price_quantiles_by_priority",  # grouped exact quantile table (r5)
 ]
 
 RECALL_K = 3

@@ -602,7 +602,14 @@ def standardize_embeddings(
         .select(
             F.transform("__m", lambda s: s["mean"]).alias("__means"),
             F.transform("__m", lambda s: s["std"]).alias("__stds"),
-            F.lit(0).alias("__k"),
+        )
+        # NON-FOLDABLE always-0 key (house pattern, see pagerank's N
+        # relation): a literal 0 would constant-fold and Catalyst
+        # would plan the join as a cartesian — which the registry
+        # audit rightly rejects; keyed on data it stays a
+        # BroadcastHashJoin
+        .withColumn(
+            "__k", F.pmod(F.size("__means"), F.lit(1)).cast("int")
         )
     )
     keyed = df.select(

@@ -836,3 +836,43 @@ def order_value_trend_by_priority(
     return grouped_trend(
         orders, ["o_orderpriority"], "epoch_day", "o_totalprice"
     )
+
+
+@query(
+    "price_quantiles_by_priority", extended=True,
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6)
+               AS p25,
+           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.50), 6)
+               AS p50,
+           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 6)
+               AS p75,
+           ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.90), 6)
+               AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile table (p25/p50/p75/p90 of order value
+    per priority): Spark's exact `percentile` aggregate vs DuckDB's
+    quantile_cont — identical rank-interpolation definition
+    (rank = p·(n−1), linear between neighbors), values pinned at 6 dp
+    like stats_moments_lineitem's global median/p90. The grouped
+    distribution profile a quality monitor diffs across loads.
+
+    Scale note: exact percentile sorts per group in one pass — right
+    for bounded-cardinality segment keys like priority; for
+    high-cardinality keys switch to approx_percentile (sketch-based,
+    mergeable), traded deliberately here for oracle exactness."""
+    orders = load_table(spark, sf_dir, "orders")
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        r6(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.25)")).alias("p25"),
+        r6(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.50)")).alias("p50"),
+        r6(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.75)")).alias("p75"),
+        r6(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.90)")).alias("p90"),
+    )
