@@ -88,6 +88,7 @@ EXTENSION = [
     "order_value_trend_by_priority",  # per-group OLS drift (r5)
     "standardized_embeddings",   # per-dim z-scoring, broadcast model (r5)
     "price_quantiles_by_priority",  # grouped exact quantile table (r5)
+    "bigram_surprisal_scores",   # conditional-LM sequence quality (r5)
 ]
 
 RECALL_K = 3

@@ -93,3 +93,29 @@ def test_unigram_surprisal_hand_computed(spark):
         1: (3, 3 * (1609438 - 693147), 1609438 - 693147),
         2: (2, (1609438 - 693147) + 1609438, ((1609438 - 693147) + 1609438) // 2),
     }
+
+
+def test_bigram_cond_surprisal_flags_incoherent_sequence(spark):
+    """Same vocabulary, different order: the doc whose bigrams are
+    corpus-unique must score strictly higher conditional surprisal
+    than the doc repeating the corpus-dominant sequence — the signal
+    unigram surprisal cannot produce (identical token counts)."""
+    from top_produce_etl_spark.operators.retrieval import (
+        bigram_cond_surprisal,
+    )
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common),
+         (4, "mat the on sat cat the")],  # same tokens, shuffled
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.mean_cond_info_micro
+        for r in bigram_cond_surprisal(docs, "doc_id", "text").collect()
+    }
+    assert out[4] > out[1]
+    assert out[1] == out[2] == out[3]
+    # single-token docs emit nothing
+    single = spark.createDataFrame([(9, "solo")], ["doc_id", "text"])
+    assert bigram_cond_surprisal(single, "doc_id", "text").count() == 0

@@ -356,3 +356,112 @@ def surprisal_oracle_sql(
            SUM(contrib) // SUM(tfreq) AS mean_info_micro
     FROM scored GROUP BY {id_col}
     """
+
+
+def bigram_cond_surprisal(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document BIGRAM-conditional surprisal — one rung up the
+    LM-quality ladder from :func:`unigram_surprisal`: information of
+    each token GIVEN its predecessor, -ln(c(w₋₁w)/c(w₋₁·)). Unigram
+    surprisal flags corpus-rare vocabulary; the conditional variant
+    additionally flags incoherent SEQUENCES (shuffled or
+    concatenated text whose words are individually common reads as
+    high conditional surprisal, low unigram surprisal) — the
+    standard cheap step toward real-LM perplexity filtering.
+
+    Same determinism contract as the unigram operator: per-distinct
+    count logs round to micro-nat BIGINT first, per-doc totals are
+    pure integer sums. c(w₋₁·) is the count of bigram POSITIONS with
+    that prefix (so probabilities over successors sum to 1 and every
+    contribution is a non-negative integer).
+
+    Scale: ONE (doc, bigram) shuffle; corpus bigram and prefix
+    tables are vocab-sized and join back size-gated — the big side
+    never re-shuffles (tfidf/unigram house shape). First tokens have
+    no context and are skipped; single-token docs emit nothing.
+
+    Output: (id_col, n_bigrams, cond_info_micro,
+    mean_cond_info_micro).
+    """
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(1))
+    bg = docs.filter(F.size(toks) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("prefix"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    ).alias("bigram"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.prefix", "b.bigram")
+    tf = bg.groupBy(id_col, "prefix", "bigram").agg(
+        F.count(F.lit(1)).alias("bfreq")
+    )
+    cb = tf.groupBy("bigram").agg(F.sum("bfreq").alias("cbg"))
+    cp = tf.groupBy("prefix").agg(F.sum("bfreq").alias("cpf"))
+
+    def L(c):  # micro-nat fixed-point log (see unigram_surprisal)
+        return F.round(F.log(c.cast("double")) * INFO_SCALE).cast("bigint")
+
+    scored = (
+        tf.join(maybe_broadcast(cb), "bigram")
+        .join(maybe_broadcast(cp), "prefix")
+        .withColumn(
+            "__contrib",
+            F.col("bfreq") * (L(F.col("cpf")) - L(F.col("cbg"))),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("bfreq").alias("n_bigrams"),
+            F.sum("__contrib").alias("cond_info_micro"),
+        )
+        .withColumn(
+            "mean_cond_info_micro",
+            F.expr("cond_info_micro DIV n_bigrams"),
+        )
+    )
+
+
+def bigram_surprisal_oracle_sql(
+    id_col: str = "doc_id", table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`bigram_cond_surprisal`."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+    ), bg AS (
+        SELECT {id_col},
+               t[CAST(i AS INT)] AS prefix,
+               t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bigram
+        FROM toks, unnest(range(1, len(t))) r(i)
+        WHERE len(t) >= 2
+    ), tf AS (
+        SELECT {id_col}, prefix, bigram, COUNT(*) AS bfreq
+        FROM bg GROUP BY 1, 2, 3
+    ), cb AS (
+        SELECT bigram, SUM(bfreq) AS cbg FROM tf GROUP BY 1
+    ), cp AS (
+        SELECT prefix, SUM(bfreq) AS cpf FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT tf.{id_col}, tf.bfreq,
+               tf.bfreq * (CAST(round(ln(CAST(cpf AS DOUBLE)) * {INFO_SCALE}) AS BIGINT)
+                         - CAST(round(ln(CAST(cbg AS DOUBLE)) * {INFO_SCALE}) AS BIGINT))
+                   AS contrib
+        FROM tf JOIN cb USING (bigram) JOIN cp USING (prefix)
+    )
+    SELECT {id_col},
+           SUM(bfreq) AS n_bigrams,
+           SUM(contrib) AS cond_info_micro,
+           SUM(contrib) // SUM(bfreq) AS mean_cond_info_micro
+    FROM scored GROUP BY {id_col}
+    """

@@ -685,3 +685,29 @@ def strip_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return strip_boilerplate(docs, "doc_id", "text", 4, 2)
+
+
+def _bigram_surprisal_oracle() -> str:
+    from top_produce_etl_spark.operators.retrieval import (
+        bigram_surprisal_oracle_sql,
+    )
+
+    return bigram_surprisal_oracle_sql()
+
+
+@query(
+    "bigram_surprisal_scores", extended=True,
+    oracle=_bigram_surprisal_oracle(),
+)
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-conditional surprisal quality proxy
+    (operators/retrieval.py::bigram_cond_surprisal): flags incoherent
+    token SEQUENCES that unigram surprisal can't see — the next rung
+    toward LM-perplexity filtering, same micro-nat integer
+    determinism contract."""
+    from top_produce_etl_spark.operators.retrieval import (
+        bigram_cond_surprisal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_cond_surprisal(docs, "doc_id", "text")
