@@ -89,6 +89,7 @@ EXTENSION = [
     "standardized_embeddings",   # per-dim z-scoring, broadcast model (r5)
     "price_quantiles_by_priority",  # grouped exact quantile table (r5)
     "bigram_surprisal_scores",   # conditional-LM sequence quality (r5)
+    "orderkey_skew_report",      # key-skew pre-flight diagnosis (r5)
 ]
 
 RECALL_K = 3

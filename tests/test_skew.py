@@ -125,3 +125,20 @@ def test_aqe_splits_skewed_join_partitions(spark):
         .collect()
     }
     assert agg == want
+
+
+def test_skew_report_ranks_and_ratios(spark):
+    from top_produce_etl_spark.operators.skew import skew_report
+
+    # 3 keys: a=6 rows, b=2, c=1 → total 9, nkeys 3, mean 3
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_report(df, ["k"], top_n=2).collect()
+    assert [(r.k, r.n) for r in out] == [("a", 6), ("b", 2)]
+    top = out[0]
+    assert top.share_micro == round(6 / 9 * 1e6)
+    assert top.ratio_to_mean_micro == 2_000_000  # 6 vs mean 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        skew_report(df, [], 5)

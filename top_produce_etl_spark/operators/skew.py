@@ -165,3 +165,57 @@ def aqe_skew_tuning(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the top-``top_n`` heaviest keys
+    with their share of all rows and their ratio to the mean key
+    weight — the report an engineer reads BEFORE choosing a salt
+    factor for :func:`salted_agg`/:func:`salted_join` or trusting
+    AQE's skew split (a ratio_to_mean of ~1 means salting is wasted
+    work; 100× means one task will run 100× longer than median).
+
+    ONE key-counts agg (map-side partials), a 1-row totals relation
+    riding the non-foldable always-0-key broadcast (house pattern),
+    and a TakeOrderedAndProject cut — no global sort, no window, no
+    driver state. Deterministic boundary: (count DESC, key ASC).
+
+    Output: (*key_cols, n, share_micro, ratio_to_mean_micro) — 1e6
+    fixed-point integers, oracle-exact.
+    """
+    if not key_cols:
+        raise ValueError("skew_report requires >= 1 key column")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n").alias("__total"),
+            F.count(F.lit(1)).alias("__nkeys"),
+        ).withColumn(
+            "__k", F.pmod(F.col("__total"), F.lit(1)).cast("int")
+        )
+    )
+    top = (
+        counts.withColumn(
+            "__k", F.pmod(F.xxhash64(*key_cols), F.lit(1)).cast("int")
+        )
+        .join(totals, "__k")
+        .orderBy(F.col("n").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top_n)
+    )
+    micro = lambda c: F.round(c * F.lit(1e6)).cast("bigint")  # noqa: E731
+    return top.select(
+        *key_cols,
+        "n",
+        micro(
+            F.col("n").cast("double") / F.col("__total").cast("double")
+        ).alias("share_micro"),
+        micro(
+            F.col("n").cast("double")
+            * F.col("__nkeys").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("ratio_to_mean_micro"),
+    )

@@ -876,3 +876,38 @@ def price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.75)")).alias("p75"),
         r6(F.expr("percentile(CAST(o_totalprice AS DOUBLE), 0.90)")).alias("p90"),
     )
+
+
+@query(
+    "orderkey_skew_report", extended=True,
+    oracle="""
+    WITH counts AS (
+        SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), totals AS (
+        SELECT SUM(n) AS total, COUNT(*) AS nkeys FROM counts
+    )
+    SELECT l_orderkey, n,
+           CAST(round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS share_micro,
+           CAST(round(CAST(n AS DOUBLE) * CAST(nkeys AS DOUBLE)
+                      / CAST(total AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS ratio_to_mean_micro
+    FROM (
+        SELECT c.l_orderkey, c.n, t.total, t.nkeys,
+               row_number() OVER (ORDER BY c.n DESC, c.l_orderkey)
+                   AS rn
+        FROM counts c, totals t
+    )
+    WHERE rn <= 10
+    """,
+)
+def orderkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis over the lineitem join key
+    (operators/skew.py::skew_report): the top-10 heaviest l_orderkey
+    values with share-of-rows and ratio-to-mean-key-weight — the
+    pre-flight report for salting/AQE-skew decisions, companion to
+    salted_agg_by_status and the AQE rehearsal harness."""
+    from top_produce_etl_spark.operators.skew import skew_report
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return skew_report(lineitem, ["l_orderkey"], top_n=10)
