@@ -216,6 +216,10 @@ def label_propagation(
     # re-executes O(iterations) times (see operators/_cache.py)
     from top_produce_etl_spark.operators._cache import persist_tracked
 
+    # (measured: an extra repartition("u") before the persist buys
+    # nothing here — the |nodes|-sized label vector broadcasts, so
+    # the per-round joins never re-shuffle the edge relation; the
+    # round cost is the genuine (v, label) score aggregation)
     und = persist_tracked(und)
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
