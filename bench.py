@@ -90,6 +90,8 @@ EXTENSION = [
     "price_quantiles_by_priority",  # grouped exact quantile table (r5)
     "bigram_surprisal_scores",   # conditional-LM sequence quality (r5)
     "orderkey_skew_report",      # key-skew pre-flight diagnosis (r5)
+    "loo_priority_encoding",     # leak-free target encoding (r5)
+    "user_survival_km_weekly",   # censoring-aware KM retention (r5)
 ]
 
 RECALL_K = 3

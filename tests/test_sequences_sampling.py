@@ -240,3 +240,53 @@ def test_standardize_embeddings_known_values(spark):
     assert out[2] == [1_000_000, None]
     with pytest.raises(ValueError):
         standardize_embeddings(df, "vec_id", "embedding", 0)
+
+
+def test_loo_target_encode_known_values(spark):
+    from top_produce_etl_spark.operators.stats import loo_target_encode
+
+    df = spark.createDataFrame(
+        [("A", 10.0), ("A", 20.0), ("A", 30.0), ("B", 7.0)],
+        ["cat", "y"],
+    )
+    out = loo_target_encode(df, "cat", "y").collect()
+    got = {(r.cat, r.y): r.loo_micro for r in out}
+    assert got[("A", 10.0)] == 25_000_000  # mean of 20, 30
+    assert got[("A", 20.0)] == 20_000_000  # mean of 10, 30
+    assert got[("B", 7.0)] is None         # singleton: no peers
+
+
+def test_user_survival_km_censoring_and_curve(spark):
+    from top_produce_etl_spark.operators.eventtime import user_survival_km
+
+    d0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = []
+    # three users, same cohort week, all long-dead (churned):
+    # lifetimes 0, 1, 2 days
+    for uid, life in [(1, 0), (2, 1), (3, 2)]:
+        rows.append((uid, d0))
+        if life:
+            rows.append((uid, d0 + life * day))
+    # a fourth user active at the corpus edge → censored
+    rows += [(4, d0), (4, d0 + 30 * day)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        r.life_days: r
+        for r in user_survival_km(df, "user_id", "ts", 7).collect()
+    }
+    import math
+
+    # t=0: 4 at risk, 1 churned → ln(3/4)
+    assert out[0].n_risk == 4 and out[0].d_churned == 1
+    assert out[0].log_surv_micro == round(math.log(3 / 4) * 1e6)
+    # t=1: 3 at risk, 1 churned → cumulative ln(3/4)+ln(2/3)
+    assert out[1].log_surv_micro == (
+        round(math.log(3 / 4) * 1e6) + round(math.log(2 / 3) * 1e6)
+    )
+    # t=2: 2 at risk, 1 churned; curve stays alive (censored user)
+    assert out[2].n_risk == 2 and out[2].log_surv_micro is not None
+    # t=30: the censored user: 1 at risk, 0 churned, factor ln(1)=0
+    assert out[30].d_churned == 0
+    with pytest.raises(ValueError):
+        user_survival_km(df, "user_id", "ts", -1)

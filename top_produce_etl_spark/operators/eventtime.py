@@ -347,3 +347,102 @@ def gapfill(
             ),
         )
     return joined.select(key_col, ts_col, value_col, "is_gap")
+
+
+def user_survival_km(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier user-retention curve per signup cohort — the
+    survival-analysis view of churn that cohort_retention's activity
+    matrix can't give: a proper at-risk-adjusted survival estimate
+    with censoring (users still active near the corpus edge are
+    CENSORED, not counted as churned — naive "days until last event"
+    curves are biased low without this).
+
+    Definitions: lifetime = days between a user's first and last
+    event; churned iff the last event is more than ``censor_days``
+    before the corpus max timestamp, else censored. Per cohort
+    (first-activity week) and lifetime t: n = users with lifetime ≥
+    t (at risk), d = churned at t, and the KM curve
+    S(t) = Π_{t'≤t} (1 − d/n).
+
+    Determinism contract: each step's log-factor ln((n−d)/n) rounds
+    to micro-nat BIGINT, and the curve ships as the INTEGER running
+    sum log S(t)·1e6 — associative, partition-order-free, DuckDB
+    bit-identical (the pagerank/surprisal playbook). Steps where
+    n = d (curve hits zero) yield NULL log-survival from that point.
+
+    Shape: one user-keyed agg, a 1-row max-ts broadcast on the
+    non-foldable always-0 key, one (cohort, lifetime) agg, then
+    windows PARTITIONED by cohort over the |lifetimes|-row rollup —
+    bounded by the calendar, never by |users|.
+
+    Output: (cohort_week, life_days, n_risk, d_churned,
+    log_surv_micro).
+    """
+    from pyspark.sql import Window
+
+    if censor_days < 0:
+        raise ValueError(f"censor_days must be >= 0, got {censor_days}")
+    per_user = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
+    )
+    maxts = F.broadcast(
+        df.agg(F.max(ts_col).alias("__maxts")).withColumn(
+            "__k",
+            F.pmod(F.unix_timestamp("__maxts"), F.lit(1)).cast("int"),
+        )
+    )
+    base = (
+        per_user.withColumn(
+            "__k", F.pmod(F.unix_timestamp("__first"), F.lit(1)).cast("int")
+        )
+        .join(maxts, "__k")
+        .select(
+            F.date_trunc("week", "__first").alias("cohort_week"),
+            F.datediff(F.col("__last"), F.col("__first")).alias("life_days"),
+            (
+                F.col("__last")
+                < F.col("__maxts") - F.expr(f"INTERVAL {int(censor_days)} DAY")
+            ).cast("int").alias("__churn"),
+        )
+    )
+    counts = base.groupBy("cohort_week", "life_days").agg(
+        F.count(F.lit(1)).alias("__m"), F.sum("__churn").alias("d_churned")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("life_days")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy("cohort_week")
+    stepped = counts.withColumn(
+        "n_risk",
+        F.sum("__m").over(total) - F.sum("__m").over(wrun) + F.col("__m"),
+    ).withColumn(
+        "__factor",
+        F.when(
+            F.col("n_risk") > F.col("d_churned"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d_churned")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1e6)
+            ).cast("bigint"),
+        ),
+    ).withColumn(
+        "__dead",
+        F.max(
+            (F.col("n_risk") == F.col("d_churned")).cast("int")
+        ).over(wrun),
+    )
+    return stepped.select(
+        "cohort_week",
+        "life_days",
+        "n_risk",
+        "d_churned",
+        F.when(
+            F.col("__dead") == 0, F.sum("__factor").over(wrun)
+        ).alias("log_surv_micro"),
+    )

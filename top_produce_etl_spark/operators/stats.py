@@ -361,3 +361,70 @@ def grouped_trend_oracle_sql(
            CAST(round(({beta}) * {STAT_SCALE}) AS BIGINT) AS beta_micro
     FROM m
     """
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str = "loo_micro",
+) -> DataFrame:
+    """Leave-one-out target encoding — the standard high-cardinality
+    categorical feature for tabular ML: each row gets its category's
+    mean target EXCLUDING the row itself, (Σ_cat − y) / (n_cat − 1),
+    so the encoding can't leak the row's own label into training.
+    Singleton categories encode NULL (no peers to average).
+
+    ONE category-keyed exact-decimal agg, stats broadcast back
+    (|categories| rows, size-gated) — the fact table never shuffles.
+    The division happens per row in a fixed double tree over exact
+    sums, emitted at 1e6 fixed point: deterministic at any
+    parallelism, same contract as :func:`grouped_trend`.
+    """
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    stats = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(target_col)).alias("__s"),
+    )
+    joined = df.join(
+        maybe_broadcast(stats), df[cat_col] == F.col("__cat")
+    )
+    y = dec(target_col).cast("double")
+    loo = F.when(
+        F.col("__n") > 1,
+        (F.col("__s").cast("double") - y)
+        / (F.col("__n") - F.lit(1)).cast("double"),
+    )
+    return joined.select(
+        *df.columns,
+        F.round(loo * STAT_SCALE).cast("bigint").alias(out_col),
+    )
+
+
+def loo_target_encode_oracle_sql(
+    cols_sql: str,
+    cat_sql: str,
+    target_sql: str,
+    table: str,
+    out_col: str = "loo_micro",
+    dec_typ: str = "DECIMAL(19,4)",
+) -> str:
+    """DuckDB twin of :func:`loo_target_encode` (same exact sums,
+    same double tree, same fixed point)."""
+    return f"""
+    WITH st AS (
+        SELECT {cat_sql} AS cat, COUNT(*) AS n,
+               SUM(CAST({target_sql} AS {dec_typ})) AS s
+        FROM {table}
+        GROUP BY 1
+    )
+    SELECT {cols_sql},
+           CAST(round(
+               CASE WHEN n > 1 THEN
+                   (CAST(s AS DOUBLE)
+                    - CAST(CAST({target_sql} AS {dec_typ}) AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE)
+               END * {STAT_SCALE}) AS BIGINT) AS {out_col}
+    FROM {table} JOIN st ON {cat_sql} = st.cat
+    """

@@ -911,3 +911,88 @@ def orderkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return skew_report(lineitem, ["l_orderkey"], top_n=10)
+
+
+def _LOO_ORACLE() -> str:
+    from top_produce_etl_spark.operators.stats import (
+        loo_target_encode_oracle_sql,
+    )
+
+    return loo_target_encode_oracle_sql(
+        "o_orderkey, o_orderpriority",
+        "o_orderpriority",
+        "o_totalprice",
+        "orders",
+    )
+
+
+@query("loo_priority_encoding", extended=True, oracle=_LOO_ORACLE())
+def loo_priority_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority by order value
+    (operators/stats.py::loo_target_encode): each order carries its
+    priority class's mean value excluding itself — the leak-free
+    categorical feature for tabular models. One |categories|-row
+    stats broadcast; the orders side never shuffles."""
+    from top_produce_etl_spark.operators.stats import loo_target_encode
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return loo_target_encode(
+        orders, "o_orderpriority", "o_totalprice"
+    ).select("o_orderkey", "o_orderpriority", "loo_micro")
+
+
+@query(
+    "user_survival_km_weekly", extended=True,
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, MIN(ts) AS f, MAX(ts) AS l FROM events GROUP BY 1
+    ), mx AS (SELECT MAX(ts) AS maxts FROM events),
+    base AS (
+        SELECT CAST(date_trunc('week', f) AS TIMESTAMP) AS cohort_week,
+               date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+                   AS life_days,
+               CASE WHEN l < maxts - INTERVAL 7 DAY THEN 1 ELSE 0 END
+                   AS churn
+        FROM per_user, mx
+    ), counts AS (
+        SELECT cohort_week, life_days, COUNT(*) AS m, SUM(churn) AS d
+        FROM base GROUP BY 1, 2
+    ), stepped AS (
+        SELECT cohort_week, life_days, d AS d_churned,
+               SUM(m) OVER (PARTITION BY cohort_week)
+                 - SUM(m) OVER (PARTITION BY cohort_week ORDER BY life_days
+                                ROWS UNBOUNDED PRECEDING)
+                 + m AS n_risk
+        FROM counts
+    ), factored AS (
+        SELECT cohort_week, life_days, n_risk, d_churned,
+               CASE WHEN n_risk > d_churned THEN
+                   CAST(round(ln(CAST(n_risk - d_churned AS DOUBLE)
+                                 / CAST(n_risk AS DOUBLE)) * 1000000.0)
+                        AS BIGINT)
+               END AS factor,
+               MAX(CASE WHEN n_risk = d_churned THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY cohort_week ORDER BY life_days
+                         ROWS UNBOUNDED PRECEDING) AS dead
+        FROM stepped
+    )
+    SELECT cohort_week, life_days, n_risk, d_churned,
+           CASE WHEN dead = 0 THEN
+               SUM(factor) OVER (PARTITION BY cohort_week ORDER BY life_days
+                                 ROWS UNBOUNDED PRECEDING)
+           END AS log_surv_micro
+    FROM factored
+    """,
+)
+def user_survival_km_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention curves per signup-week cohort
+    (operators/eventtime.py::user_survival_km): censoring-aware
+    survival over event lifetimes, shipped as integer micro-nat log
+    survival — the at-risk-adjusted churn view beside
+    cohort_retention_weekly's raw activity matrix."""
+    from top_produce_etl_spark.operators.eventtime import user_survival_km
+
+    events = load_table(spark, sf_dir, "events")
+    return user_survival_km(events, "user_id", "ts", censor_days=7)
