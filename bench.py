@@ -92,6 +92,8 @@ EXTENSION = [
     "orderkey_skew_report",      # key-skew pre-flight diagnosis (r5)
     "loo_priority_encoding",     # leak-free target encoding (r5)
     "user_survival_km_weekly",   # censoring-aware KM retention (r5)
+    "parts_bought_together",     # market-basket pair rules (r5)
+    "ab_conversion_ztest",       # experiment readout, fold-hash arms (r5)
 ]
 
 RECALL_K = 3

@@ -290,3 +290,42 @@ def test_user_survival_km_censoring_and_curve(spark):
     assert out[30].d_churned == 0
     with pytest.raises(ValueError):
         user_survival_km(df, "user_id", "ts", -1)
+
+
+def test_pair_rules_known_baskets(spark):
+    from top_produce_etl_spark.operators.basket import pair_rules
+
+    # baskets: {x,y} twice, {x,y,z} once, {z} once → N=4
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"),
+            (3, "x"), (3, "y"), (3, "z"), (4, "z"),
+            (1, "x")]  # duplicate line must not inflate counts
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r.item_a, r.item_b): r for r in pair_rules(df, "basket", "item", 2).collect()}
+    xy = out[("x", "y")]
+    assert xy.n_pairs == 3
+    assert xy.support_micro == 750_000          # 3/4
+    assert xy.conf_a_to_b_micro == 1_000_000    # 3/3
+    assert xy.lift_micro == round(3 * 4 / (3 * 3) * 1e6)
+    assert ("x", "z") not in out                # co-count 1 < min 2
+    with pytest.raises(ValueError):
+        pair_rules(df, "basket", "item", 0)
+
+
+def test_two_proportion_ztest_known_counts(spark):
+    import math
+
+    from top_produce_etl_spark.operators.stats import two_proportion_ztest
+
+    # arm 0: 2/4 convert; arm 1: 3/4 convert
+    rows = [(0, 1), (0, 1), (0, 0), (0, 0),
+            (1, 1), (1, 1), (1, 1), (1, 0)]
+    df = spark.createDataFrame(rows, ["arm", "success"])
+    r = two_proportion_ztest(df, "arm", "success").collect()[0]
+    assert (r.n0, r.x0, r.n1, r.x1) == (4, 2, 4, 3)
+    assert r.lift_micro == 250_000
+    pp = 5 / 8
+    z = (0.75 - 0.5) / math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert r.z_micro == round(z * 1e6)
+    # degenerate: all one arm → NULL z
+    one = spark.createDataFrame([(1, 1), (1, 0)], ["arm", "success"])
+    assert two_proportion_ztest(one, "arm", "success").collect()[0].z_micro is None

@@ -428,3 +428,58 @@ def loo_target_encode_oracle_sql(
                END * {STAT_SCALE}) AS BIGINT) AS {out_col}
     FROM {table} JOIN st ON {cat_sql} = st.cat
     """
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B experiment readout: conversion
+    rates per arm, absolute lift, and the pooled z statistic
+
+        z = (p₁ − p₀) / √( p̂(1−p̂)(1/n₀ + 1/n₁) ),  p̂ pooled.
+
+    ``arm_col`` must be 0/1 (deterministic assignment — pair with
+    operators/splits.py::assign_fold(k=2) so the arm split is
+    engine/retry-stable); ``success_col`` is 0/1 per unit. ONE
+    global agg of four integer counts, then a fixed double tree →
+    1e6 fixed point (z in micro-sigmas), so the whole readout is
+    oracle-exact. Degenerate arms (n = 0 or zero pooled variance)
+    yield NULL z. Output: (n0, x0, n1, x1, rate0_micro, rate1_micro,
+    lift_micro, z_micro).
+    """
+    a = F.col(arm_col).cast("int")
+    s = F.col(success_col).cast("int")
+    m = df.agg(
+        F.sum(F.when(a == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(a == 0, s).otherwise(0)).alias("x0"),
+        F.sum(F.when(a == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(a == 1, s).otherwise(0)).alias("x1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # try_divide everywhere: the session runs ANSI mode, where a
+    # bare x/0 on a degenerate arm is a runtime error, not a NULL —
+    # the guards alone don't help because ANSI evaluates eagerly
+    p0 = F.try_divide(d("x0"), d("n0"))
+    p1 = F.try_divide(d("x1"), d("n1"))
+    pp = F.try_divide(d("x0") + d("x1"), d("n0") + d("n1"))
+    var = (
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.try_divide(F.lit(1.0), d("n0"))
+            + F.try_divide(F.lit(1.0), d("n1"))
+        )
+    )
+    micro = lambda c: F.round(c * F.lit(float(STAT_SCALE))).cast("bigint")  # noqa: E731
+    return m.select(
+        "n0", "x0", "n1", "x1",
+        micro(p0).alias("rate0_micro"),
+        micro(p1).alias("rate1_micro"),
+        micro(p1 - p0).alias("lift_micro"),
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0) & (var > 0),
+            micro((p1 - p0) / F.sqrt(var)),
+        ).alias("z_micro"),
+    )

@@ -996,3 +996,115 @@ def user_survival_km_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return user_survival_km(events, "user_id", "ts", censor_days=7)
+
+
+@query(
+    "parts_bought_together", extended=True,
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), items AS (
+        SELECT i AS item, COUNT(*) AS n_item FROM bi GROUP BY 1
+    ), tot AS (SELECT COUNT(DISTINCT b) AS nb FROM bi),
+    pairs AS (
+        SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS n_pairs
+        FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b, p.n_pairs,
+           CAST(round(CAST(p.n_pairs AS DOUBLE) / CAST(nb AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS support_micro,
+           CAST(round(CAST(p.n_pairs AS DOUBLE) / CAST(a.n_item AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS conf_a_to_b_micro,
+           CAST(round(CAST(p.n_pairs AS DOUBLE) / CAST(b.n_item AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS conf_b_to_a_micro,
+           CAST(round(CAST(p.n_pairs AS DOUBLE) * CAST(nb AS DOUBLE)
+                      / (CAST(a.n_item AS DOUBLE) * CAST(b.n_item AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lift_micro
+    FROM pairs p
+    JOIN items a ON p.item_a = a.item
+    JOIN items b ON p.item_b = b.item, tot
+    """,
+)
+def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items
+    (operators/basket.py::pair_rules): support / confidence / lift
+    for part pairs co-ordered at least twice. The pair explosion is
+    within-basket (bounded by basket size², single digits here) —
+    never corpus²; metrics are a fixed double tree over exact counts
+    at 1e6 fixed point."""
+    from top_produce_etl_spark.operators.basket import pair_rules
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return pair_rules(lineitem, "l_orderkey", "l_partkey", 2)
+
+
+def _AB_ORACLE() -> str:
+    from top_produce_etl_spark.operators.splits import fold_oracle_sql
+
+    arm = fold_oracle_sql("user_id", 2, "ab-v1")
+    return f"""
+    WITH units AS (
+        SELECT user_id, {arm} AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS success
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN arm = 0 THEN success ELSE 0 END) AS x0,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN arm = 1 THEN success ELSE 0 END) AS x1
+        FROM units
+    )
+    SELECT n0, x0, n1, x1,
+           CAST(round(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS rate0_micro,
+           CAST(round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS rate1_micro,
+           CAST(round((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lift_micro,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+               CASE WHEN ((CAST(x0 AS DOUBLE) + CAST(x1 AS DOUBLE))
+                          / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                        * (1.0 - (CAST(x0 AS DOUBLE) + CAST(x1 AS DOUBLE))
+                                 / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+                        > 0
+               THEN CAST(round(
+                   (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / sqrt(((CAST(x0 AS DOUBLE) + CAST(x1 AS DOUBLE))
+                           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                          * (1.0 - (CAST(x0 AS DOUBLE) + CAST(x1 AS DOUBLE))
+                                   / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)))
+                          * (1.0 / CAST(n0 AS DOUBLE)
+                             + 1.0 / CAST(n1 AS DOUBLE)))
+                   * 1000000.0) AS BIGINT)
+               END
+           END AS z_micro
+    FROM m
+    """
+
+
+@query("ab_conversion_ztest", extended=True, oracle=_AB_ORACLE())
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over events: users split into two arms
+    by the deterministic fold hash (operators/splits.py::assign_fold,
+    k=2 — engine/retry-stable assignment), success = user ever
+    purchases; rates, lift and pooled two-proportion z in micro
+    fixed point (operators/stats.py::two_proportion_ztest). The null
+    split should and does read as |z| small — the harness for real
+    arm columns when an experiment ships one."""
+    from top_produce_etl_spark.operators.splits import assign_fold
+    from top_produce_etl_spark.operators.stats import two_proportion_ztest
+
+    events = load_table(spark, sf_dir, "events")
+    units = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("success")
+    )
+    units = assign_fold(units, "user_id", k=2, salt="ab-v1", out="arm")
+    return two_proportion_ztest(units, "arm", "success")
