@@ -94,6 +94,7 @@ EXTENSION = [
     "user_survival_km_weekly",   # censoring-aware KM retention (r5)
     "parts_bought_together",     # market-basket pair rules (r5)
     "ab_conversion_ztest",       # experiment readout, fold-hash arms (r5)
+    "cuped_adjusted_lift_events",  # CUPED variance reduction (r5)
 ]
 
 RECALL_K = 3

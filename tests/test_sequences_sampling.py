@@ -329,3 +329,26 @@ def test_two_proportion_ztest_known_counts(spark):
     # degenerate: all one arm → NULL z
     one = spark.createDataFrame([(1, 1), (1, 0)], ["arm", "success"])
     assert two_proportion_ztest(one, "arm", "success").collect()[0].z_micro is None
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    from top_produce_etl_spark.operators.stats import cuped_adjusted_lift
+
+    # Y == X exactly: theta = 1, rho² = 1, and the adjusted lift
+    # must collapse to 0 (the raw lift was pure pre-period imbalance)
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (0, 3.0, 3.0), (1, 2.0, 2.0), (1, 4.0, 4.0)],
+        ["arm", "x", "y"],
+    )
+    r = cuped_adjusted_lift(df, "arm", "x", "y").collect()[0]
+    assert (r.n0, r.n1) == (2, 2)
+    assert r.theta_micro == 1_000_000
+    assert r.rho2_micro == 1_000_000
+    assert r.lift_micro == 1_000_000
+    assert r.adj_lift_micro == 0
+    # degenerate: zero covariate variance → NULL theta, raw lift kept
+    flat = spark.createDataFrame(
+        [(0, 5.0, 1.0), (1, 5.0, 2.0)], ["arm", "x", "y"]
+    )
+    r2 = cuped_adjusted_lift(flat, "arm", "x", "y").collect()[0]
+    assert r2.theta_micro is None and r2.lift_micro == 1_000_000

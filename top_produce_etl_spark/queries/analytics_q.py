@@ -1108,3 +1108,109 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     units = assign_fold(units, "user_id", k=2, salt="ab-v1", out="arm")
     return two_proportion_ztest(units, "arm", "success")
+
+
+def _CUPED_ORACLE() -> str:
+    from top_produce_etl_spark.operators.splits import fold_oracle_sql
+
+    arm = fold_oracle_sql("user_id", 2, "ab-v1")
+    d = "CAST({} AS DOUBLE)"
+    moments = """
+    WITH mid AS (
+        SELECT (CAST(epoch_ms(MIN(ts)) AS BIGINT)
+                + CAST(epoch_ms(MAX(ts)) AS BIGINT)) // 2 AS m
+        FROM events
+    ), units AS (
+        SELECT user_id, {arm} AS arm,
+               CAST(SUM(CASE WHEN CAST(epoch_ms(ts) AS BIGINT) <= mid.m
+                        THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                    AS DOUBLE) AS x,
+               CAST(SUM(CASE WHEN CAST(epoch_ms(ts) AS BIGINT) > mid.m
+                        THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END)
+                    AS DOUBLE) AS y
+        FROM events, mid
+        GROUP BY user_id, mid.m
+    ), m AS (
+        SELECT COUNT(*) AS n,
+               SUM(CAST(x AS DECIMAL(19,4))) AS sx,
+               SUM(CAST(y AS DECIMAL(19,4))) AS sy,
+               SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))) AS sxx,
+               SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS syy,
+               SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS sxy,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(19,4)) END) AS sx0,
+               SUM(CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(19,4)) END) AS sy0,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(19,4)) END) AS sx1,
+               SUM(CASE WHEN arm = 1 THEN CAST(y AS DECIMAL(19,4)) END) AS sy1
+        FROM units
+    )
+    """.format(arm=arm)
+    n, sx, sy = d.format("n"), d.format("sx"), d.format("sy")
+    sxx, syy, sxy = d.format("sxx"), d.format("syy"), d.format("sxy")
+    cov = f"(({n} * {sxy}) - ({sx} * {sy}))"
+    vx = f"(({n} * {sxx}) - ({sx} * {sx}))"
+    vy = f"(({n} * {syy}) - ({sy} * {sy}))"
+    theta = f"({cov} / {vx})"
+    rho2 = f"(({cov} * {cov}) / ({vx} * {vy}))"
+    my0 = f"({d.format('sy0')} / {d.format('n0')})"
+    my1 = f"({d.format('sy1')} / {d.format('n1')})"
+    mx0 = f"({d.format('sx0')} / {d.format('n0')})"
+    mx1 = f"({d.format('sx1')} / {d.format('n1')})"
+    mic = "CAST(round({} * 1000000.0) AS BIGINT)"
+    return f"""{moments}
+    SELECT n0, n1,
+           {mic.format(f"({my1} - {my0})")} AS lift_micro,
+           {mic.format(f"(({my1} - {my0}) - {theta} * ({mx1} - {mx0}))")}
+               AS adj_lift_micro,
+           {mic.format(theta)} AS theta_micro,
+           {mic.format(rho2)} AS rho2_micro
+    FROM m
+    """
+
+
+@query("cuped_adjusted_lift_events", extended=True, oracle=_CUPED_ORACLE())
+def cuped_adjusted_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced lift over events
+    (operators/stats.py::cuped_adjusted_lift): per-user pre-period
+    spend (first half of the timeline, exact decimal) is the
+    covariate for post-period spend; fold-hash arms as in
+    ab_conversion_ztest. The timeline midpoint is integer epoch-ms
+    arithmetic riding a one-row broadcast — no driver state, no
+    float timestamps."""
+    from top_produce_etl_spark.operators.splits import assign_fold
+    from top_produce_etl_spark.operators.stats import cuped_adjusted_lift
+
+    events = load_table(spark, sf_dir, "events")
+    mid = F.broadcast(
+        events.agg(
+            (
+                (F.min(F.unix_millis("ts")) + F.max(F.unix_millis("ts")))
+                / F.lit(2)
+            ).cast("bigint").alias("__mid")
+        ).withColumn(
+            "__k", F.pmod(F.col("__mid"), F.lit(1)).cast("int")
+        )
+    )
+    val = F.col("value").cast("decimal(18,4)")
+    units = (
+        events.withColumn(
+            "__k", F.pmod(F.unix_millis("ts"), F.lit(1)).cast("int")
+        )
+        .join(mid, "__k")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_millis("ts") <= F.col("__mid"), val).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double").alias("x"),
+            F.sum(
+                F.when(F.unix_millis("ts") > F.col("__mid"), val).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double").alias("y"),
+        )
+    )
+    units = assign_fold(units, "user_id", k=2, salt="ab-v1", out="arm")
+    return cuped_adjusted_lift(units, "arm", "x", "y")
