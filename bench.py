@@ -95,6 +95,7 @@ EXTENSION = [
     "parts_bought_together",     # market-basket pair rules (r5)
     "ab_conversion_ztest",       # experiment readout, fold-hash arms (r5)
     "cuped_adjusted_lift_events",  # CUPED variance reduction (r5)
+    "hashed_bow_vectors_docs",   # hashing-trick doc vectors (r5)
 ]
 
 RECALL_K = 3

@@ -119,3 +119,23 @@ def test_bigram_cond_surprisal_flags_incoherent_sequence(spark):
     # single-token docs emit nothing
     single = spark.createDataFrame([(9, "solo")], ["doc_id", "text"])
     assert bigram_cond_surprisal(single, "doc_id", "text").count() == 0
+
+
+def test_hashed_bow_vectors_shape_and_counts(spark):
+    from top_produce_etl_spark.operators.retrieval import hashed_bow_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], ["doc_id", "text"]
+    )
+    out = {r.id: r.vec for r in hashed_bow_vectors(docs, "doc_id", "text", 8).collect()}
+    assert len(out[1]) == 8 and len(out[2]) == 8
+    assert sum(out[1]) == 3 and sum(out[2]) == 1  # token mass conserved
+    # 'a' appears twice: some bucket holds exactly 2
+    assert 2 in out[1]
+    # determinism: same text → identical vector
+    again = {r.id: r.vec for r in hashed_bow_vectors(docs, "doc_id", "text", 8).collect()}
+    assert again == out
+    import pytest
+
+    with pytest.raises(ValueError):
+        hashed_bow_vectors(docs, "doc_id", "text", 0)

@@ -465,3 +465,86 @@ def bigram_surprisal_oracle_sql(
            SUM(contrib) // SUM(bfreq) AS mean_cond_info_micro
     FROM scored GROUP BY {id_col}
     """
+
+
+def hashed_bow_vectors(
+    docs: DataFrame, id_col: str, text_col: str, k: int = 32
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document vectors: token →
+    bucket via the engine-portable polynomial hash, dense k-dim
+    term-count vector per document — model-free embeddings that feed
+    the existing ANN/k-means/standardization stack when no learned
+    embedding column exists (Weinberger et al. 2009; the classic
+    first vectorizer of a text pipeline).
+
+    ONE (doc, bucket) shuffle; densification is a per-doc map lookup
+    over a constant k — no corpus-wide vocabulary table at all,
+    which is the point of the trick at 100 TB (a vocabulary join
+    needs a second shuffle and an unbounded dim; the hash needs
+    neither). Integer counts → the cross-engine contract is exact.
+    Output: (id, vec: array<bigint> of length k).
+    """
+    from top_produce_etl_spark.functions.portable_hash import (
+        portable_hash_spark_sql,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
+    )
+    bucket = (
+        F.expr(portable_hash_spark_sql("tok")) % F.lit(k)
+    ).cast("int")
+    counts = toks.select("id", bucket.alias("bucket")).groupBy(
+        "id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "c"))
+            ).alias("__m")
+        )
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("__m", i.cast("int")), F.lit(0).cast("bigint")
+                ),
+            ).alias("vec"),
+        )
+    )
+
+
+def hashed_bow_oracle_sql(
+    id_col: str = "doc_id",
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 32,
+) -> str:
+    """DuckDB twin of :func:`hashed_bow_vectors` (same polynomial
+    hash, same buckets, same dense layout)."""
+    from top_produce_etl_spark.functions.portable_hash import (
+        portable_hash_sql,
+    )
+
+    h = portable_hash_sql("tok")
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id, unnest(string_split({text_col}, ' ')) AS tok
+        FROM {table}
+    ), bk AS (
+        SELECT id, CAST(({h}) % {k} AS INT) AS bucket FROM toks
+    ), cnt AS (
+        SELECT id, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2
+    ), grid AS (
+        SELECT d.id, CAST(r.i AS INT) AS i
+        FROM (SELECT DISTINCT id FROM bk) d, unnest(range(0, {k})) r(i)
+    )
+    SELECT g.id, list(COALESCE(c.c, 0) ORDER BY g.i) AS vec
+    FROM grid g
+    LEFT JOIN cnt c ON c.id = g.id AND c.bucket = g.i
+    GROUP BY g.id
+    """

@@ -711,3 +711,26 @@ def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_cond_surprisal(docs, "doc_id", "text")
+
+
+def _HBOW_ORACLE() -> str:
+    from top_produce_etl_spark.operators.retrieval import (
+        hashed_bow_oracle_sql,
+    )
+
+    return hashed_bow_oracle_sql()
+
+
+@query("hashed_bow_vectors_docs", extended=True, oracle=_HBOW_ORACLE())
+def hashed_bow_vectors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed 32-dim bag-of-words vectors over documents
+    (operators/retrieval.py::hashed_bow_vectors): the model-free
+    vectorizer that plugs documents into the cosine / k-means /
+    standardization stack without a vocabulary table — no second
+    shuffle, bounded dimension, exact integer counts."""
+    from top_produce_etl_spark.operators.retrieval import (
+        hashed_bow_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_bow_vectors(docs, "doc_id", "text", 32)
