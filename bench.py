@@ -96,6 +96,7 @@ EXTENSION = [
     "ab_conversion_ztest",       # experiment readout, fold-hash arms (r5)
     "cuped_adjusted_lift_events",  # CUPED variance reduction (r5)
     "hashed_bow_vectors_docs",   # hashing-trick doc vectors (r5)
+    "doc_clusters_hashed_bow",   # end-to-end text clustering (r5)
 ]
 
 RECALL_K = 3

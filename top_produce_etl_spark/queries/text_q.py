@@ -734,3 +734,48 @@ def hashed_bow_vectors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hashed_bow_vectors(docs, "doc_id", "text", 32)
+
+
+def _HBOW_KMEANS_ORACLE() -> str:
+    """Stitch the hashed-BOW vectorizer oracle into the unrolled
+    Lloyd oracle: the k-means CTE chain reads a synthesized
+    ``embeddings`` relation (doc_id → vec) instead of the fixture
+    table — proving the text → vector → cluster pipeline end to end
+    in ONE cross-engine-exact statement."""
+    from top_produce_etl_spark.operators.retrieval import (
+        hashed_bow_oracle_sql,
+    )
+    from top_produce_etl_spark.queries.similarity_q import _kmeans_oracle
+
+    km = _kmeans_oracle(k=8, iters=2)
+    bow = hashed_bow_oracle_sql()
+    wrapped = km.replace(
+        "WITH cents0 AS (",
+        "WITH embeddings AS (\n"
+        "  SELECT id AS vec_id, vec AS embedding FROM (" + bow + ") __b\n"
+        "), cents0 AS (",
+        1,
+    )
+    return f"SELECT vec_id AS doc_id, cluster FROM ({wrapped})"
+
+
+@query(
+    "doc_clusters_hashed_bow", extended=True, oracle=_HBOW_KMEANS_ORACLE()
+)
+def doc_clusters_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text clustering with no model and no vocabulary:
+    documents → feature-hashed 32-dim count vectors
+    (operators/retrieval.py::hashed_bow_vectors) → 2-round Lloyd
+    k-means (operators/clustering.py::kmeans_lloyd, k=8). Every
+    stage reuses an independently-oracle-checked operator and the
+    composed oracle is the two SQL twins stitched together — the
+    pattern for verifying whole pipelines, not just operators."""
+    from top_produce_etl_spark.operators.clustering import kmeans_lloyd
+    from top_produce_etl_spark.operators.retrieval import (
+        hashed_bow_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bow = hashed_bow_vectors(docs, "doc_id", "text", 32)
+    out = kmeans_lloyd(bow, "id", "vec", k=8, iters=2)
+    return out.select(F.col("id").alias("doc_id"), "cluster")
