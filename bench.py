@@ -97,6 +97,7 @@ EXTENSION = [
     "cuped_adjusted_lift_events",  # CUPED variance reduction (r5)
     "hashed_bow_vectors_docs",   # hashing-trick doc vectors (r5)
     "doc_clusters_hashed_bow",   # end-to-end text clustering (r5)
+    "psi_price_drift",           # PSI numeric drift gate (r5)
 ]
 
 RECALL_K = 3

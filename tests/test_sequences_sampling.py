@@ -352,3 +352,22 @@ def test_cuped_perfect_covariate_removes_all_variance(spark):
     )
     r2 = cuped_adjusted_lift(flat, "arm", "x", "y").collect()[0]
     assert r2.theta_micro is None and r2.lift_micro == 1_000_000
+
+
+def test_psi_report_detects_planted_shift(spark):
+    from top_produce_etl_spark.operators.anomaly import psi_report
+
+    ref = [(float(i % 100), 0) for i in range(1000)]
+    same = [(float(i % 100), 1) for i in range(1000)]
+    shifted = [(float(i % 100) + 50.0, 1) for i in range(1000)]
+    mk = lambda cur: spark.createDataFrame(ref + cur, ["v", "cur"])  # noqa: E731
+    psi = lambda df: sum(  # noqa: E731
+        r.psi_contrib_micro or 0
+        for r in psi_report(df, "v", "cur", 10).collect()
+    )
+    assert psi(mk(same)) == 0          # identical distribution
+    assert psi(mk(shifted)) > 500_000  # gross shift → PSI >> 0.25
+    out = psi_report(mk(same), "v", "cur", 10).collect()
+    assert len(out) == 10 and all(r.n_ref == 100 for r in out)
+    with pytest.raises(ValueError):
+        psi_report(mk(same), "v", "cur", 1)

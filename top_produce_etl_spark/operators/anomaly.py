@@ -140,3 +140,82 @@ def seasonal_zscores(
         "n",
         F.round(z * F.lit(1_000_000)).cast("bigint").alias("z_micro"),
     )
+
+
+def psi_report(
+    df: DataFrame,
+    value_col: str,
+    is_current_col: str,
+    quantiles: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE slice and a
+    CURRENT slice of one numeric column — the standard production
+    drift metric (banking/scorecard lineage) beside the chi² gate
+    for categoricals: PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref),
+    with bins = the reference slice's quantile edges, so the
+    reference lands ~uniformly and drift shows as mass imbalance.
+
+    Determinism: edges are exact `percentile` values rounded to 6 dp
+    (both engines pin this — see price_quantiles_by_priority);
+    binning is a count of edges below the value (a constant-width
+    array fold, codegen'd); per-bin PSI contributions round to 1e6
+    fixed point BEFORE any cross-bin sum. Empty bins on either side
+    yield NULL contributions (ln 0) — report rows keep the counts so
+    the consumer sees WHY.
+
+    Shape: one agg on the reference slice for edges (1-row broadcast
+    on the non-foldable key), one (slice, bin) hash agg, one |bins|-
+    row pivot — the data is scanned twice (edges need the full
+    reference pass first; unavoidable for exact quantile edges) and
+    never shuffled wider than |bins|.
+
+    Output: (bin, n_ref, n_cur, psi_contrib_micro), bin 0..quantiles-1.
+    """
+    if quantiles < 2:
+        raise ValueError(f"quantiles must be >= 2, got {quantiles}")
+    v = F.col(value_col).cast("double")
+    cur = F.col(is_current_col).cast("int")
+    probs = [i / quantiles for i in range(1, quantiles)]
+    prob_arr = ", ".join(repr(p) for p in probs)
+    edges_row = (
+        df.filter(cur == 0)
+        .agg(
+            F.expr(
+                f"transform(percentile(CAST({value_col} AS DOUBLE),"
+                f" array({prob_arr})), e -> round(e, 6))"
+            ).alias("__edges")
+        )
+        .withColumn("__k", F.pmod(F.size("__edges"), F.lit(1)).cast("int"))
+    )
+    keyed = df.select(
+        v.alias("__v"),
+        cur.alias("__cur"),
+        F.pmod(F.xxhash64(value_col), F.lit(1)).cast("int").alias("__k"),
+    )
+    binned = keyed.join(F.broadcast(edges_row), "__k").select(
+        F.size(F.filter("__edges", lambda e: F.col("__v") > e)).alias("bin"),
+        "__cur",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__cur") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("__cur") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+        ).withColumn("__k", F.pmod(F.col("__tr"), F.lit(1)).cast("int"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_ref = F.try_divide(d("n_ref"), d("__tr"))
+    p_cur = F.try_divide(d("n_cur"), d("__tc"))
+    contrib = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round(
+            (p_cur - p_ref) * F.log(p_cur / p_ref) * F.lit(1e6)
+        ).cast("bigint"),
+    )
+    return (
+        counts.withColumn("__k", F.pmod(F.col("n_ref"), F.lit(1)).cast("int"))
+        .join(tot, "__k")
+        .select("bin", "n_ref", "n_cur", contrib.alias("psi_contrib_micro"))
+    )

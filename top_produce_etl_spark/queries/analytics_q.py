@@ -1214,3 +1214,76 @@ def cuped_adjusted_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     units = assign_fold(units, "user_id", k=2, salt="ab-v1", out="arm")
     return cuped_adjusted_lift(units, "arm", "x", "y")
+
+
+@query(
+    "psi_price_drift", extended=True,
+    oracle="""
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN date_diff('day', DATE '1970-01-01', o_orderdate)
+                    > (SELECT (MIN(date_diff('day', DATE '1970-01-01',
+                                             o_orderdate))
+                               + MAX(date_diff('day', DATE '1970-01-01',
+                                               o_orderdate))) // 2
+                       FROM orders)
+                    THEN 1 ELSE 0 END AS cur
+        FROM orders
+    ), edges AS (
+        SELECT list_transform(
+                   quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]),
+                   e -> round(e, 6)) AS es
+        FROM base WHERE cur = 0
+    ), binned AS (
+        SELECT len(list_filter(es, e -> v > e)) AS bin, cur
+        FROM base, edges
+    ), counts AS (
+        SELECT bin,
+               SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS n_cur
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               CAST(round(
+                   (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+                    - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+                   * ln((CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))
+                        / (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)))
+                   * 1000000.0) AS BIGINT)
+           END AS psi_contrib_micro
+    FROM counts, tot
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, first half of the
+    timeline (reference) vs second half (current) — decile bins from
+    the reference slice, per-bin contributions in 1e6 fixed point
+    (operators/anomaly.py::psi_report). The numeric drift gate
+    beside chi2_lang_source's categorical one."""
+    from top_produce_etl_spark.operators.anomaly import psi_report
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    mid = F.broadcast(
+        orders.agg(
+            ((F.min("__day") + F.max("__day")) / F.lit(2))
+            .cast("bigint")
+            .alias("__mid")
+        ).withColumn("__k", F.pmod(F.col("__mid"), F.lit(1)).cast("int"))
+    )
+    sliced = (
+        orders.withColumn(
+            "__k", F.pmod(F.col("__day").cast("long"), F.lit(1)).cast("int")
+        )
+        .join(mid, "__k")
+        .select(
+            "o_totalprice",
+            (F.col("__day") > F.col("__mid")).cast("int").alias("is_cur"),
+        )
+    )
+    return psi_report(sliced, "o_totalprice", "is_cur", quantiles=10)
