@@ -98,6 +98,8 @@ EXTENSION = [
     "hashed_bow_vectors_docs",   # hashing-trick doc vectors (r5)
     "doc_clusters_hashed_bow",   # end-to-end text clustering (r5)
     "psi_price_drift",           # PSI numeric drift gate (r5)
+    "trimmed_mean_price_by_priority",  # robust grouped mean (r5)
+    "copurchase_triangles",      # triangle census on pair graph (r5)
 ]
 
 RECALL_K = 3

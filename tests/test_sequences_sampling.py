@@ -371,3 +371,31 @@ def test_psi_report_detects_planted_shift(spark):
     assert len(out) == 10 and all(r.n_ref == 100 for r in out)
     with pytest.raises(ValueError):
         psi_report(mk(same), "v", "cur", 1)
+
+
+def test_trimmed_mean_excludes_tails(spark):
+    from top_produce_etl_spark.operators.stats import trimmed_mean
+
+    # one group: 1..8 plus a gross outlier 1000; 10-90% trim drops it
+    rows = [("g", float(i)) for i in range(1, 9)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = trimmed_mean(df, ["g"], "v", 0.1, 0.9).collect()[0]
+    assert r.n == 9 and r.n_used < 9
+    assert r.trimmed_mean_micro < 10_000_000  # outlier excluded
+    with pytest.raises(ValueError):
+        trimmed_mean(df, ["g"], "v", 0.9, 0.1)
+
+
+def test_count_triangles_known_graph(spark):
+    from top_produce_etl_spark.operators.graph import count_triangles
+
+    # K4 minus one edge: edges (canonical a<b) of {1,2,3,4} without
+    # (3,4) → triangles (1,2,3) and (1,2,4) only
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["a", "b"]
+    )
+    r = count_triangles(edges, "a", "b").collect()[0]
+    assert r.n_edges == 5
+    assert r.n_triangles == 2
+    # wedges through ordered two-paths: (1,2,3),(1,2,4),(1,3,?),(2,3,?)...
+    assert r.n_wedges >= r.n_triangles

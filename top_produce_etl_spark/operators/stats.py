@@ -542,3 +542,57 @@ def cuped_adjusted_lift(
         micro(theta).alias("theta_micro"),
         micro(rho2).alias("rho2_micro"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group trimmed mean — the robust location estimate a
+    monitoring dashboard wants when a handful of fat-tail rows drag
+    the plain mean (sibling of the IQR fences in operators/anomaly):
+    mean of the values strictly inside the group's [lo, hi] exact
+    quantiles.
+
+    The cut points are exact `percentile` values rounded to 6 dp
+    (the cross-engine quantile contract, see
+    price_quantiles_by_priority); the interior mean accumulates in
+    exact DECIMAL → one double division → 1e6 fixed point. TWO
+    passes over the group (edges, then filtered mean) fused into one
+    shuffle each — both are |keys|-bounded aggs. Groups whose
+    interior is empty (tiny or constant groups) yield NULL.
+
+    Output: (*keys, n, n_used, trimmed_mean_micro).
+    """
+    if not keys:
+        raise ValueError("trimmed_mean requires >= 1 group key")
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    v = F.col(value_col).cast("double")
+    edges = df.groupBy(*keys).agg(
+        F.round(F.expr(f"percentile(CAST({value_col} AS DOUBLE), {lo!r})"), 6).alias("__lo"),
+        F.round(F.expr(f"percentile(CAST({value_col} AS DOUBLE), {hi!r})"), 6).alias("__hi"),
+    )
+    joined = df.join(maybe_broadcast(edges), keys)
+    inside = (v >= F.col("__lo")) & (v <= F.col("__hi"))
+    agg = joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(inside.cast("int")).alias("n_used"),
+        F.sum(F.when(inside, dec(value_col))).alias("__s"),
+    )
+    mean = F.try_divide(
+        F.col("__s").cast("double"), F.col("n_used").cast("double")
+    )
+    return agg.select(
+        *keys,
+        "n",
+        "n_used",
+        F.round(mean * STAT_SCALE).cast("bigint").alias(
+            "trimmed_mean_micro"
+        ),
+    )

@@ -1287,3 +1287,83 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return psi_report(sliced, "o_totalprice", "is_cur", quantiles=10)
+
+
+@query(
+    "trimmed_mean_price_by_priority", extended=True,
+    oracle="""
+    WITH edges AS (
+        SELECT o_orderpriority,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05), 6)
+                   AS lo,
+               round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 6)
+                   AS hi
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) >= lo
+                     AND CAST(o_totalprice AS DOUBLE) <= hi
+                    THEN 1 ELSE 0 END) AS n_used,
+           CAST(round(
+               CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) >= lo
+                              AND CAST(o_totalprice AS DOUBLE) <= hi
+                             THEN CAST(o_totalprice AS DECIMAL(19,4)) END)
+                    AS DOUBLE)
+               / CAST(SUM(CASE WHEN CAST(o_totalprice AS DOUBLE) >= lo
+                                AND CAST(o_totalprice AS DOUBLE) <= hi
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+               * 1000000.0) AS BIGINT) AS trimmed_mean_micro
+    FROM orders o JOIN edges USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def trimmed_mean_price_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """5-95% trimmed mean of order value per priority
+    (operators/stats.py::trimmed_mean): exact-quantile cut points,
+    exact-decimal interior sum — the robust location metric beside
+    the raw mean in agg_profile_pack."""
+    from top_produce_etl_spark.operators.stats import trimmed_mean
+
+    orders = load_table(spark, sf_dir, "orders")
+    return trimmed_mean(
+        orders, ["o_orderpriority"], "o_totalprice", 0.05, 0.95
+    )
+
+
+@query(
+    "copurchase_triangles", extended=True,
+    oracle="""
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), e AS (
+        SELECT l.i AS a, r.i AS b
+        FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ), wedges AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM wedges w
+            JOIN e e3 ON w.a = e3.a AND w.c = e3.b) AS n_triangles
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the support-≥2 co-purchase graph
+    (operators/graph.py::count_triangles over
+    operators/basket.py::pair_rules edges): how cliquish
+    bought-together behavior is — n_edges, wedges, triangles in one
+    ordered two-path join, every triangle counted exactly once."""
+    from top_produce_etl_spark.operators.basket import pair_rules
+    from top_produce_etl_spark.operators.graph import count_triangles
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = pair_rules(lineitem, "l_orderkey", "l_partkey", 2).select(
+        "item_a", "item_b"
+    )
+    return count_triangles(edges, "item_a", "item_b")
