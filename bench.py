@@ -100,6 +100,7 @@ EXTENSION = [
     "psi_price_drift",           # PSI numeric drift gate (r5)
     "trimmed_mean_price_by_priority",  # robust grouped mean (r5)
     "copurchase_triangles",      # triangle census on pair graph (r5)
+    "event_audience_overlap",    # segment Jaccard matrix (r5)
 ]
 
 RECALL_K = 3

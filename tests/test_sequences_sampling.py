@@ -399,3 +399,18 @@ def test_count_triangles_known_graph(spark):
     assert r.n_triangles == 2
     # wedges through ordered two-paths: (1,2,3),(1,2,4),(1,3,?),(2,3,?)...
     assert r.n_wedges >= r.n_triangles
+
+
+def test_audience_overlap_known_sets(spark):
+    from top_produce_etl_spark.operators.sequences import audience_overlap
+
+    # A = {1,2,3}, B = {2,3,4}, C = {9} (disjoint → no row for pairs
+    # with zero intersection)
+    rows = [("A", 1), ("A", 2), ("A", 3), ("A", 3),
+            ("B", 2), ("B", 3), ("B", 4), ("C", 9)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    out = {(r.group_a, r.group_b): r for r in audience_overlap(df, "g", "u").collect()}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_both) == (3, 3, 2)
+    assert ab.jaccard_micro == 500_000  # 2/4
+    assert ("A", "C") not in out and ("B", "C") not in out

@@ -101,3 +101,53 @@ def top_paths(paths: DataFrame, n: int, path_col: str = "path") -> DataFrame:
     return counts.orderBy(
         F.col("n_sessions").desc(), F.col("path").asc()
     ).limit(n)
+
+
+def audience_overlap(
+    df: DataFrame, group_col: str, member_col: str
+) -> DataFrame:
+    """Pairwise audience overlap between groups (segments, event
+    types, campaigns): |A∩B|, |A∪B| and Jaccard for every group pair
+    — the overlap matrix behind "do these audiences duplicate?"
+    targeting/dedup decisions.
+
+    ONE distinct projection, a member-keyed self-join (each member
+    contributes its own group-pair combinations — bounded by the
+    per-member group count squared, with |groups| small by
+    definition of a segmentation), and inclusion-exclusion for the
+    union from broadcast per-group sizes. Jaccard ships as 1e6
+    fixed point over exact integer counts. Canonical a < b pairs.
+
+    Output: (group_a, group_b, n_a, n_b, n_both, jaccard_micro).
+    """
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    gm = df.select(
+        F.col(group_col).alias("g"), F.col(member_col).alias("m")
+    ).distinct()
+    sizes = gm.groupBy(F.col("g").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    l = gm.select(F.col("g").alias("group_a"), "m")
+    r = gm.select(F.col("g").alias("group_b"), F.col("m").alias("m2"))
+    both = (
+        l.join(r, (l["m"] == r["m2"]) & (l["group_a"] < r["group_b"]))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = sizes.select(F.col("grp").alias("group_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("grp").alias("group_b"), F.col("n").alias("n_b"))
+    out = both.join(maybe_broadcast(na), "group_a").join(
+        maybe_broadcast(nb), "group_b"
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double") / union.cast("double") * F.lit(1e6)
+        ).cast("bigint").alias("jaccard_micro"),
+    )

@@ -1367,3 +1367,36 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_a", "item_b"
     )
     return count_triangles(edges, "item_a", "item_b")
+
+
+@query(
+    "event_audience_overlap", extended=True,
+    oracle="""
+    WITH gm AS (
+        SELECT DISTINCT event_type AS g, user_id AS m FROM events
+    ), sizes AS (
+        SELECT g, COUNT(*) AS n FROM gm GROUP BY 1
+    ), both_ AS (
+        SELECT l.g AS group_a, r.g AS group_b, COUNT(*) AS n_both
+        FROM gm l JOIN gm r ON l.m = r.m AND l.g < r.g
+        GROUP BY 1, 2
+    )
+    SELECT b.group_a, b.group_b, a.n AS n_a, c.n AS n_b, b.n_both,
+           CAST(round(CAST(b.n_both AS DOUBLE)
+                      / CAST(a.n + c.n - b.n_both AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS jaccard_micro
+    FROM both_ b
+    JOIN sizes a ON b.group_a = a.g
+    JOIN sizes c ON b.group_b = c.g
+    """,
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types
+    (operators/sequences.py::audience_overlap): which behaviors share
+    users, as exact intersection/union counts and fixed-point
+    Jaccard — the set-similarity report at segment granularity
+    (the MinHash machinery handles it at document granularity)."""
+    from top_produce_etl_spark.operators.sequences import audience_overlap
+
+    events = load_table(spark, sf_dir, "events")
+    return audience_overlap(events, "event_type", "user_id")
