@@ -101,6 +101,8 @@ EXTENSION = [
     "trimmed_mean_price_by_priority",  # robust grouped mean (r5)
     "copurchase_triangles",      # triangle census on pair graph (r5)
     "event_audience_overlap",    # segment Jaccard matrix (r5)
+    "benford_price_digits",      # Benford fabricated-amounts screen (r5)
+    "gini_revenue_by_segment",   # revenue concentration (r5)
 ]
 
 RECALL_K = 3

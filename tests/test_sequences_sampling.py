@@ -414,3 +414,36 @@ def test_audience_overlap_known_sets(spark):
     assert (ab.n_a, ab.n_b, ab.n_both) == (3, 3, 2)
     assert ab.jaccard_micro == 500_000  # 2/4
     assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_benford_uniform_data_flags_high_chi2(spark):
+    from top_produce_etl_spark.operators.anomaly import benford_report
+
+    # fabricated-looking uniform amounts 100..999: every digit share
+    # ≈ 1/9, far from Benford → digit-1 contribution must be large;
+    # values < 1 are excluded from the screen
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100, 1000)] + [(0.5,)], ["v"]
+    )
+    out = {r.digit: r for r in benford_report(df, "v").collect()}
+    assert sum(r.n for r in out.values()) == 900  # 0.5 excluded
+    assert set(out) == {str(d) for d in range(1, 10)}
+    assert out["1"].obs_micro == round(100 / 900 * 1e6)
+    assert out["1"].chi2_contrib_micro > 10_000_000  # gross misfit
+
+
+def test_gini_known_distributions(spark):
+    from top_produce_etl_spark.operators.stats import gini_by_group
+
+    rows = (
+        # perfectly equal group → G = 0
+        [("eq", i, 10.0) for i in range(1, 5)]
+        # fully concentrated: one account holds everything
+        + [("cc", 1, 0.0), ("cc", 2, 0.0), ("cc", 3, 0.0), ("cc", 4, 100.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    out = {r.g: r.gini_micro for r in gini_by_group(df, ["g"], "v", "k").collect()}
+    assert out["eq"] == 0
+    assert out["cc"] == 750_000  # (n-1)/n = 3/4 for full concentration
+    with pytest.raises(ValueError):
+        gini_by_group(df, [], "v", "k")

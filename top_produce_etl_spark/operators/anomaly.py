@@ -219,3 +219,63 @@ def psi_report(
         .join(tot, "__k")
         .select("bin", "n_ref", "n_cur", contrib.alias("psi_contrib_micro"))
     )
+
+
+# Benford's-law expected first-digit probabilities log10(1 + 1/d),
+# precomputed as Python doubles and inlined into BOTH engines so no
+# engine's log10 participates (the EWMA weight-literal trick).
+BENFORD_P = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic bulk fraud / fabricated-data screen for naturally-spread
+    positive amounts: per digit d ∈ 1..9, observed share vs
+    log10(1+1/d) and the χ² contribution n·(obs−exp)²/exp.
+
+    The digit comes from the DECIMAL(18,2) string rendering (first
+    character), not floating log10 — integer-exact in both engines
+    for positive amounts ≥ 1. One digit-keyed agg (9 groups) + a
+    1-row total on the non-foldable key; shares and χ² contributions
+    are a fixed double tree over exact counts → 1e6 fixed point.
+
+    Output: (digit, n, obs_micro, exp_micro, chi2_contrib_micro).
+    """
+    digit = F.substring(
+        F.col(value_col).cast("decimal(18,2)").cast("string"), 1, 1
+    )
+    counts = (
+        df.filter(F.col(value_col) >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.broadcast(
+        counts.agg(F.sum("n").alias("__t")).withColumn(
+            "__k", F.pmod(F.col("__t"), F.lit(1)).cast("int")
+        )
+    )
+    exp_map = F.create_map(
+        *[
+            x
+            for d, p in BENFORD_P.items()
+            for x in (F.lit(str(d)), F.lit(p))
+        ]
+    )
+    j = counts.withColumn(
+        "__k", F.pmod(F.col("n"), F.lit(1)).cast("int")
+    ).join(tot, "__k")
+    obs = F.col("n").cast("double") / F.col("__t").cast("double")
+    exp = exp_map[F.col("digit")]
+    micro = lambda c: F.round(c * F.lit(1e6)).cast("bigint")  # noqa: E731
+    chi2 = (
+        F.col("__t").cast("double") * (obs - exp) * (obs - exp) / exp
+    )
+    return j.select(
+        "digit",
+        "n",
+        micro(obs).alias("obs_micro"),
+        micro(exp).alias("exp_micro"),
+        micro(chi2).alias("chi2_contrib_micro"),
+    )

@@ -596,3 +596,42 @@ def trimmed_mean(
             "trimmed_mean_micro"
         ),
     )
+
+
+def gini_by_group(
+    df: DataFrame, keys: list[str], value_col: str, tiebreak: str
+) -> DataFrame:
+    """Per-group Gini concentration of a non-negative value — "how
+    much of this segment's revenue sits in its biggest accounts":
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over values ranked ascending
+    (ties broken by ``tiebreak`` so the rank — and therefore every
+    bit — is engine-identical).
+
+    ONE partitioned rank window + ONE group agg of exact-decimal
+    Σx and Σ i·x, then the closed form in a fixed double tree → 1e6
+    fixed point. Zero-sum groups yield NULL. Output:
+    (*keys, n, gini_micro).
+    """
+    if not keys:
+        raise ValueError("gini_by_group requires >= 1 group key")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak).asc()
+    )
+    x = dec(value_col)
+    ranked = df.withColumn("__i", F.row_number().over(w))
+    m = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * F.col("__i").cast("decimal(19,0)")).alias("__ws"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    gini = F.when(
+        F.col("__s") > 0,
+        F.lit(2.0) * d("__ws") / (d("n") * d("__s"))
+        - (d("n") + F.lit(1.0)) / d("n"),
+    )
+    return m.select(
+        *keys,
+        "n",
+        F.round(gini * STAT_SCALE).cast("bigint").alias("gini_micro"),
+    )

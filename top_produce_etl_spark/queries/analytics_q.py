@@ -1400,3 +1400,97 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return audience_overlap(events, "event_type", "user_id")
+
+
+def _BENFORD_ORACLE() -> str:
+    from top_produce_etl_spark.operators.anomaly import BENFORD_P
+
+    cases = " ".join(
+        f"WHEN '{d}' THEN {p!r}" for d, p in BENFORD_P.items()
+    )
+    return f"""
+    WITH counts AS (
+        SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                      1, 1) AS digit,
+               COUNT(*) AS n
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT digit, n,
+           CAST(round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS obs_micro,
+           CAST(round((CASE digit {cases} END) * 1000000.0) AS BIGINT)
+               AS exp_micro,
+           CAST(round(
+               CAST(t AS DOUBLE)
+               * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                  - (CASE digit {cases} END))
+               * (CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                  - (CASE digit {cases} END))
+               / (CASE digit {cases} END)
+               * 1000000.0) AS BIGINT) AS chi2_contrib_micro
+    FROM counts, tot
+    """
+
+
+@query("benford_price_digits", extended=True, oracle=_BENFORD_ORACLE())
+def benford_price_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order values
+    (operators/anomaly.py::benford_report): observed vs log10(1+1/d)
+    shares and per-digit χ² contributions — the bulk
+    fabricated-amounts detector. Digit extraction is string-exact
+    (decimal rendering), expected probabilities are shared Python
+    literals, so the readout is engine-exact."""
+    from top_produce_etl_spark.operators.anomaly import benford_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_report(orders, "o_totalprice")
+
+
+@query(
+    "gini_revenue_by_segment", extended=True,
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), ranked AS (
+        SELECT c_mktsegment,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS i
+        FROM j
+    ), m AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+               SUM(x) AS s,
+               SUM(x * CAST(i AS DECIMAL(19,0))) AS ws
+        FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment, n,
+           CASE WHEN s > 0 THEN
+               CAST(round(
+                   (2.0 * CAST(ws AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                   * 1000000.0) AS BIGINT)
+           END AS gini_micro
+    FROM m
+    """,
+)
+def gini_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order value per market segment
+    (operators/stats.py::gini_by_group): how much of each segment's
+    spend sits in its largest orders — rank-weighted exact-decimal
+    sums, closed form at 1e6 fixed point."""
+    from top_produce_etl_spark.operators.stats import gini_by_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        maybe_broadcast(customer),
+        orders["o_custkey"] == customer["c_custkey"],
+    ).select("c_mktsegment", "o_totalprice", "o_orderkey")
+    return gini_by_group(
+        j, ["c_mktsegment"], "o_totalprice", "o_orderkey"
+    )
