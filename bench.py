@@ -103,6 +103,7 @@ EXTENSION = [
     "event_audience_overlap",    # segment Jaccard matrix (r5)
     "benford_price_digits",      # Benford fabricated-amounts screen (r5)
     "gini_revenue_by_segment",   # revenue concentration (r5)
+    "orderkey_sequence_gaps",    # ingest continuity audit (r5)
 ]
 
 RECALL_K = 3

@@ -447,3 +447,20 @@ def test_gini_known_distributions(spark):
     assert out["cc"] == 750_000  # (n-1)/n = 3/4 for full concentration
     with pytest.raises(ValueError):
         gini_by_group(df, [], "v", "k")
+
+
+def test_sequence_gaps_reports_ranges_once(spark):
+    from top_produce_etl_spark.operators.sequences import sequence_gaps
+
+    # key a: 1,2,5,6,10 → gaps [3,4] and [7,9]; key b: contiguous
+    rows = [("a", 1), ("a", 2), ("a", 5), ("a", 6), ("a", 10),
+            ("a", 5),  # duplicate must not create a zero-gap
+            ("b", 7), ("b", 8)]
+    df = spark.createDataFrame(rows, ["k", "seq"])
+    out = sorted(
+        (r.k, r.gap_start, r.gap_end, r.gap_len)
+        for r in sequence_gaps(df, ["k"], "seq").collect()
+    )
+    assert out == [("a", 3, 4, 2), ("a", 7, 9, 3)]
+    with pytest.raises(ValueError):
+        sequence_gaps(df, [], "seq")

@@ -151,3 +151,41 @@ def audience_overlap(
             F.col("n_both").cast("double") / union.cast("double") * F.lit(1e6)
         ).cast("bigint").alias("jaccard_micro"),
     )
+
+
+def sequence_gaps(
+    df: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Missing-range detection in a per-key integer sequence — the
+    gaps-and-islands completeness check for ingest pipelines carrying
+    monotone ids/offsets (Kafka offsets, CDC LSNs, invoice numbers):
+    every maximal run of ABSENT values between observed neighbors.
+
+    ONE partitioned lag window over the distinct sequence values:
+    a row where ``seq − lag(seq) > 1`` contributes the gap
+    [lag+1, seq−1]. Bounded by observed rows (gaps are reported as
+    ranges, never enumerated), so a billion-wide hole costs one row.
+
+    Output: (*key_cols, gap_start, gap_end, gap_len), one row per
+    maximal missing range.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("sequence_gaps requires >= 1 key column")
+    s = F.col(seq_col).cast("long")
+    d = (
+        df.select(*key_cols, s.alias("__s"))
+        .distinct()
+        .withColumn("__prev", F.lag("__s").over(
+            Window.partitionBy(*key_cols).orderBy("__s")
+        ))
+    )
+    return d.filter(
+        F.col("__prev").isNotNull() & (F.col("__s") - F.col("__prev") > 1)
+    ).select(
+        *key_cols,
+        (F.col("__prev") + 1).alias("gap_start"),
+        (F.col("__s") - 1).alias("gap_end"),
+        (F.col("__s") - F.col("__prev") - 1).alias("gap_len"),
+    )

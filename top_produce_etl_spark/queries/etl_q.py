@@ -277,3 +277,36 @@ def pit_status_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit_lookup(facts, history, "user_id", "ts", attrs=["status"]).select(
         "event_id", "user_id", F.col("status").alias("status_at_purchase")
     )
+
+
+@query(
+    "orderkey_sequence_gaps", extended=True,
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT o_orderpriority,
+               CAST(o_orderkey AS BIGINT) AS s
+        FROM orders
+    ), lagged AS (
+        SELECT o_orderpriority, s,
+               lag(s) OVER (PARTITION BY o_orderpriority ORDER BY s)
+                   AS prev
+        FROM d
+    )
+    SELECT o_orderpriority,
+           prev + 1 AS gap_start,
+           s - 1 AS gap_end,
+           s - prev - 1 AS gap_len
+    FROM lagged
+    WHERE prev IS NOT NULL AND s - prev > 1
+    """,
+)
+def orderkey_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands completeness check on order keys per priority
+    (operators/sequences.py::sequence_gaps): every maximal missing
+    range reported as one row — the ingest-offset/CDC-LSN continuity
+    audit (TPC-H order keys are deliberately sparse, so this also
+    exercises wide gaps)."""
+    from top_produce_etl_spark.operators.sequences import sequence_gaps
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sequence_gaps(orders, ["o_orderpriority"], "o_orderkey")
