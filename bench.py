@@ -104,6 +104,7 @@ EXTENSION = [
     "benford_price_digits",      # Benford fabricated-amounts screen (r5)
     "gini_revenue_by_segment",   # revenue concentration (r5)
     "orderkey_sequence_gaps",    # ingest continuity audit (r5)
+    "ks_price_drift_by_priority",  # nonparametric drift (KS) (r5)
 ]
 
 RECALL_K = 3

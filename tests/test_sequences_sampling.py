@@ -464,3 +464,20 @@ def test_sequence_gaps_reports_ranges_once(spark):
     assert out == [("a", 3, 4, 2), ("a", 7, 9, 3)]
     with pytest.raises(ValueError):
         sequence_gaps(df, [], "seq")
+
+
+def test_ks_two_sample_known_distributions(spark):
+    from top_produce_etl_spark.operators.anomaly import ks_two_sample
+
+    # identical slices → D = 0; disjoint ranges → D = 1
+    same = [("g", float(i % 10), c) for i in range(50) for c in (0, 1)]
+    df = spark.createDataFrame(same, ["g", "v", "cur"])
+    r = ks_two_sample(df, ["g"], "v", "cur").collect()[0]
+    assert r.ks_micro == 0 and r.n_ref == 50 and r.n_cur == 50
+    disjoint = [("g", float(i), 0) for i in range(10)] + [
+        ("g", float(i + 100), 1) for i in range(10)
+    ]
+    df2 = spark.createDataFrame(disjoint, ["g", "v", "cur"])
+    assert ks_two_sample(df2, ["g"], "v", "cur").collect()[0].ks_micro == 1_000_000
+    with pytest.raises(ValueError):
+        ks_two_sample(df, [], "v", "cur")

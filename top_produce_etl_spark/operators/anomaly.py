@@ -279,3 +279,68 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
         micro(exp).alias("exp_micro"),
         micro(chi2).alias("chi2_contrib_micro"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    is_current_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic between a
+    reference slice and a current slice — the nonparametric member
+    of the drift suite (χ² for categoricals, PSI for binned numerics,
+    KS for raw numeric distributions): D = max_x |F_ref(x) − F_cur(x)|
+    over the empirical CDFs.
+
+    One partitioned window pass over the combined slices ordered by
+    (value, slice): running per-slice counts give both ECDFs at every
+    step; each step's |ΔF| rounds to 1e6 fixed point BEFORE the
+    group max, so the statistic is an integer max — engine-exact.
+    The window partitions on the GROUP keys (the audit's
+    unpartitioned-window rule stays satisfied); within a group the
+    pass is the same shape as any ranking window.
+
+    Output: (*keys, n_ref, n_cur, ks_micro).
+    """
+    from pyspark.sql import Window
+
+    if not keys:
+        raise ValueError("ks_two_sample requires >= 1 group key")
+    v = F.col(value_col).cast("double")
+    cur = F.col(is_current_col).cast("int")
+    base = df.select(*keys, v.alias("__v"), cur.alias("__cur"))
+    # RANGE frame (value peers included): with ties, the ECDF only
+    # exists AFTER the whole tie group — a ROWS frame would evaluate
+    # |ΔF| mid-tie and report phantom drift on identical slices
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__v").asc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*keys)
+    stepped = base.withColumn(
+        "__cr", F.sum((F.col("__cur") == 0).cast("int")).over(w)
+    ).withColumn(
+        "__cc", F.sum(F.col("__cur")).over(w)
+    ).withColumn(
+        "__nr", F.sum((F.col("__cur") == 0).cast("int")).over(tot)
+    ).withColumn(
+        "__nc", F.sum(F.col("__cur")).over(tot)
+    )
+    diff_micro = F.round(
+        F.abs(
+            F.try_divide(F.col("__cr").cast("double"), F.col("__nr").cast("double"))
+            - F.try_divide(F.col("__cc").cast("double"), F.col("__nc").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+    return (
+        stepped.withColumn("__d", diff_micro)
+        .groupBy(*keys)
+        .agg(
+            F.max("__nr").alias("n_ref"),
+            F.max("__nc").alias("n_cur"),
+            F.max("__d").alias("ks_micro"),
+        )
+    )

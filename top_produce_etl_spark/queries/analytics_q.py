@@ -1494,3 +1494,76 @@ def gini_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_by_group(
         j, ["c_mktsegment"], "o_totalprice", "o_orderkey"
     )
+
+
+@query(
+    "ks_price_drift_by_priority", extended=True,
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN date_diff('day', DATE '1970-01-01', o_orderdate)
+                    > (SELECT (MIN(date_diff('day', DATE '1970-01-01',
+                                             o_orderdate))
+                               + MAX(date_diff('day', DATE '1970-01-01',
+                                               o_orderdate))) // 2
+                       FROM orders)
+                    THEN 1 ELSE 0 END AS cur
+        FROM orders
+    ), stepped AS (
+        SELECT o_orderpriority,
+               -- RANGE frame: ECDF evaluated after each full tie group
+               SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY o_orderpriority ORDER BY v
+                         RANGE UNBOUNDED PRECEDING) AS cr,
+               SUM(cur) OVER (PARTITION BY o_orderpriority ORDER BY v
+                              RANGE UNBOUNDED PRECEDING) AS cc,
+               SUM(CASE WHEN cur = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY o_orderpriority) AS nr,
+               SUM(cur) OVER (PARTITION BY o_orderpriority) AS nc
+        FROM base
+    )
+    SELECT o_orderpriority,
+           MAX(nr) AS n_ref,
+           MAX(nc) AS n_cur,
+           MAX(CAST(round(abs(CAST(cr AS DOUBLE) / CAST(nr AS DOUBLE)
+                              - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))
+                          * 1000000.0) AS BIGINT)) AS ks_micro
+    FROM stepped
+    GROUP BY o_orderpriority
+    """,
+)
+def ks_price_drift_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample KS statistic of order value per priority, first
+    half of the timeline vs second (operators/anomaly.py::
+    ks_two_sample) — the nonparametric drift member beside
+    psi_price_drift and chi2_lang_source. Per-step |ΔECDF| rounds to
+    fixed point before the group max, so D is an integer max."""
+    from top_produce_etl_spark.operators.anomaly import ks_two_sample
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    )
+    mid = F.broadcast(
+        orders.agg(
+            ((F.min("__day") + F.max("__day")) / F.lit(2))
+            .cast("bigint")
+            .alias("__mid")
+        ).withColumn("__k", F.pmod(F.col("__mid"), F.lit(1)).cast("int"))
+    )
+    sliced = (
+        orders.withColumn(
+            "__k", F.pmod(F.col("__day").cast("long"), F.lit(1)).cast("int")
+        )
+        .join(mid, "__k")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            (F.col("__day") > F.col("__mid")).cast("int").alias("is_cur"),
+        )
+    )
+    return ks_two_sample(
+        sliced, ["o_orderpriority"], "o_totalprice", "is_cur"
+    )
