@@ -105,6 +105,7 @@ EXTENSION = [
     "gini_revenue_by_segment",   # revenue concentration (r5)
     "orderkey_sequence_gaps",    # ingest continuity audit (r5)
     "ks_price_drift_by_priority",  # nonparametric drift (KS) (r5)
+    "source_entropy_by_lang",    # composition diversity (r5)
 ]
 
 RECALL_K = 3

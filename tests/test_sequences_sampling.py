@@ -481,3 +481,25 @@ def test_ks_two_sample_known_distributions(spark):
     assert ks_two_sample(df2, ["g"], "v", "cur").collect()[0].ks_micro == 1_000_000
     with pytest.raises(ValueError):
         ks_two_sample(df, [], "v", "cur")
+
+
+def test_entropy_by_group_known_values(spark):
+    import math
+
+    from top_produce_etl_spark.operators.stats import entropy_by_group
+
+    rows = (
+        [("u", c) for c in ("a", "b", "c", "d")]       # uniform over 4
+        + [("s", "x")] * 5                              # single category
+        + [("m", "a"), ("m", "a"), ("m", "a"), ("m", "b")]  # skewed
+    )
+    df = spark.createDataFrame(rows, ["g", "c"])
+    out = {r.g: r for r in entropy_by_group(df, ["g"], "c").collect()}
+    assert out["u"].entropy_micro == 4 * round(0.25 * math.log(4) * 1e6)
+    # per-category micro-rounding happens BEFORE the sum (the
+    # determinism contract), so evenness can sit a micro above 1
+    assert abs(out["u"].evenness_micro - 1_000_000) <= 2
+    assert out["s"].entropy_micro == 0 and out["s"].evenness_micro == 0
+    assert 0 < out["m"].evenness_micro < 1_000_000
+    with pytest.raises(ValueError):
+        entropy_by_group(df, [], "c")

@@ -635,3 +635,48 @@ def gini_by_group(
         "n",
         F.round(gini * STAT_SCALE).cast("bigint").alias("gini_micro"),
     )
+
+
+def entropy_by_group(
+    df: DataFrame, keys: list[str], cat_col: str
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical column — the
+    composition-diversity gauge ("is this language's corpus all one
+    source?") that complements the chi²/PSI drift tests: H = −Σ_c
+    p_c·ln p_c in nats, with per-category contributions rounded to
+    micro-nats BEFORE the integer sum (the surprisal contract), so H
+    is engine-exact. Also emits the category count and the evenness
+    ratio H/ln(k) (1 = uniform).
+
+    TWO |keys×cats|-bounded hash aggs (category counts, then the
+    entropy fold) — no windows, no data-sized state.
+
+    Output: (*keys, n, n_cats, entropy_micro, evenness_micro).
+    """
+    if not keys:
+        raise ValueError("entropy_by_group requires >= 1 group key")
+    counts = df.groupBy(*keys, F.col(cat_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tot = Window.partitionBy(*keys)
+    p = F.try_divide(
+        F.col("__n").cast("double"), F.sum("__n").over(tot).cast("double")
+    )
+    contrib = F.round(-p * F.log(p) * F.lit(1e6)).cast("bigint")
+    stepped = counts.withColumn("__h", contrib)
+    out = stepped.groupBy(*keys).agg(
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum("__h").alias("entropy_micro"),
+    )
+    evenness = F.when(
+        F.col("n_cats") > 1,
+        F.round(
+            F.col("entropy_micro")
+            / (F.log(F.col("n_cats").cast("double")) * F.lit(1e6))
+            * F.lit(1e6)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return out.select(
+        *keys, "n", "n_cats", "entropy_micro", evenness.alias("evenness_micro")
+    )

@@ -1567,3 +1567,42 @@ def ks_price_drift_by_priority(
     return ks_two_sample(
         sliced, ["o_orderpriority"], "o_totalprice", "is_cur"
     )
+
+
+@query(
+    "source_entropy_by_lang", extended=True,
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), stepped AS (
+        SELECT lang, n,
+               CAST(round(
+                   -(CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE))
+                   * ln(CAST(n AS DOUBLE)
+                        / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS h
+        FROM counts
+    ), agg AS (
+        SELECT lang, SUM(n) AS n, COUNT(*) AS n_cats,
+               SUM(h) AS entropy_micro
+        FROM stepped GROUP BY lang
+    )
+    SELECT lang, n, n_cats, entropy_micro,
+           CASE WHEN n_cats > 1 THEN
+               CAST(round(CAST(entropy_micro AS DOUBLE)
+                          / (ln(CAST(n_cats AS DOUBLE)) * 1000000.0)
+                          * 1000000.0) AS BIGINT)
+           ELSE 0 END AS evenness_micro
+    FROM agg
+    """,
+)
+def source_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source mix per language
+    (operators/stats.py::entropy_by_group): corpus-composition
+    diversity with micro-nat integer contributions and an evenness
+    ratio — the static companion to the chi²/PSI/KS drift gates."""
+    from top_produce_etl_spark.operators.stats import entropy_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return entropy_by_group(docs, ["lang"], "source")
