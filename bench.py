@@ -106,6 +106,7 @@ EXTENSION = [
     "orderkey_sequence_gaps",    # ingest continuity audit (r5)
     "ks_price_drift_by_priority",  # nonparametric drift (KS) (r5)
     "source_entropy_by_lang",    # composition diversity (r5)
+    "dedup_savings_report",      # dedup capacity-planning readout (r5)
 ]
 
 RECALL_K = 3

@@ -412,3 +412,59 @@ def duplication_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+@query(
+    "dedup_savings_report", extended=True,
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({JACCARD_SQL}),
+    edges AS (
+        SELECT a_id AS s, b_id AS t FROM pairs
+        UNION ALL
+        SELECT b_id AS s, a_id AS t FROM pairs
+    ),
+    cc AS (
+        SELECT s AS id, s AS label FROM edges
+        UNION
+        SELECT e.s AS id, cc.label FROM edges e JOIN cc ON cc.id = e.t
+    ),
+    comp AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+    clusters AS (
+        SELECT c.rep_id, COUNT(*) AS cluster_size,
+               SUM(d.n_chars) - MAX(d.n_chars) AS chars_removable
+        FROM comp c JOIN documents d ON c.id = d.doc_id
+        GROUP BY c.rep_id
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           SUM(cluster_size - 1) AS docs_removable,
+           SUM(chars_removable) AS chars_removable
+    FROM clusters
+    GROUP BY cluster_size
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the dedup stack BUYS: cluster-size histogram with the
+    removable-document and removable-character totals per size
+    (keep-one-per-component policy, largest doc kept for the char
+    figure). Stitches the components oracle with a per-cluster
+    rollup — the capacity-planning readout an ingest owner reads
+    before turning dedup on."""
+    from top_produce_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    comp = connected_components(pairs)
+    clusters = (
+        comp.join(docs, comp["id"] == docs["doc_id"])
+        .groupBy("rep_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            (F.sum("n_chars") - F.max("n_chars")).alias("chars_removable"),
+        )
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("docs_removable"),
+        F.sum("chars_removable").alias("chars_removable"),
+    )
