@@ -775,7 +775,13 @@ def doc_clusters_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_bow_vectors,
     )
 
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    bow = hashed_bow_vectors(docs, "doc_id", "text", 32)
+    # persist the vectorized relation: kmeans_fit reads it once per
+    # round plus the init collect and the final assignment — without
+    # the persist the explode+aggregate vectorizer re-executes ~4
+    # times (the MMR/LPA lesson, see operators/_cache.py)
+    bow = persist_tracked(hashed_bow_vectors(docs, "doc_id", "text", 32))
     out = kmeans_lloyd(bow, "id", "vec", k=8, iters=2)
     return out.select(F.col("id").alias("doc_id"), "cluster")
