@@ -107,6 +107,7 @@ EXTENSION = [
     "ks_price_drift_by_priority",  # nonparametric drift (KS) (r5)
     "source_entropy_by_lang",    # composition diversity (r5)
     "dedup_savings_report",      # dedup capacity-planning readout (r5)
+    "event_audience_overlap_hll",  # sketch overlap twin (r5)
 ]
 
 RECALL_K = 3

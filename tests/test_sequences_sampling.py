@@ -503,3 +503,28 @@ def test_entropy_by_group_known_values(spark):
     assert 0 < out["m"].evenness_micro < 1_000_000
     with pytest.raises(ValueError):
         entropy_by_group(df, [], "c")
+
+
+def test_audience_overlap_hll_matches_exact_within_bound(spark, sf_dir):
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.sequences import (
+        audience_overlap,
+        audience_overlap_hll,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.n_both)
+        for r in audience_overlap(ev, "event_type", "user_id").collect()
+    }
+    approx = {
+        (r.group_a, r.group_b): (r.est_a, r.est_b, r.est_both)
+        for r in audience_overlap_hll(ev, "event_type", "user_id").collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (na, nb, nboth) in exact.items():
+        ea, eb, eboth = approx[k]
+        # lgk=12 → ~1.6% standard error; allow 5% (3σ-ish) per figure
+        assert abs(ea - na) <= max(3, 0.05 * na)
+        assert abs(eb - nb) <= max(3, 0.05 * nb)
+        assert abs(eboth - nboth) <= max(3, 0.05 * max(nboth, 1))

@@ -189,3 +189,55 @@ def sequence_gaps(
         (F.col("__s") - 1).alias("gap_end"),
         (F.col("__s") - F.col("__prev") - 1).alias("gap_len"),
     )
+
+
+def audience_overlap_hll(
+    df: DataFrame, group_col: str, member_col: str, lgk: int = 12
+) -> DataFrame:
+    """Sketch-based scale twin of :func:`audience_overlap`: per-group
+    HLL sketches once, then pairwise |A∪B| from merged sketches and
+    |A∩B| by inclusion–exclusion — for member domains too large for
+    the exact self-join (the exact path shuffles every (group,
+    member) pair; this path shuffles |groups| sketches of 2^lgk
+    bytes, full stop).
+
+    The estimates are approximate (±~1.6%/√2^lgk per HLL), so this
+    is a rows-only/bench-gated operator — the EXACT operator remains
+    the oracle surface, and the twin's relative error is pinned in
+    tests (the cosine fast-path / simhash-xxhash house pattern).
+    Intersections can estimate slightly negative on tiny overlaps;
+    they clamp at 0.
+
+    Output: (group_a, group_b, est_a, est_b, est_union, est_both).
+    """
+    sk = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.hll_sketch_agg(member_col, F.lit(lgk)).alias("sk"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(member_col, F.lit(lgk))
+        ).alias("est"),
+    )
+    l = sk.select(
+        F.col("g").alias("group_a"),
+        F.col("sk").alias("__ska"),
+        F.col("est").alias("est_a"),
+    )
+    r = sk.select(
+        F.col("g").alias("group_b"),
+        F.col("sk").alias("__skb"),
+        F.col("est").alias("est_b"),
+    )
+    pairs = l.join(r, F.col("group_a") < F.col("group_b"))
+    est_union = F.hll_sketch_estimate(
+        F.hll_union(F.col("__ska"), F.col("__skb"))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("est_a").cast("bigint").alias("est_a"),
+        F.col("est_b").cast("bigint").alias("est_b"),
+        est_union.cast("bigint").alias("est_union"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("est_a") + F.col("est_b") - est_union).cast("bigint"),
+        ).alias("est_both"),
+    )

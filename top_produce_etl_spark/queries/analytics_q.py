@@ -1606,3 +1606,22 @@ def source_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return entropy_by_group(docs, ["lang"], "source")
+
+
+@query("event_audience_overlap_hll", extended=True)  # sketch path → rows-only
+def event_audience_overlap_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-based twin of event_audience_overlap
+    (operators/sequences.py::audience_overlap_hll): per-group HLL
+    sketches + inclusion-exclusion — the path for member domains too
+    large for the exact self-join (|groups| sketches move, not
+    (group, member) pairs). Approximate → rows-only; relative error
+    vs the exact operator is pinned in tests (the fast-path twin
+    house pattern)."""
+    from top_produce_etl_spark.operators.sequences import (
+        audience_overlap_hll,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return audience_overlap_hll(events, "event_type", "user_id")
