@@ -68,6 +68,10 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "cosine_topk_quantized",  # broadcast-queries cross on int8 vectors
         "mmr_diverse_topk",  # stage 1 IS the bruteforce baseline; the
         # greedy stages are equi-joins on |Q|·pool² relations
+        "event_audience_overlap_hll",  # pair enumeration over the
+        # |groups|-row SKETCH relation (segments, not members) — the
+        # cross is bounded by the segmentation cardinality squared;
+        # the member-scale work happened in the sketch agg before it
     }
     # the one deliberate Python-UDTF query: API-surface coverage whose
     # production twin (token_runs_expr) is the pure-codegen path
