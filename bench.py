@@ -321,6 +321,52 @@ def main() -> None:
     }
     print(f"# scale_probe: {probe}", file=sys.stderr)
 
+    # SECOND probe — the TEXT-REWRITE pipeline at scale (round 5):
+    # strip_boilerplate over a 200k-doc generated corpus. Ground
+    # truth: the hot-cluster docs are byte-identical, so every one of
+    # their chunks has df >= hot_cluster and the whole cluster must
+    # come out FULLY stripped (cleaned_text empty) — a correctness
+    # assertion riding the throughput measurement, like the dedup
+    # probe's planted recall. Proves a second pipeline shape (explode
+    # -> corpus agg -> join-back -> per-doc reassembly) survives the
+    # scale-up, not just the minhash path.
+    from top_produce_etl_spark.operators.textquality import (
+        strip_boilerplate,
+    )
+
+    tp_rows, tp_hot = 200_000, 1_000
+    tp_df = (
+        spark.read.format("synthdocs")
+        .option("rows", tp_rows).option("partitions", CPUS)
+        .option("tokens", 54).option("dup_every", 100)
+        .option("hot_cluster", tp_hot)
+        .option("zipf", 1.1).option("vocab", 10_000).load()
+    )
+    t0 = time.monotonic()
+    stripped = strip_boilerplate(tp_df, "doc_id", "text", 4, 2)
+    tp_stats = (
+        stripped.agg(
+            F.sum(
+                (
+                    (F.col("id") >= tp_rows - tp_hot)
+                    & (F.col("cleaned_text") == "")
+                ).cast("int")
+            ).alias("hot_stripped"),
+            F.sum("n_removed").alias("chunks_removed"),
+        ).collect()[0]
+    )
+    tp_sec = round(time.monotonic() - t0, 3)
+    text_probe = {
+        "text_probe_docs": tp_rows,
+        "text_probe_sec": tp_sec,
+        "text_probe_docs_per_sec": round(tp_rows / tp_sec, 1),
+        "text_probe_hot_fully_stripped": round(
+            tp_stats["hot_stripped"] / tp_hot, 4
+        ),
+        "text_probe_chunks_removed": int(tp_stats["chunks_removed"]),
+    }
+    print(f"# text_probe: {text_probe}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "sum_median_sec_headline_queries",
@@ -337,6 +383,7 @@ def main() -> None:
         ),
         **recalls,
         **probe,
+        **text_probe,
     }
     print(json.dumps(out))
 
