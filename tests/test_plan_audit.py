@@ -89,7 +89,10 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         # rollup (bounded by calendar, not data) — single-series
         # rolling frames cannot be partitioned without breaking the
         # frame at partition edges
-        if name not in {"rolling_active_users_7d"}:
+        # open_orders_daily shares the same bounded shape: its
+        # cumulative sum runs over the |days|-row delta rollup of
+        # the interval sweep line (operators/intervals.py)
+        if name not in {"rolling_active_users_7d", "open_orders_daily"}:
             assert not audit["global_window"], (
                 f"{name} plans an unpartitioned (global) window"
             )

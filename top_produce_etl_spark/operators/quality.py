@@ -181,3 +181,106 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    decimal_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a relation: one row
+    (n_rows, fingerprint) where fingerprint is the sum (mod 2^59,
+    kept positive in a BIGINT) of a 56-bit per-row digest — the
+    anti-entropy primitive for "are these two copies of a 100 TB
+    table identical?" across clusters, engines, or replication hops
+    without moving any data: each side computes locally and compares
+    16 bytes.
+
+    Addition is commutative, so the digest is independent of row
+    order and partitioning; it is also mergeable (fingerprint of a
+    union = modular sum of fingerprints when the parts are disjoint),
+    which makes per-partition fingerprints roll up for free. ONE
+    scan, map-side partial aggregation, a 2-value result — no
+    shuffle of data-sized state.
+
+    Engine portability: the row digest is the first 14 hex digits of
+    md5 over a canonical string rendering — every engine with md5 +
+    string concat reproduces it. Canonicalization rules (the
+    contract both sides must share): NULL → ``\\N``, timestamps →
+    ``yyyy-MM-dd HH:mm:ss``, and any double/real column must be
+    listed in ``decimal_cols`` with a decimal type (e.g.
+    ``{"o_totalprice": "DECIMAL(18,2)"}``) — raw floating-point
+    rendering is NOT portable across engines, so unlisted doubles
+    raise rather than silently fingerprint unportably.
+    """
+    cols = cols or df.columns
+    decimal_cols = decimal_cols or {}
+    parts: list[Column] = []
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if c in decimal_cols:
+            col = col.cast(decimal_cols[c]).cast("string")
+        elif dt in ("double", "float"):
+            raise ValueError(
+                f"column {c!r} is {dt}: floating-point rendering is not "
+                "engine-portable — list it in decimal_cols with an "
+                "explicit decimal type"
+            )
+        elif dt == "timestamp":
+            col = F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        elif dt == "date":
+            col = F.date_format(col, "yyyy-MM-dd")
+        else:
+            col = col.cast("string")
+        parts.append(F.coalesce(col, F.lit("\\N")))
+    canon = F.concat_ws("\x1f", *parts)
+    # 56-bit digest; summed as DECIMAL(38,0) — a BIGINT sum would
+    # overflow past ~128 rows (2^56 each) and ANSI mode makes that a
+    # runtime error, not a wrap. DuckDB's BIGINT sum widens to
+    # HUGEINT natively, so the oracle sums plainly.
+    digest = (
+        F.conv(F.substring(F.md5(canon), 1, 14), 16, 10)
+        .cast("decimal(38,0)")
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(digest) % F.lit(2**59).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("fingerprint"),
+    )
+
+
+def table_fingerprint_oracle_sql(
+    table: str,
+    cols: list[str],
+    types: dict[str, str],
+    decimal_cols: dict[str, str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`table_fingerprint` — same canonical
+    string, same md5-prefix digest, same modular sum. ``types`` maps
+    each column to its logical type ('timestamp', 'date', or
+    anything else for plain string cast)."""
+    decimal_cols = decimal_cols or {}
+    rendered = []
+    for c in cols:
+        if c in decimal_cols:
+            rendered.append(
+                f"CAST(CAST({c} AS {decimal_cols[c]}) AS VARCHAR)"
+            )
+        elif types.get(c) == "timestamp":
+            rendered.append(f"strftime({c}, '%Y-%m-%d %H:%M:%S')")
+        elif types.get(c) == "date":
+            rendered.append(f"strftime({c}, '%Y-%m-%d')")
+        else:
+            rendered.append(f"CAST({c} AS VARCHAR)")
+    parts = ", ".join(f"COALESCE({r}, '\\N')" for r in rendered)
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(
+               ((SUM(CAST(('0x' || substring(
+                     md5(concat_ws(chr(31), {parts})), 1, 14))
+                 AS BIGINT)) % {2**59}) + {2**59}) % {2**59}
+           AS BIGINT) AS fingerprint
+    FROM {table}
+    """

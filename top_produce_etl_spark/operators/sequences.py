@@ -241,3 +241,103 @@ def audience_overlap_hll(
             (F.col("est_a") + F.col("est_b") - est_union).cast("bigint"),
         ).alias("est_both"),
     )
+
+
+def symbol_histories(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    tiebreak: str,
+    symbols: dict[str, str],
+    max_steps: int = 1000,
+) -> DataFrame:
+    """Per-key ordered event history encoded as a one-char-per-event
+    symbol string — the relation regex-based sequence patterns match
+    against (the MATCH_RECOGNIZE idea, composed from built-ins
+    instead of a bespoke NFA operator: symbols are the pattern
+    variables, the regex is the PATTERN clause).
+
+    ``symbols`` maps step values to single characters; unmapped
+    steps encode as ``_`` so they still occupy a position (patterns
+    can skip them with ``_*``). Ordering is (ts, tiebreak) — the
+    same deterministic contract as session_paths. Histories truncate
+    at ``max_steps`` events so one hyperactive key cannot build an
+    unbounded string: at 100 TB the per-group state must be bounded
+    by construction.
+
+    ONE key-keyed shuffle (collect_list with map-side partials);
+    per-group state is the key's own history, never the corpus.
+    Output: (key, n_events, symbols).
+    """
+    for s, ch in symbols.items():
+        if len(ch) != 1:
+            raise ValueError(f"symbol for {s!r} must be 1 char, got {ch!r}")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in symbols.items() for x in kv]
+    )
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(ts_col, tiebreak, step_col))
+            ).alias("__evts")
+        )
+        .select(
+            "key",
+            F.size("__evts").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.slice("__evts", 1, max_steps),
+                    lambda e: F.coalesce(
+                        mapping[e[step_col]], F.lit("_")
+                    ),
+                ),
+            ).alias("symbols"),
+        )
+    )
+
+
+def pattern_match_counts(
+    histories: DataFrame,
+    patterns: dict[str, str],
+    symbols_col: str = "symbols",
+) -> DataFrame:
+    """Corpus-level sequence-pattern report: for each named regex
+    pattern, how many keys match at all and how many non-overlapping
+    occurrences exist in total. Output: (pattern, n_keys_matched,
+    total_matches), one row per pattern, ordered by pattern name.
+
+    Leftmost non-overlapping match counting (``regexp_count``) is
+    the shared semantics of RE2/ICU/PCRE for the anchored-free,
+    backtracking-unambiguous patterns this is meant for (keep
+    alternations non-overlapping; both Spark and the DuckDB oracle
+    then count identically).
+
+    ONE scan of the histories relation: all patterns evaluate as
+    sibling column expressions inside the same whole-stage-codegen
+    span, partial-aggregate to a single |2·patterns|-wide row, and
+    the per-pattern rows unpivot from that one row — the histories
+    groupBy is never recomputed per pattern.
+    """
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    names = sorted(patterns)
+    aggs = []
+    for i, name in enumerate(names):
+        n = F.regexp_count(F.col(symbols_col), F.lit(patterns[name]))
+        aggs.append(
+            F.sum((n > 0).cast("int")).cast("bigint").alias(f"__hit{i}")
+        )
+        aggs.append(F.sum(n).cast("bigint").alias(f"__n{i}"))
+    wide = histories.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __hit{i}, __n{i}" for i, name in enumerate(names)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS "
+            "(pattern, n_keys_matched, total_matches)"
+        )
+    ).orderBy("pattern")

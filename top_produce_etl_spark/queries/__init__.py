@@ -182,6 +182,7 @@ def _load_all() -> None:
         eventtime,
         joins_q,
         multimodal_q,
+        ops_q,
         packs,
         relational,
         scalars,

@@ -1,0 +1,229 @@
+"""Operations-analytics queries, wave 2 (round 5): interval
+sweep-line concurrency, MATCH_RECOGNIZE-style sequence patterns,
+and the anti-entropy table fingerprint — each oracle-checked
+(extended tier).
+
+Reference parity: the reference's transform core
+(src/transform/core.py) is empty; these are part of the
+beyond-reference operations surface the round briefs ask for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.queries import query
+
+
+@query(
+    "open_orders_daily", extended=True,
+    oracle="""
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS start_day,
+               MAX(CAST(l.l_shipdate AS DATE)) AS end_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ), deltas AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+            SELECT start_day AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT end_day + 1, -1 FROM iv
+        ) GROUP BY day
+    )
+    SELECT CAST(day AS DATE) AS day, delta,
+           CAST(SUM(delta) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+    FROM deltas
+    """,
+)
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in flight per day: each order is open from its order
+    date until its last line ships; the sweep line renders the
+    open-count series at event-day grain
+    (operators/intervals.py::daily_concurrency — two delta rows per
+    order, one day-grain shuffle, cumulative sum over the |days|-row
+    rollup)."""
+    from top_produce_etl_spark.operators.intervals import daily_concurrency
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("start_day"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_day"))
+    )
+    return daily_concurrency(iv, "start_day", "end_day")
+
+
+@query(
+    "open_orders_peak_by_priority", extended=True,
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderpriority,
+               CAST(o.o_orderdate AS DATE) AS start_day,
+               MAX(CAST(l.l_shipdate AS DATE)) AS end_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority,
+                 CAST(o.o_orderdate AS DATE)
+    ), deltas AS (
+        SELECT o_orderpriority, day,
+               CAST(SUM(delta) AS BIGINT) AS delta FROM (
+            SELECT o_orderpriority, start_day AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT o_orderpriority, end_day + 1, -1 FROM iv
+        ) GROUP BY o_orderpriority, day
+    ), running AS (
+        SELECT o_orderpriority, CAST(day AS DATE) AS day,
+               CAST(SUM(delta) OVER (PARTITION BY o_orderpriority
+                    ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_open
+        FROM deltas
+    )
+    SELECT o_orderpriority,
+           CAST(peak AS BIGINT) AS peak_open,
+           MIN(day) FILTER (WHERE n_open = peak) AS peak_day
+    FROM running
+         JOIN (SELECT o_orderpriority AS p, MAX(n_open) AS peak
+               FROM running GROUP BY 1)
+           ON o_orderpriority = p
+    GROUP BY o_orderpriority, peak
+    """,
+)
+def open_orders_peak_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak order-book depth per priority class: the grouped
+    sweep-line variant (operators/intervals.py::peak_concurrency) —
+    the running sum partitions by priority, so every window is
+    parallel; peak_day is the earliest day attaining the peak
+    (deterministic tiebreak via max_by on a (n_open, -epoch)
+    struct)."""
+    from top_produce_etl_spark.operators.intervals import peak_concurrency
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .groupBy(
+            "o_orderkey",
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("start_day"),
+        )
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_day"))
+    )
+    return peak_concurrency(
+        iv, "start_day", "end_day", group_cols=["o_orderpriority"]
+    )
+
+
+# event_type → pattern symbol for the sequence matcher
+_SYMBOLS = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "signup": "s",
+    "error": "e",
+}
+
+# Named sequence patterns. Each is backtracking-unambiguous (no
+# overlapping alternations), so Java regex (Spark) and RE2 (DuckDB)
+# count identical non-overlapping leftmost matches.
+_PATTERNS = {
+    "click_to_purchase": "vc+p",
+    "error_streak": "ee+",
+    "signup_then_purchase": "s[^p]*p",
+}
+
+_SYM_CASE = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' "
+    "WHEN 'error' THEN 'e' ELSE '_' END"
+)
+
+
+@query(
+    "event_pattern_counts", extended=True,
+    oracle=f"""
+    WITH hist AS (
+        SELECT user_id,
+               array_to_string(
+                   (list({_SYM_CASE} ORDER BY ts, event_id))[1:1000],
+                   '') AS symbols
+        FROM events GROUP BY user_id
+    ), per AS (
+        SELECT pattern, rx FROM (VALUES
+            ('click_to_purchase', 'vc+p'),
+            ('error_streak', 'ee+'),
+            ('signup_then_purchase', 's[^p]*p')
+        ) AS t(pattern, rx)
+    )
+    SELECT pattern,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(symbols, rx)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_matched,
+           CAST(SUM(len(regexp_extract_all(symbols, rx))) AS BIGINT)
+               AS total_matches
+    FROM hist CROSS JOIN per
+    GROUP BY pattern
+    ORDER BY pattern
+    """,
+)
+def event_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern report over per-user
+    event histories: encode each user's (ts, event_id)-ordered
+    events as a symbol string, count regex-pattern occurrences
+    corpus-wide (operators/sequences.py::symbol_histories +
+    pattern_match_counts — one user-keyed shuffle, then one scan
+    with all patterns in a single codegen span)."""
+    from top_produce_etl_spark.operators.sequences import (
+        pattern_match_counts,
+        symbol_histories,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    hist = symbol_histories(
+        events, "user_id", "ts", "event_type", "event_id",
+        symbols=_SYMBOLS, max_steps=1000,
+    )
+    return pattern_match_counts(hist, _PATTERNS)
+
+
+def _FINGERPRINT_ORACLE() -> str:
+    from top_produce_etl_spark.operators.quality import (
+        table_fingerprint_oracle_sql,
+    )
+
+    return table_fingerprint_oracle_sql(
+        "orders",
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+        types={"o_orderdate": "timestamp"},
+        decimal_cols={"o_totalprice": "DECIMAL(18,2)"},
+    )
+
+
+@query("orders_fingerprint", extended=True, oracle=_FINGERPRINT_ORACLE())
+def orders_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy content fingerprint of the orders table
+    (operators/quality.py::table_fingerprint): order-insensitive
+    56-bit-digest modular sum + row count — the 16-byte "is this
+    replica identical?" check. The oracle recomputes the identical
+    digest in DuckDB, which is the portability claim under test."""
+    from top_produce_etl_spark.operators.quality import table_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_fingerprint(
+        orders,
+        cols=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+        decimal_cols={"o_totalprice": "DECIMAL(18,2)"},
+    )
