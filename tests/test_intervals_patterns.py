@@ -227,3 +227,47 @@ def test_fingerprint_rejects_unlisted_doubles(spark):
         df, decimal_cols={"x": "DECIMAL(18,2)"}
     ).collect()[0]
     assert out["n_rows"] == 1
+
+
+def test_column_profile_counts_and_render(spark):
+    from top_produce_etl_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (2, "a")], "k bigint, s string"
+    )
+    out = {
+        r["column"]: (
+            r["n_rows"], r["n_null"], r["n_distinct"],
+            r["min_str"], r["max_str"],
+        )
+        for r in column_profile(df).collect()
+    }
+    assert out == {
+        "k": (3, 0, 2, "1", "2"),
+        "s": (3, 1, 2, "a", "b"),
+    }
+
+
+def test_profile_drift_null_rate_delta(spark):
+    from top_produce_etl_spark.operators.profiling import profile_drift
+
+    old = spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, s string")
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "z"), (4, "w")], "k bigint, s string"
+    )
+    out = {
+        r["column"]: r["null_rate_delta_micro"]
+        for r in profile_drift(old, new, ["k", "s"]).collect()
+    }
+    # s: 0% -> 50% nulls = +500000 micro; k unchanged
+    assert out == {"k": 0, "s": 500_000}
+
+
+def test_profile_rejects_raw_doubles(spark):
+    import pytest as _pytest
+
+    from top_produce_etl_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame([(1.5,)], "x double")
+    with _pytest.raises(ValueError, match="decimal"):
+        column_profile(df)

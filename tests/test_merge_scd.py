@@ -242,3 +242,80 @@ def test_pit_lookup_rejects_ambiguous_attrs(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         pit_lookup(facts, hist, "user_id", "ts")
+
+
+def test_merge_agg_cdc_retraction_and_group_move(spark):
+    """The three CDC agg-maintenance cases in one batch: an insert
+    adds, a delete retracts its group to zero (group disappears), a
+    group-moving update retracts from the old group and adds to the
+    new one."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.merge import merge_agg_cdc
+
+    state = spark.createDataFrame(
+        [("a", 2, 20.0), ("b", 1, 5.0)], "g string, cnt long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # insert into a
+            ("I", "a", 7.0, None, None),
+            # delete b's only row -> b must vanish
+            ("D", None, None, "b", 5.0),
+            # move one a-row (value 8) into c with value 9
+            ("U", "c", 9.0, "a", 8.0),
+        ],
+        "op string, g string, v double, before_g string, before_v double",
+    )
+    out = {
+        r["g"]: (r["cnt"], r["v"])
+        for r in merge_agg_cdc(state, changes, ["g"], ["v"]).collect()
+    }
+    assert out == {"a": (2, 19.0), "c": (1, 9.0)}
+
+
+def test_merge_agg_cdc_equals_recompute(spark):
+    """state ⊕ delta ≡ full recompute over the post-batch facts."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.merge import merge_agg_cdc
+
+    facts = [(i, "g" + str(i % 3), float(i)) for i in range(60)]
+    fdf = spark.createDataFrame(facts, "k long, g string, v double")
+    state = fdf.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("cnt"), F.sum("v").alias("v")
+    )
+    # batch: delete multiples of 10, move multiples of 7 to gX (+1),
+    # insert three new rows
+    rows = {k: (g, v) for k, g, v in facts}
+    changes = (
+        [("D", None, None, rows[k][0], rows[k][1]) for k in range(0, 60, 10)]
+        + [
+            ("U", "gX", rows[k][1] + 1, rows[k][0], rows[k][1])
+            for k in range(7, 60, 7)
+            if k % 10 != 0
+        ]
+        + [("I", "gNew", 100.0, None, None)] * 3
+    )
+    cdf = spark.createDataFrame(
+        changes,
+        "op string, g string, v double, before_g string, before_v double",
+    )
+    got = {
+        r["g"]: (r["cnt"], round(r["v"], 6))
+        for r in merge_agg_cdc(state, cdf, ["g"], ["v"]).collect()
+    }
+    # recompute from scratch
+    post = {}
+    dels = set(range(0, 60, 10))
+    for k, (g, v) in rows.items():
+        if k in dels:
+            continue
+        if k % 7 == 0 and k % 10 != 0 and k != 0:
+            g, v = "gX", v + 1
+        c, s = post.get(g, (0, 0.0))
+        post[g] = (c + 1, s + v)
+    c, s = post.get("gNew", (0, 0.0))
+    post["gNew"] = (c + 3, s + 300.0)
+    want = {g: (c, round(s, 6)) for g, (c, s) in post.items()}
+    assert got == want

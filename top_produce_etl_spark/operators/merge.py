@@ -195,3 +195,77 @@ def table_diff(
             "change_type",
         )
     )
+
+def cdc_agg_deltas(
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Turn a CDC batch (with before-images) into signed partial
+    aggregates — the retraction half of incremental aggregate
+    maintenance. ``merge_agg_state`` handles insert-only feeds;
+    this handles the full I/U/D stream: every insert/update-after
+    contributes ``+1`` and ``+measures`` under its (new) grouping,
+    every delete/update-before contributes ``-1`` and ``-measures``
+    under its OLD grouping (``before_<col>`` columns — the Debezium
+    "before" image). An update that MOVES a row between groups
+    therefore retracts from the old group and adds to the new one in
+    the same batch.
+
+    Output: (group_cols…, cnt, sum_cols…) with possibly-negative
+    values — fold into the stored state with ``merge_agg_state`` and
+    drop groups whose merged ``cnt`` reaches 0 (all facts deleted).
+    One |batch|-sized shuffle; the fact history is never re-read,
+    which is the whole point at 100 TB.
+    """
+    plus = changes.filter(F.col(op_col).isin("I", "U")).select(
+        *group_cols,
+        F.lit(1).alias(cnt_col),
+        *[F.col(c).alias(c) for c in sum_cols],
+    )
+    minus = changes.filter(F.col(op_col).isin("U", "D")).select(
+        *[
+            F.col(f"{before_prefix}{c}").alias(c)
+            for c in group_cols
+        ],
+        F.lit(-1).alias(cnt_col),
+        *[
+            (-F.col(f"{before_prefix}{c}")).alias(c)
+            for c in sum_cols
+        ],
+    )
+    return (
+        plus.unionByName(minus)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(cnt_col).cast("bigint").alias(cnt_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+    )
+
+
+def merge_agg_cdc(
+    state: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Maintained aggregate under a full I/U/D CDC batch:
+    ``state ⊕ cdc_agg_deltas(batch) ≡ recompute over the post-batch
+    fact set`` (the equivalence the DuckDB oracle checks in
+    queries/etl_q.py). Groups whose count reaches zero disappear,
+    matching the recomputed aggregate exactly."""
+    delta = cdc_agg_deltas(
+        changes, group_cols, sum_cols,
+        op_col=op_col, before_prefix=before_prefix, cnt_col=cnt_col,
+    )
+    merged = merge_agg_state(
+        state, delta, group_cols, sum_cols=sum_cols, cnt_col=cnt_col
+    )
+    return merged.filter(F.col(cnt_col) != 0)

@@ -310,3 +310,92 @@ def orderkey_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return sequence_gaps(orders, ["o_orderpriority"], "o_orderkey")
+
+
+@query(
+    "incremental_revenue_cdc", extended=True,
+    oracle="""
+    WITH marked AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS revenue,
+               (o_orderkey % 7 <> 0) AS in_base,
+               (o_orderkey % 7 <> 0 AND o_orderstatus = 'F'
+                AND o_orderkey % 5 = 0) AS is_del
+        FROM orders
+    ), final AS (
+        SELECT CASE WHEN in_base AND o_orderkey % 11 = 0
+                    THEN '1-URGENT' ELSE o_orderpriority
+               END AS o_orderpriority,
+               CASE WHEN in_base AND o_orderkey % 11 = 0
+                    THEN CAST(revenue + 100 AS DECIMAL(18,2))
+                    ELSE revenue
+               END AS revenue
+        FROM marked WHERE NOT is_del
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(revenue) AS DECIMAL(18,2)) AS revenue
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def incremental_revenue_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental aggregate maintenance
+    (operators/merge.py::merge_agg_cdc): revenue-by-priority is kept
+    current under a synthesized I/U/D change batch WITHOUT re-reading
+    the fact history — inserts add, deletes retract via their before
+    image, and the update rule MOVES rows to '1-URGENT' (+100), the
+    cross-group case that exercises both the retraction and the
+    addition in one batch. The oracle recomputes the aggregate over
+    the post-change fact set from scratch; state ⊕ delta must equal
+    it exactly (decimal-exact sums, not floats).
+
+    Feed synthesis (deterministic, from orders alone): base =
+    keys % 7 ≠ 0; inserts = the % 7 = 0 rows; deletes = base rows
+    with status F and key % 5 = 0; updates = remaining base rows
+    with key % 11 = 0.
+    """
+    from top_produce_etl_spark.operators.merge import merge_agg_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("revenue"),
+    )
+    k = F.col("o_orderkey")
+    base = orders.where(k % 7 != 0)
+    state0 = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("revenue").alias("revenue"),
+    )
+
+    inserts = orders.where(k % 7 == 0).select(
+        F.lit("I").alias("op"),
+        "o_orderpriority",
+        "revenue",
+        F.lit(None).cast("string").alias("before_o_orderpriority"),
+        F.lit(None).cast("decimal(18,2)").alias("before_revenue"),
+    )
+    is_del = (F.col("o_orderstatus") == "F") & (k % 5 == 0)
+    deletes = base.where(is_del).select(
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("decimal(18,2)").alias("revenue"),
+        F.col("o_orderpriority").alias("before_o_orderpriority"),
+        F.col("revenue").alias("before_revenue"),
+    )
+    updates = base.where(~is_del & (k % 11 == 0)).select(
+        F.lit("U").alias("op"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        (F.col("revenue") + F.lit(100))
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+        F.col("o_orderpriority").alias("before_o_orderpriority"),
+        F.col("revenue").alias("before_revenue"),
+    )
+    changes = inserts.unionByName(deletes).unionByName(updates)
+    merged = merge_agg_cdc(
+        state0, changes, ["o_orderpriority"], ["revenue"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        "cnt",
+        F.col("revenue").cast("decimal(18,2)").alias("revenue"),
+    )

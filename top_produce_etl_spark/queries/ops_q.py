@@ -227,3 +227,57 @@ def orders_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         decimal_cols={"o_totalprice": "DECIMAL(18,2)"},
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+_PROFILE_SPLIT = "1995-07-01"
+
+
+def _profile_rel(pred: str) -> str:
+    return (
+        "(SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders "
+        f"WHERE o_orderdate {pred} TIMESTAMP '{_PROFILE_SPLIT} 00:00:00')"
+    )
+
+
+def _PROFILE_DRIFT_ORACLE() -> str:
+    from top_produce_etl_spark.operators.profiling import (
+        profile_drift_oracle_sql,
+    )
+
+    return profile_drift_oracle_sql(
+        _profile_rel("<"),
+        _profile_rel(">="),
+        _PROFILE_COLS,
+        types={"o_orderdate": "timestamp"},
+    )
+
+
+@query(
+    "orders_profile_drift", extended=True, oracle=_PROFILE_DRIFT_ORACLE()
+)
+def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift between two order snapshots (first vs
+    second half of the timeline): per-column null-rate delta, NDV,
+    and min/max range shifts (operators/profiling.py::profile_drift
+    — one aggregation pass per side, |cols|-row join). The exact-NDV
+    oracle pins the report; approx_count_distinct is the documented
+    100 TB path with the same shape."""
+    from top_produce_etl_spark.operators.profiling import profile_drift
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+    cut = F.lit(f"{_PROFILE_SPLIT} 00:00:00").cast("timestamp")
+    return profile_drift(
+        orders.where(F.col("o_orderdate") < cut),
+        orders.where(F.col("o_orderdate") >= cut),
+        _PROFILE_COLS,
+    )
