@@ -510,3 +510,53 @@ def test_avro_dispatch_raises_actionable_error(spark):
         read_table(spark, "/tmp/nope", fmt="avro")
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, "/tmp/nope", fmt="xlsx")
+
+
+def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    """write_manifest → verify_manifest passes on an untouched
+    table; appending a row flips the content fields; compaction
+    changes the LAYOUT fields while the content fields still agree."""
+    from top_produce_etl_spark.io.sinks import (
+        compact_table,
+        verify_manifest,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS s"
+    )
+    df.repartition(4).write.parquet(path)
+    m = write_manifest(spark, path, fingerprint_cols=["k", "s"])
+    assert m["n_rows"] == 1000 and m["n_files"] == 4
+
+    ok = verify_manifest(spark, path)
+    assert ok["ok"] and ok["mismatches"] == []
+
+    # tamper: append one row
+    spark.range(1000, 1001).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS s"
+    ).write.mode("append").parquet(path)
+    bad = verify_manifest(spark, path)
+    assert not bad["ok"]
+    assert "n_rows" in bad["mismatches"]
+    assert "fingerprint" in bad["mismatches"]
+
+    # re-manifest, then compact: layout fields change, content holds
+    write_manifest(spark, path, fingerprint_cols=["k", "s"])
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    after = verify_manifest(spark, path)
+    assert "fingerprint" not in after["mismatches"]
+    assert "n_rows" not in after["mismatches"]
+    assert "n_files" in after["mismatches"]
+
+
+def test_manifest_missing_raises(spark, tmp_path):
+    from top_produce_etl_spark.io.sinks import verify_manifest
+
+    path = str(tmp_path / "t2")
+    spark.range(3).write.parquet(path)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="_manifest"):
+        verify_manifest(spark, path)

@@ -234,6 +234,146 @@ def compact_table(
     if not fs.rename(tmp_p, hp):
         fs.rename(old, hp)  # roll back
         raise IOError(f"compact_table: could not install {tmp} at {path}")
+    # carry sidecar metadata (e.g. _manifest.json) across the swap —
+    # compaction changes layout, not identity, and dropping the
+    # manifest would turn every compaction into a silent un-manifest
+    for side in fs.listStatus(old):
+        name = side.getPath().getName()
+        if name.startswith("_") and not name.startswith("_SUCCESS"):
+            fs.rename(
+                side.getPath(),
+                jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name),
+            )
     fs.delete(old, True)
     after = len(spark.read.format(fmt).load(path).inputFiles())
     return {"files_before": before, "files_after": after, "bytes": total}
+
+
+def write_manifest(
+    spark,
+    path: str,
+    fmt: str = "parquet",
+    fingerprint_cols: list[str] | None = None,
+    decimal_cols: dict[str, str] | None = None,
+) -> dict:
+    """Write a ``_manifest.json`` beside a table: per-file (name,
+    bytes) list plus table-level row count and — when
+    ``fingerprint_cols`` is given — the order-insensitive content
+    fingerprint (operators/quality.py::table_fingerprint). The
+    16-byte answer to "did the copy/replication/compaction preserve
+    the data?": two sides compare manifests instead of re-shipping
+    100 TB.
+
+    File listing uses the Hadoop FileSystem API (any scheme); the
+    row count and fingerprint are ONE aggregate scan. The manifest
+    deliberately excludes mtimes/paths-with-scheme so that two
+    byte-identical tables in different locations produce comparable
+    manifests. Returns the manifest dict.
+    """
+    import json
+
+    df = spark.read.format(fmt).load(path)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    files = []
+    for f in sorted(df.inputFiles()):
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        files.append(
+            {"name": p.getName(), "bytes": fs.getFileStatus(p).getLen()}
+        )
+    manifest: dict = {
+        "format": fmt,
+        "n_files": len(files),
+        "total_bytes": sum(f["bytes"] for f in files),
+        "files": files,
+    }
+    if fingerprint_cols:
+        from top_produce_etl_spark.operators.quality import table_fingerprint
+
+        row = table_fingerprint(
+            df, cols=fingerprint_cols, decimal_cols=decimal_cols
+        ).collect()[0]
+        manifest["n_rows"] = row["n_rows"]
+        manifest["fingerprint"] = row["fingerprint"]
+        manifest["fingerprint_cols"] = list(fingerprint_cols)
+        # the verifier must re-derive with the SAME canonicalization
+        manifest["decimal_cols"] = dict(decimal_cols or {})
+    else:
+        manifest["n_rows"] = df.count()
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_manifest.json"
+    )
+    fs = mpath.getFileSystem(conf)
+    out = fs.create(mpath, True)
+    out.write(bytes(json.dumps(manifest, indent=1), "utf-8"))
+    out.close()
+    return manifest
+
+
+def verify_manifest(
+    spark, path: str, fmt: str = "parquet"
+) -> dict:
+    """Re-derive the manifest facts for a table and diff them
+    against its stored ``_manifest.json``. Returns ``{ok, expected,
+    actual, mismatches}`` where mismatches lists the differing
+    fields. Content verification (``n_rows`` / ``fingerprint``)
+    costs one aggregate scan; the FILE layout check is listing-only,
+    so a post-compaction table fails the layout fields while the
+    content fields still pass — exactly the right signal (layout
+    changed, data didn't).
+    """
+    import json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_manifest.json"
+    )
+    fs = mpath.getFileSystem(conf)
+    if not fs.exists(mpath):
+        raise FileNotFoundError(f"no _manifest.json under {path}")
+    stream = fs.open(mpath)
+    raw = []
+    b = stream.read()
+    while b >= 0:
+        raw.append(b)
+        b = stream.read()
+    stream.close()
+    expected = json.loads(bytes(raw).decode("utf-8"))
+
+    df = spark.read.format(fmt).load(path)
+    actual: dict = {}
+    files = []
+    for f in sorted(df.inputFiles()):
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        pfs = p.getFileSystem(conf)
+        files.append(
+            {"name": p.getName(), "bytes": pfs.getFileStatus(p).getLen()}
+        )
+    actual["n_files"] = len(files)
+    actual["total_bytes"] = sum(f["bytes"] for f in files)
+    if "fingerprint" in expected:
+        from top_produce_etl_spark.operators.quality import table_fingerprint
+
+        row = table_fingerprint(
+            df,
+            cols=expected["fingerprint_cols"],
+            decimal_cols=expected.get("decimal_cols") or {},
+        ).collect()[0]
+        actual["n_rows"] = row["n_rows"]
+        actual["fingerprint"] = row["fingerprint"]
+    else:
+        actual["n_rows"] = df.count()
+    mismatches = [
+        k for k in ("n_files", "total_bytes", "n_rows", "fingerprint")
+        if k in expected and k in actual and expected[k] != actual[k]
+    ]
+    return {
+        "ok": not mismatches,
+        "expected": {k: expected.get(k) for k in ("n_files", "total_bytes", "n_rows", "fingerprint")},
+        "actual": actual,
+        "mismatches": mismatches,
+    }
