@@ -108,6 +108,11 @@ EXTENSION = [
     "source_entropy_by_lang",    # composition diversity (r5)
     "dedup_savings_report",      # dedup capacity-planning readout (r5)
     "event_audience_overlap_hll",  # sketch overlap twin (r5)
+    "open_orders_daily",         # interval sweep-line concurrency (r5w2)
+    "event_pattern_counts",      # MATCH_RECOGNIZE-style patterns (r5w2)
+    "orders_fingerprint",        # anti-entropy content checksum (r5w2)
+    "incremental_revenue_cdc",   # retraction-aware agg maintenance (r5w2)
+    "orders_profile_drift",      # column-contract drift report (r5w2)
 ]
 
 RECALL_K = 3
