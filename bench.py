@@ -372,6 +372,94 @@ def main() -> None:
     }
     print(f"# text_probe: {text_probe}", file=sys.stderr)
 
+    # THIRD probe — the FLAGSHIP relational path at 10x data (round 5
+    # wave 2): lineitem/orders unioned as 10 key-shifted copies of the
+    # sf fixture (6M lineitem rows at sf0.1), same join+agg+window
+    # plan as the headline flagship. Two judgments ride the timing:
+    #   - scaling efficiency = (t_1x * 10) / t_10x — >=1 means the
+    #     plan scales SUB-linearly (fixed costs amortize), <<1 would
+    #     mean some stage degrades superlinearly and the 100x story
+    #     is in trouble;
+    #   - result identity: each copy replicates every join match, so
+    #     per-(region, part) revenue is exactly 10x and the top-3
+    #     ranking must come out IDENTICAL to the 1x run — a
+    #     correctness gate riding the probe, like planted recall.
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from top_produce_etl_spark.functions.numeric import revenue_sum
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+    from top_produce_etl_spark.operators.topn import top_n_window
+    from top_produce_etl_spark.queries.relational import flagship_df
+
+    FACTOR = 10
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    od = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li_rows = li.count()
+    shift = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    li10 = reduce(
+        _DF.unionByName,
+        [
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * shift)).alias("l_orderkey"),
+                "l_partkey", "l_extendedprice", "l_discount",
+            )
+            for i in range(FACTOR)
+        ],
+    )
+    od10 = reduce(
+        _DF.unionByName,
+        [
+            od.select(
+                (F.col("o_orderkey") + F.lit(i * shift)).alias("o_orderkey"),
+                "o_custkey",
+            )
+            for i in range(FACTOR)
+        ],
+    )
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region")
+    part = load_table(spark, SF_DIR, "part")
+    t0 = time.monotonic()
+    rev10 = (
+        li10.join(od10, li10.l_orderkey == od10.o_orderkey)
+        .join(maybe_broadcast(customer), od10.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(maybe_broadcast(part), li10.l_partkey == part.p_partkey)
+        .groupBy("r_name", "p_name")
+        .agg(revenue_sum("revenue"))
+    )
+    got10 = {
+        (r["r_name"], r["p_name"], r["rank"])
+        for r in top_n_window(
+            rev10, group_by="r_name", metric="revenue", n=3,
+            tiebreak="p_name",
+        ).collect()
+    }
+    rel_sec = round(time.monotonic() - t0, 3)
+    want = {
+        (r["r_name"], r["p_name"], r["rank"])
+        for r in flagship_df(spark, SF_DIR).collect()
+    }
+    rel_probe = {
+        "rel_probe_lineitem_rows": li_rows * FACTOR,
+        "rel_probe_sec": rel_sec,
+        "rel_probe_rows_per_sec": round(li_rows * FACTOR / rel_sec, 1),
+        "rel_probe_scaling_efficiency": round(
+            timings["flagship_top3_region"] * FACTOR / rel_sec, 3
+        ),
+        "rel_probe_result_matches_1x": got10 == want,
+    }
+    print(f"# rel_probe: {rel_probe}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "sum_median_sec_headline_queries",
@@ -389,6 +477,7 @@ def main() -> None:
         **recalls,
         **probe,
         **text_probe,
+        **rel_probe,
     }
     print(json.dumps(out))
 
