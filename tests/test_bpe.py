@@ -1,0 +1,57 @@
+"""BPE tokenizer training (operators/bpe.py): merge order, greedy
+left-to-right application, and the encode path on held-out words."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.bpe import (
+    bpe_train,
+    merge_pair,
+    segment_words,
+)
+
+
+def test_bpe_learns_classic_merges(spark):
+    """The Sennrich toy corpus: 'low' x5, 'lower' x2, 'newest' x6,
+    'widest' x3 (word-internal BPE, no end-of-word marker). Round 1
+    must merge the most frequent pair (e,s): 6+3=9; round 2 (es,t):
+    9; round 3 (l,o): 7."""
+    docs = spark.createDataFrame(
+        [(" ".join(["low"] * 5 + ["lower"] * 2
+                   + ["newest"] * 6 + ["widest"] * 3),)],
+        "text string",
+    )
+    merges, vocab = bpe_train(docs, "text", 3)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o")]
+    seg = {r["word"]: r["sym"] for r in vocab.collect()}
+    assert seg["newest"] == ["n", "e", "w", "est"]
+    assert seg["widest"] == ["w", "i", "d", "est"]
+    assert seg["low"] == ["lo", "w"]
+    assert seg["lower"] == ["lo", "w", "e", "r"]
+
+
+def test_merge_pair_greedy_overlaps(spark):
+    """Greedy left-to-right on overlapping runs: aaaa -> [aa, aa],
+    aaa -> [aa, a] — the disambiguation the oracle fold mirrors."""
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("ba",), ("a",)], "w string"
+    )
+    got = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", merge_pair(F.split("w", ""), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aaa"] == ["aa", "a"]
+    assert got["ba"] == ["b", "a"]
+    assert got["a"] == ["a"]
+
+
+def test_segment_words_applies_learned_model(spark):
+    """Encoding a held-out word with the learned merge list uses the
+    merges in training order."""
+    words = spark.createDataFrame([("lowest",)], "word string")
+    out = segment_words(words, [("e", "s"), ("es", "t"), ("l", "o")])
+    assert out.collect()[0]["sym"] == ["lo", "w", "est"]

@@ -459,3 +459,28 @@ def test_survivors_by_policy(spark):
         ).collect()
     }
     assert longest == {2, 4, 9}  # 2 beats 3 on the id tiebreak at 50
+
+
+def test_semantic_dedup_known_clusters(spark):
+    """SemDeDup on a hand-built space: two tight duplicate pairs in
+    opposite corners plus an orthogonal singleton. Within each
+    near-identical pair the HIGHER id is dropped; dissimilar and
+    singleton docs are kept."""
+    from top_produce_etl_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # ~doc1 (cos ≈ 0.995)
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.1, 0.99, 0.0]),   # ~doc3
+        (5, [0.0, 1.0, 0.0, 0.0]),    # orthogonal singleton-ish
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, emb array<float>")
+    got = {
+        r.doc_id: r.dropped
+        for r in semantic_dedup(
+            df, "doc_id", "emb", k=2, iters=1, threshold=0.9
+        ).collect()
+    }
+    assert got[2] is True and got[4] is True
+    assert got[1] is False and got[3] is False and got[5] is False

@@ -238,6 +238,58 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=KMEANS_ITERS)
 
 
+def _semdedup_oracle(k: int = 8, iters: int = 1, thr: float = 0.35) -> str:
+    """SemDeDup oracle = the unrolled-kmeans assignment CTE
+    (:func:`_kmeans_oracle`, embedded as a subquery) composed with a
+    within-cluster decimal-exact pair join and the lower-id drop
+    rule — every stage of the decision is SQL, so the whole
+    per-document keep/drop verdict hash-compares."""
+    return f"""WITH assignF AS (
+  {_kmeans_oracle(k=k, iters=iters)}
+), ex AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(SUM(CAST(ea.v * eb.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM assignF a
+    JOIN assignF b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN ex ea ON ea.vec_id = a.vec_id
+    JOIN ex eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+    GROUP BY 1, 2
+), drops AS (
+    SELECT DISTINCT d.b_id AS vec_id
+    FROM dots d
+    JOIN norms na ON d.a_id = na.vec_id
+    JOIN norms nb ON d.b_id = nb.vec_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= {thr}
+)
+SELECT a.vec_id, a.cluster,
+       (a.vec_id IN (SELECT vec_id FROM drops)) AS dropped
+FROM assignF a"""
+
+
+@query("semdedup_decisions", extended=True, oracle=_semdedup_oracle())
+def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (cluster-then-compare): a
+    per-document keep/drop verdict where ``dropped`` means a
+    lower-id document in the same learned k-means cell is within
+    cosine ≥ 0.35. Pair cost is Σ|cell|² (k scales with corpus to
+    bound cells) instead of |corpus|² — see
+    operators/clustering.py::semantic_dedup for the scale argument;
+    decimal scoring makes the full decision oracle-exact."""
+    from top_produce_etl_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=8, iters=1, threshold=0.35
+    )
+
+
 @query("ivf_topk_embeddings", extended=True)  # approximate (cell pruning) → rows-only
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF ANN: top-3 neighbors for query vectors vec_id<10,

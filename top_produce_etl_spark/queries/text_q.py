@@ -785,3 +785,92 @@ def doc_clusters_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     bow = persist_tracked(hashed_bow_vectors(docs, "doc_id", "text", 32))
     out = kmeans_lloyd(bow, "id", "vec", k=8, iters=2)
     return out.select(F.col("id").alias("doc_id"), "cluster")
+
+
+_BPE_VOCAB_HEAD = """WITH w AS (
+    SELECT t.word AS word, COUNT(*) AS freq
+    FROM documents, unnest(string_split(text, ' ')) AS t(word)
+    WHERE t.word <> '' GROUP BY 1
+), v0 AS (SELECT word, freq, string_split(word, '') AS l FROM w)"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE training oracle (same chained-CTE technique as
+    the kmeans/PageRank oracles): each round is a pair-count CTE, a
+    1-row argmax CTE (cnt DESC, then pair lexicographic — the
+    operator's tiebreak), and a merged vocabulary CTE whose greedy
+    left-to-right merge is a ``list_reduce`` fold over a
+    chr(1)-delimited symbol string — the DuckDB twin of
+    operators/bpe.py::merge_pair's array fold (verified equivalent
+    on overlapping runs: 'aaaa' -> [aa, aa], 'aaa' -> [aa, a])."""
+    sql = _BPE_VOCAB_HEAD
+    for r in range(n_merges):
+        sql += f""",
+p{r} AS (
+    SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+    FROM v{r}, unnest(range(1, len(l))) r(i) GROUP BY 1, 2
+),
+best{r} AS (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{r + 1} AS (
+    SELECT word, freq, string_split(
+        list_reduce(l, (acc, s) -> CASE
+            WHEN s = best{r}.b AND ends_with(acc, chr(1) || best{r}.a)
+                THEN left(acc, length(acc) - length(best{r}.a) - 1)
+                     || chr(1) || best{r}.a || best{r}.b
+            WHEN s = best{r}.b AND acc = best{r}.a
+                THEN best{r}.a || best{r}.b
+            ELSE acc || chr(1) || s END), chr(1)) AS l
+    FROM v{r}, best{r}
+)"""
+    return sql
+
+
+_BPE_MERGES = 3
+
+
+@query(
+    "bpe_top_pairs", extended=True,
+    oracle=_BPE_VOCAB_HEAD + """
+SELECT l[i] AS a, l[i+1] AS b,
+       CAST(SUM(freq) AS BIGINT) AS cnt
+FROM v0, unnest(range(1, len(l))) r(i)
+GROUP BY 1, 2
+ORDER BY cnt DESC, a, b LIMIT 30
+""",
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE scoring step: top-30 frequency-weighted adjacent
+    character pairs over the corpus word vocabulary. The corpus is
+    scanned once into (word, freq) — all tokenizer-training math
+    after that is |vocab|-sized (operators/bpe.py)."""
+    from top_produce_etl_spark.operators.bpe import pair_counts, word_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = word_vocab(docs, "text").withColumn("sym", F.split("word", ""))
+    return (
+        pair_counts(vocab)
+        .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+        .limit(30)
+    )
+
+
+@query(
+    "bpe_segmented_vocab", extended=True,
+    oracle=_bpe_oracle(_BPE_MERGES) + f"""
+SELECT word, freq, array_to_string(l, ' ') AS tokens
+FROM v{_BPE_MERGES}
+""",
+)
+def bpe_segmented_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE training loop, oracle-checked end-to-end: learn 3
+    merges (argmax pair per round, greedy left-to-right application
+    as a codegen fold — no UDF), return the segmented vocabulary.
+    Driver state per round is ONE (x, y) pair; every corpus-sized
+    cost happens exactly once in the initial word count."""
+    from top_produce_etl_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_train(docs, "text", _BPE_MERGES)
+    return vocab.select(
+        "word", "freq", F.array_join("sym", " ").alias("tokens")
+    )
