@@ -874,3 +874,82 @@ def bpe_segmented_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select(
         "word", "freq", F.array_join("sym", " ").alias("tokens")
     )
+
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+_PACK_ORACLE_REC = f"""WITH RECURSIVE d AS (
+    SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+           ) AS rn
+    FROM documents
+), rec AS (
+    SELECT shard, rn, doc_id, n_tokens, 0 AS bin,
+           CAST(0 AS BIGINT) AS pos, n_tokens AS fill
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+           CASE WHEN rec.fill + d.n_tokens > {_PACK_BUDGET}
+                THEN rec.bin + 1 ELSE rec.bin END,
+           CASE WHEN rec.fill + d.n_tokens > {_PACK_BUDGET}
+                THEN CAST(0 AS BIGINT) ELSE rec.fill END,
+           CASE WHEN rec.fill + d.n_tokens > {_PACK_BUDGET}
+                THEN d.n_tokens ELSE rec.fill + d.n_tokens END
+    FROM rec JOIN d ON d.shard = rec.shard AND d.rn = rec.rn + 1
+)"""
+
+
+@query(
+    "packed_training_layout", extended=True,
+    oracle=_PACK_ORACLE_REC
+    + "\nSELECT doc_id, shard, bin, pos, n_tokens FROM rec",
+)
+def packed_training_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded greedy sequence packing (operators/packing.py): every
+    document gets a (shard, bin, pos) slot in a 256-token packed
+    training layout. Shards pack independently in parallel (the scan
+    inside each is the only sequential part — DuckDB replays it as a
+    recursive CTE, so the full layout hash-compares)."""
+    from top_produce_etl_spark.functions.text import tokens
+    from top_produce_etl_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_toks"))
+    return pack_sequences(
+        sized, "doc_id", "n_toks", budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+@query(
+    "packed_layout_stats", extended=True,
+    oracle=_PACK_ORACLE_REC + f"""
+, per_bin AS (
+    SELECT shard, bin, SUM(n_tokens) AS toks FROM rec GROUP BY 1, 2
+)
+SELECT shard, COUNT(*) AS n_bins, SUM(toks) AS total_tokens,
+       ROUND(AVG(CAST(LEAST(toks, {_PACK_BUDGET}) AS DOUBLE)
+                 / {_PACK_BUDGET}), 6) AS mean_fill
+FROM per_bin GROUP BY shard
+""",
+)
+def packed_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit per shard: bin count, token mass,
+    mean fill fraction at the 256-token budget — the dataloader
+    owner's waste metric (operators/packing.py::packing_stats)."""
+    from top_produce_etl_spark.functions.text import tokens
+    from top_produce_etl_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(tokens("text")).alias("n_toks"))
+    packed = pack_sequences(
+        sized, "doc_id", "n_toks", budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    )
+    return packing_stats(packed, budget=_PACK_BUDGET)
