@@ -113,6 +113,9 @@ EXTENSION = [
     "orders_fingerprint",        # anti-entropy content checksum (r5w2)
     "incremental_revenue_cdc",   # retraction-aware agg maintenance (r5w2)
     "orders_profile_drift",      # column-contract drift report (r5w2)
+    "semdedup_decisions",        # cluster-then-compare semantic dedup (r5w3)
+    "bpe_segmented_vocab",       # BPE tokenizer training loop (r5w3)
+    "packed_training_layout",    # sharded greedy sequence packing (r5w3)
 ]
 
 RECALL_K = 3

@@ -560,3 +560,62 @@ def test_manifest_missing_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="_manifest"):
         verify_manifest(spark, path)
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """write_manifest(stats_cols=...) records per-file min/max; a
+    load_pruned range scan opens ONLY overlapping files and returns
+    exactly read+filter."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import verify_manifest, write_manifest
+    from top_produce_etl_spark.io.sources import load_pruned
+
+    path = str(tmp_path / "ranged")
+    # 4 files with disjoint k ranges (range partitioning + 1 task each)
+    spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k").write.parquet(path)
+    m = write_manifest(spark, path, stats_cols=["k"])
+    assert m["n_files"] == 4 and m["stats_cols"] == ["k"]
+    assert all("stats" in f and "k" in f["stats"] for f in m["files"])
+
+    pruned = load_pruned(spark, path, "k", lo=120, hi=130)
+    assert len(pruned.inputFiles()) == 1  # one 100-key file overlaps
+    want = sorted(
+        r.k for r in spark.read.parquet(path)
+        .filter((F.col("k") >= 120) & (F.col("k") <= 130)).collect()
+    )
+    assert sorted(r.k for r in pruned.collect()) == want
+
+    # disjoint range -> zero files read, schema preserved
+    empty = load_pruned(spark, path, "k", lo=5000, hi=6000)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    # stats in the sidecar don't disturb the layout/content verifier
+    assert verify_manifest(spark, path)["ok"]
+
+
+def test_manifest_stats_null_and_missing_column(spark, tmp_path):
+    """All-null files are skipped (a range predicate never matches
+    null); a column without stats keeps every file (conservative)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import write_manifest
+    from top_produce_etl_spark.io.sources import load_pruned
+
+    path = str(tmp_path / "nullfile")
+    spark.range(0, 5).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).coalesce(1).write.parquet(path)
+    spark.range(5, 10).select(
+        F.lit(None).cast("long").alias("k"), F.col("id").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    write_manifest(spark, path, stats_cols=["k"])
+    got = load_pruned(spark, path, "k", lo=0, hi=100)
+    # only the file holding non-null k is opened
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 5
+    # pruning on an un-stat'd column keeps all files
+    allkept = load_pruned(spark, path, "v", lo=0, hi=100)
+    assert len(allkept.inputFiles()) == 2

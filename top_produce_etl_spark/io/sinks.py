@@ -255,6 +255,7 @@ def write_manifest(
     fmt: str = "parquet",
     fingerprint_cols: list[str] | None = None,
     decimal_cols: dict[str, str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write a ``_manifest.json`` beside a table: per-file (name,
     bytes) list plus table-level row count and — when
@@ -269,6 +270,14 @@ def write_manifest(
     deliberately excludes mtimes/paths-with-scheme so that two
     byte-identical tables in different locations produce comparable
     manifests. Returns the manifest dict.
+
+    ``stats_cols`` adds per-file min/max for those columns — the
+    file-skipping index :func:`top_produce_etl_spark.io.sources.
+    load_pruned` consumes (the Iceberg/Delta data-skipping pattern
+    without a catalog). Stats are computed DISTRIBUTED in one extra
+    scan: ``groupBy(input_file_name())`` with min/max aggregates —
+    never by the driver touching footers, so it holds at any file
+    count. An all-null column in a file records ``[None, None]``.
     """
     import json
 
@@ -276,19 +285,45 @@ def write_manifest(
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
+    per_file_stats: dict[str, dict] = {}
+    if stats_cols:
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+
+        def _j(v):
+            return v.isoformat() if hasattr(v, "isoformat") else v
+
+        for r in rows:
+            name = jvm.org.apache.hadoop.fs.Path(r["__f"]).getName()
+            per_file_stats[name] = {
+                c: [_j(r[f"__mn_{c}"]), _j(r[f"__mx_{c}"])]
+                for c in stats_cols
+            }
     files = []
     for f in sorted(df.inputFiles()):
         p = jvm.org.apache.hadoop.fs.Path(f)
         fs = p.getFileSystem(conf)
-        files.append(
-            {"name": p.getName(), "bytes": fs.getFileStatus(p).getLen()}
-        )
+        entry = {"name": p.getName(), "bytes": fs.getFileStatus(p).getLen()}
+        if p.getName() in per_file_stats:
+            entry["stats"] = per_file_stats[p.getName()]
+        files.append(entry)
     manifest: dict = {
         "format": fmt,
         "n_files": len(files),
         "total_bytes": sum(f["bytes"] for f in files),
         "files": files,
     }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
     if fingerprint_cols:
         from top_produce_etl_spark.operators.quality import table_fingerprint
 

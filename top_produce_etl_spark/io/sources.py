@@ -197,3 +197,82 @@ def read_table_evolved(
     if options:
         reader = reader.options(**options)
     return getattr(reader, fmt)(path)
+
+
+def load_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Manifest-pruned range scan: read ONLY the files whose stored
+    per-file [min, max] for ``col`` (written by
+    io.sinks.write_manifest(stats_cols=...)) overlaps [lo, hi] —
+    file skipping decided from a sidecar KB, before any data file is
+    opened. This is the Iceberg/Delta data-skipping pattern without
+    a catalog: at 100 TB a selective range predicate on a
+    range-partitioned write touches a handful of files instead of
+    listing-then-footer-checking all of them. Parquet row-group
+    min/max pruning still applies WITHIN the chosen files.
+
+    A file with no stats for ``col`` is conservatively kept; a file
+    whose stats are [null, null] (all nulls) is skipped — a range
+    predicate never matches nulls. The residual predicate is still
+    applied, so the result is exactly ``read(path).filter(range)``.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_manifest.json"
+    )
+    fs = mpath.getFileSystem(conf)
+    if not fs.exists(mpath):
+        raise FileNotFoundError(f"no _manifest.json under {path}")
+    stream = fs.open(mpath)
+    raw = []
+    b = stream.read()
+    while b >= 0:
+        raw.append(b)
+        b = stream.read()
+    stream.close()
+    manifest = json.loads(bytes(raw).decode("utf-8"))
+
+    def _j(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    jlo, jhi = _j(lo), _j(hi)
+    keep = []
+    for f in manifest["files"]:
+        st = (f.get("stats") or {}).get(col)
+        if st is None:
+            keep.append(f["name"])
+            continue
+        fmin, fmax = st
+        if fmin is None and fmax is None:
+            continue
+        if jhi is not None and fmin is not None and fmin > jhi:
+            continue
+        if jlo is not None and fmax is not None and fmax < jlo:
+            continue
+        keep.append(f["name"])
+
+    base = path.rstrip("/")
+    if keep:
+        df = spark.read.format(fmt).load(
+            [f"{base}/{n}" for n in keep]
+        )
+    else:
+        # nothing overlaps: preserve the schema, return no rows
+        df = spark.read.format(fmt).load(path).limit(0)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df
