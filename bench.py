@@ -116,6 +116,8 @@ EXTENSION = [
     "semdedup_decisions",        # cluster-then-compare semantic dedup (r5w3)
     "bpe_segmented_vocab",       # BPE tokenizer training loop (r5w3)
     "packed_training_layout",    # sharded greedy sequence packing (r5w3)
+    "temperature_mix_sources",   # alpha-smoothed source sampling (r5w3)
+    "budget_selected_corpus",    # token-budget quality selection (r5w3)
 ]
 
 RECALL_K = 3

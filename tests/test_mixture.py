@@ -103,3 +103,61 @@ def F_count():
     from pyspark.sql import functions as F
 
     return F.count(F.lit(1))
+
+
+def test_temperature_rebalance_flattens_sqrt(spark):
+    """α=0.5 smoothing: a 100-vs-400 corpus should move from 1:4
+    toward 1:2 — the small source keeps ~all its mass (it binds),
+    the big one keeps ~half. Hash selection is expectation-exact
+    (±binomial noise), so assert bands, not exact counts."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.mixture import (
+        temperature_rebalance,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "small").otherwise("big").alias("src"),
+    )
+    kept = (
+        temperature_rebalance(df, "src", "doc_id")
+        .groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.src: r.n for r in kept.collect()}
+    # integer recipe: w=(10,20) -> p=(333333,666666) -> S=300
+    # -> keep=(99,199)
+    assert abs(got["small"] - 99) <= 15
+    assert abs(got["big"] - 199) <= 30
+    # determinism: the same call returns the identical kept set
+    a = {r.doc_id for r in temperature_rebalance(df, "src", "doc_id").collect()}
+    b = {r.doc_id for r in temperature_rebalance(df, "src", "doc_id").collect()}
+    assert a == b
+
+
+def test_budget_select_threshold_and_edges(spark):
+    """Bucket-prefix semantics: best buckets fit whole or not at
+    all; result never exceeds the budget; an oversized best bucket
+    yields empty."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.mixture import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.95, 40), (2, 0.90, 40), (3, 0.50, 40), (4, 0.10, 40)],
+        "doc_id long, q double, toks long",
+    )
+    kept = budget_select(df, "q", "toks", budget=100)
+    ids = {r.doc_id for r in kept.collect()}
+    # buckets 950, 900, 500, 100: 40+40 fits, +40 would exceed 100
+    assert ids == {1, 2}
+
+    # boundary exact fit: budget 120 admits three buckets
+    assert {
+        r.doc_id for r in budget_select(df, "q", "toks", 120).collect()
+    } == {1, 2, 3}
+
+    # best bucket alone overflows -> empty, schema intact
+    tight = budget_select(df, "q", "toks", budget=10)
+    assert tight.count() == 0
+    assert "__bucket" in tight.columns

@@ -205,3 +205,159 @@ def mixture_oracle_sql(
     )
     WHERE __rn <= __keep
     """
+
+
+_PPM = 1_000_000  # per-million fixed point for derived proportions
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    category_col: str,
+    key_col: str,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling (α = 0.5): downsample
+    so category shares move from p_c toward p_c^α — the standard
+    multilingual/multi-source flattening (big sources shrink, small
+    sources keep more of their mass; see e.g. the XLM-R sampling
+    rule). Unlike :func:`rebalance_mixture`, the recipe is DERIVED
+    FROM THE DATA in-plan — no driver-side weights, fully lazy:
+
+        n_c    = per-category count            (|categories| rows)
+        w_c    = floor(sqrt(n_c))              (α=0.5; sqrt is
+                 IEEE-correctly-rounded, so both engines agree
+                 bit-for-bit — the reason α is fixed at 0.5 rather
+                 than a free pow(), whose cross-engine rounding is
+                 not contractual)
+        p_c    = max(1, w_c · 1e6 div W)       (per-million integer
+                 proportion; the max(1) guards pathological
+                 #categories > 1e6)
+        cap_c  = n_c · 1e6 div p_c             (total if c binds)
+        S      = min_c cap_c
+        keep_c = p_c · S div 1e6
+
+    All products stay under int64 for corpora to ~10^12 rows per
+    category — the per-million normalization is what keeps n_c · W
+    out of the formula (that product overflows at petascale).
+    Selection is the same salted-hash narrow predicate as
+    ``rebalance_mixture(strategy="hash")``: one count aggregate,
+    one |categories|-row broadcast back, zero wide shuffle."""
+    _check_safe(salt, key_col)
+    _check_safe("x", category_col)
+    cnt = (
+        df.groupBy(category_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", F.floor(F.sqrt(F.col("__n"))))
+    )
+    tot = cnt.agg(F.sum("__w").alias("__tw")).withColumn(
+        "__k", F.pmod(F.col("__tw"), F.lit(1)).cast("int")
+    )
+    sized = (
+        cnt.withColumn("__k", F.pmod(F.col("__w"), F.lit(1)).cast("int"))
+        .join(F.broadcast(tot), "__k")
+        .withColumn(
+            "__p",
+            F.greatest(F.expr(f"__w * {_PPM} DIV __tw"), F.lit(1)),
+        )
+        .withColumn("__cap", F.expr(f"__n * {_PPM} DIV __p"))
+    )
+    s = sized.agg(F.min("__cap").alias("__s")).withColumn(
+        "__k", F.pmod(F.col("__s"), F.lit(1)).cast("int")
+    )
+    keep = (
+        sized.join(F.broadcast(s), "__k")
+        .withColumn("__keep", F.expr(f"__p * __s DIV {_PPM}"))
+        .select(category_col, "__n", "__keep")
+    )
+    bucket = (
+        composite_hash_col(f"concat('{salt}', CAST({key_col} AS STRING))")
+        % BUCKETS
+    )
+    cols = df.columns
+    return (
+        df.join(F.broadcast(keep), category_col)
+        .filter(bucket * F.col("__n") < F.col("__keep") * BUCKETS)
+        .select(*cols)
+    )
+
+
+def temperature_oracle_sql(
+    category_col: str,
+    key_col: str,
+    salt: str = "temp-v1",
+    table: str = "documents",
+    select_cols: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`temperature_rebalance` — derives the
+    identical integer recipe from the data (floor-div via ``//``,
+    never a rounding decimal cast)."""
+    _check_safe(salt, key_col)
+    select_cols = select_cols or f"{key_col}, {category_col}"
+    keyed = f"('{salt}' || CAST({key_col} AS VARCHAR))"
+    bucket = f"(({composite_hash_sql(keyed)}) % {BUCKETS})"
+    return f"""
+    WITH cnt AS (
+        SELECT {category_col} AS __c, COUNT(*) AS __n,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS __w
+        FROM {table} GROUP BY 1
+    ), tot AS (SELECT SUM(__w) AS __tw FROM cnt),
+    sized AS (
+        SELECT __c, __n,
+               GREATEST(__w * {_PPM} // __tw, 1) AS __p
+        FROM cnt, tot
+    ), s AS (
+        SELECT MIN(__n * {_PPM} // __p) AS __s FROM sized
+    ), keep AS (
+        SELECT __c, __n, __p * __s // {_PPM} AS __keep FROM sized, s
+    )
+    SELECT {select_cols}
+    FROM {table} t JOIN keep ON t.{category_col} = keep.__c
+    WHERE {bucket} * __n < __keep * {BUCKETS}
+    """
+
+
+def budget_select(
+    df: DataFrame,
+    score_col,
+    tokens_col,
+    budget: int,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality slice
+    of the corpus whose total token count fits ``budget``, at
+    score-BUCKET granularity (the largest prefix of score buckets,
+    best first, whose cumulative tokens stay ≤ budget).
+
+    Bucket granularity is the honest 100 TB semantics: exact greedy
+    per-document knapsack is inherently sequential over the whole
+    corpus, while the bucket rollup is one hash agg to ≤ n_buckets
+    rows, a model-sized driver fold to pick the threshold bucket
+    (same contract as the k-means centroid collect), and a narrow
+    filter broadcast back as a literal. No global window, no sort.
+    A boundary bucket that would overflow the budget is excluded
+    whole — the result NEVER exceeds budget.
+
+    Returns the kept rows with ``__bucket`` added (callers audit
+    with it; drop it if not wanted)."""
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    tk = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    bkt = F.least(
+        F.greatest(F.floor(sc * n_buckets).cast("int"), F.lit(0)),
+        F.lit(n_buckets - 1),
+    )
+    rollup = (
+        df.select(bkt.alias("__bucket"), tk.alias("__t"))
+        .groupBy("__bucket")
+        .agg(F.sum("__t").alias("__t"))
+        .collect()
+    )
+    cum, keep_min = 0, None
+    for r in sorted(rollup, key=lambda r: -r["__bucket"]):
+        if cum + r["__t"] > budget:
+            break
+        cum += r["__t"]
+        keep_min = r["__bucket"]
+    out = df.withColumn("__bucket", bkt)
+    if keep_min is None:
+        return out.filter(F.lit(False))
+    return out.filter(F.col("__bucket") >= F.lit(keep_min))

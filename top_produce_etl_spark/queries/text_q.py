@@ -953,3 +953,78 @@ def packed_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_PACK_SHARDS,
     )
     return packing_stats(packed, budget=_PACK_BUDGET)
+
+
+@query(
+    "temperature_mix_sources", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.mixture", fromlist=["x"]
+    ).temperature_oracle_sql("source", "doc_id"),
+)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-smoothed source mixture
+    (operators/mixture.py::temperature_rebalance): the sampling
+    recipe is derived from per-source counts in-plan — big sources
+    downsample toward √-proportions, small sources keep their mass.
+    One count agg + |sources|-row broadcast + narrow hash predicate;
+    the DuckDB twin re-derives the identical integer recipe."""
+    from top_produce_etl_spark.operators.mixture import (
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_rebalance(docs, "source", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+_BUDGET_TOKENS = 20000
+
+_QUALITY_SQL_FRAG = f"""least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4
+           + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))) * 0.4
+           + greatest(0.0, 1.0 - (CAST({_marker_sql(LANG_MARKERS["en"])} AS DOUBLE)
+              / len(string_split(text, ' '))) * 2.0) * 0.2"""
+
+
+@query(
+    "budget_selected_corpus", extended=True,
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               LEAST(GREATEST(CAST(FLOOR(({_QUALITY_SQL_FRAG}) * 1000)
+                                   AS INT), 0), 999) AS __bucket,
+               len(string_split(text, ' ')) AS toks
+        FROM documents
+    ), roll AS (
+        SELECT __bucket, SUM(toks) AS t FROM b GROUP BY 1
+    ), cum AS (
+        SELECT __bucket, SUM(t) OVER (ORDER BY __bucket DESC) AS c
+        FROM roll
+    ), thr AS (
+        SELECT MIN(__bucket) AS kmin FROM cum WHERE c <= {_BUDGET_TOKENS}
+    )
+    SELECT b.doc_id, b.__bucket AS bucket, b.toks AS n_tokens
+    FROM b, thr WHERE b.__bucket >= thr.kmin
+    """,
+)
+def budget_selected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection
+    (operators/mixture.py::budget_select): keep the best quality
+    buckets whose cumulative token mass fits a 20k-token budget —
+    one rollup agg, a ≤1000-row driver threshold fold, one narrow
+    filter. The oracle re-derives the threshold with a window over
+    the same bucket rollup."""
+    from top_produce_etl_spark.functions.text import quality_score, tokens
+    from top_produce_etl_spark.operators.mixture import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        quality_score("text").alias("__q"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    kept = budget_select(sized, "__q", "n_tokens", budget=_BUDGET_TOKENS)
+    return kept.select(
+        "doc_id", F.col("__bucket").alias("bucket"), "n_tokens"
+    )
