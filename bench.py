@@ -118,6 +118,8 @@ EXTENSION = [
     "packed_training_layout",    # sharded greedy sequence packing (r5w3)
     "temperature_mix_sources",   # alpha-smoothed source sampling (r5w3)
     "budget_selected_corpus",    # token-budget quality selection (r5w3)
+    "semdedup_fast",             # semantic dedup, double fast path (r5w3)
+    "corpus_datasheet",          # per-source dataset card rollup (r5w3)
 ]
 
 RECALL_K = 3
@@ -377,6 +379,28 @@ def main() -> None:
     }
     print(f"# text_probe: {text_probe}", file=sys.stderr)
 
+    # BPE leg of the text probe: train 2 merges on the SAME 200k-doc
+    # corpus — the tokenizer-training loop's corpus-sized cost is the
+    # one word-count scan; the merge rounds run on the |vocab| table.
+    # Planted structural truth riding the timing: every generated
+    # token is "t<id>" with Zipf mass concentrated on the t1-prefix
+    # family (t1, t10-19, t100-199, ...), so merge #1 MUST be
+    # ('t','1') — a wrong pair-count aggregate or argmax tiebreak
+    # breaks it.
+    from top_produce_etl_spark.operators.bpe import bpe_train
+
+    t0 = time.monotonic()
+    bpe_m, _ = bpe_train(tp_df, "text", 2)
+    bpe_sec = round(time.monotonic() - t0, 3)
+    bpe_probe = {
+        "bpe_probe_docs": tp_rows,
+        "bpe_probe_sec": bpe_sec,
+        "bpe_probe_docs_per_sec": round(tp_rows / bpe_sec, 1),
+        "bpe_probe_merges": "+".join(a + b for a, b in bpe_m),
+        "bpe_probe_first_merge_expected": bpe_m[0] == ("t", "1"),
+    }
+    print(f"# bpe_probe: {bpe_probe}", file=sys.stderr)
+
     # THIRD probe — the FLAGSHIP relational path at 10x data (round 5
     # wave 2): lineitem/orders unioned as 10 key-shifted copies of the
     # sf fixture (6M lineitem rows at sf0.1), same join+agg+window
@@ -482,6 +506,7 @@ def main() -> None:
         **recalls,
         **probe,
         **text_probe,
+        **bpe_probe,
         **rel_probe,
     }
     print(json.dumps(out))

@@ -484,3 +484,28 @@ def test_semantic_dedup_known_clusters(spark):
     }
     assert got[2] is True and got[4] is True
     assert got[1] is False and got[3] is False and got[5] is False
+
+
+def test_semdedup_fast_path_matches_decimal(spark, sf_dir):
+    """The double-scoring semantic-dedup twin must reproduce the
+    decimal oracle path's per-document decisions on the fixture
+    (cosines differ only at ~1e-15; no fixture pair sits on the
+    0.35 threshold)."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = {
+        (r.vec_id, r.cluster, r.dropped)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", k=8, iters=1, threshold=0.35
+        ).collect()
+    }
+    dbl = {
+        (r.vec_id, r.cluster, r.dropped)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", k=8, iters=1, threshold=0.35,
+            scoring="double",
+        ).collect()
+    }
+    assert dec == dbl

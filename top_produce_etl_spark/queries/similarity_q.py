@@ -487,3 +487,19 @@ def standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return standardize_embeddings(emb, "vec_id", "embedding", dim=64)
+
+
+@query("semdedup_fast", extended=True)  # double fast path → rows-only
+def semdedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``semdedup_decisions``: identical
+    cluster-then-compare plan with the codegen'd double dot kernel
+    (~2-4× cheaper scoring; same decisions on the fixture, pinned in
+    tests/test_dedup_similarity.py — the decimal twin remains the
+    oracle entry, the ivf_topk_fast pattern)."""
+    from top_produce_etl_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=8, iters=1, threshold=0.35,
+        scoring="double",
+    )

@@ -1028,3 +1028,91 @@ def budget_selected_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", F.col("__bucket").alias("bucket"), "n_tokens"
     )
+
+
+@query(
+    "corpus_datasheet", extended=True,
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, source, lang,
+               len(string_split(text, ' ')) AS toks,
+               length(text) AS chars,
+               md5(text) AS h,
+               CAST(FLOOR(({_QUALITY_SQL_FRAG}) * 1000000) AS BIGINT)
+                   AS q_micro
+        FROM documents
+    ), hcnt AS (
+        SELECT h, COUNT(*) AS n FROM sig GROUP BY 1
+    ), flagged AS (
+        SELECT sig.*, (hcnt.n > 1) AS is_dup
+        FROM sig JOIN hcnt USING (h)
+    ), lang_rank AS (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY COUNT(*) DESC, lang ASC
+               ) AS rn
+        FROM sig GROUP BY source, lang
+    )
+    SELECT f.source,
+           COUNT(*) AS n_docs,
+           SUM(f.toks) AS total_tokens,
+           SUM(f.chars) AS total_chars,
+           SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS dup_docs,
+           SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END)
+               * 1000000 // COUNT(*) AS dup_rate_ppm,
+           SUM(f.q_micro) // COUNT(*) AS mean_quality_micro,
+           COUNT(DISTINCT f.lang) AS n_langs,
+           MIN(lr.lang) AS top_lang
+    FROM flagged f
+    JOIN lang_rank lr ON lr.source = f.source AND lr.rn = 1
+    GROUP BY f.source
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet: the per-source summary a data card quotes —
+    doc/token/char mass, exact-duplicate exposure (corpus-wide
+    text-hash groups ≥ 2), mean quality in exact integer micro-units
+    (per-doc fixed point summed as integers — no float accumulation
+    order), language spread and the dominant language (count-desc,
+    lang-asc tiebreak). Plan: one corpus-wide hash-count shuffle
+    joined back on the hash key, one per-source agg, one
+    |sources×langs|-row ranking window — nothing quadratic, nothing
+    driver-sized."""
+    from pyspark.sql.window import Window
+
+    from top_produce_etl_spark.functions.text import quality_score, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", "source", "lang",
+        F.size(tokens("text")).alias("toks"),
+        F.length("text").alias("chars"),
+        F.md5("text").alias("h"),
+        F.floor(quality_score("text") * 1000000)
+        .cast("bigint").alias("q_micro"),
+    )
+    hcnt = sig.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
+    flagged = sig.join(hcnt, "h").withColumn("is_dup", F.col("__n") > 1)
+    w = Window.partitionBy("source").orderBy(
+        F.col("__lc").desc(), F.col("lang").asc()
+    )
+    top_lang = (
+        sig.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("__lc"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum("chars").alias("total_chars"),
+        F.sum(F.col("is_dup").cast("bigint")).alias("dup_docs"),
+        F.expr(
+            "SUM(CAST(is_dup AS BIGINT)) * 1000000 DIV COUNT(1)"
+        ).alias("dup_rate_ppm"),
+        F.expr("SUM(q_micro) DIV COUNT(1)").alias("mean_quality_micro"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return per_source.join(F.broadcast(top_lang), "source")
