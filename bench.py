@@ -120,6 +120,8 @@ EXTENSION = [
     "budget_selected_corpus",    # token-budget quality selection (r5w3)
     "semdedup_fast",             # semantic dedup, double fast path (r5w3)
     "corpus_datasheet",          # per-source dataset card rollup (r5w3)
+    "capped_docs_per_source",    # per-domain frequency capping (r5w3)
+    "orders_profile_drift_fast",  # drift report, approx-NDV path (r5w3)
 ]
 
 RECALL_K = 3

@@ -271,3 +271,33 @@ def test_profile_rejects_raw_doubles(spark):
     df = spark.createDataFrame([(1.5,)], "x double")
     with _pytest.raises(ValueError, match="decimal"):
         column_profile(df)
+
+
+def test_profile_drift_approx_twin_matches_except_ndv(spark):
+    """The approx-NDV drift twin is bit-identical to the exact path
+    on every column except ndv_old/ndv_new, and those stay within
+    HLL error (±5% on a small frame)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.profiling import profile_drift
+
+    old = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 97)
+        .alias("v"),
+    )
+    new = spark.range(1200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") % 97)
+        .alias("v"),
+    )
+    ex = {r["column"]: r.asDict() for r in
+          profile_drift(old, new, ["k", "v"]).collect()}
+    ap = {r["column"]: r.asDict() for r in
+          profile_drift(old, new, ["k", "v"], exact_ndv=False).collect()}
+    for c in ("k", "v"):
+        for field, v in ex[c].items():
+            if field.startswith("ndv_"):
+                assert abs(ap[c][field] - v) <= max(2, int(v * 0.05))
+            else:
+                assert ap[c][field] == v, (c, field)

@@ -161,3 +161,33 @@ def test_budget_select_threshold_and_edges(spark):
     tight = budget_select(df, "q", "toks", budget=10)
     assert tight.count() == 0
     assert "__bucket" in tight.columns
+
+
+def test_cap_per_category_exact_and_hash(spark):
+    """Exact strategy keeps exactly min(n, cap) per category; hash
+    strategy lands within binomial noise; small categories pass
+    whole; both are deterministic."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.mixture import cap_per_category
+
+    df = spark.range(330).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 300, "big").otherwise("small").alias("src"),
+    )
+    exact = (
+        cap_per_category(df, "src", "doc_id", 50, strategy="exact")
+        .groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.src: r.n for r in exact.collect()}
+    assert got == {"big": 50, "small": 30}
+
+    hashed = (
+        cap_per_category(df, "src", "doc_id", 50, strategy="hash")
+        .groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    )
+    goth = {r.src: r.n for r in hashed.collect()}
+    assert abs(goth["big"] - 50) <= 20 and goth["small"] == 30
+    a = {r.doc_id for r in cap_per_category(df, "src", "doc_id", 50).collect()}
+    b = {r.doc_id for r in cap_per_category(df, "src", "doc_id", 50).collect()}
+    assert a == b

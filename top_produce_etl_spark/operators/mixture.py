@@ -361,3 +361,99 @@ def budget_select(
     if keep_min is None:
         return out.filter(F.lit(False))
     return out.filter(F.col("__bucket") >= F.lit(keep_min))
+
+
+def cap_per_category(
+    df: DataFrame,
+    category_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "cap-v1",
+    strategy: str = "hash",
+) -> DataFrame:
+    """Frequency capping: keep at most ~``cap`` rows per category —
+    the per-domain document cap of web-corpus curation (no single
+    domain may dominate the training mixture). keep_c =
+    min(n_c, cap); small categories pass through whole.
+
+    ``hash`` (100 TB default): the salted-bucket narrow predicate
+    (expectation-exact, ±binomial noise) — one count agg, one
+    |categories|-row broadcast, ZERO sort/window, immune to the hot
+    domain being arbitrarily large. ``exact``: per-category
+    (hash, key) ranking window — exact counts, pays a sort
+    partitioned BY CATEGORY (the hot-domain partition is the skew
+    risk; prefer hash at scale). Both append-stable: a row's keep
+    decision never changes when other rows arrive, unless its
+    category crosses the cap (then the hash path thins
+    proportionally)."""
+    if not isinstance(cap, int) or cap <= 0:
+        raise ValueError(f"cap must be a positive int, got {cap!r}")
+    _check_safe(salt, key_col)
+    _check_safe("x", category_col)
+    if strategy not in ("hash", "exact"):
+        raise ValueError(f"strategy must be hash|exact, got {strategy!r}")
+    keep = (
+        df.groupBy(category_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__keep", F.least(F.col("__n"), F.lit(cap)))
+    )
+    bucket = (
+        composite_hash_col(f"concat('{salt}', CAST({key_col} AS STRING))")
+        % BUCKETS
+    )
+    cols = df.columns
+    joined = df.join(F.broadcast(keep), category_col)
+    if strategy == "hash":
+        out = joined.filter(
+            bucket * F.col("__n") < F.col("__keep") * BUCKETS
+        )
+    else:
+        w = Window.partitionBy(category_col).orderBy(
+            bucket.alias("__b"), F.col(key_col)
+        )
+        out = joined.withColumn(
+            "__rn", F.row_number().over(w)
+        ).filter(F.col("__rn") <= F.col("__keep"))
+    return out.select(*cols)
+
+
+def cap_oracle_sql(
+    category_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "cap-v1",
+    strategy: str = "hash",
+    table: str = "documents",
+    select_cols: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`cap_per_category`."""
+    _check_safe(salt, key_col)
+    select_cols = select_cols or f"{key_col}, {category_col}"
+    keyed = f"('{salt}' || CAST({key_col} AS VARCHAR))"
+    bucket = f"(({composite_hash_sql(keyed)}) % {BUCKETS})"
+    base = f"""
+    keep AS (
+        SELECT {category_col} AS __c, COUNT(*) AS __n,
+               LEAST(COUNT(*), {cap}) AS __keep
+        FROM {table} GROUP BY 1
+    )"""
+    if strategy == "hash":
+        return f"""
+    WITH {base}
+    SELECT {select_cols}
+    FROM {table} t JOIN keep ON t.{category_col} = keep.__c
+    WHERE {bucket} * __n < __keep * {BUCKETS}
+    """
+    return f"""
+    WITH {base}
+    SELECT {select_cols}
+    FROM (
+        SELECT t.*, keep.__keep,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.{category_col}
+                   ORDER BY {bucket}, t.{key_col}
+               ) AS __rn
+        FROM {table} t JOIN keep ON t.{category_col} = keep.__c
+    )
+    WHERE __rn <= __keep
+    """

@@ -281,3 +281,27 @@ def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.where(F.col("o_orderdate") >= cut),
         _PROFILE_COLS,
     )
+
+
+@query("orders_profile_drift_fast", extended=True)  # approx NDV → rows-only
+def orders_profile_drift_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``orders_profile_drift``: identical
+    single-pass drift report with ``approx_count_distinct`` (HLL —
+    no Expand row multiplication, the 100 TB path). NDV is the only
+    column that can differ (±~2% HLL error); everything else is
+    bit-identical to the exact twin. Latency tracked in bench beside
+    the exact entry."""
+    from top_produce_etl_spark.operators.profiling import profile_drift
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+    )
+    cut = F.lit(f"{_PROFILE_SPLIT} 00:00:00").cast("timestamp")
+    return profile_drift(
+        orders.where(F.col("o_orderdate") < cut),
+        orders.where(F.col("o_orderdate") >= cut),
+        _PROFILE_COLS,
+        exact_ndv=False,
+    )

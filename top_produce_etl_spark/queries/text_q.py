@@ -1116,3 +1116,30 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
     )
     return per_source.join(F.broadcast(top_lang), "source")
+
+
+_CAP_PER_SOURCE = 20
+
+
+def _cap_oracle() -> str:
+    from top_produce_etl_spark.operators.mixture import cap_oracle_sql
+
+    return cap_oracle_sql(
+        "source", "doc_id", _CAP_PER_SOURCE, strategy="exact"
+    )
+
+
+@query("capped_docs_per_source", extended=True, oracle=_cap_oracle())
+def capped_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping
+    (operators/mixture.py::cap_per_category): at most 20 documents
+    per source — the domain-cap step of web-corpus curation. The
+    exact strategy (deterministic (hash, id) ranking) is the oracle
+    entry; the hash strategy is the windowless 100 TB path with the
+    same |categories|-row broadcast shape as rebalance_mixture."""
+    from top_produce_etl_spark.operators.mixture import cap_per_category
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_category(
+        docs, "source", "doc_id", _CAP_PER_SOURCE, strategy="exact"
+    ).select("doc_id", "source")
