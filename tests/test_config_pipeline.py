@@ -402,3 +402,37 @@ def test_quality_gate_blocks_bad_input(spark, tmp_path):
     )
     result = run_topn_job(spark, ok)
     assert result.count() == 2 and os.path.exists(out)
+
+
+def test_yaml_composition_ops_match_operators(spark, sf_dir):
+    """The three corpus-composition ops are config-drivable and the
+    YAML path returns EXACTLY what the operator calls return."""
+    from top_produce_etl_spark.operators.mixture import (
+        cap_per_category,
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = {
+        "source": "documents",
+        "ops": [
+            {"op": "temperature_mix", "category_col": "source",
+             "key_col": "doc_id"},
+            {"op": "cap_per_category", "category_col": "lang",
+             "key_col": "doc_id", "cap": 40},
+        ],
+    }
+    got = {
+        r.doc_id
+        for r in build_pipeline(
+            spark, spec, {"documents": docs}
+        ).collect()
+    }
+    want = {
+        r.doc_id
+        for r in cap_per_category(
+            temperature_rebalance(docs, "source", "doc_id"),
+            "lang", "doc_id", 40,
+        ).collect()
+    }
+    assert got == want and len(got) > 0

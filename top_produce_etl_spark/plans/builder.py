@@ -211,6 +211,12 @@ def build_pipeline(
         {"op": "limit", "n": 10} |
         {"op": "union", "table": "other"} | {"op": "dropna", ...} |
         {"op": "fillna", "value": 0, "cols": [...]},
+        {"op": "rebalance_mixture", "category_col": "lang",
+         "key_col": "doc_id", "weights": {"en": 3, "de": 1}} |
+        {"op": "temperature_mix", "category_col": "source",
+         "key_col": "doc_id"} |
+        {"op": "cap_per_category", "category_col": "source",
+         "key_col": "doc_id", "cap": 100},
         {"op": "curation_funnel", "id_col": "doc_id", "text_col": "text",
          "lang": "en", "min_quality": 0.65, "max_dup_ngram_frac": 0.05,
          "max_mean_info_micro": 3450000, "keep_only": false}
@@ -327,6 +333,47 @@ def build_pipeline(
                 )
             else:
                 df = verdicts
+        elif kind == "rebalance_mixture":
+            # corpus composition from config: explicit integer recipe
+            from top_produce_etl_spark.operators.mixture import (
+                rebalance_mixture,
+            )
+
+            df = rebalance_mixture(
+                df,
+                op["category_col"],
+                op["key_col"],
+                {str(c): int(w) for c, w in op["weights"].items()},
+                salt=op.get("salt", "mix-v1"),
+                strategy=op.get("strategy", "hash"),
+            )
+        elif kind == "temperature_mix":
+            # corpus composition from config: alpha=0.5 recipe
+            # derived from the data in-plan (no weights to maintain)
+            from top_produce_etl_spark.operators.mixture import (
+                temperature_rebalance,
+            )
+
+            df = temperature_rebalance(
+                df,
+                op["category_col"],
+                op["key_col"],
+                salt=op.get("salt", "temp-v1"),
+            )
+        elif kind == "cap_per_category":
+            # per-domain frequency cap from config
+            from top_produce_etl_spark.operators.mixture import (
+                cap_per_category,
+            )
+
+            df = cap_per_category(
+                df,
+                op["category_col"],
+                op["key_col"],
+                int(op["cap"]),
+                salt=op.get("salt", "cap-v1"),
+                strategy=op.get("strategy", "hash"),
+            )
         else:
             raise ValueError(f"unknown op: {kind}")
     return df
