@@ -619,3 +619,45 @@ def test_manifest_stats_null_and_missing_column(spark, tmp_path):
     # pruning on an un-stat'd column keeps all files
     allkept = load_pruned(spark, path, "v", lo=0, hi=100)
     assert len(allkept.inputFiles()) == 2
+
+
+def test_append_manifest_matches_full_rebuild(spark, tmp_path):
+    """Incremental manifest maintenance: after an append, scanning
+    ONLY the new files and merging (modular-sum fingerprint, summed
+    rows, unioned file stats) must equal a from-scratch
+    write_manifest of the whole table."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import (
+        append_manifest,
+        verify_manifest,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "grow")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    ).coalesce(2).write.parquet(path)
+    write_manifest(
+        spark, path, fingerprint_cols=["k", "v"], stats_cols=["k"]
+    )
+
+    spark.range(100, 250).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    ).coalesce(3).write.mode("append").parquet(path)
+
+    merged = append_manifest(spark, path)
+    scratch = write_manifest(
+        spark, path, fingerprint_cols=["k", "v"], stats_cols=["k"]
+    )
+    assert merged["n_rows"] == scratch["n_rows"] == 250
+    assert merged["fingerprint"] == scratch["fingerprint"]
+    assert merged["n_files"] == scratch["n_files"] == 5
+    assert merged["total_bytes"] == scratch["total_bytes"]
+    assert sorted(merged["files"], key=lambda e: e["name"]) == sorted(
+        scratch["files"], key=lambda e: e["name"]
+    )
+    # idempotent: nothing new -> unchanged, and the table verifies
+    again = append_manifest(spark, path)
+    assert again["fingerprint"] == merged["fingerprint"]
+    assert verify_manifest(spark, path)["ok"]

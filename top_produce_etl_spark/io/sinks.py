@@ -249,6 +249,53 @@ def compact_table(
     return {"files_before": before, "files_after": after, "bytes": total}
 
 
+def _per_file_stats(
+    df, stats_cols: list[str] | None, jvm
+) -> dict[str, dict]:
+    """Per-file min/max for ``stats_cols``, keyed by file NAME —
+    computed DISTRIBUTED (``groupBy(input_file_name())``), never by
+    the driver touching footers."""
+    if not stats_cols:
+        return {}
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def _j(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    return {
+        jvm.org.apache.hadoop.fs.Path(r["__f"]).getName(): {
+            c: [_j(r[f"__mn_{c}"]), _j(r[f"__mx_{c}"])]
+            for c in stats_cols
+        }
+        for r in rows
+    }
+
+
+def _write_manifest_json(spark, path: str, manifest: dict) -> None:
+    import json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    mpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_manifest.json"
+    )
+    fs = mpath.getFileSystem(conf)
+    out = fs.create(mpath, True)
+    out.write(bytes(json.dumps(manifest, indent=1), "utf-8"))
+    out.close()
+
+
 def write_manifest(
     spark,
     path: str,
@@ -279,35 +326,11 @@ def write_manifest(
     never by the driver touching footers, so it holds at any file
     count. An all-null column in a file records ``[None, None]``.
     """
-    import json
-
     df = spark.read.format(fmt).load(path)
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
-    per_file_stats: dict[str, dict] = {}
-    if stats_cols:
-        from pyspark.sql import functions as F
-
-        aggs = []
-        for c in stats_cols:
-            aggs.append(F.min(c).alias(f"__mn_{c}"))
-            aggs.append(F.max(c).alias(f"__mx_{c}"))
-        rows = (
-            df.groupBy(F.input_file_name().alias("__f"))
-            .agg(*aggs)
-            .collect()
-        )
-
-        def _j(v):
-            return v.isoformat() if hasattr(v, "isoformat") else v
-
-        for r in rows:
-            name = jvm.org.apache.hadoop.fs.Path(r["__f"]).getName()
-            per_file_stats[name] = {
-                c: [_j(r[f"__mn_{c}"]), _j(r[f"__mx_{c}"])]
-                for c in stats_cols
-            }
+    per_file_stats = _per_file_stats(df, stats_cols, jvm)
     files = []
     for f in sorted(df.inputFiles()):
         p = jvm.org.apache.hadoop.fs.Path(f)
@@ -337,28 +360,15 @@ def write_manifest(
         manifest["decimal_cols"] = dict(decimal_cols or {})
     else:
         manifest["n_rows"] = df.count()
-    mpath = jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/_manifest.json"
-    )
-    fs = mpath.getFileSystem(conf)
-    out = fs.create(mpath, True)
-    out.write(bytes(json.dumps(manifest, indent=1), "utf-8"))
-    out.close()
+    _write_manifest_json(spark, path, manifest)
     return manifest
 
 
-def verify_manifest(
-    spark, path: str, fmt: str = "parquet"
-) -> dict:
-    """Re-derive the manifest facts for a table and diff them
-    against its stored ``_manifest.json``. Returns ``{ok, expected,
-    actual, mismatches}`` where mismatches lists the differing
-    fields. Content verification (``n_rows`` / ``fingerprint``)
-    costs one aggregate scan; the FILE layout check is listing-only,
-    so a post-compaction table fails the layout fields while the
-    content fields still pass — exactly the right signal (layout
-    changed, data didn't).
-    """
+def read_manifest_json(spark, path: str) -> dict:
+    """Read a table's ``_manifest.json`` sidecar via the Hadoop
+    FileSystem API (any scheme). Raises ``FileNotFoundError`` when
+    absent. Shared by verify/append here and
+    ``io.sources.load_pruned``."""
     import json
 
     sc = spark.sparkContext
@@ -377,8 +387,26 @@ def verify_manifest(
         raw.append(b)
         b = stream.read()
     stream.close()
-    expected = json.loads(bytes(raw).decode("utf-8"))
+    return json.loads(bytes(raw).decode("utf-8"))
 
+
+def verify_manifest(
+    spark, path: str, fmt: str = "parquet"
+) -> dict:
+    """Re-derive the manifest facts for a table and diff them
+    against its stored ``_manifest.json``. Returns ``{ok, expected,
+    actual, mismatches}`` where mismatches lists the differing
+    fields. Content verification (``n_rows`` / ``fingerprint``)
+    costs one aggregate scan; the FILE layout check is listing-only,
+    so a post-compaction table fails the layout fields while the
+    content fields still pass — exactly the right signal (layout
+    changed, data didn't).
+    """
+    expected = read_manifest_json(spark, path)
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
     df = spark.read.format(fmt).load(path)
     actual: dict = {}
     files = []
@@ -412,3 +440,72 @@ def verify_manifest(
         "actual": actual,
         "mismatches": mismatches,
     }
+
+
+def append_manifest(spark, path: str, fmt: str = "parquet") -> dict:
+    """Incrementally extend a table's ``_manifest.json`` after new
+    files were appended: ONLY the files not yet in the manifest are
+    scanned — their per-file stats, row count, and content
+    fingerprint are computed on the new slice alone and MERGED into
+    the stored facts. The mergeability is what the sidecar's design
+    bought: the fingerprint is an order-insensitive modular sum
+    (operators/quality.py::table_fingerprint), so
+    fp(old ∪ new) = (fp_old + fp_new) mod 2^59 for disjoint parts,
+    and min/max stats are per-file to begin with. At 100 TB a daily
+    append re-manifests in time proportional to the APPEND, never
+    the table. Returns the updated manifest dict; a no-op (and no
+    rewrite) when nothing new is found.
+    """
+    expected = read_manifest_json(spark, path)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    df = spark.read.format(fmt).load(path)
+    known = {f["name"] for f in expected["files"]}
+    new_paths = [
+        f
+        for f in sorted(df.inputFiles())
+        if jvm.org.apache.hadoop.fs.Path(f).getName() not in known
+    ]
+    if not new_paths:
+        return expected
+    ndf = spark.read.format(fmt).load(new_paths)
+    stats_cols = expected.get("stats_cols")
+    per_file_stats = _per_file_stats(ndf, stats_cols, jvm)
+    new_entries = []
+    for f in new_paths:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        entry = {"name": p.getName(), "bytes": fs.getFileStatus(p).getLen()}
+        if p.getName() in per_file_stats:
+            entry["stats"] = per_file_stats[p.getName()]
+        new_entries.append(entry)
+    files = sorted(
+        list(expected["files"]) + new_entries, key=lambda e: e["name"]
+    )
+    manifest: dict = {
+        "format": expected.get("format", fmt),
+        "n_files": len(files),
+        "total_bytes": sum(f["bytes"] for f in files),
+        "files": files,
+    }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+    if "fingerprint" in expected:
+        from top_produce_etl_spark.operators.quality import table_fingerprint
+
+        row = table_fingerprint(
+            ndf,
+            cols=expected["fingerprint_cols"],
+            decimal_cols=expected.get("decimal_cols") or {},
+        ).collect()[0]
+        manifest["n_rows"] = expected["n_rows"] + row["n_rows"]
+        manifest["fingerprint"] = (
+            expected["fingerprint"] + row["fingerprint"]
+        ) % 2**59
+        manifest["fingerprint_cols"] = expected["fingerprint_cols"]
+        manifest["decimal_cols"] = expected.get("decimal_cols") or {}
+    else:
+        manifest["n_rows"] = expected["n_rows"] + ndf.count()
+    _write_manifest_json(spark, path, manifest)
+    return manifest
