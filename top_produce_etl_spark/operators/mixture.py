@@ -140,11 +140,16 @@ def rebalance_mixture(
     if strategy == "hash":
         out = joined.filter(bucket * F.col("__n") < F.col("__keep") * BUCKETS)
     else:
-        w = Window.partitionBy(category_col).orderBy(
-            bucket.alias("__b"), F.col(key_col)
-        )
+        # stage the composite hash in its OWN projection: the
+        # avalanche-mixed polynomial is a large expression tree, and
+        # referenced inside a window ORDER BY it is re-analyzed /
+        # re-codegen'd across the sort and window nodes (measured
+        # ~5 s of pure fixed overhead at sf0.1 in cap_per_category —
+        # the k-means literal-centroid lesson, clustering.py:44)
+        w = Window.partitionBy(category_col).orderBy("__b", key_col)
         out = (
-            joined.withColumn("__rn", F.row_number().over(w))
+            joined.withColumn("__b", bucket)
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= F.col("__keep"))
         )
     return out.select(*cols)
@@ -408,12 +413,14 @@ def cap_per_category(
             bucket * F.col("__n") < F.col("__keep") * BUCKETS
         )
     else:
-        w = Window.partitionBy(category_col).orderBy(
-            bucket.alias("__b"), F.col(key_col)
+        # staged projection — same rationale as rebalance_mixture's
+        # exact branch above
+        w = Window.partitionBy(category_col).orderBy("__b", key_col)
+        out = (
+            joined.withColumn("__b", bucket)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__keep"))
         )
-        out = joined.withColumn(
-            "__rn", F.row_number().over(w)
-        ).filter(F.col("__rn") <= F.col("__keep"))
     return out.select(*cols)
 
 
