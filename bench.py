@@ -122,6 +122,7 @@ EXTENSION = [
     "corpus_datasheet",          # per-source dataset card rollup (r5w3)
     "capped_docs_per_source",    # per-domain frequency capping (r5w3)
     "orders_profile_drift_fast",  # drift report, approx-NDV path (r5w3)
+    "bpe_encoded_docs",          # tokenizer encode at corpus scale (r5w3)
 ]
 
 RECALL_K = 3

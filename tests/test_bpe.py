@@ -55,3 +55,24 @@ def test_segment_words_applies_learned_model(spark):
     words = spark.createDataFrame([("lowest",)], "word string")
     out = segment_words(words, [("e", "s"), ("es", "t"), ("l", "o")])
     assert out.collect()[0]["sym"] == ["lo", "w", "est"]
+
+
+def test_encode_corpus_round_trips_words(spark):
+    """Encoded pieces concatenate back to the original words, in
+    document order, and n_pieces counts every emitted piece."""
+    from top_produce_etl_spark.operators.bpe import encode_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["low"] * 5 + ["newest"] * 6 + ["widest"] * 3)),
+            (2, "lower low"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           encode_corpus(docs, "doc_id", "text", 3).collect()}
+    # merges (e,s)(es,t)(l,o): low -> "lo w", newest -> "n e w est"
+    assert got[2].encoded == "lo w e r lo w"
+    assert got[2].n_pieces == 6
+    enc1 = got[1].encoded.split(" ")
+    assert "".join(enc1) == "low" * 5 + "newest" * 6 + "widest" * 3

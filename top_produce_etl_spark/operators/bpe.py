@@ -135,3 +135,51 @@ def segment_words(
     for x, y in merges:
         out = out.withColumn("sym", merge_pair(F.col("sym"), x, y))
     return out
+
+
+def encode_corpus(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int
+) -> DataFrame:
+    """Tokenize a corpus with a freshly-trained BPE model: learn
+    ``n_merges`` merges, then emit each document's piece sequence.
+
+    The scalable shape mirrors training: the greedy merge fold runs
+    ONCE PER DISTINCT WORD (the segmented vocabulary), never per
+    token occurrence — documents then join the |vocab| piece table
+    on the word and reassemble by (token position, piece position).
+    The join is category-key (word) equi-join; the reassembly sort
+    is per-document via ``array_sort`` over collected structs, so no
+    global ordering is ever required. Output: (id_col, encoded —
+    space-joined pieces, n_pieces)."""
+    _, vocab = bpe_train(df, text_col, n_merges)
+    pieces = vocab.select(
+        "word", F.col("sym").alias("__pieces")
+    )
+    words = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(text_col)).alias("__pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    flat = (
+        words.join(pieces, "word")
+        .select(
+            id_col,
+            "__pos",
+            F.posexplode("__pieces").alias("__j", "__piece"),
+        )
+    )
+    per_doc = flat.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("__pos", "__j", "__piece"))
+        ).alias("__seq")
+    )
+    return per_doc.select(
+        id_col,
+        F.array_join(
+            F.transform(F.col("__seq"), lambda s: s.getField("__piece")),
+            " ",
+        ).alias("encoded"),
+        F.size("__seq").alias("n_pieces"),
+    )

@@ -1143,3 +1143,36 @@ def capped_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_category(
         docs, "source", "doc_id", _CAP_PER_SOURCE, strategy="exact"
     ).select("doc_id", "source")
+
+
+@query(
+    "bpe_encoded_docs", extended=True,
+    oracle=_bpe_oracle(_BPE_MERGES) + f"""
+, tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ex AS (
+    SELECT doc_id, i AS pos, toks[i] AS word
+    FROM tok, unnest(range(1, len(toks) + 1)) r(i)
+    WHERE toks[i] <> ''
+), fl AS (
+    SELECT e.doc_id, e.pos, rr.j, v.l[rr.j] AS piece
+    FROM ex e
+    JOIN v{_BPE_MERGES} v USING (word),
+         unnest(range(1, len(v.l) + 1)) rr(j)
+)
+SELECT doc_id,
+       string_agg(piece, ' ' ORDER BY pos, j) AS encoded,
+       CAST(COUNT(*) AS INT) AS n_pieces
+FROM fl GROUP BY doc_id
+""",
+)
+def bpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of the tokenizer at corpus scale
+    (operators/bpe.py::encode_corpus): train 3 merges, segment the
+    DISTINCT-word table once, join documents back on the word and
+    reassemble piece sequences per document — the fold cost is per
+    vocabulary entry, never per token occurrence."""
+    from top_produce_etl_spark.operators.bpe import encode_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_corpus(docs, "doc_id", "text", _BPE_MERGES)
