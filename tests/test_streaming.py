@@ -292,3 +292,60 @@ def test_tws_running_totals_or_documented_gap(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_idempotent_append_sink_exactly_once(spark, tmp_path):
+    """foreachBatch append with per-epoch commit markers: a stream
+    run lands each batch once; replaying a batch id (the retry case)
+    changes nothing; uncommitted partial directories are invisible
+    to the committed reader."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import (
+        idempotent_append_sink,
+        read_committed_appends,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(src)
+
+    out = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(src).schema
+    sink = idempotent_append_sink(out)
+    (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    first = sorted(
+        (r.k, r.v) for r in read_committed_appends(spark, out).collect()
+    )
+    assert first == [(i, 2 * i) for i in range(10)]
+
+    # retry of an already-committed epoch: same batch_id, even with
+    # different data, must be a no-op
+    poison = spark.range(100, 103).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    sink(poison, 0)
+    assert sorted(
+        (r.k, r.v) for r in read_committed_appends(spark, out).collect()
+    ) == first
+
+    # an uncommitted partial (no marker) is invisible
+    poison.write.parquet(f"{out}/batch_id=99")
+    assert sorted(
+        (r.k, r.v) for r in read_committed_appends(spark, out).collect()
+    ) == first
+    # ...and a retry of THAT id overwrites the partial then commits
+    sink(poison, 99)
+    final = sorted(
+        (r.k, r.v) for r in read_committed_appends(spark, out).collect()
+    )
+    assert final == first + [(100, 100), (101, 101), (102, 102)]

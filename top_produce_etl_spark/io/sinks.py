@@ -509,3 +509,66 @@ def append_manifest(spark, path: str, fmt: str = "parquet") -> dict:
         manifest["n_rows"] = expected["n_rows"] + ndf.count()
     _write_manifest_json(spark, path, manifest)
     return manifest
+
+
+def idempotent_append_sink(out_path: str, fmt: str = "parquet"):
+    """Exactly-once APPEND for ``foreachBatch``: each micro-batch
+    lands in its own ``batch_id=<id>`` directory, committed by an
+    empty ``_COMMITTED`` marker written AFTER the data. A retried
+    batch (same epoch id — Structured Streaming replays the same
+    deterministic batch after a failure) either sees its marker and
+    skips, or overwrites the partial uncommitted directory and
+    commits again — both end states hold exactly one copy.
+
+    This is the append-mode complement to the dynamic-partition
+    upsert sink (streaming/jobs.py::materialize_daily_counts_stream,
+    idempotent because group == partition): use THIS when the output
+    is a raw event log, not a keyed rollup. Readers must go through
+    :func:`read_committed_appends` — uncommitted directories are
+    in-flight or abandoned and carry no marker.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        target = f"{out_path.rstrip('/')}/batch_id={batch_id}"
+        marker = jvm.org.apache.hadoop.fs.Path(target + "/_COMMITTED")
+        fs = marker.getFileSystem(conf)
+        if fs.exists(marker):
+            return
+        batch_df.write.mode("overwrite").format(fmt).save(target)
+        fs.create(marker, True).close()
+
+    return sink
+
+
+def read_committed_appends(spark, out_path: str, fmt: str = "parquet"):
+    """Read ONLY committed batch directories of an
+    :func:`idempotent_append_sink` table (listing-time filter on the
+    ``_COMMITTED`` marker — uncommitted partials are invisible).
+    Returns an empty-schema-preserving DataFrame when nothing is
+    committed yet is NOT supported: raises ``FileNotFoundError``
+    instead, because no schema source exists."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        raise FileNotFoundError(out_path)
+    committed = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_COMMITTED")
+        ):
+            committed.append(st.getPath().toString())
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed batch_id= directories under {out_path}"
+        )
+    return spark.read.format(fmt).load(sorted(committed))
