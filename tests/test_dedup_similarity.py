@@ -509,3 +509,23 @@ def test_semdedup_fast_path_matches_decimal(spark, sf_dir):
         ).collect()
     }
     assert dec == dbl
+
+
+def test_ranking_overlap_known_values(spark):
+    """Overlap report on hand-built rankings: full hit, partial with
+    late first hit, and a complete miss (NULL first_hit_rank)."""
+    from top_produce_etl_spark.operators.similarity import ranking_overlap
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (3, 30, 1)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),        # full overlap
+         (2, 99, 1), (2, 20, 2),        # first hit at rank 2
+         (3, 98, 1), (3, 97, 2)],       # miss
+        "query_id int, neighbor_id int, rank int",
+    )
+    got = {r.query_id: (r.n_common, r.first_hit_rank)
+           for r in ranking_overlap(approx, exact).collect()}
+    assert got == {1: (2, 1), 2: (1, 2), 3: (0, None)}

@@ -632,3 +632,35 @@ def standardize_embeddings(
             ).cast("bigint"),
         ).alias("z_micro"),
     )
+
+
+def ranking_overlap(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """ANN quality report IN the engine: per-query overlap between an
+    approximate ranking and the exact one — ``n_common`` (the
+    recall@k numerator) and ``first_hit_rank`` (the MRR ingredient;
+    NULL when the approximate list misses entirely). The standing
+    bench recall gates compute this driver-side; as an operator it
+    runs where the rankings live — evaluating an index over a 100 TB
+    corpus without collecting either ranking. One equi-join on
+    (query, neighbor) + one per-query agg."""
+    rel = exact.select(query_col, neighbor_col).withColumn(
+        "__rel", F.lit(1)
+    )
+    return (
+        approx.join(rel, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__rel"), F.lit(0)))
+            .cast("int")
+            .alias("n_common"),
+            F.min(
+                F.when(F.col("__rel") == 1, F.col(rank_col))
+            ).alias("first_hit_rank"),
+        )
+    )

@@ -199,9 +199,7 @@ def segment_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cosine_topk_quantized", extended=True,
-    oracle="""
+QUANT_TOPK_SQL = """
     WITH sc AS (
         SELECT vec_id,
                127.0 / greatest(
@@ -239,8 +237,10 @@ def segment_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN norms nc ON d.neighbor_id = nc.vec_id
     )
     WHERE "rank" <= 3
-    """,
-)
+    """
+
+
+@query("cosine_topk_quantized", extended=True, oracle=QUANT_TOPK_SQL)
 def cosine_topk_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 cosine on int8-quantized embeddings
     (operators/similarity.py::cosine_topk_quantized) for the same

@@ -503,3 +503,45 @@ def semdedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=8, iters=1, threshold=0.35,
         scoring="double",
     )
+
+
+def _QUANT_EVAL_ORACLE() -> str:
+    from top_produce_etl_spark.queries.analytics_q import QUANT_TOPK_SQL
+
+    return f"""
+    WITH exact_r AS ({COSINE_TOPK_SQL}),
+    approx_r AS ({QUANT_TOPK_SQL})
+    SELECT a.query_id,
+           CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS INT) AS n_common,
+           MIN(CASE WHEN e.neighbor_id IS NOT NULL
+                    THEN a."rank" END) AS first_hit_rank
+    FROM approx_r a
+    LEFT JOIN exact_r e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.query_id
+    """
+
+
+@query("quantized_recall_report", extended=True, oracle=_QUANT_EVAL_ORACLE())
+def quantized_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN evaluation
+    (operators/similarity.py::ranking_overlap): per-query overlap of
+    the int8-quantized top-3 against the exact decimal top-3 — both
+    sides independently oracle-checked queries, so the EVALUATION
+    itself is oracle-checked too (the composed statement embeds both
+    oracles). The bench-level recall gates are this report's
+    driver-side ancestor."""
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+        ranking_overlap,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
+    approx = cosine_topk_quantized(
+        emb, queries, "vec_id", "embedding", k=3
+    )
+    return ranking_overlap(approx, exact)
