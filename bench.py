@@ -113,7 +113,11 @@ EXTENSION = [
     "orders_fingerprint",        # anti-entropy content checksum (r5w2)
     "incremental_revenue_cdc",   # retraction-aware agg maintenance (r5w2)
     "orders_profile_drift",      # column-contract drift report (r5w2)
-    "semdedup_decisions",        # cluster-then-compare semantic dedup (r5w3)
+    # semdedup_decisions (the decimal oracle twin) is deliberately NOT
+    # timed here: its correctness is battery-gated at sf0.01 and the
+    # interpreted-decimal scoring costs ~4x the production path —
+    # semdedup_fast below is the timed entry (the ivf fast/decimal
+    # precedent, but without paying both at bench time).
     "bpe_segmented_vocab",       # BPE tokenizer training loop (r5w3)
     "packed_training_layout",    # sharded greedy sequence packing (r5w3)
     "temperature_mix_sources",   # alpha-smoothed source sampling (r5w3)
