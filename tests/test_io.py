@@ -661,3 +661,62 @@ def test_append_manifest_matches_full_rebuild(spark, tmp_path):
     again = append_manifest(spark, path)
     assert again["fingerprint"] == merged["fingerprint"]
     assert verify_manifest(spark, path)["ok"]
+
+
+def test_manifest_snapshot_time_travel(spark, tmp_path):
+    """Snapshots freeze the file list: reading v1 after appends
+    returns the table as of v1, fingerprint-verified; the live read
+    sees everything; versions auto-increment and never clobber."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import (
+        append_manifest,
+        snapshot_manifest,
+        write_manifest,
+    )
+    from top_produce_etl_spark.io.sources import load_snapshot
+    from top_produce_etl_spark.operators.quality import table_fingerprint
+
+    path = str(tmp_path / "tt")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    ).coalesce(2).write.parquet(path)
+    m1 = write_manifest(spark, path, fingerprint_cols=["k", "v"])
+    assert snapshot_manifest(spark, path) == 1
+
+    spark.range(100, 250).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    ).coalesce(2).write.mode("append").parquet(path)
+    append_manifest(spark, path)
+    assert snapshot_manifest(spark, path) == 2
+
+    old = load_snapshot(spark, path, 1)
+    assert old.count() == 100
+    fp = table_fingerprint(old, cols=["k", "v"]).collect()[0]
+    assert fp["fingerprint"] == m1["fingerprint"]  # integrity holds
+    assert load_snapshot(spark, path, 2).count() == 250
+    assert spark.read.parquet(path).count() == 250
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="v9"):
+        load_snapshot(spark, path, 9)
+
+
+def test_pruning_report_counts_skippable_files(spark, tmp_path):
+    """The sidecar-only report matches what load_pruned actually
+    opens."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import write_manifest
+    from top_produce_etl_spark.io.sources import load_pruned, pruning_report
+
+    path = str(tmp_path / "pr")
+    spark.range(0, 400).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(4, "k").write.parquet(path)
+    write_manifest(spark, path, stats_cols=["k"])
+    rep = pruning_report(spark, path, "k", lo=120, hi=130)
+    assert rep["n_files"] == 4 and rep["n_kept"] == 1
+    assert rep["n_skipped"] == 3
+    assert rep["bytes_kept"] < rep["bytes_total"]
+    assert len(load_pruned(spark, path, "k", 120, 130).inputFiles()) == 1

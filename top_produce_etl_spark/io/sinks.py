@@ -572,3 +572,44 @@ def read_committed_appends(spark, out_path: str, fmt: str = "parquet"):
             f"no committed batch_id= directories under {out_path}"
         )
     return spark.read.format(fmt).load(sorted(committed))
+
+
+def snapshot_manifest(spark, path: str) -> int:
+    """Freeze the CURRENT ``_manifest.json`` as an immutable
+    ``_manifest.v<N>.json`` snapshot and return N (1 + highest
+    existing version). Because appends never rewrite existing data
+    files, a snapshot's file list stays valid as the table grows —
+    reading it back (:func:`top_produce_etl_spark.io.sources.
+    load_snapshot`) is TIME TRAVEL on plain parquet, no table format
+    required. The stored content fingerprint rides along, so a
+    historical read can still be integrity-checked.
+
+    Invalidated by rewrites: ``compact_table`` (and any overwrite)
+    replaces the physical files, so snapshots taken before a
+    compaction refer to files that no longer exist — the documented
+    trade for staying on open, format-free storage. Snapshot before
+    compacting if history must survive: re-materialize the old
+    version first.
+    """
+    import json
+    import re as _re
+
+    m = read_manifest_json(spark, path)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    latest = 0
+    for st in fs.listStatus(root):
+        g = _re.fullmatch(r"_manifest\.v(\d+)\.json", st.getPath().getName())
+        if g:
+            latest = max(latest, int(g.group(1)))
+    version = latest + 1
+    vpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f"/_manifest.v{version}.json"
+    )
+    out = fs.create(vpath, False)  # never clobber a snapshot
+    out.write(bytes(json.dumps(m, indent=1), "utf-8"))
+    out.close()
+    return version

@@ -276,3 +276,77 @@ def load_pruned(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def load_snapshot(
+    spark: SparkSession, path: str, version: int, fmt: str = "parquet"
+) -> DataFrame:
+    """Time-travel read: load EXACTLY the files recorded in
+    ``_manifest.v<version>.json`` (io.sinks.snapshot_manifest) —
+    later appends are invisible, so the result is the table as of
+    the snapshot. Valid as long as no rewrite (compaction/overwrite)
+    has replaced the snapshot's files; integrity-check the read with
+    the snapshot's stored fingerprint when it matters."""
+    import json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    vpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f"/_manifest.v{version}.json"
+    )
+    fs = vpath.getFileSystem(conf)
+    if not fs.exists(vpath):
+        raise FileNotFoundError(f"no _manifest.v{version}.json under {path}")
+    stream = fs.open(vpath)
+    raw = []
+    b = stream.read()
+    while b >= 0:
+        raw.append(b)
+        b = stream.read()
+    stream.close()
+    manifest = json.loads(bytes(raw).decode("utf-8"))
+    base = path.rstrip("/")
+    return spark.read.format(fmt).load(
+        [f"{base}/{f['name']}" for f in manifest["files"]]
+    )
+
+
+def pruning_report(spark, path: str, col: str, lo=None, hi=None) -> dict:
+    """What would a manifest-pruned range scan skip? Returns
+    ``{n_files, n_kept, n_skipped, bytes_total, bytes_kept}``
+    decided from the sidecar alone — the observability companion to
+    :func:`load_pruned` for choosing layout (is the table range-
+    clustered enough on ``col`` for skipping to pay?)."""
+    from top_produce_etl_spark.io.sinks import read_manifest_json
+
+    manifest = read_manifest_json(spark, path)
+
+    def _j(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    jlo, jhi = _j(lo), _j(hi)
+    kept = skipped = bk = 0
+    for f in manifest["files"]:
+        st = (f.get("stats") or {}).get(col)
+        keep = True
+        if st is not None:
+            fmin, fmax = st
+            if fmin is None and fmax is None:
+                keep = False
+            elif jhi is not None and fmin is not None and fmin > jhi:
+                keep = False
+            elif jlo is not None and fmax is not None and fmax < jlo:
+                keep = False
+        if keep:
+            kept += 1
+            bk += f["bytes"]
+        else:
+            skipped += 1
+    return {
+        "n_files": manifest["n_files"],
+        "n_kept": kept,
+        "n_skipped": skipped,
+        "bytes_total": manifest["total_bytes"],
+        "bytes_kept": bk,
+    }
