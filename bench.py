@@ -127,6 +127,8 @@ EXTENSION = [
     "capped_docs_per_source",    # per-domain frequency capping (r5w3)
     "orders_profile_drift_fast",  # drift report, approx-NDV path (r5w3)
     "bpe_encoded_docs",          # tokenizer encode at corpus scale (r5w3)
+    "trending_brands_ewma",      # smoothed-momentum trending top-10 (r5w3)
+    "quantized_recall_report",   # in-engine ANN evaluation (r5w3)
 ]
 
 RECALL_K = 3

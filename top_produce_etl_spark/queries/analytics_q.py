@@ -1625,3 +1625,74 @@ def event_audience_overlap_hll(
 
     events = load_table(spark, sf_dir, "events")
     return audience_overlap_hll(events, "event_type", "user_id")
+
+
+def _TRENDING_ORACLE() -> str:
+    from top_produce_etl_spark.operators.stats import (
+        trailing_ewma_oracle_sql,
+    )
+
+    expr = trailing_ewma_oracle_sql(
+        "qty", "p_brand", "day", alpha=0.3, span=7
+    )
+    return f"""
+    WITH daily AS (
+        SELECT p.p_brand,
+               CAST(l.l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ), sm AS (
+        SELECT p_brand, day, qty, {expr} AS ewma_micro FROM daily
+    ), latest AS (
+        SELECT p_brand, day, ewma_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand ORDER BY day DESC
+               ) AS rn
+        FROM sm
+    )
+    SELECT p_brand, day AS as_of, ewma_micro
+    FROM latest WHERE rn = 1
+    ORDER BY ewma_micro DESC, p_brand LIMIT 10
+    """
+
+
+@query("trending_brands_ewma", extended=True, oracle=_TRENDING_ORACLE())
+def trending_brands_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-10 brands by SMOOTHED shipment
+    momentum — per-brand daily quantity, 7-day trailing EWMA
+    (integer fixed point, literal weights), each brand read at its
+    last observed day, globally ranked. The composition a
+    merchandising/radar dashboard runs: rollup shuffle + partitioned
+    windows + TakeOrderedAndProject, nothing data-sized on one
+    task."""
+    from pyspark.sql.window import Window
+
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+    from top_produce_etl_spark.operators.stats import trailing_ewma
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand", F.col("l_shipdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    sm = trailing_ewma(
+        daily, ["p_brand"], ["day"], "qty", alpha=0.3, span=7
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("day").desc())
+    return (
+        sm.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("p_brand", F.col("day").alias("as_of"), "ewma_micro")
+        .orderBy(F.col("ewma_micro").desc(), "p_brand")
+        .limit(10)
+    )
