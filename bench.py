@@ -129,6 +129,7 @@ EXTENSION = [
     "bpe_encoded_docs",          # tokenizer encode at corpus scale (r5w3)
     "trending_brands_ewma",      # smoothed-momentum trending top-10 (r5w3)
     "quantized_recall_report",   # in-engine ANN evaluation (r5w3)
+    "embedding_centroid_drift",  # embedding-space drift monitor (r5w3)
 ]
 
 RECALL_K = 3

@@ -529,3 +529,35 @@ def test_ranking_overlap_known_values(spark):
     got = {r.query_id: (r.n_common, r.first_hit_rank)
            for r in ranking_overlap(approx, exact).collect()}
     assert got == {1: (2, 1), 2: (1, 2), 3: (0, None)}
+
+
+def test_centroid_drift_detects_planted_shift(spark):
+    """A group whose second snapshot is identical has cos_shift 1;
+    an orthogonally-shifted group scores ~0; groups missing a side
+    are omitted."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.similarity import centroid_drift
+
+    rows = [
+        # group "same": both sides along e1
+        (0, "same", [1.0, 0.0, 0.0, 0.0]),
+        (1, "same", [1.0, 0.0, 0.0, 0.0]),
+        # group "moved": side 0 on e1, side 1 on e2
+        (2, "moved", [1.0, 0.0, 0.0, 0.0]),
+        (3, "moved", [0.0, 1.0, 0.0, 0.0]),
+        # group "half": only side 0 present
+        (4, "half", [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label string, emb array<float>"
+    )
+    got = {
+        r.label: (round(r.cos_shift, 6), r.n_old, r.n_new)
+        for r in centroid_drift(
+            df, "label", "emb", F.pmod(F.col("vec_id"), F.lit(2))
+        ).collect()
+    }
+    assert got["same"] == (1.0, 1, 1)
+    assert got["moved"] == (0.0, 1, 1)
+    assert "half" not in got

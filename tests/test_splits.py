@@ -71,3 +71,24 @@ def test_folds_balanced_and_deterministic(spark, sf_dir):
     n = len(a)
     for fold, c in counts.items():
         assert abs(c / n - 0.2) < 0.08, (fold, c)
+
+
+def test_assign_fold_on_group_key_is_group_kfold(spark):
+    """GroupKFold falls out of assign_fold by keying on the GROUP
+    column: every row of a group lands in the same fold (no
+    cross-fold leakage of grouped documents), and folds stay
+    populated."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.splits import assign_fold
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 30)).alias("source"),
+    )
+    folded = assign_fold(df, "source", k=5)
+    per_group = folded.groupBy("source").agg(
+        F.countDistinct("fold").alias("nf")
+    )
+    assert all(r.nf == 1 for r in per_group.collect())
+    assert folded.select("fold").distinct().count() >= 4

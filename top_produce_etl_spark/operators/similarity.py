@@ -664,3 +664,82 @@ def ranking_overlap(
             ).alias("first_hit_rank"),
         )
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    side_col: Column,
+) -> DataFrame:
+    """Embedding-space drift monitor: per group, the cosine between
+    the MEAN embedding of two snapshots (``side_col`` = 0/1 — e.g.
+    old/new ingest, last week/this week). A new encoder version, a
+    source shift, or a poisoned batch moves the centroid long before
+    per-document checks fire; this is the embedding-space sibling of
+    the scalar drift gates (PSI/KS/chi², operators/stats.py).
+
+    Plan: one posexplode + (group, side, dim) hash agg — the k-means
+    update shape, |groups|·2·dim result rows — then a per-group join
+    of the two tiny mean vectors and one decimal-exact cosine.
+    Nothing data-sized past the first agg. Determinism contract:
+    means rounded to 6 dp (identical doubles both engines), decimal
+    dot folds → the output cosine is oracle-exact.
+
+    Output: (group_col, cos_shift, n_old, n_new); groups missing a
+    side are omitted (no drift measurable)."""
+    ex = df.select(
+        F.col(group_col),
+        side_col.cast("int").alias("__side"),
+        F.posexplode(vec_col).alias("__dim", "__x"),
+    )
+    means = (
+        ex.groupBy(group_col, "__side", "__dim")
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("__m"))
+    )
+    vecs = (
+        means.groupBy(group_col, "__side")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__dim", "__m"))
+            ).alias("__s")
+        )
+        .select(
+            group_col,
+            "__side",
+            F.transform(
+                F.col("__s"), lambda t: t.getField("__m")
+            ).alias("__vec"),
+        )
+    )
+    counts = (
+        df.select(group_col, side_col.cast("int").alias("__side"))
+        .groupBy(group_col, "__side")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    a = vecs.filter(F.col("__side") == 0).select(
+        group_col, F.col("__vec").alias("__va")
+    )
+    b = vecs.filter(F.col("__side") == 1).select(
+        group_col, F.col("__vec").alias("__vb")
+    )
+    na = counts.filter(F.col("__side") == 0).select(
+        group_col, F.col("__n").alias("n_old")
+    )
+    nb = counts.filter(F.col("__side") == 1).select(
+        group_col, F.col("__n").alias("n_new")
+    )
+    return (
+        a.join(b, group_col)
+        .withColumn(
+            "cos_shift",
+            _dec_dot(F.col("__va"), F.col("__vb"))
+            / (
+                F.sqrt(_dec_dot(F.col("__va"), F.col("__va")))
+                * F.sqrt(_dec_dot(F.col("__vb"), F.col("__vb")))
+            ),
+        )
+        .join(na, group_col)
+        .join(nb, group_col)
+        .select(group_col, "cos_shift", "n_old", "n_new")
+    )

@@ -545,3 +545,55 @@ def quantized_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", k=3
     )
     return ranking_overlap(approx, exact)
+
+
+CENTROID_DRIFT_SQL = """
+WITH ex AS (
+    SELECT label, CAST(vec_id % 2 AS INT) AS side, r.i AS dim,
+           CAST(embedding[r.i] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), means AS (
+    SELECT label, side, dim, ROUND(AVG(x), 6) AS m
+    FROM ex GROUP BY 1, 2, 3
+), vecs AS (
+    SELECT label, side, list(m ORDER BY dim) AS vec
+    FROM means GROUP BY 1, 2
+), cnt AS (
+    SELECT label, CAST(vec_id % 2 AS INT) AS side, COUNT(*) AS n
+    FROM embeddings GROUP BY 1, 2
+), pairs AS (
+    SELECT a.label, a.vec AS va, b.vec AS vb
+    FROM vecs a JOIN vecs b
+      ON a.label = b.label AND a.side = 0 AND b.side = 1
+), dots AS (
+    SELECT p.label,
+           CAST(SUM(CAST(p.va[r.i] * p.vb[r.i]
+                         AS DECIMAL(28,14))) AS DOUBLE) AS dab,
+           CAST(SUM(CAST(p.va[r.i] * p.va[r.i]
+                         AS DECIMAL(28,14))) AS DOUBLE) AS daa,
+           CAST(SUM(CAST(p.vb[r.i] * p.vb[r.i]
+                         AS DECIMAL(28,14))) AS DOUBLE) AS dbb
+    FROM pairs p, unnest(range(1, 65)) r(i)
+    GROUP BY 1
+)
+SELECT d.label, d.dab / (sqrt(d.daa) * sqrt(d.dbb)) AS cos_shift,
+       ca.n AS n_old, cb.n AS n_new
+FROM dots d
+JOIN cnt ca ON ca.label = d.label AND ca.side = 0
+JOIN cnt cb ON cb.label = d.label AND cb.side = 1
+"""
+
+
+@query("embedding_centroid_drift", extended=True, oracle=CENTROID_DRIFT_SQL)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label between two deterministic
+    snapshot halves (vec_id parity as the snapshot proxy): cosine of
+    the 6dp-rounded mean vectors, decimal-exact
+    (operators/similarity.py::centroid_drift) — the embedding
+    sibling of the PSI/KS/chi² scalar drift gates."""
+    from top_produce_etl_spark.operators.similarity import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb, "label", "embedding", F.pmod(F.col("vec_id"), F.lit(2))
+    )
