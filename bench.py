@@ -130,6 +130,7 @@ EXTENSION = [
     "trending_brands_ewma",      # smoothed-momentum trending top-10 (r5w3)
     "quantized_recall_report",   # in-engine ANN evaluation (r5w3)
     "embedding_centroid_drift",  # embedding-space drift monitor (r5w3)
+    "curriculum_stages_docs",    # quantile-cut curriculum staging (r5w3)
 ]
 
 RECALL_K = 3

@@ -191,3 +191,26 @@ def test_cap_per_category_exact_and_hash(spark):
     a = {r.doc_id for r in cap_per_category(df, "src", "doc_id", 50).collect()}
     b = {r.doc_id for r in cap_per_category(df, "src", "doc_id", 50).collect()}
     assert a == b
+
+
+def test_curriculum_stages_quartiles(spark):
+    """Quartile staging on a uniform 0..99 score column: four equal
+    stages in score order; n_stages<2 rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.mixture import curriculum_stages
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("q")
+    )
+    got = {r.doc_id: r.stage
+           for r in curriculum_stages(df, "q", 4).collect()}
+    assert got[0] == 0 and got[24] == 0
+    assert got[30] == 1 and got[60] == 2 and got[99] == 3
+    sizes = {}
+    for s in got.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert all(20 <= n <= 30 for n in sizes.values())
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "q", 1)

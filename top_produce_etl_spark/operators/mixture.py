@@ -464,3 +464,36 @@ def cap_oracle_sql(
     )
     WHERE __rn <= __keep
     """
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col,
+    n_stages: int = 4,
+    out: str = "stage",
+) -> DataFrame:
+    """Curriculum staging: bucket documents into ``n_stages``
+    difficulty/quality stages at the score's own quantile cuts
+    (stage 0 = bottom quantile … n-1 = top) — the ordering signal a
+    curriculum-learning dataloader consumes, assigned without any
+    global sort. One exact-percentile aggregate produces the n-1
+    cut points (model-sized driver state, broadcast back as
+    literals, 6 dp-rounded — the cross-engine determinism contract
+    of price_quantiles_by_priority); stage = how many cuts lie
+    strictly below the score, a narrow array expression.
+    exact ``percentile`` is the oracle path; swap
+    ``approx_percentile`` in at 100 TB for one cheap pass (same
+    plan shape, documented like the NDV twin)."""
+    if n_stages < 2:
+        raise ValueError("n_stages must be >= 2")
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    qs = [i / n_stages for i in range(1, n_stages)]
+    row = df.select(
+        F.percentile(sc, F.array(*[F.lit(q) for q in qs])).alias("__t")
+    ).collect()[0]
+    cuts = [round(float(t), 6) for t in row["__t"]]
+    arr = F.array(*[F.lit(c) for c in cuts])
+    return df.withColumn(
+        out,
+        F.size(F.filter(arr, lambda t: sc > t)).cast("int"),
+    )

@@ -1176,3 +1176,38 @@ def bpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return encode_corpus(docs, "doc_id", "text", _BPE_MERGES)
+
+
+@query(
+    "curriculum_stages_docs", extended=True,
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, ({_QUALITY_SQL_FRAG}) AS q FROM documents
+    ), th AS (
+        SELECT [ROUND(quantile_cont(q, 0.25), 6),
+                ROUND(quantile_cont(q, 0.50), 6),
+                ROUND(quantile_cont(q, 0.75), 6)] AS cuts
+        FROM s
+    )
+    SELECT s.doc_id,
+           CAST(len(list_filter(th.cuts, t -> s.q > t)) AS INT) AS stage
+    FROM s, th
+    """,
+)
+def curriculum_stages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging
+    (operators/mixture.py::curriculum_stages): documents bucketed
+    into quartile stages of their quality score — the difficulty
+    ordering a curriculum dataloader consumes, assigned by three
+    broadcast cut-point literals and a narrow array expression (no
+    global sort)."""
+    from top_produce_etl_spark.functions.text import quality_score
+    from top_produce_etl_spark.operators.mixture import curriculum_stages
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", quality_score("text").alias("__q")
+    )
+    return curriculum_stages(scored, "__q", n_stages=4).select(
+        "doc_id", "stage"
+    )
