@@ -720,3 +720,43 @@ def test_pruning_report_counts_skippable_files(spark, tmp_path):
     assert rep["n_skipped"] == 3
     assert rep["bytes_kept"] < rep["bytes_total"]
     assert len(load_pruned(spark, path, "k", 120, 130).inputFiles()) == 1
+
+
+def test_copy_table_verified_cross_format(spark, tmp_path):
+    """parquet → ORC migration with integrity proof: the fingerprint
+    is format/layout independent, so a faithful copy verifies and a
+    tampered destination raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import copy_table_verified
+
+    src = str(tmp_path / "src_pq")
+    spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).coalesce(3).write.parquet(src)
+
+    dst = str(tmp_path / "dst_orc")
+    got = copy_table_verified(
+        spark, src, dst, fingerprint_cols=["k", "v"], dst_fmt="orc"
+    )
+    assert got["n_rows"] == 500
+
+    # destination corrupted after the copy -> re-verification fails
+    spark.range(1).select(
+        F.lit(9999).cast("long").alias("k"), F.lit(0).cast("long").alias("v")
+    ).write.mode("append").orc(dst)
+    from top_produce_etl_spark.operators.quality import table_fingerprint
+
+    bad = table_fingerprint(
+        spark.read.orc(dst), cols=["k", "v"]
+    ).collect()[0]
+    assert bad["fingerprint"] != got["fingerprint"]
+
+    # and a copy that lands wrong raises end-to-end (simulate by
+    # copying into the tampered dir with mode=append via kwargs)
+    with _pytest.raises(ValueError, match="verification FAILED"):
+        copy_table_verified(
+            spark, src, dst, fingerprint_cols=["k", "v"],
+            dst_fmt="orc", mode="append",
+        )

@@ -613,3 +613,44 @@ def snapshot_manifest(spark, path: str) -> int:
     out.write(bytes(json.dumps(m, indent=1), "utf-8"))
     out.close()
     return version
+
+
+def copy_table_verified(
+    spark,
+    src_path: str,
+    dst_path: str,
+    fingerprint_cols: list[str],
+    src_fmt: str = "parquet",
+    dst_fmt: str = "parquet",
+    decimal_cols: dict[str, str] | None = None,
+    **write_kwargs,
+) -> dict:
+    """Migrate/copy a table WITH an integrity proof: write the data
+    to ``dst_path`` (any format/layout ``write_table`` supports),
+    then compare the order-insensitive content fingerprints of both
+    sides (operators/quality.py::table_fingerprint — independent of
+    row order, partitioning, file count, and storage format). The
+    pattern for format migrations (parquet→ORC), re-layouts
+    (re-partitioning, z-ordering), and cross-cluster copies where
+    "the job finished" is not the same claim as "the data arrived
+    intact". Raises ``ValueError`` on mismatch; returns
+    ``{n_rows, fingerprint}`` on success. Cost: the copy itself plus
+    one aggregate scan per side."""
+    from top_produce_etl_spark.operators.quality import table_fingerprint
+
+    df = spark.read.format(src_fmt).load(src_path)
+    write_table(df, dst_path, fmt=dst_fmt, **write_kwargs)
+    a = table_fingerprint(
+        df, cols=fingerprint_cols, decimal_cols=decimal_cols
+    ).collect()[0]
+    back = spark.read.format(dst_fmt).load(dst_path)
+    b = table_fingerprint(
+        back, cols=fingerprint_cols, decimal_cols=decimal_cols
+    ).collect()[0]
+    if (a["n_rows"], a["fingerprint"]) != (b["n_rows"], b["fingerprint"]):
+        raise ValueError(
+            f"copy verification FAILED for {dst_path}: source "
+            f"(n_rows={a['n_rows']}, fp={a['fingerprint']}) != destination "
+            f"(n_rows={b['n_rows']}, fp={b['fingerprint']})"
+        )
+    return {"n_rows": a["n_rows"], "fingerprint": a["fingerprint"]}
