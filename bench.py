@@ -131,6 +131,7 @@ EXTENSION = [
     "quantized_recall_report",   # in-engine ANN evaluation (r5w3)
     "embedding_centroid_drift",  # embedding-space drift monitor (r5w3)
     "curriculum_stages_docs",    # quantile-cut curriculum staging (r5w3)
+    "contrastive_pairs_embeddings",  # pos/hard-neg pair mining (r5w3)
 ]
 
 RECALL_K = 3

@@ -561,3 +561,32 @@ def test_centroid_drift_detects_planted_shift(spark):
     assert got["same"] == (1.0, 1, 1)
     assert got["moved"] == (0.0, 1, 1)
     assert "half" not in got
+
+
+def test_contrastive_pairs_band_labels(spark):
+    """Near-identical same-cell pairs label pos, near-orthogonal
+    same-cell pairs label neg, the ambiguous middle band is
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.clustering import (
+        contrastive_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),    # ~doc1: pos
+        (3, [0.05, 0.999, 0.0, 0.0]),  # ⊥ doc1-ish: neg vs 1/2
+        (4, [0.6, 0.6, 0.0, 0.0]),     # mid band vs everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, emb array<float>")
+    got = {
+        (r.a_id, r.b_id): r.pair_label
+        for r in contrastive_pairs(
+            df, "vec_id", "emb", k=1, iters=1,
+            pos_threshold=0.9, neg_threshold=0.15,
+        ).collect()
+    }
+    assert got[(1, 2)] == "pos"
+    assert got[(1, 3)] == "neg"
+    assert (1, 4) not in got and (2, 4) not in got  # mid band dropped

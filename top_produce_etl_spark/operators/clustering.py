@@ -272,6 +272,36 @@ def semantic_dedup(
 
     Output: (id_col, cluster, dropped) — one row per input document.
     """
+    assigned, pairs = _cell_pairs(df, id_col, vec_col, k, iters, scoring)
+    drops = (
+        pairs.filter(F.col("__cos") >= threshold)
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("__drop"), F.lit(False)).alias("dropped"),
+        )
+    )
+
+
+def _cell_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    scoring: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared cluster-then-compare machinery: learn cells, assign,
+    and score every within-cell (a < b) pair. Returns (assigned —
+    id/cluster/vec/norm, pairs — __a/__b/cluster/__cos). Σ|cell|²
+    pair cost; the cell-id join is the only pair-sized shuffle."""
     from top_produce_etl_spark.operators.similarity import dot_fn
 
     dot = dot_fn(scoring)
@@ -287,7 +317,7 @@ def semantic_dedup(
         F.col(id_col).alias("__b"), "cluster",
         F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"),
     )
-    drops = (
+    pairs = (
         a.join(b, "cluster")
         .filter(F.col("__a") < F.col("__b"))
         .withColumn(
@@ -295,18 +325,46 @@ def semantic_dedup(
             dot(F.col("__va"), F.col("__vb"))
             / (F.col("__na") * F.col("__nb")),
         )
-        .filter(F.col("__cos") >= threshold)
-        .select(F.col("__b").alias(id_col))
-        .distinct()
-        .withColumn("__drop", F.lit(True))
     )
+    return assigned, pairs
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 1,
+    pos_threshold: float = 0.35,
+    neg_threshold: float = 0.05,
+    scoring: str = "decimal",
+) -> DataFrame:
+    """Contrastive training-pair mining from the embedding space:
+    within each learned cell, (a, b) pairs with cosine ≥
+    ``pos_threshold`` become POSITIVES (semantically close — the
+    anchor/paraphrase side of a contrastive loss) and pairs with
+    cosine ≤ ``neg_threshold`` become HARD NEGATIVES — close enough
+    to share a cell (the model must work to separate them), provably
+    dissimilar by score. The in-between band is dropped (ambiguous
+    supervision). Same Σ|cell|² cost bound and oracle-exact decimal
+    scoring as :func:`semantic_dedup` (shared machinery).
+
+    Output: (a_id, b_id, cluster, cosine, pair_label ∈ pos|neg)."""
+    _, pairs = _cell_pairs(df, id_col, vec_col, k, iters, scoring)
     return (
-        assigned.select(id_col, "cluster")
-        .join(drops, id_col, "left")
+        pairs.withColumn(
+            "pair_label",
+            F.when(F.col("__cos") >= pos_threshold, "pos").when(
+                F.col("__cos") <= neg_threshold, "neg"
+            ),
+        )
+        .filter(F.col("pair_label").isNotNull())
         .select(
-            id_col,
+            F.col("__a").alias("a_id"),
+            F.col("__b").alias("b_id"),
             "cluster",
-            F.coalesce(F.col("__drop"), F.lit(False)).alias("dropped"),
+            F.col("__cos").alias("cosine"),
+            "pair_label",
         )
     )
 

@@ -597,3 +597,62 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_drift(
         emb, "label", "embedding", F.pmod(F.col("vec_id"), F.lit(2))
     )
+
+
+def _contrastive_oracle(
+    k: int = 8, iters: int = 1, pos: float = 0.35, neg: float = 0.05
+) -> str:
+    """Assignment CTE (unrolled kmeans) + decimal pair scoring +
+    the pos/neg band labeling — the full mining decision in SQL."""
+    return f"""WITH assignF AS (
+  {_kmeans_oracle(k=k, iters=iters)}
+), ex AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster,
+           CAST(SUM(CAST(ea.v * eb.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM assignF a
+    JOIN assignF b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    JOIN ex ea ON ea.vec_id = a.vec_id
+    JOIN ex eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+    GROUP BY 1, 2, 3
+), scored AS (
+    SELECT d.a_id, d.b_id, d.cluster,
+           d.dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots d
+    JOIN norms na ON d.a_id = na.vec_id
+    JOIN norms nb ON d.b_id = nb.vec_id
+)
+SELECT a_id, b_id, cluster, cosine,
+       CASE WHEN cosine >= {pos} THEN 'pos'
+            WHEN cosine <= {neg} THEN 'neg' END AS pair_label
+FROM scored
+WHERE cosine >= {pos} OR cosine <= {neg}"""
+
+
+@query(
+    "contrastive_pairs_embeddings", extended=True,
+    oracle=_contrastive_oracle(),
+)
+def contrastive_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining
+    (operators/clustering.py::contrastive_pairs): within-cell
+    positives (cos ≥ 0.35) and hard negatives (cos ≤ 0.05, same
+    cell) for an embedding-model contrastive loss — the ambiguous
+    middle band is dropped. Shares the semantic-dedup machinery and
+    its Σ|cell|² bound; decimal scoring keeps the whole mining
+    decision oracle-exact."""
+    from top_produce_etl_spark.operators.clustering import (
+        contrastive_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_pairs(
+        emb, "vec_id", "embedding", k=8, iters=1,
+        pos_threshold=0.35, neg_threshold=0.05,
+    )
