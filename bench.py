@@ -131,7 +131,9 @@ EXTENSION = [
     "quantized_recall_report",   # in-engine ANN evaluation (r5w3)
     "embedding_centroid_drift",  # embedding-space drift monitor (r5w3)
     "curriculum_stages_docs",    # quantile-cut curriculum staging (r5w3)
-    "contrastive_pairs_embeddings",  # pos/hard-neg pair mining (r5w3)
+    # contrastive_pairs_embeddings is battery-gated, not timed: decimal
+    # scoring over all within-cell pairs (~25 s at sf0.1) — semdedup_fast
+    # already times this exact plan shape on the production kernel.
 ]
 
 RECALL_K = 3
