@@ -760,3 +760,34 @@ def test_copy_table_verified_cross_format(spark, tmp_path):
             spark, src, dst, fingerprint_cols=["k", "v"],
             dst_fmt="orc", mode="append",
         )
+
+
+def test_file_size_report_and_compaction_advisor(spark, tmp_path):
+    """The listing-only health check drives the compaction decision:
+    a many-tiny-files table recommends compaction; after compacting,
+    the same advisor says no."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sinks import (
+        compact_table,
+        file_size_report,
+        needs_compaction,
+    )
+
+    path = str(tmp_path / "fragmented")
+    spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    ).repartition(20).write.parquet(path)
+
+    rep = file_size_report(spark, path, target_file_bytes=1 << 20)
+    assert rep["n_files"] == 20
+    assert rep["small_file_byte_frac"] == 1.0  # every file << 512 KiB
+
+    go, rep2 = needs_compaction(spark, path, target_file_bytes=1 << 20)
+    assert go and rep2["n_files"] == 20
+
+    compact_table(spark, path, target_file_bytes=1 << 20)
+    after, rep3 = needs_compaction(
+        spark, path, target_file_bytes=1 << 20, min_files=8
+    )
+    assert not after and rep3["n_files"] < 8

@@ -654,3 +654,64 @@ def copy_table_verified(
             f"(n_rows={b['n_rows']}, fp={b['fingerprint']})"
         )
     return {"n_rows": a["n_rows"], "fingerprint": a["fingerprint"]}
+
+
+def file_size_report(
+    spark, path: str, target_file_bytes: int = 128 << 20, fmt: str = "parquet"
+) -> dict:
+    """Small-file health check from the file LISTING alone (no data
+    read): file count, byte percentiles, and the fraction of bytes
+    sitting in files under half / over double the target size — the
+    numbers that decide whether :func:`compact_table` is worth its
+    rewrite cost. At 100 TB this is the table-maintenance dashboard
+    row; a scheduler calls :func:`needs_compaction` on it."""
+    df = spark.read.format(fmt).load(path)
+    sizes = []
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(conf)
+        sizes.append(fs.getFileStatus(p).getLen())
+    sizes.sort()
+    n = len(sizes)
+    total = sum(sizes)
+
+    def pct(q: float) -> int:
+        return sizes[min(n - 1, int(q * n))] if n else 0
+
+    small = sum(s for s in sizes if s < target_file_bytes // 2)
+    large = sum(s for s in sizes if s > target_file_bytes * 2)
+    return {
+        "n_files": n,
+        "total_bytes": total,
+        "p50_bytes": pct(0.5),
+        "p95_bytes": pct(0.95),
+        "small_file_byte_frac": round(small / total, 6) if total else 0.0,
+        "oversize_byte_frac": round(large / total, 6) if total else 0.0,
+        "target_file_bytes": target_file_bytes,
+    }
+
+
+def needs_compaction(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    small_byte_frac_threshold: float = 0.5,
+    min_files: int = 8,
+    fmt: str = "parquet",
+) -> tuple[bool, dict]:
+    """Compaction advisor: recommend a rewrite when the table has at
+    least ``min_files`` files AND more than
+    ``small_byte_frac_threshold`` of its bytes live in files under
+    half the target size (few tiny stragglers never justify
+    rewriting the table; a majority-small table taxes every scan).
+    Returns (decision, the :func:`file_size_report` it was based
+    on)."""
+    rep = file_size_report(spark, path, target_file_bytes, fmt)
+    decision = (
+        rep["n_files"] >= min_files
+        and rep["small_file_byte_frac"] > small_byte_frac_threshold
+    )
+    return decision, rep
