@@ -75,6 +75,11 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         # |groups|-row SKETCH relation (segments, not members) — the
         # cross is bounded by the segmentation cardinality squared;
         # the member-scale work happened in the sketch agg before it
+        "supplier_efficiency_skyline",  # phase-2 dominance anti-join
+        # runs over the UNION OF BATCH-LOCAL SKYLINES only (phase 1
+        # pruned the corpus mapInPandas-side; skyline is distributive
+        # over union, so candidates are O(local-skyline · batches),
+        # not data-sized) — see operators/pareto.py module doc
     }
     # the one deliberate Python-UDTF query: API-surface coverage whose
     # production twin (token_runs_expr) is the pure-codegen path

@@ -333,3 +333,202 @@ def count_triangles(
         .join(F.broadcast(nt), "__k")
         .select("n_edges", "n_wedges", "n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Iterative k-core peel of an undirected simple graph — the
+    degeneracy-based density filter (fifth graph primitive beside
+    components, PageRank, LPA, and triangles).
+
+    Each round drops every node whose CURRENT degree is < k along
+    with its incident edges; surviving degrees shrink and the peel
+    repeats until a fixpoint. The survivor set is exactly the k-core
+    (the maximal subgraph with min degree >= k).
+
+    Convergence follows the connected_components house pattern: each
+    round ends in ``localCheckpoint`` (truncates lineage — without
+    it the plan tree triples per round) and a 1-row edge-count
+    aggregate; the peel only ever removes edges, so an unchanged
+    count is a fixpoint. Exhausting ``max_rounds`` without
+    converging RAISES (a silently-partial peel would overstate the
+    core) — peel rounds scale with the graph's degeneracy ordering
+    depth, typically O(10) for support-thresholded co-occurrence
+    graphs. The scalar collect per round is the documented
+    convergence-sum exception to the no-driver-state rule.
+
+    Because the peel is monotone, a fixed-round unrolled-CTE oracle
+    with rounds >= the convergence round reproduces the result
+    exactly (:func:`k_core_oracle_sql` — extra rounds are no-ops).
+
+    Input edges may be directed/multi — they are symmetrized and
+    deduplicated first (degree = distinct-neighbor count). Scale
+    shape per round: ONE (node)-keyed degree agg + TWO semi-joins
+    pruning the edge relation; the edge relation only ever shrinks.
+
+    Output: (node, degree) for nodes in the k-core (degree = final
+    within-core degree).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    und = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_edges = und.count()
+    converged = prev_edges == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select("u")
+        und = (
+            und.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+        n_edges = und.count()
+        if n_edges == prev_edges:
+            converged = True
+        prev_edges = n_edges
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge in {max_rounds} peel rounds — "
+            "raise max_rounds (rounds scale with the graph's peel "
+            "depth; support-thresholded graphs converge in O(10))."
+        )
+    return (
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int = 8) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`k_core`. ``edges_sql``
+    selects DIRECTED raw edges (u, v); symmetrize + dedup + the
+    fixed-round peel replay here."""
+    # every e{i} is referenced three times by round i+1 (the edge
+    # scan + the two IN filters) — DuckDB inlines plain CTEs, which
+    # would re-expand the base join 3^rounds times; MATERIALIZED
+    # pins each round's relation to one evaluation
+    parts = [
+        f"""raw AS MATERIALIZED ({edges_sql}),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM raw WHERE u <> v
+            UNION ALL
+            SELECT v AS u, u AS v FROM raw WHERE u <> v
+        )
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""keep{i} AS MATERIALIZED (
+        SELECT u FROM e{i - 1} GROUP BY u HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{i - 1} e
+        WHERE e.u IN (SELECT u FROM keep{i})
+          AND e.v IN (SELECT u FROM keep{i})
+    )""")
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {body}\n    SELECT u AS node, COUNT(*) AS degree "
+        f"FROM e{rounds} GROUP BY u"
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    sources: DataFrame,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source bounded-hop BFS: minimum hop count from ANY
+    source node, following DIRECTED edges, up to ``max_hops``.
+
+    Frontier expansion with a min-distance merge: dist_0 = 0 on the
+    source set; each hop joins the CURRENT frontier onto the edge
+    relation and keeps newly reached nodes (left_anti against the
+    settled set — the textbook level-synchronous BFS). Nodes beyond
+    ``max_hops`` are absent from the output (bounded result, bounded
+    work — the 100 TB contract: each hop is one join + one distinct,
+    and the frontier relation is the only thing that grows).
+
+    ``sources`` must have a column named like ``src``'s alias target
+    ``node`` OR a single column (taken as the node id). Output:
+    (node, hops).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    e = persist_tracked(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    )
+    src_col = sources.columns[0]
+    settled = sources.select(
+        F.col(src_col).alias("node"), F.lit(0).alias("hops")
+    ).distinct()
+    frontier = settled.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            # checkpoint the new frontier: it feeds BOTH the settled
+            # union and the next hop's expansion join, and the
+            # anti-join references settled (which references every
+            # prior frontier) — truncating here keeps the plan tree
+            # linear in hops instead of 2^hops
+            .localCheckpoint()
+        )
+        settled = settled.unionByName(
+            nxt.select("node", F.lit(h).alias("hops"))
+        )
+        frontier = nxt
+    return settled
+
+
+def bfs_oracle_sql(
+    edges_sql: str, sources_sql: str, max_hops: int = 4
+) -> str:
+    """Unrolled-CTE DuckDB oracle for :func:`bfs_distances`.
+    ``edges_sql`` selects (u, v) directed; ``sources_sql`` selects a
+    single column ``node``."""
+    # MATERIALIZED for the same reason as the k-core oracle: s{h} is
+    # referenced twice by round h+1 (frontier join + NOT IN), which
+    # plain-CTE inlining would re-expand exponentially
+    parts = [
+        f"""e AS MATERIALIZED (SELECT DISTINCT u, v FROM ({edges_sql})),
+    s0 AS MATERIALIZED (
+        SELECT DISTINCT node, 0 AS hops FROM ({sources_sql}))"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(f"""f{h} AS MATERIALIZED (
+        SELECT DISTINCT e.v AS node FROM e
+        JOIN s{h - 1} ON e.u = s{h - 1}.node
+        WHERE s{h - 1}.hops = {h - 1}
+          AND e.v NOT IN (SELECT node FROM s{h - 1})
+    ),
+    s{h} AS MATERIALIZED (
+        SELECT node, hops FROM s{h - 1}
+        UNION ALL
+        SELECT node, {h} AS hops FROM f{h}
+    )""")
+    body = ",\n    ".join(parts)
+    return f"WITH {body}\n    SELECT node, hops FROM s{max_hops}"

@@ -305,3 +305,158 @@ def orders_profile_drift_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PROFILE_COLS,
         exact_ndv=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 (round 5): Pareto frontier
+
+
+_SKYLINE_REL = """
+    SELECT l_suppkey AS suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue,
+           round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS return_ratio,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_discount
+    FROM lineitem GROUP BY 1"""
+
+
+def _skyline_oracle() -> str:
+    from top_produce_etl_spark.operators.pareto import skyline_oracle_sql
+
+    return skyline_oracle_sql(
+        _SKYLINE_REL,
+        minimize=["return_ratio", "avg_discount"],
+        maximize=["revenue"],
+    )
+
+
+@query("supplier_efficiency_skyline", extended=True, oracle=_skyline_oracle())
+def supplier_efficiency_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of suppliers on (revenue ↑, return_ratio ↓,
+    avg_discount ↓) — the multi-objective skyline operator
+    (operators/pareto.py). Phase 1 prunes dominated suppliers
+    batch-locally (mapInPandas, numpy mask); phase 2 refines the
+    tiny candidate union with a broadcast dominance anti-join — the
+    corpus-scale relation never meets a quadratic operator. All
+    three objectives are decimal-exact or 6-dp-rounded so the NOT
+    EXISTS DuckDB oracle matches bit-for-bit."""
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+    from top_produce_etl_spark.operators.pareto import skyline
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rel = (
+        lineitem.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("return_ratio"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_discount"),
+        )
+    )
+    return skyline(
+        rel, minimize=["return_ratio", "avg_discount"], maximize=["revenue"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 (round 5): k-core and multi-source BFS over the
+# support-thresholded part co-purchase graph (same graph family the
+# basket pair rules and triangle count mine — pairs of parts
+# co-ordered in >= 2 distinct orders, which bounds degree by
+# construction).
+
+
+_COPURCHASE_EDGES = """
+    SELECT u, v FROM (
+        SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+               COUNT(DISTINCT l1.l_orderkey) AS n
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+    ) WHERE n >= 2"""
+
+
+def _copurchase_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("u")
+    )
+    l2 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    return (
+        li.join(
+            l2,
+            (li.l_orderkey == l2.o2) & (li.u < l2.v),
+        )
+        .groupBy("u", "v")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+
+
+def _kcore_oracle() -> str:
+    from top_produce_etl_spark.operators.graph import k_core_oracle_sql
+
+    # converged at round 12 on this fixture (verified; monotone peel
+    # → extra rounds are no-ops, so 16 replays the Spark fixpoint)
+    return k_core_oracle_sql(_COPURCHASE_EDGES, k=3, rounds=16)
+
+
+@query("copurchase_kcore", extended=True, oracle=_kcore_oracle())
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.py::k_core):
+    iterative degree peel to the maximal subgraph where every part
+    co-sells with >= 3 others — the dense-market filter upstream of
+    community detection. Convergence via the monotone edge-count
+    fixpoint; oracle unrolls a fixed round count past convergence."""
+    from top_produce_etl_spark.operators.graph import k_core
+
+    return k_core(_copurchase_edges_df(spark, sf_dir), "u", "v", k=3)
+
+
+def _bfs_oracle() -> str:
+    from top_produce_etl_spark.operators.graph import bfs_oracle_sql
+
+    sym = (
+        f"SELECT u, v FROM ({_COPURCHASE_EDGES}) "
+        f"UNION ALL SELECT v AS u, u AS v FROM ({_COPURCHASE_EDGES})"
+    )
+    src = "SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#11'"
+    return bfs_oracle_sql(sym, src, max_hops=3)
+
+
+@query("copurchase_bfs_hops", extended=True, oracle=_bfs_oracle())
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (operators/graph.py::bfs_distances):
+    minimum co-purchase hop distance from any Brand#11 part, up to 3
+    hops — the 'market adjacency' reach query. Level-synchronous
+    frontier expansion, one join + one distinct per hop, frontier
+    checkpointed so the plan stays linear in hops."""
+    from top_produce_etl_spark.operators.graph import bfs_distances
+
+    edges = _copurchase_edges_df(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    sources = part.where(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("node")
+    )
+    return bfs_distances(sym, "u", "v", sources, max_hops=3)
