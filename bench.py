@@ -131,6 +131,10 @@ EXTENSION = [
     "quantized_recall_report",   # in-engine ANN evaluation (r5w3)
     "embedding_centroid_drift",  # embedding-space drift monitor (r5w3)
     "curriculum_stages_docs",    # quantile-cut curriculum staging (r5w3)
+    "supplier_efficiency_skyline",  # Pareto frontier, 2-phase (r5w4)
+    "copurchase_kcore",          # iterative k-core peel (r5w4)
+    "copurchase_bfs_hops",       # multi-source bounded BFS (r5w4)
+    "rp_topk_embeddings",        # 64→16 JL projection + exact topk (r5w4)
     # contrastive_pairs_embeddings is battery-gated, not timed: decimal
     # scoring over all within-cell pairs (~25 s at sf0.1) — semdedup_fast
     # already times this exact plan shape on the production kernel.
@@ -249,6 +253,15 @@ def main() -> None:
             spark, queries, SF_DIR, "cosine_topk_quantized"
         ),
     }
+    # 64→16 random projection (r5w4): the JL gate is cosine-error,
+    # NOT recall — on this near-uniform fixture true top-3 gaps
+    # (~0.02) sit below ANY compressor's noise floor (a true random
+    # ±1 matrix scores recall ≈ 0.03 here), so the meaningful
+    # per-round regression signal is the estimator's accuracy.
+    # Expected mae ≈ sqrt(2/(π·16)) ≈ 0.2; gate: mae ≤ 0.25.
+    rp = queries["rp_quality_report"](spark, SF_DIR).collect()[0]
+    recalls["rp_cos_mae"] = float(rp["cos_mae"])
+    recalls["rp_cos_max_err"] = float(rp["cos_max_err"])
     for k, v in recalls.items():
         print(f"# {k}: {v}", file=sys.stderr)
 

@@ -75,6 +75,11 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         # |groups|-row SKETCH relation (segments, not members) — the
         # cross is bounded by the segmentation cardinality squared;
         # the member-scale work happened in the sketch agg before it
+        "rp_topk_embeddings",  # the bruteforce broadcast-queries
+        # cross over 16-dim PROJECTED vectors (same exempted shape,
+        # quarter the bytes — the compression is the point)
+        "rp_quality_report",  # same broadcast-queries cross, scoring
+        # both spaces at once for the JL error report
         "supplier_efficiency_skyline",  # phase-2 dominance anti-join
         # runs over the UNION OF BATCH-LOCAL SKYLINES only (phase 1
         # pruned the corpus mapInPandas-side; skyline is distributive

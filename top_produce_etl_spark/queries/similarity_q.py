@@ -656,3 +656,173 @@ def contrastive_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=8, iters=1,
         pos_threshold=0.35, neg_threshold=0.05,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 4 (round 5): random-projection compression (JL / Achlioptas
+# ±1 sign matrix as a closed-form expression — no model relation)
+
+
+def _rp_long_oracle() -> str:
+    from top_produce_etl_spark.operators.similarity import (
+        random_project_oracle_sql,
+    )
+
+    return (
+        random_project_oracle_sql(64, 16)
+        .replace("AS value", "AS value")  # shape: (vec_id, j, value)
+    )
+
+
+@query("rp_projected_embeddings", extended=True, oracle=_rp_long_oracle())
+def rp_projected_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→16-dim sparse-sign random projection of every embedding
+    (operators/similarity.py::random_project), long form for the
+    oracle. Pure per-row column math: zero shuffle, zero driver
+    state, and the projection 'matrix' is a deterministic integer
+    expression — nothing ships to executors. Decimal-exact
+    accumulation → bit-identical to the DuckDB fold."""
+    from top_produce_etl_spark.operators.similarity import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_project(emb, "embedding", 16).select(
+        "vec_id", F.posexplode("proj").alias("j", "value")
+    )
+
+
+RP_TOPK_SQL_TEMPLATE = """
+WITH ex AS ({proj}
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE))
+               AS nrm
+    FROM ex GROUP BY vec_id
+), dots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.value * c.value AS DECIMAL(28,14))) AS DOUBLE)
+               AS dot
+    FROM ex q JOIN ex c ON q.j = c.j
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine, "rank"
+FROM (
+    SELECT d.query_id, d.neighbor_id,
+           d.dot / (nq.nrm * nc.nrm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.neighbor_id ASC
+           ) AS "rank"
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.neighbor_id = nc.vec_id
+)
+WHERE "rank" <= 3
+"""
+
+
+def _rp_topk_oracle() -> str:
+    from top_produce_etl_spark.operators.similarity import (
+        random_project_oracle_sql,
+    )
+
+    return RP_TOPK_SQL_TEMPLATE.format(
+        proj=random_project_oracle_sql(64, 16)
+    )
+
+
+@query("rp_topk_embeddings", extended=True, oracle=_rp_topk_oracle())
+def rp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine in the 16-dim PROJECTED space — the
+    compressed-ANN pipeline end-to-end (project, then the broadcast
+    bruteforce shape over quarter-width vectors). Fully
+    oracle-checked: the projection is decimal-exact, the projected
+    components are 6-dp-rounded doubles, and the cosine ranking
+    reuses the bruteforce determinism contract. Recall vs the
+    full-dim exact top-3 is gated in bench (rp_recall_at_3)."""
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        random_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_project(emb, "embedding", 16)
+    queries = proj.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(proj, queries, "vec_id", "proj", k=3)
+
+
+RP_QUALITY_SQL_TEMPLATE = """
+WITH ex AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), fnorm AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+), fdots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM ex q JOIN ex c ON q.i = c.i
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+), px AS ({proj}
+), pnorm AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(value * value AS DECIMAL(28,14))) AS DOUBLE))
+               AS nrm
+    FROM px GROUP BY vec_id
+), pdots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(SUM(CAST(q.value * c.value AS DECIMAL(28,14))) AS DOUBLE)
+               AS dot
+    FROM px q JOIN px c ON q.j = c.j
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    GROUP BY 1, 2
+), errs AS (
+    SELECT abs(p.dot / (pq.nrm * pc.nrm) - f.dot / (fq.nrm * fc.nrm))
+               AS err
+    FROM fdots f
+    JOIN pdots p ON f.query_id = p.query_id
+                AND f.neighbor_id = p.neighbor_id
+    JOIN fnorm fq ON f.query_id = fq.vec_id
+    JOIN fnorm fc ON f.neighbor_id = fc.vec_id
+    JOIN pnorm pq ON p.query_id = pq.vec_id
+    JOIN pnorm pc ON p.neighbor_id = pc.vec_id
+)
+SELECT COUNT(*) AS n_pairs,
+       round(CAST(SUM(CAST(err AS DECIMAL(28,14))) AS DOUBLE)
+             / COUNT(*), 6) AS cos_mae,
+       round(MAX(err), 6) AS cos_max_err
+FROM errs
+"""
+
+
+def _rp_quality_oracle() -> str:
+    from top_produce_etl_spark.operators.similarity import (
+        random_project_oracle_sql,
+    )
+
+    return RP_QUALITY_SQL_TEMPLATE.format(
+        proj=random_project_oracle_sql(64, 16)
+    )
+
+
+@query("rp_quality_report", extended=True, oracle=_rp_quality_oracle())
+def rp_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine JL quality report for the 64→16 projection:
+    MAE and max error of projected vs true cosine over the
+    (query × corpus) pair set — the contract random projection
+    actually makes (error ~ sqrt(2/(π·16)) ≈ 0.2). Top-k recall is
+    deliberately NOT the gate here: on this near-uniform fixture the
+    true top-3 gaps (~0.02) sit below any compressor's noise floor,
+    so recall would measure the fixture's geometry, not the
+    operator. Fully oracle-checked — projection, cosines, and the
+    error aggregate are all decimal-exact."""
+    from top_produce_etl_spark.operators.similarity import (
+        projection_quality_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return projection_quality_report(
+        emb, "vec_id", "embedding", 16, F.col("vec_id") < 10
+    )
