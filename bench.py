@@ -516,6 +516,67 @@ def main() -> None:
     }
     print(f"# rel_probe: {rel_probe}", file=sys.stderr)
 
+    # FIFTH probe — the ITERATIVE GRAPH pipeline at scale (round 5
+    # wave 4): k-core peel + bounded BFS over a GENERATED 1M-node /
+    # 2M-edge random graph (zero storage — spark.range + hash
+    # endpoints) with two PLANTED exact truths riding the timing:
+    #   - a 20-clique on ids >= 1M (disjoint from the random id
+    #     range): at mean degree ~4 the random graph's 10-core is
+    #     empty w.h.p. (emergence threshold ~ k + sqrt(k log k) ≈
+    #     15), so k_core(k=10) must return EXACTLY the clique;
+    #   - a disjoint 5-edge path: BFS from its head with max_hops=3
+    #     must return exactly hops {0,1,2,3} on the first 4 nodes —
+    #     level semantics verified at scale, not just on fixtures.
+    from top_produce_etl_spark.operators.graph import (
+        bfs_distances,
+        k_core,
+    )
+
+    GN, GE, CLIQUE = 1_000_000, 2_000_000, 20
+    rand_e = spark.range(GE).select(
+        F.pmod(F.xxhash64("id"), F.lit(GN)).alias("u"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(GN)).alias("v"),
+    )
+    cl_ids = list(range(GN, GN + CLIQUE))
+    cl_e = spark.createDataFrame(
+        [(a, b) for x, a in enumerate(cl_ids) for b in cl_ids[x + 1:]],
+        "u long, v long",
+    )
+    p0 = GN + CLIQUE
+    path_e = spark.createDataFrame(
+        [(p0 + i, p0 + i + 1) for i in range(5)], "u long, v long"
+    )
+    g_edges = rand_e.unionByName(cl_e).unionByName(path_e)
+    t0 = time.monotonic()
+    core_rows = k_core(g_edges, "u", "v", k=10).collect()
+    kc_sec = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    g_sym = g_edges.unionByName(
+        g_edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    bfs_rows = {
+        r["node"]: r["hops"]
+        for r in bfs_distances(
+            g_sym, "u", "v",
+            spark.createDataFrame([(p0,)], "node long"), max_hops=3,
+        ).collect()
+    }
+    bfs_sec = round(time.monotonic() - t0, 3)
+    unpersist_all()
+    graph_probe = {
+        "graph_probe_edges": GE + len(cl_ids) * (CLIQUE - 1) // 2 + 5,
+        "graph_probe_kcore_sec": kc_sec,
+        "graph_probe_edges_per_sec": round(GE / kc_sec, 1),
+        "graph_probe_core_exact_clique": (
+            {r["node"] for r in core_rows} == set(cl_ids)
+        ),
+        "graph_probe_bfs_sec": bfs_sec,
+        "graph_probe_bfs_path_exact": (
+            bfs_rows == {p0 + i: i for i in range(4)}
+        ),
+    }
+    print(f"# graph_probe: {graph_probe}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "sum_median_sec_headline_queries",
@@ -535,6 +596,7 @@ def main() -> None:
         **text_probe,
         **bpe_probe,
         **rel_probe,
+        **graph_probe,
     }
     print(json.dumps(out))
 
