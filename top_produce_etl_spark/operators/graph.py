@@ -59,18 +59,29 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     redistribute_dangling: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank, fixed iteration count.
 
-    r_0(v) = 1/N; r_{t+1}(v) = (1−d)/N + d · Σ_u r_t(u)·p(u→v),
+    r_0(v) = p0(v); r_{t+1}(v) = (1−d)·p0(v) + d · Σ_u r_t(u)·p(u→v),
     every r rounded to 6 dp (the determinism contract). Output:
     (node, rank). N counts distinct nodes on either edge end.
 
+    ``seeds=None`` (default) is classic PageRank: p0 = 1/N uniform.
+    ``seeds`` = a 1-column DataFrame of node ids makes it
+    PERSONALIZED PageRank: p0 = 1/|S| on the seed set, 0 elsewhere —
+    the restart distribution concentrates on the seeds, so ranks
+    measure proximity to them (the recommendation / related-items
+    form). Same plan per round; the only addition is a broadcast
+    |S|-marker on the node relation and a 1-row seed count.
+
     ``redistribute_dangling=True`` adds the mass-conserving term:
-    r_{t+1}(v) = (1−d)/N + d · (Σ_u r_t(u)·p(u→v) + D_t/N) where
-    D_t = Σ_{u dangling} r_t(u) — the rank parked on nodes with no
-    out-edges, spread uniformly instead of leaking (Σ r stays 1 up
-    to rounding). Cost: ONE extra global aggregate per round (a
+    r_{t+1}(v) = (1−d)·p0(v) + d · (Σ_u r_t(u)·p(u→v) + D_t·p0(v))
+    where D_t = Σ_{u dangling} r_t(u) — the rank parked on nodes
+    with no out-edges, re-injected through the restart distribution
+    instead of leaking (uniform case: D_t/N, the classic fix;
+    personalized case: back to the seeds, the standard PPR
+    convention). Cost: ONE extra global aggregate per round (a
     1-row decimal sum over the dangling slice of the rank vector,
     attached back via the same broadcast one-row-relation pattern as
     N) — the plan stays one dst-keyed shuffle per round with zero
@@ -100,14 +111,42 @@ def pagerank(
             "__k", F.pmod(F.col("__n"), F.lit(1)).cast("int")
         )
     )
-    ranks = (
-        nodes.withColumn("__k", k0_node)
-        .join(n_nodes, "__k")
-        .select(
-            "node",
-            F.round(F.lit(1.0) / F.col("__n"), 6).alias("rank"),
+    if seeds is None:
+        # uniform restart: p0 = 1/N for every node
+        nodes = (
+            nodes.withColumn("__k", k0_node)
+            .join(n_nodes, "__k")
+            .select("node", (F.lit(1.0) / F.col("__n")).alias("__p0"))
         )
-    )
+    else:
+        seed_col = seeds.columns[0]
+        seed_set = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("__is_seed", F.lit(1))
+        )
+        n_seeds = F.broadcast(
+            seed_set.agg(F.count(F.lit(1)).alias("__ns")).withColumn(
+                "__k", F.pmod(F.col("__ns"), F.lit(1)).cast("int")
+            )
+        )
+        nodes = (
+            nodes.join(F.broadcast(seed_set), "node", "left")
+            .withColumn("__k", k0_node)
+            .join(n_seeds, "__k")
+            .select(
+                "node",
+                F.when(
+                    F.col("__is_seed").isNotNull(),
+                    F.lit(1.0) / F.col("__ns"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("__p0"),
+            )
+        )
+    # the p0-carrying node relation feeds every round — persist once
+    nodes = persist_tracked(nodes)
+    ranks = nodes.select("node", F.round(F.col("__p0"), 6).alias("rank"))
     dangling = None
     if redistribute_dangling:
         # nodes with no out-edges — static over the iteration
@@ -149,16 +188,23 @@ def pagerank(
                 )
             )
             step = step.join(dm, "__k")
-            inflow = inflow + F.col("__dm") / F.col("__n")
+            # uniform keeps the historical __dm/N float expression
+            # (bit-parity with the recorded oracles); personalized
+            # re-injects through the restart distribution
+            if seeds is None:
+                inflow = inflow + F.col("__dm") / F.col("__n")
+            else:
+                inflow = inflow + F.col("__dm") * F.col("__p0")
+        teleport = (
+            (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+            if seeds is None
+            else (F.lit(1.0) - F.lit(damping)) * F.col("__p0")
+        )
         ranks = (
             step.join(n_nodes, "__k")
             .select(
                 "node",
-                F.round(
-                    (F.lit(1.0) - F.lit(damping)) / F.col("__n")
-                    + F.lit(damping) * inflow,
-                    6,
-                ).alias("rank"),
+                F.round(teleport + F.lit(damping) * inflow, 6).alias("rank"),
             )
         )
     return ranks
@@ -378,12 +424,18 @@ def k_core(
         raise ValueError(f"k must be >= 1, got {k}")
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
-    und = (
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    # the symmetrizing union references the input TWICE — persist the
+    # canonical selection first or an expensive upstream edge build
+    # (e.g. a within-order self-join) executes once per branch
+    base = persist_tracked(
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .unionByName(
-            edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
-            .where(F.col("u") != F.col("v"))
+    )
+    und = (
+        base.unionByName(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         .distinct()
         .localCheckpoint()

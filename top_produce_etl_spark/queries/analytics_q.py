@@ -258,13 +258,18 @@ def cosine_topk_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle(
-    iterations: int = 3, damping: float = 0.85, redistribute: bool = False
+    iterations: int = 3,
+    damping: float = 0.85,
+    redistribute: bool = False,
+    seeds_sql: str | None = None,
 ) -> str:
     """Unrolled chained-CTE PageRank oracle (same technique as the
     kmeans_assignments oracle: each Spark iteration becomes one CTE,
     valid because both engines round ranks to 6 dp per round and
     accumulate in exact decimal). ``redistribute`` adds the per-round
-    dangling-mass CTE mirroring operators/graph.py's variant."""
+    dangling-mass CTE mirroring operators/graph.py's variant;
+    ``seeds_sql`` (a 1-column ``node`` SELECT) switches to the
+    personalized restart distribution p0 = 1/|S| on seeds."""
     head = f"""
     WITH edges0 AS (
         SELECT n1.n_name AS src, n2.n_name AS dst,
@@ -291,34 +296,57 @@ def _pagerank_oracle(
         WHERE node NOT IN (SELECT src FROM edges0)
     ),
     r0 AS (SELECT node, round(1.0 / nn.n, 6) AS "rank" FROM nodes, nn)"""
+    if seeds_sql is not None:
+        # personalized restart: p0 relation replaces the uniform 1/N
+        head += f""",
+    seedset AS (SELECT DISTINCT node FROM ({seeds_sql})),
+    ns AS (SELECT COUNT(*) AS n FROM seedset),
+    p0 AS (
+        SELECT nodes.node,
+               CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n
+                    ELSE 0.0 END AS p0
+        FROM nodes LEFT JOIN seedset s USING (node), ns
+    ),
+    pr0 AS (SELECT node, round(p0, 6) AS "rank" FROM p0)"""
     rounds = []
+    r_prev = "pr0" if seeds_sql is not None else "r0"
     for i in range(1, iterations + 1):
+        r_name = f"r{i}"
         if redistribute:
             rounds.append(f""",
     d{i} AS (
         SELECT CAST(COALESCE(SUM(CAST(r."rank" AS DECIMAL(28,14))),
                              0) AS DOUBLE) AS dm
-        FROM r{i-1} r JOIN dang ON r.node = dang.node
+        FROM {r_prev} r JOIN dang ON r.node = dang.node
     )""")
-        inflow = "COALESCE(c.c, 0.0)"
-        extra = ""
-        if redistribute:
-            inflow = f"(COALESCE(c.c, 0.0) + d{i}.dm / nn.n)"
-            extra = f", d{i}"
+        extra = f", d{i}" if redistribute else ""
+        if seeds_sql is None:
+            inflow = "COALESCE(c.c, 0.0)"
+            if redistribute:
+                inflow = f"(COALESCE(c.c, 0.0) + d{i}.dm / nn.n)"
+            teleport = f"(1.0 - {damping}) / nn.n"
+            base, nrel = "nodes", "nn"
+        else:
+            inflow = "COALESCE(c.c, 0.0)"
+            if redistribute:
+                inflow = f"(COALESCE(c.c, 0.0) + d{i}.dm * p0.p0)"
+            teleport = f"(1.0 - {damping}) * p0.p0"
+            base, nrel = "p0", "nn"
         rounds.append(f""",
-    r{i} AS (
-        SELECT nodes.node,
-               round((1.0 - {damping}) / nn.n
+    {r_name} AS (
+        SELECT {base}.node,
+               round({teleport}
                      + {damping} * {inflow}, 6) AS "rank"
-        FROM nodes
+        FROM {base}
         LEFT JOIN (
             SELECT e.dst AS node,
-                   CAST(SUM(CAST(r{i-1}."rank" * e.p AS DECIMAL(28,14)))
+                   CAST(SUM(CAST({r_prev}."rank" * e.p AS DECIMAL(28,14)))
                         AS DOUBLE) AS c
-            FROM e JOIN r{i-1} ON e.src = r{i-1}.node
+            FROM e JOIN {r_prev} ON e.src = {r_prev}.node
             GROUP BY e.dst
-        ) c USING (node), nn{extra}
+        ) c USING (node), {nrel}{extra}
     )""")
+        r_prev = r_name
     return (
         head + "".join(rounds)
         + f'\n    SELECT node, "rank" FROM r{iterations}'
@@ -399,6 +427,62 @@ def trade_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, "src_nation", "dst_nation", "w", iterations=3,
         redistribute_dangling=True,
+    )
+
+
+_PPR_SEEDS_SQL = """
+    SELECT n.n_name AS node
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'"""
+
+
+@query(
+    "trade_ppr_asia", extended=True,
+    oracle=_pagerank_oracle(seeds_sql=_PPR_SEEDS_SQL),
+)
+def trade_ppr_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank on the trade graph, restart
+    distribution concentrated on the ASIA nations (p0 = 1/5 on
+    seeds, 0 elsewhere) — proximity-to-ASIA trade centrality, the
+    recommendation-style PPR form (operators/graph.py::pagerank
+    with ``seeds``). Same one-shuffle-per-round plan as classic
+    PageRank plus a broadcast seed marker; oracle via the unrolled
+    CTE scheme with a p0 relation replacing the uniform 1/N."""
+    from top_produce_etl_spark.operators.graph import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst_nation")
+    )
+    from top_produce_etl_spark.functions.numeric import revenue_expr
+
+    edges = (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(maybe_broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(maybe_broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .select("src_nation", "dst_nation", revenue_expr().alias("w"))
+    )
+    seeds = (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_name").alias("node"))
+    )
+    return pagerank(
+        edges, "src_nation", "dst_nation", "w", iterations=3, seeds=seeds
     )
 
 

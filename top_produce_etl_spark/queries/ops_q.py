@@ -451,7 +451,10 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed so the plan stays linear in hops."""
     from top_produce_etl_spark.operators.graph import bfs_distances
 
-    edges = _copurchase_edges_df(spark, sf_dir)
+    # checkpoint the canonical edge build before symmetrizing: the
+    # union references it twice, and the within-order self-join is
+    # the dominant cost of this query
+    edges = _copurchase_edges_df(spark, sf_dir).localCheckpoint()
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
