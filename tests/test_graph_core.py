@@ -96,3 +96,24 @@ def test_bfs_zero_hops(spark):
     e = _edges(spark, [(1, 2)])
     got = bfs_distances(e, "a", "b", _sources(spark, [1]), max_hops=0)
     assert [(r.node, r.hops) for r in got.collect()] == [(1, 0)]
+
+
+def test_local_clustering_known_graph(spark):
+    from top_produce_etl_spark.operators.graph import local_clustering
+
+    # triangle {1,2,3} + pendant 4-1 (duplicate/reversed edges must
+    # not change anything): lcc(1) = 2·1/(3·2), lcc(2) = lcc(3) = 1,
+    # lcc(4) undefined (degree 1)
+    e = _edges(
+        spark, [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (1, 4)]
+    )
+    got = {
+        r.node: (r.degree, r.n_triangles, r.lcc_micro)
+        for r in local_clustering(e, "a", "b").collect()
+    }
+    assert got == {
+        1: (3, 1, 333333),
+        2: (2, 1, 1000000),
+        3: (2, 1, 1000000),
+        4: (1, 0, None),
+    }

@@ -584,3 +584,108 @@ def bfs_oracle_sql(
     )""")
     body = ",\n    ".join(parts)
     return f"WITH {body}\n    SELECT node, hops FROM s{max_hops}"
+
+
+def local_clustering(
+    edges: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Per-node local clustering coefficient — how close each
+    node's neighborhood is to a clique (the node-level refinement of
+    :func:`count_triangles`'s global census).
+
+    lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), reported in exact 1e6
+    fixed point (integer DIV — engine-portable, no float division),
+    NULL for degree < 2 (undefined: no wedge to close).
+
+    Input edges may be arbitrary direction/multiplicity — they are
+    canonicalized (least, greatest), self-loops dropped, distinct.
+    Triangles enumerate once via the ordered two-path join
+    (a < b < c, the count_triangles shape) and then credit each of
+    their three corners — one explode of the |triangles| relation,
+    never of the corpus. Scale shape: the wedge join is bounded by
+    Σ deg² like the census; everything after is hash aggs.
+
+    Output: (node, degree, n_triangles, lcc_micro).
+    """
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    canon = persist_tracked(
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e2 = canon.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = canon.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    tri_per_node = (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .withColumn(
+            "n_triangles", F.coalesce("n_triangles", F.lit(0))
+        )
+        .withColumn(
+            "lcc_micro",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * n_triangles * 1000000) DIV "
+                    "(degree * (degree - 1))"
+                ),
+            ),
+        )
+    )
+
+
+def local_clustering_oracle_sql(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`local_clustering` — ``edges_sql``
+    selects raw (u, v) edges; canonicalize + census replay here."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    canon AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM raw WHERE u <> v
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT a AS node FROM canon
+            UNION ALL SELECT b FROM canon
+        ) GROUP BY node
+    ),
+    tris AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM canon e1
+        JOIN canon e2 ON e1.b = e2.a
+        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tpn AS (
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris
+        ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+               (2 * COALESCE(t.n_triangles, 0) * 1000000)
+               // (d.degree * (d.degree - 1))
+           END AS lcc_micro
+    FROM deg d LEFT JOIN tpn t USING (node)"""

@@ -463,3 +463,26 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("node")
     )
     return bfs_distances(sym, "u", "v", sources, max_hops=3)
+
+
+def _lcc_oracle() -> str:
+    from top_produce_etl_spark.operators.graph import (
+        local_clustering_oracle_sql,
+    )
+
+    return local_clustering_oracle_sql(_COPURCHASE_EDGES)
+
+
+@query("copurchase_local_clustering", extended=True, oracle=_lcc_oracle())
+def copurchase_local_clustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-part local clustering coefficient on the co-purchase
+    graph (operators/graph.py::local_clustering): 2·tri(v) /
+    (deg·(deg−1)) in exact 1e6 fixed point — which parts sit inside
+    tightly cross-selling cliques vs merely popular hubs. Triangle
+    enumeration reuses the ordered two-path census shape; the
+    explode is over the |triangles| relation only."""
+    from top_produce_etl_spark.operators.graph import local_clustering
+
+    return local_clustering(_copurchase_edges_df(spark, sf_dir), "u", "v")
