@@ -223,3 +223,130 @@ def test_gapfill_properties(spark, points):
             assert not r.is_gap and r.v == obs[key]
         else:
             assert r.is_gap and r.v is not None  # locf filled
+
+
+# ------------------------------------------------- skyline (r5w4)
+
+SKY_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),
+        st.sampled_from([0.0, 1.0, 2.0, 2.0, 3.5, 7.0]),
+        st.sampled_from([0.0, 1.0, 1.0, 2.0, 4.25]),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _dominates(u, v):
+    """minimize cost (index 1), maximize gain (index 2)."""
+    le = u[1] <= v[1] and u[2] >= v[2]
+    lt = u[1] < v[1] or u[2] > v[2]
+    return le and lt
+
+
+@given(rows=SKY_ROWS)
+@SETTINGS
+def test_skyline_matches_naive_reference(spark, rows):
+    """Distributed two-phase skyline == the O(n²) python reference
+    on ANY input (ties, duplicates, empty)."""
+    from top_produce_etl_spark.operators.pareto import skyline
+
+    df = spark.createDataFrame(
+        [(i, c, g) for i, (rid, c, g) in enumerate(rows)],
+        "id int, cost double, gain double",
+    )
+    got = {
+        (r.id, r.cost, r.gain)
+        for r in skyline(df, minimize=["cost"], maximize=["gain"]).collect()
+    }
+    pts = [(i, c, g) for i, (rid, c, g) in enumerate(rows)]
+    want = {
+        p for p in pts if not any(_dominates(q, p) for q in pts if q != p)
+    }
+    assert got == want
+
+
+# -------------------------------------------------- k-core (r5w4)
+
+EDGE_LISTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(edges=EDGE_LISTS, k=st.integers(min_value=2, max_value=4))
+@SETTINGS
+def test_kcore_fixpoint_properties(spark, edges, k):
+    """For ANY graph: every k-core member has within-core degree
+    >= k, and the result equals the python peel-to-fixpoint."""
+    from top_produce_etl_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "a int, b int"  # (0,0) self-loop = empty graph
+    )
+    got = {r.node: r.degree for r in k_core(df, "a", "b", k=k).collect()}
+    # python reference
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = [n for n, s in adj.items() if len(s) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(s) for n, s in adj.items()}
+    assert got == want
+    assert all(d >= k for d in got.values())
+
+
+# --------------------------------------- random projection (r5w4)
+
+VEC_LISTS = st.lists(
+    st.lists(
+        st.sampled_from([0.0, 0.5, -1.0, 2.0, -2.5]),
+        min_size=6,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(vecs=VEC_LISTS)
+@SETTINGS
+def test_random_projection_is_linear(spark, vecs):
+    """proj(a) + proj(b) == proj(a + b) component-wise for ANY
+    vectors — the projection is a fixed linear map, so any
+    nonlinearity (hash instability, rounding drift beyond the final
+    6 dp) breaks this."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.similarity import random_project
+
+    a = vecs[0]
+    b = vecs[-1]
+    ab = [x + y for x, y in zip(a, b)]
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, ab)], "id int, v array<double>"
+    )
+    out = {
+        r.id: r.proj
+        for r in random_project(df, "v", 4).select("id", "proj").collect()
+    }
+    for j in range(4):
+        assert out[0][j] + out[1][j] == _pytest.approx(
+            out[2][j], abs=2e-6
+        )
