@@ -103,7 +103,14 @@ def skyline(
     maximize = list(maximize or [])
     _validate(df, minimize, maximize)
 
-    candidates = df.mapInPandas(_local_prune(minimize, maximize), df.schema)
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    # phase 2 references the pruned candidates TWICE (probe side +
+    # broadcast dominator side) — persist once or the upstream
+    # pipeline (often an aggregation) executes per branch
+    candidates = persist_tracked(
+        df.mapInPandas(_local_prune(minimize, maximize), df.schema)
+    )
 
     # Global refine: anti-join candidates against themselves on the
     # dominance predicate. Column-name collision is avoided by
