@@ -590,3 +590,43 @@ def test_contrastive_pairs_band_labels(spark):
     assert got[(1, 2)] == "pos"
     assert got[(1, 3)] == "neg"
     assert (1, 4) not in got and (2, 4) not in got  # mid band dropped
+
+
+def test_duplicate_spans_merges_islands_and_counts_distinct_docs(spark):
+    from top_produce_etl_spark.operators.dedup import duplicate_spans
+
+    corpus = [
+        (1, "a b c d e f"),              # "a b c","b c d" duplicated
+        (2, "x y a b c d q"),            # same two, shifted
+        (3, "z z z a b c z z"),          # only "a b c"
+        (4, "a b c 1 2 3 a b c"),        # split islands within one doc
+        (5, "u v w q r s"),              # nothing duplicated -> absent
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = duplicate_spans(df, "doc_id", "text", k=3, min_docs=2)
+    rows = {
+        (r["doc_id"], r["span_start"]): (r["span_len"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert rows == {
+        # doc 1: positions {0,1} merge -> [0, 4) over 6 tokens
+        (1, 0): (4, 6),
+        # doc 2: positions {2,3} merge -> [2, 6) over 7 tokens
+        (2, 2): (4, 7),
+        # doc 3: single window at p3
+        (3, 3): (3, 8),
+        # doc 4: "a b c" at p0 and p6 -> TWO spans (gap > k)
+        (4, 0): (3, 9),
+        (4, 6): (3, 9),
+    }
+
+
+def test_duplicate_spans_within_doc_repeat_alone_does_not_count(spark):
+    from top_produce_etl_spark.operators.dedup import duplicate_spans
+
+    corpus = [
+        (1, "p q r 1 2 3 p q r"),  # repeats only within itself
+        (2, "totally unrelated words here now"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    assert duplicate_spans(df, "doc_id", "text", k=3, min_docs=2).count() == 0

@@ -614,3 +614,82 @@ def survivors_by(
             .select(id_col)
         )
     return docs.join(maybe_broadcast(losers), id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated SPANS at k-token granularity — the
+    exact-substring dedup used by Dolma / RefinedWeb-class pipelines,
+    where boilerplate paragraphs repeat across otherwise-distinct
+    pages that no DOCUMENT-level near-dup (MinHash/SimHash) will ever
+    pair. A k-token shingle is "duplicated" when it occurs in at
+    least ``min_docs`` DISTINCT documents; per document, overlapping
+    or adjacent duplicated shingle windows are merged into maximal
+    spans (gap-islands over token positions).
+
+    Output: ``id_col, span_start, span_len, n_tokens`` — one row per
+    maximal duplicated span, ``span_start`` 0-based in tokens.
+
+    Scale shape: one shuffle to count per-shingle document frequency
+    (map-side partial on the distinct pairs), one shuffle join of the
+    position table against the duplicated-shingle set (both
+    data-sized — no broadcast; hot boilerplate shingles are exactly
+    the skewed keys AQE skew-join splits), then a per-document window
+    (bounded by document length). Everything is JVM expressions; no
+    Python in the row path. Within-document repetition deliberately
+    does NOT count (that signal is the repetition quality score);
+    ``min_docs`` counts distinct documents.
+    """
+    from pyspark.sql import Window
+
+    from top_produce_etl_spark.functions.text import shingles_of, tokens
+
+    # Stage tokenization (attribute reference, not an inlined split —
+    # see shingles_of's O(n^2) codegen note).
+    toked = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.posexplode(shingles_of(F.col("__toks"), k)).alias(
+            "__p", "__sh"
+        ),
+    )
+
+    dup_sh = (
+        toked.select("__sh", id_col)
+        .groupBy("__sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("__sh")
+    )
+    dup_pos = toked.join(dup_sh, "__sh").select(
+        id_col, "n_tokens", "__p"
+    )
+
+    # Gap islands: windows all have length k, so position order is
+    # also end order — a new span starts when this window clears the
+    # previous one entirely (p > prev_p + k merges overlap AND
+    # adjacency: contiguous duplicated text is one span).
+    w = Window.partitionBy(id_col).orderBy("__p")
+    prev = F.lag("__p").over(w)
+    marked = dup_pos.withColumn(
+        "__new",
+        F.when(prev.isNull() | (F.col("__p") > prev + k), 1).otherwise(0),
+    ).withColumn(
+        "__g",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy(id_col, "__g").agg(
+        F.min("__p").alias("span_start"),
+        (F.max("__p") - F.min("__p") + k).alias("span_len"),
+        F.first("n_tokens").alias("n_tokens"),
+    ).select(id_col, "span_start", "span_len", "n_tokens")

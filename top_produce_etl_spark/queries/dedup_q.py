@@ -468,3 +468,68 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cluster_size") - 1).alias("docs_removable"),
         F.sum("chars_removable").alias("chars_removable"),
     )
+
+
+# Cross-document duplicated spans at 8-token granularity (Dolma /
+# RefinedWeb exact-substring dedup). Only lengths/counts are
+# reported, so the 0-based (Spark) vs 1-based (DuckDB) position
+# origin cancels; within-document repetition deliberately does not
+# count (min_docs is DISTINCT documents).
+DUPSPAN_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+    SELECT doc_id, len(t) AS n, i AS p,
+           array_to_string(t[i:i+7], ' ') AS sh
+    FROM toks, unnest(range(1, len(t) - 6)) r(i)
+    WHERE len(t) >= 8
+), dup AS (
+    SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT pos.doc_id, pos.n, pos.p FROM pos JOIN dup USING (sh)
+), marked AS (
+    SELECT doc_id, n, p,
+           CASE WHEN lag(p) OVER w IS NULL
+                  OR p > lag(p) OVER w + 8 THEN 1 ELSE 0 END AS new_isl
+    FROM hits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), grp AS (
+    SELECT doc_id, n, p,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+    FROM marked
+), spans AS (
+    SELECT doc_id, ANY_VALUE(n) AS n,
+           MAX(p) - MIN(p) + 8 AS span_len
+    FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_spans,
+       CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+       ANY_VALUE(n) AS n_tokens,
+       SUM(span_len) * 1.0 / ANY_VALUE(n) AS dup_ratio
+FROM spans
+GROUP BY doc_id
+"""
+
+
+@query("duplicate_span_report", oracle=DUPSPAN_SQL, extended=True)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report: maximal cross-document
+    duplicated spans (k=8 tokens, >= 2 distinct docs), their merged
+    token mass, and the duplicated fraction of the document —
+    the masking/trimming signal for exact-substring dedup, distinct
+    from document-level near-dup (a shared boilerplate paragraph
+    pairs here even when the documents' Jaccard is far below any
+    near-dup threshold)."""
+    from top_produce_etl_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+        F.first("n_tokens").alias("n_tokens"),
+        (
+            F.sum("span_len") * F.lit(1.0) / F.first("n_tokens")
+        ).alias("dup_ratio"),
+    )
