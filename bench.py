@@ -135,6 +135,7 @@ EXTENSION = [
     "copurchase_kcore",          # iterative k-core peel (r5w4)
     "copurchase_bfs_hops",       # multi-source bounded BFS (r5w4)
     "rp_topk_embeddings",        # 64→16 JL projection + exact topk (r5w4)
+    "rp_topk_fast",              # same plan, double fast path (r5w5)
     "duplicate_span_report",     # cross-doc exact-substring spans (r5w5)
     # contrastive_pairs_embeddings is battery-gated, not timed: decimal
     # scoring over all within-cell pairs (~25 s at sf0.1) — semdedup_fast

@@ -113,3 +113,20 @@ def test_wider_projection_tightens_error(spark, sf_dir):
         emb, "vec_id", "embedding", 48, pred
     ).collect()[0].cos_mae
     assert mae48 < mae16, f"48-dim mae {mae48} not below 16-dim {mae16}"
+
+
+def test_rp_topk_fast_twin_same_neighbor_sets(spark, sf_dir):
+    from top_produce_etl_spark.queries.similarity_q import (
+        rp_topk_embeddings,
+        rp_topk_fast,
+    )
+
+    slow = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in rp_topk_embeddings(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in rp_topk_fast(spark, sf_dir).collect()
+    }
+    assert slow == fast

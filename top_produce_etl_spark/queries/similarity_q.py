@@ -826,3 +826,25 @@ def rp_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projection_quality_report(
         emb, "vec_id", "embedding", 16, F.col("vec_id") < 10
     )
+
+
+@query("rp_topk_fast", extended=True)  # float path → rows-only
+def rp_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``rp_topk_embeddings``: the SAME
+    project-then-bruteforce plan with double scoring in both stages
+    (codegen'd folds, no interpreted decimal) — the path a pipeline
+    actually runs. Neighbor-set agreement with the decimal twin is
+    pinned in tests (rank ties at double precision resolve
+    identically on this fixture); the JL quality gate lives with the
+    decimal twin."""
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        random_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_project(emb, "embedding", 16, scoring="double")
+    queries = proj.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(
+        proj, queries, "vec_id", "proj", k=3, scoring="double"
+    )
