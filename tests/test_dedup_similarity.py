@@ -630,3 +630,29 @@ def test_duplicate_spans_within_doc_repeat_alone_does_not_count(spark):
     ]
     df = spark.createDataFrame(corpus, ["doc_id", "text"])
     assert duplicate_spans(df, "doc_id", "text", k=3, min_docs=2).count() == 0
+
+
+def test_strip_duplicate_spans_removes_only_spanned_tokens(spark):
+    from top_produce_etl_spark.operators.dedup import strip_duplicate_spans
+
+    corpus = [
+        (1, "a b c d e f"),
+        (2, "x y a b c d q"),
+        (3, "z z z a b c z z"),
+        (4, "a b c 1 2 3 a b c"),
+        (5, "u v w q r s"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text_clean"], r["kept_tokens"], r["n_tokens"])
+        for r in strip_duplicate_spans(
+            df, "doc_id", "text", k=3, min_docs=2
+        ).collect()
+    }
+    assert out == {
+        1: ("e f", 2, 6),            # span [0,4) gone
+        2: ("x y q", 3, 7),          # span [2,6) gone
+        3: ("z z z z z", 5, 8),      # single window at p3
+        4: ("1 2 3", 3, 9),          # both islands gone
+        5: ("u v w q r s", 6, 6),    # untouched passthrough
+    }

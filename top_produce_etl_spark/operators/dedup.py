@@ -693,3 +693,55 @@ def duplicate_spans(
         (F.max("__p") - F.min("__p") + k).alias("span_len"),
         F.first("n_tokens").alias("n_tokens"),
     ).select(id_col, "span_start", "span_len", "n_tokens")
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Materialize the corpus with cross-document duplicated spans
+    REMOVED — the transform exact-substring dedup actually applies
+    (detection is :func:`duplicate_spans`). Composes after
+    document-level dedup (:func:`survivors_by`): run it on the
+    survivor corpus so only residual shared boilerplate is stripped,
+    not the body of documents whose every span is "duplicated" by
+    their own exact copies.
+
+    Output: ``id_col, text_clean, kept_tokens, n_tokens`` for EVERY
+    input document (unspanned docs pass through whole; a fully
+    duplicated document yields an empty string and kept_tokens 0).
+
+    Scale shape: :func:`duplicate_spans`' two shuffles, plus one
+    per-doc span collect (arrays bounded by document length — a doc
+    has at most n/k disjoint spans) and a LEFT join back to the
+    corpus; the strip itself is a per-row indexed ``filter`` lambda,
+    JVM-side.
+    """
+    from top_produce_etl_spark.functions.text import tokens
+
+    spans = duplicate_spans(df, id_col, text_col, k, min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len")).alias("e"),
+            )
+        ).alias("__spans")
+    )
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    joined = toked.join(per_doc, id_col, "left")
+    in_any_span = lambda i: F.exists(  # noqa: E731
+        "__spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(F.filter("__toks", lambda x, i: ~in_any_span(i)))
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(kept).alias("kept_tokens"),
+        F.size("__toks").alias("n_tokens"),
+    )

@@ -533,3 +533,72 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_len") * F.lit(1.0) / F.first("n_tokens")
         ).alias("dup_ratio"),
     )
+
+
+# The strip TRANSFORM over the raw corpus: every document appears;
+# the span arithmetic is 1-based in DuckDB and 0-based in Spark —
+# each side is internally consistent, and the kept-token TEXT is
+# origin-free so the outputs align exactly.
+STRIP_SPANS_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos AS (
+    SELECT doc_id, len(t) AS n, i AS p,
+           array_to_string(t[i:i+7], ' ') AS sh
+    FROM toks, unnest(range(1, len(t) - 6)) r(i)
+    WHERE len(t) >= 8
+), dup AS (
+    SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (sh)
+), marked AS (
+    SELECT doc_id, p,
+           CASE WHEN lag(p) OVER w IS NULL
+                  OR p > lag(p) OVER w + 8 THEN 1 ELSE 0 END AS new_isl
+    FROM hits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), grp AS (
+    SELECT doc_id, p,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+    FROM marked
+), spans AS (
+    SELECT doc_id, MIN(p) AS s, MAX(p) + 8 AS e
+    FROM grp GROUP BY doc_id, g
+), allpos AS (
+    SELECT doc_id, len(t) AS n, i AS p, t[i] AS tok
+    FROM toks, unnest(range(1, len(t) + 1)) r(i)
+), kept AS (
+    SELECT a.doc_id, a.n, a.p, a.tok
+    FROM allpos a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = a.doc_id AND a.p >= s.s AND a.p < s.e
+    )
+), agg AS (
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY p) AS text_clean,
+           CAST(COUNT(*) AS INTEGER) AS kept_tokens
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       len(string_split(d.text, ' ')) AS n_tokens
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@query("stripped_duplicate_corpus", oracle=STRIP_SPANS_SQL, extended=True)
+def stripped_duplicate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring dedup TRANSFORM end-to-end: detect
+    cross-document duplicated spans (k=8, >= 2 distinct docs) and
+    materialize the corpus with those spans removed — every document
+    row survives, duplicated boilerplate does not. Oracle-checked on
+    the full cleaned TEXT, not just counts."""
+    from top_produce_etl_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2)
