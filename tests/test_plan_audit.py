@@ -78,6 +78,8 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "rp_topk_embeddings",  # the bruteforce broadcast-queries
         # cross over 16-dim PROJECTED vectors (same exempted shape,
         # quarter the bytes — the compression is the point)
+        "rp_topk_fast",  # double-scoring twin of rp_topk_embeddings,
+        # same broadcast-queries cross shape
         "rp_quality_report",  # same broadcast-queries cross, scoring
         # both spaces at once for the JL error report
         "supplier_efficiency_skyline",  # phase-2 dominance anti-join

@@ -641,7 +641,11 @@ def duplicate_spans(
     data-sized — no broadcast; hot boilerplate shingles are exactly
     the skewed keys AQE skew-join splits), then a per-document window
     (bounded by document length). Everything is JVM expressions; no
-    Python in the row path. Within-document repetition deliberately
+    Python in the row path. The position table feeds both consumers
+    UNPERSISTED on purpose: it is corpus-sized (|tokens| rows — the
+    _cache registry's contract is model/pool-sized relations only),
+    and re-running a map-side explode twice is cheaper at scale than
+    spilling the exploded corpus to executor disks. Within-document repetition deliberately
     does NOT count (that signal is the repetition quality score);
     ``min_docs`` counts distinct documents.
     """
