@@ -408,6 +408,45 @@ def main() -> None:
     }
     print(f"# text_probe: {text_probe}", file=sys.stderr)
 
+    # SPAN leg of the text probe (r5w5): cross-document duplicate-
+    # span detection on the SAME 200k-doc corpus — adds the one
+    # pipeline stage no other probe exercises at scale: a PER-
+    # DOCUMENT WINDOW (gap-island merge) downstream of a corpus-wide
+    # df aggregate + join-back. Planted truth riding the timing: the
+    # 1000 hot-cluster docs are byte-identical, so every one of
+    # their 8-gram shingles has df >= 1000 and each hot doc must
+    # report EXACTLY ONE span covering the WHOLE document — a split
+    # island, an off-by-one span length, or a dropped position
+    # breaks the 1.0.
+    from top_produce_etl_spark.operators.dedup import duplicate_spans
+
+    t0 = time.monotonic()
+    sp = duplicate_spans(tp_df, "doc_id", "text", k=8, min_docs=2)
+    sp_hot_ok = (
+        sp.filter(F.col("doc_id") >= tp_rows - tp_hot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.max(
+                (F.col("span_len") == F.col("n_tokens")).cast("int")
+            ).alias("full"),
+        )
+        .agg(
+            F.sum(
+                ((F.col("ns") == 1) & (F.col("full") == 1)).cast("int")
+            ).alias("ok")
+        )
+        .collect()[0]["ok"]
+    )
+    sp_sec = round(time.monotonic() - t0, 3)
+    span_probe = {
+        "span_probe_docs": tp_rows,
+        "span_probe_sec": sp_sec,
+        "span_probe_docs_per_sec": round(tp_rows / sp_sec, 1),
+        "span_probe_hot_single_full_span": round(sp_hot_ok / tp_hot, 4),
+    }
+    print(f"# span_probe: {span_probe}", file=sys.stderr)
+
     # BPE leg of the text probe: train 2 merges on the SAME 200k-doc
     # corpus — the tokenizer-training loop's corpus-sized cost is the
     # one word-count scan; the merge rounds run on the |vocab| table.
@@ -596,6 +635,7 @@ def main() -> None:
         **recalls,
         **probe,
         **text_probe,
+        **span_probe,
         **bpe_probe,
         **rel_probe,
         **graph_probe,
