@@ -350,3 +350,72 @@ def test_random_projection_is_linear(spark, vecs):
         assert out[0][j] + out[1][j] == _pytest.approx(
             out[2][j], abs=2e-6
         )
+
+
+# --- duplicate-span family: detection and strip must PARTITION each
+# document (span mass + kept tokens == all tokens), spans must be
+# disjoint and in-bounds, and a pure within-document repeat must
+# never produce a span at min_docs=2.
+
+# Tiny alphabet + short docs → heavy cross-doc shingle collisions.
+SPAN_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=SPAN_DOCS, k=st.integers(min_value=2, max_value=4))
+@SETTINGS
+def test_duplicate_spans_partition_document(spark, docs, k):
+    from top_produce_etl_spark.operators.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    spans = duplicate_spans(df, "doc_id", "text", k=k, min_docs=2)
+    stripped = strip_duplicate_spans(df, "doc_id", "text", k=k, min_docs=2)
+
+    by_doc: dict[int, list] = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    kept = {r["doc_id"]: r for r in stripped.collect()}
+
+    # every input doc survives the strip; token counts agree
+    assert set(kept) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        assert kept[i]["n_tokens"] == len(toks)
+        doc_spans = sorted(
+            by_doc.get(i, []), key=lambda r: r["span_start"]
+        )
+        dup_mass = sum(r["span_len"] for r in doc_spans)
+        # partition: removed + kept == all tokens
+        assert dup_mass + kept[i]["kept_tokens"] == len(toks)
+        # disjoint, in-bounds, non-adjacent (adjacent would have
+        # merged), and never wider than the document
+        prev_end = None
+        for r in doc_spans:
+            assert 0 <= r["span_start"]
+            assert r["span_start"] + r["span_len"] <= len(toks)
+            assert r["span_len"] >= k
+            if prev_end is not None:
+                assert r["span_start"] > prev_end  # gap-island merge
+            prev_end = r["span_start"] + r["span_len"]
+        # the cleaned text is exactly the unspanned tokens, in order
+        expect = [
+            t
+            for p, t in enumerate(toks)
+            if not any(
+                r["span_start"] <= p < r["span_start"] + r["span_len"]
+                for r in doc_spans
+            )
+        ]
+        assert kept[i]["text_clean"] == " ".join(expect)
