@@ -137,6 +137,7 @@ EXTENSION = [
     "rp_topk_embeddings",        # 64→16 JL projection + exact topk (r5w4)
     "rp_topk_fast",              # same plan, double fast path (r5w5)
     "duplicate_span_report",     # cross-doc exact-substring spans (r5w5)
+    "contaminated_span_report",  # span-level test-set leak masking (r5w5)
     # contrastive_pairs_embeddings is battery-gated, not timed: decimal
     # scoring over all within-cell pairs (~25 s at sf0.1) — semdedup_fast
     # already times this exact plan shape on the production kernel.

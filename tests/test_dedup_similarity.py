@@ -656,3 +656,29 @@ def test_strip_duplicate_spans_removes_only_spanned_tokens(spark):
         4: ("1 2 3", 3, 9),          # both islands gone
         5: ("u v w q r s", 6, 6),    # untouched passthrough
     }
+
+
+def test_contaminated_spans_against_reference_corpus(spark):
+    from top_produce_etl_spark.operators.dedup import contaminated_spans
+
+    train = spark.createDataFrame(
+        [
+            (1, "keep keep a b c keep keep"),   # leak at p2
+            (2, "a b c d nothing shared x y"),  # leaks [0,2] ("a b c","b c d")
+            (3, "all original tokens here"),    # clean -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(100, "a b c d")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_len"], r["n_tokens"])
+        for r in contaminated_spans(
+            train, ref, "doc_id", "text", k=3
+        ).collect()
+    }
+    assert out == {
+        (1, 2): (3, 7),   # "a b c"
+        (2, 0): (4, 8),   # "a b c" + "b c d" merged -> [0, 4)
+    }

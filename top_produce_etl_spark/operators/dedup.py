@@ -649,13 +649,27 @@ def duplicate_spans(
     does NOT count (that signal is the repetition quality score);
     ``min_docs`` counts distinct documents.
     """
-    from pyspark.sql import Window
+    toked = _shingle_positions(df, id_col, text_col, k)
+    dup_sh = (
+        toked.select("__sh", id_col)
+        .groupBy("__sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("__sh")
+    )
+    return _span_islands(toked.join(dup_sh, "__sh"), id_col, k)
 
+
+def _shingle_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, n_tokens, __p, __sh): one row per k-shingle POSITION.
+    Tokenization is staged into its own projection (attribute
+    reference, not an inlined split — shingles_of's O(n^2) codegen
+    note)."""
     from top_produce_etl_spark.functions.text import shingles_of, tokens
 
-    # Stage tokenization (attribute reference, not an inlined split —
-    # see shingles_of's O(n^2) codegen note).
-    toked = df.select(
+    return df.select(
         F.col(id_col),
         tokens(text_col).alias("__toks"),
     ).select(
@@ -666,24 +680,18 @@ def duplicate_spans(
         ),
     )
 
-    dup_sh = (
-        toked.select("__sh", id_col)
-        .groupBy("__sh")
-        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
-        .filter(F.col("__d") >= min_docs)
-        .select("__sh")
-    )
-    dup_pos = toked.join(dup_sh, "__sh").select(
-        id_col, "n_tokens", "__p"
-    )
 
-    # Gap islands: windows all have length k, so position order is
-    # also end order — a new span starts when this window clears the
-    # previous one entirely (p > prev_p + k merges overlap AND
-    # adjacency: contiguous duplicated text is one span).
+def _span_islands(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge matched shingle positions (id, n_tokens, __p) into
+    maximal spans. Gap islands: windows all have length k, so
+    position order is also end order — a new span starts when this
+    window clears the previous one entirely (p > prev_p + k merges
+    overlap AND adjacency: contiguous matched text is one span)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("__p")
     prev = F.lag("__p").over(w)
-    marked = dup_pos.withColumn(
+    marked = hits.select(id_col, "n_tokens", "__p").withColumn(
         "__new",
         F.when(prev.isNull() | (F.col("__p") > prev + k), 1).otherwise(0),
     ).withColumn(
@@ -697,6 +705,53 @@ def duplicate_spans(
         (F.max("__p") - F.min("__p") + k).alias("span_len"),
         F.first("n_tokens").alias("n_tokens"),
     ).select(id_col, "span_start", "span_len", "n_tokens")
+
+
+def contaminated_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Spans of ``df`` documents whose k-token shingles appear
+    ANYWHERE in the ``ref`` corpus — span-level decontamination
+    ("mask, don't drop"): where :func:`split_decontamination`-style
+    checks REMOVE a train document that shares any shingle with the
+    test set, this localizes the leak so the pipeline can strip just
+    the contaminated spans (via the same strip transform) and keep
+    the rest of the document.
+
+    Output: ``id_col, span_start, span_len, n_tokens`` — identical
+    contract to :func:`duplicate_spans`, so the two sources of
+    "remove these token ranges" compose.
+
+    Scale shape: the REF shingle vocabulary (distinct — an eval/test
+    set, typically orders of magnitude smaller than the corpus) is
+    the join's build side through the size-gated broadcast helper;
+    the corpus-sized position table streams past it map-side when it
+    fits, and falls back to a shuffle join (AQE skew-safe) when it
+    doesn't. One per-document window after that, as in
+    :func:`duplicate_spans`.
+    """
+    from top_produce_etl_spark.functions.text import word_shingles
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    ref_sh = (
+        ref.select(
+            F.explode(
+                F.array_distinct(
+                    word_shingles(ref_text_col or text_col, k)
+                )
+            ).alias("__sh")
+        )
+        .distinct()
+    )
+    toked = _shingle_positions(df, id_col, text_col, k)
+    return _span_islands(
+        toked.join(maybe_broadcast(ref_sh), "__sh"), id_col, k
+    )
 
 
 def strip_duplicate_spans(

@@ -602,3 +602,87 @@ def stripped_duplicate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return strip_duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2)
+
+
+# Span-level decontamination: WHERE the test set leaks into each
+# train document (k=3 — same width rationale as the drop-variant
+# split_decontamination_check), so the pipeline can mask spans
+# instead of dropping whole documents.
+def _contaminated_span_oracle() -> str:
+    from top_produce_etl_spark.operators.splits import split_oracle_sql
+
+    split = split_oracle_sql(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return f"""
+WITH labeled AS (
+    SELECT doc_id, text, {split} AS split FROM documents
+), toks AS (
+    SELECT doc_id, split, string_split(text, ' ') AS t FROM labeled
+), pos AS (
+    SELECT doc_id, len(t) AS n, i AS p,
+           array_to_string(t[i:i+2], ' ') AS sh
+    FROM toks, unnest(range(1, len(t) - 1)) r(i)
+    WHERE len(t) >= 3 AND split = 'train'
+), ref AS (
+    SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS sh
+    FROM toks, unnest(range(1, len(t) - 1)) r(i)
+    WHERE len(t) >= 3 AND split = 'test'
+), hits AS (
+    SELECT pos.doc_id, pos.n, pos.p FROM pos JOIN ref USING (sh)
+), marked AS (
+    SELECT doc_id, n, p,
+           CASE WHEN lag(p) OVER w IS NULL
+                  OR p > lag(p) OVER w + 3 THEN 1 ELSE 0 END AS new_isl
+    FROM hits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), grp AS (
+    SELECT doc_id, n, p,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+    FROM marked
+), spans AS (
+    SELECT doc_id, ANY_VALUE(n) AS n, MAX(p) - MIN(p) + 3 AS span_len
+    FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS cont_spans,
+       CAST(SUM(span_len) AS BIGINT) AS cont_tokens,
+       ANY_VALUE(n) AS n_tokens,
+       SUM(span_len) * 1.0 / ANY_VALUE(n) AS cont_ratio
+FROM spans
+GROUP BY doc_id
+"""
+
+
+@query(
+    "contaminated_span_report",
+    oracle=_contaminated_span_oracle(),
+    extended=True,
+)
+def contaminated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TRAIN-document report of spans leaked from the TEST split
+    (operators/dedup.py::contaminated_spans over the deterministic
+    assign_split labels): the mask-don't-drop complement of
+    `split_decontamination_check` — the drop variant proves zero
+    residual overlap after removing whole documents; this one
+    localizes each leak so only the contaminated token ranges need
+    stripping."""
+    from top_produce_etl_spark.operators.dedup import contaminated_spans
+    from top_produce_etl_spark.operators.splits import assign_split
+
+    docs = assign_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    spans = contaminated_spans(train, test, "doc_id", "text", k=3)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cont_spans"),
+        F.sum("span_len").alias("cont_tokens"),
+        F.first("n_tokens").alias("n_tokens"),
+        (
+            F.sum("span_len") * F.lit(1.0) / F.first("n_tokens")
+        ).alias("cont_ratio"),
+    )
