@@ -682,3 +682,57 @@ def test_contaminated_spans_against_reference_corpus(spark):
         (1, 2): (3, 7),   # "a b c"
         (2, 0): (4, 8),   # "a b c" + "b c d" merged -> [0, 4)
     }
+
+
+def test_mask_spans_sentinel_blocks_seam_leak(spark):
+    """Deleting a contaminated span can mint a NEW shingle across the
+    seam that itself leaks ('w x y' below); the sentinel provably
+    cannot — this is mask_spans' reason to exist."""
+    from top_produce_etl_spark.operators.dedup import (
+        contaminated_spans,
+        mask_spans,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "w x a b c y z")], ["doc_id", "text"]
+    )
+    test = spark.createDataFrame(
+        [(100, "a b c w x y")], ["doc_id", "text"]
+    )
+    spans = contaminated_spans(train, test, "doc_id", "text", k=3)
+    assert [
+        (r["span_start"], r["span_len"]) for r in spans.collect()
+    ] == [(2, 3)]
+
+    row = mask_spans(train, spans, "doc_id", "text").collect()[0]
+    assert row["text_masked"] == "w x <mask> y z"
+    assert (row["n_tokens"], row["masked_tokens"]) == (7, 3)
+
+    test_sh = {"a b c", "b c w", "c w x", "w x y"}
+    masked_toks = row["text_masked"].split(" ")
+    masked_sh = {
+        " ".join(masked_toks[i : i + 3])
+        for i in range(len(masked_toks) - 2)
+    }
+    assert not masked_sh & test_sh
+    # plain deletion WOULD leak: "w x y z" contains "w x y"
+    deleted = [t for i, t in enumerate("w x a b c y z".split())
+               if not (2 <= i < 5)]
+    del_sh = {
+        " ".join(deleted[i : i + 3]) for i in range(len(deleted) - 2)
+    }
+    assert "w x y" in del_sh & test_sh
+
+
+def test_mask_spans_passthrough_without_spans(spark):
+    from top_produce_etl_spark.operators.dedup import (
+        contaminated_spans,
+        mask_spans,
+    )
+
+    train = spark.createDataFrame([(1, "p q r s")], ["doc_id", "text"])
+    test = spark.createDataFrame([(9, "u v w")], ["doc_id", "text"])
+    spans = contaminated_spans(train, test, "doc_id", "text", k=3)
+    row = mask_spans(train, spans, "doc_id", "text").collect()[0]
+    assert row["text_masked"] == "p q r s"
+    assert (row["n_tokens"], row["masked_tokens"]) == (4, 0)

@@ -804,3 +804,75 @@ def strip_duplicate_spans(
         F.size(kept).alias("kept_tokens"),
         F.size("__toks").alias("n_tokens"),
     )
+
+
+def mask_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    sentinel: str = "<mask>",
+) -> DataFrame:
+    """Replace each span with ONE ``sentinel`` token (instead of
+    deleting it, as :func:`strip_duplicate_spans` does). The
+    sentinel matters for decontamination: deleting a span makes the
+    tokens on either side ADJACENT, which can mint brand-new
+    k-shingles across the seam — some of which may themselves match
+    the reference set, so plain deletion cannot promise zero
+    residual overlap. A sentinel that does not occur in the
+    reference vocabulary breaks every seam shingle by construction,
+    making the zero-residual guarantee provable (the
+    ``masked_decontamination_proof`` query computes it rather than
+    asserting it).
+
+    ``spans`` is any frame with (id_col, span_start, span_len) —
+    :func:`duplicate_spans` and :func:`contaminated_spans` both
+    qualify. Output: ``id_col, text_masked, n_tokens,
+    masked_tokens`` for EVERY input document.
+
+    Scale shape: one |spans|-row collect_list per doc (bounded by
+    doc length), a LEFT join back to the corpus, and a per-row
+    indexed transform — no extra shuffles beyond span detection.
+    """
+    from top_produce_etl_spark.functions.text import tokens
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len")).alias("e"),
+            )
+        ).alias("__spans")
+    )
+    joined = df.select(F.col(id_col), tokens(text_col).alias("__toks")).join(
+        per_doc, id_col, "left"
+    )
+    is_start = lambda i: F.exists(  # noqa: E731
+        "__spans", lambda sp: sp["s"] == i
+    )
+    in_span = lambda i: F.exists(  # noqa: E731
+        "__spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    replaced = F.when(F.col("__spans").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.transform(
+                "__toks",
+                lambda x, i: F.when(is_start(i), F.lit(sentinel))
+                .when(in_span(i), F.lit(None).cast("string"))
+                .otherwise(x),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    masked_n = F.coalesce(
+        F.aggregate(
+            "__spans", F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
+        ),
+        F.lit(0),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", replaced).alias("text_masked"),
+        F.size("__toks").alias("n_tokens"),
+        masked_n.alias("masked_tokens"),
+    )

@@ -686,3 +686,143 @@ def contaminated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("span_len") * F.lit(1.0) / F.first("n_tokens")
         ).alias("cont_ratio"),
     )
+
+
+# The mask-variant's closing proof (sibling of text_q's
+# split_decontamination_check drop-variant proof): after replacing
+# every contaminated span with the '<mask>' sentinel, the masked
+# train corpus and the test split must share ZERO k-shingles. The
+# sentinel — absent from the corpus vocabulary — is what makes this
+# provable: plain deletion can mint new shingles across the seam
+# (see operators/dedup.py::mask_spans).
+def _masked_proof_oracle() -> str:
+    from top_produce_etl_spark.operators.splits import split_oracle_sql
+
+    split = split_oracle_sql(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return f"""
+WITH labeled AS (
+    SELECT doc_id, text, {split} AS split FROM documents
+), toks AS (
+    SELECT doc_id, split, string_split(text, ' ') AS t FROM labeled
+), pos AS (
+    SELECT doc_id, i AS p, array_to_string(t[i:i+2], ' ') AS sh
+    FROM toks, unnest(range(1, len(t) - 1)) r(i)
+    WHERE len(t) >= 3 AND split = 'train'
+), ref AS (
+    SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS sh
+    FROM toks, unnest(range(1, len(t) - 1)) r(i)
+    WHERE len(t) >= 3 AND split = 'test'
+), hits AS (
+    SELECT pos.doc_id, pos.p FROM pos JOIN ref USING (sh)
+), marked AS (
+    SELECT doc_id, p,
+           CASE WHEN lag(p) OVER w IS NULL
+                  OR p > lag(p) OVER w + 3 THEN 1 ELSE 0 END AS new_isl
+    FROM hits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+), grp AS (
+    SELECT doc_id, p,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+    FROM marked
+), spans AS (
+    SELECT doc_id, MIN(p) AS s, MAX(p) + 3 AS e
+    FROM grp GROUP BY doc_id, g
+), allpos AS (
+    SELECT doc_id, i AS p, t[i] AS tok
+    FROM toks, unnest(range(1, len(t) + 1)) r(i)
+    WHERE split = 'train'
+), rebuilt AS (
+    SELECT a.doc_id, a.p,
+           CASE WHEN sp.s IS NOT NULL AND a.p = sp.s THEN '<mask>'
+                WHEN sp.s IS NOT NULL THEN NULL
+                ELSE a.tok END AS tok
+    FROM allpos a
+    LEFT JOIN spans sp
+      ON sp.doc_id = a.doc_id AND a.p >= sp.s AND a.p < sp.e
+), masked AS (
+    SELECT doc_id,
+           list(tok ORDER BY p) FILTER (tok IS NOT NULL) AS t
+    FROM rebuilt GROUP BY doc_id
+), masked_sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+    FROM masked, unnest(range(1, len(t) - 1)) r(i)
+    WHERE len(t) >= 3
+)
+SELECT 'train_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+FROM labeled WHERE split = 'train'
+UNION ALL
+SELECT 'contaminated_train_docs',
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM spans
+UNION ALL
+SELECT 'masked_tokens',
+       CAST(COALESCE(SUM(e - s), 0) AS BIGINT) FROM spans
+UNION ALL
+SELECT 'residual_overlap_pairs', CAST(COUNT(*) AS BIGINT)
+FROM masked_sh JOIN ref USING (sh)
+"""
+
+
+@query(
+    "masked_decontamination_proof",
+    oracle=_masked_proof_oracle(),
+    extended=True,
+)
+def masked_decontamination_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask every test-leaked span in the train split with the
+    '<mask>' sentinel, then COMPUTE (not assert) that the masked
+    corpus shares zero k-shingles with the test split — the
+    mask-don't-drop counterpart of `split_decontamination_check`'s
+    zero-residual proof. The whole composition — split → span
+    detection → masking → re-shingling → overlap join — is
+    hash-checked against DuckDB."""
+    from top_produce_etl_spark.functions.text import word_shingles
+    from top_produce_etl_spark.operators.dedup import (
+        contaminated_spans,
+        mask_spans,
+    )
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+    from top_produce_etl_spark.operators.splits import assign_split
+
+    docs = assign_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    spans = contaminated_spans(train, test, "doc_id", "text", k=3)
+    masked = mask_spans(train, spans, "doc_id", "text")
+
+    ref_sh = (
+        test.select(
+            F.explode(
+                F.array_distinct(word_shingles("text", 3))
+            ).alias("sh")
+        ).distinct()
+    )
+    masked_sh = masked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles("text_masked", 3))
+        ).alias("sh"),
+    ).distinct()
+
+    m1 = train.agg(
+        F.lit("train_docs").alias("metric"),
+        F.count(F.lit(1)).alias("value"),
+    )
+    m2 = spans.agg(
+        F.lit("contaminated_train_docs").alias("metric"),
+        F.count_distinct("doc_id").alias("value"),
+    )
+    m3 = spans.agg(
+        F.lit("masked_tokens").alias("metric"),
+        F.coalesce(F.sum("span_len"), F.lit(0)).cast("long").alias("value"),
+    )
+    m4 = masked_sh.join(maybe_broadcast(ref_sh), "sh").agg(
+        F.lit("residual_overlap_pairs").alias("metric"),
+        F.count(F.lit(1)).alias("value"),
+    )
+    return m1.unionByName(m2).unionByName(m3).unionByName(m4)
