@@ -436,3 +436,75 @@ def test_yaml_composition_ops_match_operators(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_declarative_span_masking_matches_operators(spark, sf_dir):
+    """The span-family ops from config must equal the direct
+    operator calls (the same verified functions behind the
+    stripped_duplicate_corpus / masked_decontamination_proof
+    oracles)."""
+    from top_produce_etl_spark.operators.dedup import (
+        contaminated_spans,
+        mask_spans,
+        strip_duplicate_spans,
+    )
+    from top_produce_etl_spark.operators.splits import assign_split
+
+    docs = assign_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter("split = 'train'")
+    test = docs.filter("split = 'test'")
+    tables = {"train_docs": train, "test_docs": test}
+
+    spec = {
+        "source": "train_docs",
+        "ops": [
+            {
+                "op": "mask_contaminated_spans",
+                "id_col": "doc_id",
+                "text_col": "text",
+                "ref_table": "test_docs",
+                "k": 3,
+            }
+        ],
+    }
+    got = {
+        r["doc_id"]: r["text_masked"]
+        for r in build_pipeline(spark, spec, tables).collect()
+    }
+    want = {
+        r["doc_id"]: r["text_masked"]
+        for r in mask_spans(
+            train,
+            contaminated_spans(train, test, "doc_id", "text", k=3),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert got == want
+
+    spec2 = {
+        "source": "train_docs",
+        "ops": [
+            {
+                "op": "strip_duplicate_spans",
+                "id_col": "doc_id",
+                "text_col": "text",
+                "k": 8,
+            }
+        ],
+    }
+    got2 = {
+        r["doc_id"]: (r["text_clean"], r["kept_tokens"])
+        for r in build_pipeline(spark, spec2, tables).collect()
+    }
+    want2 = {
+        r["doc_id"]: (r["text_clean"], r["kept_tokens"])
+        for r in strip_duplicate_spans(
+            train, "doc_id", "text", k=8, min_docs=2
+        ).collect()
+    }
+    assert got2 == want2

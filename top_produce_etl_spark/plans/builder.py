@@ -217,6 +217,11 @@ def build_pipeline(
          "key_col": "doc_id"} |
         {"op": "cap_per_category", "category_col": "source",
          "key_col": "doc_id", "cap": 100},
+        {"op": "strip_duplicate_spans", "id_col": "doc_id",
+         "text_col": "text", "k": 8, "min_docs": 2},
+        {"op": "mask_contaminated_spans", "id_col": "doc_id",
+         "text_col": "text", "ref_table": "test_docs", "k": 3,
+         "sentinel": "<mask>"},
         {"op": "curation_funnel", "id_col": "doc_id", "text_col": "text",
          "lang": "en", "min_quality": 0.65, "max_dup_ngram_frac": 0.05,
          "max_mean_info_micro": 3450000, "keep_only": false}
@@ -333,6 +338,47 @@ def build_pipeline(
                 )
             else:
                 df = verdicts
+        elif kind == "strip_duplicate_spans":
+            # exact-substring dedup as a declarative stage: the
+            # cleaned corpus replaces (id, text) — same verified
+            # function behind the stripped_duplicate_corpus oracle
+            from top_produce_etl_spark.operators.dedup import (
+                strip_duplicate_spans,
+            )
+
+            df = strip_duplicate_spans(
+                df,
+                op["id_col"],
+                op["text_col"],
+                k=int(op.get("k", 8)),
+                min_docs=int(op.get("min_docs", 2)),
+            )
+        elif kind == "mask_contaminated_spans":
+            # span-level decontamination from config: detect spans
+            # leaked from a reference table (typically the test
+            # split) and mask them with the sentinel — the verified
+            # path behind masked_decontamination_proof
+            from top_produce_etl_spark.operators.dedup import (
+                contaminated_spans,
+                mask_spans,
+            )
+
+            ref = resolve(op["ref_table"])
+            spans = contaminated_spans(
+                df,
+                ref,
+                op["id_col"],
+                op["text_col"],
+                k=int(op.get("k", 3)),
+                ref_text_col=op.get("ref_text_col"),
+            )
+            df = mask_spans(
+                df,
+                spans,
+                op["id_col"],
+                op["text_col"],
+                sentinel=op.get("sentinel", "<mask>"),
+            )
         elif kind == "rebalance_mixture":
             # corpus composition from config: explicit integer recipe
             from top_produce_etl_spark.operators.mixture import (
