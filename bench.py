@@ -138,6 +138,10 @@ EXTENSION = [
     "rp_topk_fast",              # same plan, double fast path (r5w5)
     "duplicate_span_report",     # cross-doc exact-substring spans (r5w5)
     "contaminated_span_report",  # span-level test-set leak masking (r5w5)
+    # masked_decontamination_proof is battery-gated, not timed: it
+    # re-runs the contamination detection AND the post-mask overlap
+    # join (~2x contaminated_span_report's cost) purely to prove
+    # residual == 0 — the timed entry above covers the plan shape.
     # contrastive_pairs_embeddings is battery-gated, not timed: decimal
     # scoring over all within-cell pairs (~25 s at sf0.1) — semdedup_fast
     # already times this exact plan shape on the production kernel.
