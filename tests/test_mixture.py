@@ -214,3 +214,51 @@ def test_curriculum_stages_quartiles(spark):
     assert all(20 <= n <= 30 for n in sizes.values())
     with _pytest.raises(ValueError, match="n_stages"):
         curriculum_stages(df, "q", 1)
+
+
+def test_upsample_mixture_copy_counts_and_epochs(spark):
+    from top_produce_etl_spark.operators.mixture import upsample_mixture
+
+    rows = [(i, "wiki" if i % 2 else "web") for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "cat"])
+    out = upsample_mixture(
+        df, "cat", "k", {"wiki": 2.5, "web": 1.0}
+    ).collect()
+    by_key: dict[int, list[int]] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r["epoch"])
+    assert set(by_key) == set(range(40))  # nothing dropped
+    n_wiki_copies = []
+    for k, eps in by_key.items():
+        assert sorted(eps) == list(range(1, len(eps) + 1))  # 1..copies
+        if k % 2:  # wiki: 2 or 3 copies (fractional half)
+            assert len(eps) in (2, 3)
+            n_wiki_copies.append(len(eps))
+        else:  # web passes through exactly once
+            assert len(eps) == 1
+    # the fractional epoch actually splits the keys (not all-2/all-3)
+    assert len(set(n_wiki_copies)) == 2
+
+
+def test_upsample_mixture_zero_drops_and_absent_passes(spark):
+    from top_produce_etl_spark.operators.mixture import upsample_mixture
+
+    df = spark.createDataFrame(
+        [(1, "junk"), (2, "junk"), (3, "other")], ["k", "cat"]
+    )
+    out = upsample_mixture(df, "cat", "k", {"junk": 0.0}).collect()
+    assert [(r["k"], r["epoch"]) for r in out] == [(3, 1)]
+
+
+def test_upsample_mixture_validation(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.mixture import upsample_mixture
+
+    df = spark.createDataFrame([(1, "a")], ["k", "cat"])
+    with pytest.raises(ValueError):
+        upsample_mixture(df, "cat", "k", {})
+    with pytest.raises(ValueError):
+        upsample_mixture(df, "cat", "k", {"a": -1.0})
+    with pytest.raises(ValueError):
+        upsample_mixture(df, "cat", "k", {"bad name": 1.0})

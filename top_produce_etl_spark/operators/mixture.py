@@ -497,3 +497,104 @@ def curriculum_stages(
         out,
         F.size(F.filter(arr, lambda t: sc > t)).cast("int"),
     )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    category_col: str,
+    key_col: str,
+    epochs: dict[str, float],
+    salt: str = "epoch-v1",
+) -> DataFrame:
+    """Epoch-aware UPSAMPLING — the complement of
+    :func:`rebalance_mixture`: repeat scarce high-value categories a
+    fractional number of epochs (the pretraining-mixture move of
+    running Wikipedia-class sources 2-4 epochs while web text runs
+    one). A category with epochs ``e`` replicates every row
+    ``floor(e)`` times, plus one more copy for the deterministic
+    ``frac(e)`` fraction of keys (salted portable-hash buckets — the
+    same append-stable contract as rebalance/splits). Categories NOT
+    in ``epochs`` pass through at one epoch; ``e = 0`` drops the
+    category.
+
+    Output: the original columns plus ``epoch`` (1..copies), so each
+    replica is distinguishable downstream (sequence packing and
+    shuffle-shard keys need distinct rows, not multiplicity).
+
+    Fractions are snapped to BUCKETS-ths (integer arithmetic end to
+    end — both engines agree bit-for-bit; BUCKETS = 1e6, far finer
+    than any recipe). Scale shape: one chained-CASE projection (the
+    |categories|-size recipe is an EXPRESSION, nothing joins), one
+    guarded ``sequence`` explode — zero shuffles, and the output
+    size is Σ n_c·e_c by construction, never data-squared.
+    """
+    _check_safe(salt, key_col)
+    _check_safe("x", category_col)
+    if not epochs:
+        raise ValueError("epochs must be non-empty")
+    plan: dict[str, tuple[int, int]] = {}
+    for cat, e in epochs.items():
+        if not _SAFE_CATEGORY.fullmatch(cat):
+            raise ValueError(
+                f"category value must match {_SAFE_CATEGORY.pattern!r}, "
+                f"got {cat!r} (values are interpolated into SQL)"
+            )
+        if not isinstance(e, (int, float)) or e < 0 or e != e or e > 1000:
+            raise ValueError(
+                f"epochs must be floats in [0, 1000], got {cat}={e!r}"
+            )
+        whole = int(e)
+        plan[cat] = (whole, round((e - whole) * BUCKETS))
+
+    whole_expr = F.lit(1)
+    frac_expr = F.lit(0)
+    for cat, (whole, fb) in plan.items():
+        cond = F.col(category_col) == cat
+        whole_expr = F.when(cond, F.lit(whole)).otherwise(whole_expr)
+        frac_expr = F.when(cond, F.lit(fb)).otherwise(frac_expr)
+    bucket = (
+        composite_hash_col(f"concat('{salt}', CAST({key_col} AS STRING))")
+        % BUCKETS
+    )
+    copies = (whole_expr + (bucket < frac_expr).cast("int")).alias(
+        "__copies"
+    )
+    staged = df.select("*", copies)
+    # sequence(a, b) steps DOWNWARD when a > b (the shingles_of
+    # guard) — an explicit empty array drops zero-copy rows instead
+    # of fabricating epoch 0 and -1.
+    seq = F.when(
+        F.col("__copies") >= 1,
+        F.sequence(F.lit(1), F.col("__copies")),
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        *df.columns, F.explode(seq).alias("epoch")
+    )
+
+
+def upsample_oracle_sql(
+    category_sql: str,
+    key_sql: str,
+    epochs: dict[str, float],
+    salt: str = "epoch-v1",
+) -> str:
+    """DuckDB fragment computing the identical copy count; compose as
+    ``..., unnest(range(1, ({fragment}) + 1)) r(epoch)``."""
+    _check_safe(salt)
+    plan = {
+        cat: (int(e), round((e - int(e)) * BUCKETS))
+        for cat, e in epochs.items()
+    }
+    keyed = f"('{salt}' || CAST({key_sql} AS VARCHAR))"
+    bucket = f"(({composite_hash_sql(keyed)}) % {BUCKETS})"
+    whole = " ".join(
+        f"WHEN {category_sql} = '{c}' THEN {w}" for c, (w, _) in plan.items()
+    )
+    frac = " ".join(
+        f"WHEN {category_sql} = '{c}' THEN {fb}" for c, (_, fb) in plan.items()
+    )
+    return (
+        f"(CASE {whole} ELSE 1 END"
+        f" + CASE WHEN {bucket} < (CASE {frac} ELSE 0 END)"
+        f" THEN 1 ELSE 0 END)"
+    )

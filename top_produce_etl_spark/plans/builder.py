@@ -215,6 +215,8 @@ def build_pipeline(
          "key_col": "doc_id", "weights": {"en": 3, "de": 1}} |
         {"op": "temperature_mix", "category_col": "source",
          "key_col": "doc_id"} |
+        {"op": "upsample_mixture", "category_col": "lang",
+         "key_col": "doc_id", "epochs": {"zh": 3.0, "es": 2.5}},
         {"op": "cap_per_category", "category_col": "source",
          "key_col": "doc_id", "cap": 100},
         {"op": "strip_duplicate_spans", "id_col": "doc_id",
@@ -405,6 +407,20 @@ def build_pipeline(
                 op["category_col"],
                 op["key_col"],
                 salt=op.get("salt", "temp-v1"),
+            )
+        elif kind == "upsample_mixture":
+            # epoch-aware upsampling from config (fractional epochs
+            # per category; replicas carry an epoch index)
+            from top_produce_etl_spark.operators.mixture import (
+                upsample_mixture,
+            )
+
+            df = upsample_mixture(
+                df,
+                op["category_col"],
+                op["key_col"],
+                {str(c): float(e) for c, e in op["epochs"].items()},
+                salt=op.get("salt", "epoch-v1"),
             )
         elif kind == "cap_per_category":
             # per-domain frequency cap from config

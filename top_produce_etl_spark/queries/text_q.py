@@ -1211,3 +1211,33 @@ def curriculum_stages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_stages(scored, "__q", n_stages=4).select(
         "doc_id", "stage"
     )
+
+
+# Epoch-aware upsampling (the complement of the downsampling
+# rebalance above): scarce languages run fractional extra epochs.
+_UPSAMPLE_EPOCHS = {"zh": 3.0, "es": 2.5, "de": 1.25}
+
+
+def _upsample_oracle() -> str:
+    from top_produce_etl_spark.operators.mixture import upsample_oracle_sql
+
+    copies = upsample_oracle_sql("lang", "doc_id", _UPSAMPLE_EPOCHS)
+    return f"""
+    SELECT doc_id, lang, epoch
+    FROM documents, unnest(range(1, ({copies}) + 1)) r(epoch)
+    """
+
+
+@query("upsampled_mixture_docs", oracle=_upsample_oracle(), extended=True)
+def upsampled_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch upsampling
+    (operators/mixture.py::upsample_mixture): zh runs 3 epochs, es
+    2.5 (every row twice, the salted-hash half a third time), de
+    1.25; en/fr pass through at one epoch. Each replica carries its
+    epoch index so downstream packing sees distinct rows."""
+    from top_produce_etl_spark.operators.mixture import upsample_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return upsample_mixture(
+        docs, "lang", "doc_id", _UPSAMPLE_EPOCHS
+    ).select("doc_id", "lang", "epoch")
