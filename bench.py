@@ -139,6 +139,7 @@ EXTENSION = [
     "duplicate_span_report",     # cross-doc exact-substring spans (r5w5)
     "contaminated_span_report",  # span-level test-set leak masking (r5w5)
     "upsampled_mixture_docs",    # fractional-epoch upsampling (r5w5)
+    "clean_corpus_pipeline",     # survivors -> span strip, e2e (r5w5)
     # masked_decontamination_proof is battery-gated, not timed: it
     # re-runs the contamination detection AND the post-mask overlap
     # join (~2x contaminated_span_report's cost) purely to prove

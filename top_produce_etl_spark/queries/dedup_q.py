@@ -826,3 +826,105 @@ def masked_decontamination_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("value"),
     )
     return m1.unionByName(m2).unionByName(m3).unionByName(m4)
+
+
+@query(
+    "clean_corpus_pipeline",
+    extended=True,
+    oracle=f"""
+WITH RECURSIVE pairs AS ({JACCARD_SQL}),
+edges AS (
+    SELECT a_id AS s, b_id AS t FROM pairs
+    UNION ALL
+    SELECT b_id AS s, a_id AS t FROM pairs
+),
+cc AS (
+    SELECT s AS id, s AS label FROM edges
+    UNION
+    SELECT e.s AS id, cc.label FROM edges e JOIN cc ON cc.id = e.t
+),
+comp AS (SELECT id, MIN(label) AS rep_id FROM cc GROUP BY id),
+surv AS (
+    SELECT d.doc_id, d.text FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM comp c WHERE c.id = d.doc_id AND c.id <> c.rep_id
+    )
+),
+stoks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM surv
+),
+spos AS (
+    SELECT doc_id, i AS p, array_to_string(t[i:i+7], ' ') AS sh
+    FROM stoks, unnest(range(1, len(t) - 6)) r(i)
+    WHERE len(t) >= 8
+),
+sdup AS (
+    SELECT sh FROM spos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+shits AS (
+    SELECT spos.doc_id, spos.p FROM spos JOIN sdup USING (sh)
+),
+smarked AS (
+    SELECT doc_id, p,
+           CASE WHEN lag(p) OVER w IS NULL
+                  OR p > lag(p) OVER w + 8 THEN 1 ELSE 0 END AS new_isl
+    FROM shits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+sgrp AS (
+    SELECT doc_id, p,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS g
+    FROM smarked
+),
+sspans AS (
+    SELECT doc_id, MIN(p) AS s, MAX(p) + 8 AS e
+    FROM sgrp GROUP BY doc_id, g
+),
+sallpos AS (
+    SELECT doc_id, i AS p, t[i] AS tok
+    FROM stoks, unnest(range(1, len(t) + 1)) r(i)
+),
+skept AS (
+    SELECT a.doc_id, a.p, a.tok
+    FROM sallpos a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sspans sp
+        WHERE sp.doc_id = a.doc_id AND a.p >= sp.s AND a.p < sp.e
+    )
+),
+sagg AS (
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY p) AS text_clean,
+           CAST(COUNT(*) AS INTEGER) AS kept_tokens
+    FROM skept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       COALESCE(a.kept_tokens, 0) AS kept_tokens,
+       len(string_split(s.text, ' ')) AS n_tokens
+FROM surv s
+LEFT JOIN sagg a ON a.doc_id = s.doc_id
+""",
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tier end-to-end as ONE verified pipeline — what a
+    training-data job actually materializes: near-dup pairs →
+    connected components → min-id survivors (document level), then
+    cross-document duplicate-SPAN stripping over the SURVIVOR corpus
+    (residual shared boilerplate the doc-level pass cannot pair).
+    The full cleaned text of every surviving document hash-matches
+    the DuckDB composition of the same stages."""
+    from top_produce_etl_spark.operators.dedup import (
+        connected_components,
+        strip_duplicate_spans,
+    )
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("rep_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv = docs.join(maybe_broadcast(losers), "doc_id", "left_anti")
+    return strip_duplicate_spans(surv, "doc_id", "text", k=8, min_docs=2)
