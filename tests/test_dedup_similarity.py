@@ -736,3 +736,18 @@ def test_mask_spans_passthrough_without_spans(spark):
     row = mask_spans(train, spans, "doc_id", "text").collect()[0]
     assert row["text_masked"] == "p q r s"
     assert (row["n_tokens"], row["masked_tokens"]) == (4, 0)
+
+
+def test_mask_spans_rejects_spaced_sentinel(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.dedup import mask_spans
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    spans = spark.createDataFrame(
+        [(1, 0, 3)], ["doc_id", "span_start", "span_len"]
+    )
+    with pytest.raises(ValueError):
+        mask_spans(df, spans, "doc_id", "text", sentinel="two words")
+    with pytest.raises(ValueError):
+        mask_spans(df, spans, "doc_id", "text", sentinel="")

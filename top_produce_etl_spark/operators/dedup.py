@@ -836,6 +836,12 @@ def mask_spans(
     """
     from top_produce_etl_spark.functions.text import tokens
 
+    if not sentinel or " " in sentinel:
+        # a spaced sentinel would re-tokenize into MULTIPLE tokens,
+        # silently shifting every downstream position/shingle
+        raise ValueError(
+            f"sentinel must be a single non-empty token, got {sentinel!r}"
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(
