@@ -70,6 +70,7 @@ EXTENSION = [
     "frequent_bigrams",          # MG heavy hitters + exact verify
     "segment_price_outliers",    # per-group fence/z-score outliers
     "cosine_topk_quantized",     # int8-quantized ANN
+    "cosine_topk_adc",           # asymmetric int8 ANN (r5w5)
     "funnel_3step_strict",       # ordered windowFunnel
     "event_transition_matrix",   # first-order transitions
     "trade_pagerank",            # iterative weighted PageRank
@@ -260,6 +261,9 @@ def main() -> None:
         ),
         f"quantized_recall_at_{RECALL_K}": recall_at_k(
             spark, queries, SF_DIR, "cosine_topk_quantized"
+        ),
+        f"adc_recall_at_{RECALL_K}": recall_at_k(
+            spark, queries, SF_DIR, "cosine_topk_adc"
         ),
     }
     # 64→16 random projection (r5w4): the JL gate is cosine-error,

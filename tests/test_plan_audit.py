@@ -66,6 +66,7 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "semi_anti_cross_pack",  # contains the cross-join branch
         "cosine_topk_numpy",  # same broadcast-queries shape as bruteforce
         "cosine_topk_quantized",  # broadcast-queries cross on int8 vectors
+        "cosine_topk_adc",  # same shape — int8 corpus, float queries
         "quantized_recall_report",  # composes bruteforce + quantized —
         # the cross is the SAME broadcast-small-queries attach those
         # two entries exempt; the evaluation itself is equi-join + agg

@@ -396,6 +396,54 @@ def cosine_topk_quantized(
     )
 
 
+def cosine_topk_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric top-k cosine (ADC): int8-quantized CORPUS, full-
+    precision QUERIES. The corpus — the side that dominates storage,
+    scan, and shuffle at 100 TB — keeps the 4x int8 compression of
+    :func:`cosine_topk_quantized`, while the |Q|-small query side
+    stays float, so quantization noise enters each score ONCE
+    instead of twice (the standard faiss/ScaNN trade: symmetric
+    recall loss roughly halves at identical corpus bytes).
+
+    Scoring is decimal-accumulated (each query-float x corpus-int
+    product is one exact double, folded in DECIMAL), so the whole
+    pipeline stays oracle-checkable like the symmetric variant —
+    no float-order caveat. Output: query_id, neighbor_id,
+    adc_cosine, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    c = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), vec_col
+    ).select("neighbor_id", F.col("qvec").alias("__cv"))
+    c = c.withColumn(
+        "__cn", F.sqrt(_int_dot(F.col("__cv"), F.col("__cv")).cast("double"))
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "adc_cosine",
+        _dec_dot(F.col("__qv"), F.col("__cv"))
+        / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )
+
+
 def _ord(v):
     """Total-order key for id tiebreaks in driver-side greedy loops:
     matches SQL ordering for the id types used here (numbers by

@@ -1780,3 +1780,74 @@ def trending_brands_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ewma_micro").desc(), "p_brand")
         .limit(10)
     )
+
+
+ADC_TOPK_SQL = """
+    WITH sc AS (
+        SELECT vec_id,
+               127.0 / greatest(
+                   list_max(list_transform(embedding,
+                                           x -> abs(CAST(x AS DOUBLE)))),
+                   1e-12) AS s
+        FROM embeddings
+    ), exc AS (
+        SELECT e.vec_id, r.i,
+               CAST(round(CAST(e.embedding[r.i] AS DOUBLE) * sc.s)
+                    AS BIGINT) AS qv
+        FROM embeddings e JOIN sc USING (vec_id),
+             unnest(range(1, 65)) r(i)
+    ), exq AS (
+        SELECT vec_id, r.i, CAST(embedding[r.i] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, 65)) r(i)
+        WHERE vec_id < 10
+    ), cnorm AS (
+        SELECT vec_id, sqrt(CAST(SUM(qv * qv) AS DOUBLE)) AS nrm
+        FROM exc GROUP BY vec_id
+    ), qnorm AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE))
+                   AS nrm
+        FROM exq GROUP BY vec_id
+    ), dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(CAST(q.v * CAST(c.qv AS DOUBLE)
+                             AS DECIMAL(28,14))) AS DOUBLE) AS dot
+        FROM exq q JOIN exc c ON q.i = c.i
+        WHERE q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_cosine, "rank"
+    FROM (
+        SELECT d.query_id, d.neighbor_id,
+               d.dot / (nq.nrm * nc.nrm) AS adc_cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                            d.neighbor_id ASC
+               ) AS "rank"
+        FROM dots d
+        JOIN qnorm nq ON d.query_id = nq.vec_id
+        JOIN cnorm nc ON d.neighbor_id = nc.vec_id
+    )
+    WHERE "rank" <= 3
+    """
+
+
+@query("cosine_topk_adc", extended=True, oracle=ADC_TOPK_SQL)
+def cosine_topk_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric quantized top-3 cosine
+    (operators/similarity.py::cosine_topk_adc): int8 corpus,
+    full-precision queries — the corpus keeps the 4x compression
+    while per-score quantization noise enters once instead of
+    twice. On THIS fixture recall@3 equals the symmetric variant's
+    0.9667: the one miss (query 8, rank 3) has a true-cosine gap of
+    ~4e-4 to the interloper — below int8 resolution whichever side
+    is exact, i.e. the fixture's 8-bit noise floor, not an ADC
+    defect (same analysis as the RP recall note). Gated per round
+    in bench beside the symmetric variant. Decimal-exact scoring
+    keeps the whole pipeline oracle-checked."""
+    from top_produce_etl_spark.operators.similarity import cosine_topk_adc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_adc(emb, queries, "vec_id", "embedding", k=3)
