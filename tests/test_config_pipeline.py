@@ -508,3 +508,44 @@ def test_declarative_span_masking_matches_operators(spark, sf_dir):
         ).collect()
     }
     assert got2 == want2
+
+
+def test_yaml_span_clean_runs_end_to_end(spark, sf_dir):
+    """configs/pipeline_span_clean.yaml -> build_pipeline must equal
+    the direct mask-then-strip composition over the same split."""
+    from top_produce_etl_spark.operators.dedup import (
+        contaminated_spans,
+        mask_spans,
+        strip_duplicate_spans,
+    )
+    from top_produce_etl_spark.operators.splits import assign_split
+    from top_produce_etl_spark.plans.builder import load_pipeline_spec
+
+    docs = assign_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter("split = 'train'")
+    test = docs.filter("split = 'test'")
+    spec = load_pipeline_spec("/root/repo/configs/pipeline_span_clean.yaml")
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in build_pipeline(
+            spark, spec, {"train_docs": train, "test_docs": test}
+        ).collect()
+    }
+
+    masked = mask_spans(
+        train,
+        contaminated_spans(train, test, "doc_id", "text", k=3),
+        "doc_id",
+        "text",
+    ).withColumnRenamed("text_masked", "text")
+    want = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_duplicate_spans(
+            masked, "doc_id", "text", k=8, min_docs=2
+        ).collect()
+    }
+    assert got == want and len(got) > 0
