@@ -780,3 +780,24 @@ def test_adc_recall_floor_vs_exact(spark, sf_dir):
         ).collect()
     }
     assert len(exact & adc) / len(exact) >= 0.9
+
+
+def test_mask_spans_overlapping_union_of_sources(spark):
+    """Spans from two detectors may overlap; every covered position
+    must still be masked and nothing outside leaks away."""
+    from top_produce_etl_spark.operators.dedup import mask_spans
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6")], ["doc_id", "text"]
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 3)],  # [1,4) and [2,5) overlap
+        ["doc_id", "span_start", "span_len"],
+    )
+    row = mask_spans(df, spans, "doc_id", "text").collect()[0]
+    toks = row["text_masked"].split(" ")
+    # t0 survives, t5/t6 survive, nothing from [1,5) survives
+    assert toks[0] == "t0" and toks[-2:] == ["t5", "t6"]
+    assert not {"t1", "t2", "t3", "t4"} & set(toks)
+    assert all(t == "<mask>" for t in toks[1:-2])
+    assert row["masked_tokens"] == 6  # raw span-length sum (3 + 3)

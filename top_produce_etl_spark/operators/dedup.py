@@ -827,8 +827,15 @@ def mask_spans(
 
     ``spans`` is any frame with (id_col, span_start, span_len) —
     :func:`duplicate_spans` and :func:`contaminated_spans` both
-    qualify. Output: ``id_col, text_masked, n_tokens,
-    masked_tokens`` for EVERY input document.
+    qualify, INCLUDING their union: overlapping spans from multiple
+    sources mask safely (every covered position is replaced; a
+    start that falls inside another span just emits an extra
+    sentinel, and ``masked_tokens`` sums the RAW span lengths, so
+    it can exceed distinct covered positions under overlap).
+    Output: ``id_col, text_masked, n_tokens, masked_tokens`` for
+    EVERY input document. ``id_col`` must be unique per document
+    (the fixture contract shared by every span operator here —
+    duplicate ids would merge two documents' position spaces).
 
     Scale shape: one |spans|-row collect_list per doc (bounded by
     doc length), a LEFT join back to the corpus, and a per-row
@@ -870,11 +877,15 @@ def mask_spans(
             lambda x: x.isNotNull(),
         )
     )
+    # long-seeded fold: span frames built by callers (or tests) may
+    # carry bigint starts/lengths — an int seed fails analysis there
     masked_n = F.coalesce(
         F.aggregate(
-            "__spans", F.lit(0), lambda acc, sp: acc + sp["e"] - sp["s"]
+            "__spans",
+            F.lit(0).cast("long"),
+            lambda acc, sp: acc + sp["e"].cast("long") - sp["s"].cast("long"),
         ),
-        F.lit(0),
+        F.lit(0).cast("long"),
     )
     return joined.select(
         F.col(id_col),
