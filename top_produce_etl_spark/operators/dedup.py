@@ -634,6 +634,8 @@ def duplicate_spans(
 
     Output: ``id_col, span_start, span_len, n_tokens`` — one row per
     maximal duplicated span, ``span_start`` 0-based in tokens.
+    ``id_col`` must be unique per document (duplicate ids would
+    merge two documents' position spaces in the island window).
 
     Scale shape: one shuffle to count per-shingle document frequency
     (map-side partial on the distinct pairs), one shuffle join of the

@@ -514,8 +514,9 @@ def upsample_mixture(
     ``floor(e)`` times, plus one more copy for the deterministic
     ``frac(e)`` fraction of keys (salted portable-hash buckets — the
     same append-stable contract as rebalance/splits). Categories NOT
-    in ``epochs`` pass through at one epoch; ``e = 0`` drops the
-    category.
+    in ``epochs`` pass through at one epoch (a NULL category never
+    equals any recipe key, so NULL rows pass through too); ``e = 0``
+    drops the category.
 
     Output: the original columns plus ``epoch`` (1..copies), so each
     replica is distinguishable downstream (sequence packing and
