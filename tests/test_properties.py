@@ -419,3 +419,47 @@ def test_duplicate_spans_partition_document(spark, docs, k):
             )
         ]
         assert kept[i]["text_clean"] == " ".join(expect)
+
+
+def test_upsample_append_stable(spark):
+    """Adding documents must not change existing keys' copy counts
+    (the salted-hash contract shared with splits/rebalance)."""
+    from top_produce_etl_spark.operators.mixture import upsample_mixture
+
+    base = [(i, "wiki") for i in range(30)]
+    grown = base + [(i, "wiki") for i in range(30, 60)]
+    def copies(rows):
+        out = upsample_mixture(
+            spark.createDataFrame(rows, ["k", "cat"]),
+            "cat", "k", {"wiki": 1.5},
+        ).collect()
+        c: dict[int, int] = {}
+        for r in out:
+            c[r["k"]] = c.get(r["k"], 0) + 1
+        return c
+    before, after = copies(base), copies(grown)
+    assert all(after[k] == v for k, v in before.items())
+
+
+@given(rows=SPAN_DOCS, parts=st.integers(min_value=1, max_value=7))
+@SETTINGS
+def test_duplicate_spans_partitioning_invariant(spark, rows, parts):
+    """Span output must not depend on physical partitioning."""
+    from top_produce_etl_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(rows)],
+        "doc_id int, text string",
+    )
+    a = sorted(
+        map(tuple, duplicate_spans(df, "doc_id", "text", k=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            duplicate_spans(
+                df.repartition(parts), "doc_id", "text", k=3
+            ).collect(),
+        )
+    )
+    assert a == b
