@@ -1,0 +1,120 @@
+"""Count-min + KMV sketch invariants (operators/countmin.py,
+operators/kmv.py): the one-sided CMS guarantee, lossless mergeability
+(the whole point of storing sketches), and KMV exactness below k /
+estimator sanity above k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.countmin import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from top_produce_etl_spark.operators.kmv import (
+    kmv_estimate,
+    kmv_overlap,
+    kmv_sketch,
+    kmv_union,
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_cms_estimate_is_one_sided(spark, sf_dir):
+    """estimate ≥ exact for EVERY key — the CMS contract."""
+    ev = _events(spark, sf_dir)
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sketch, exact, "user_id")
+    bad = est.where(F.col("cms_est") < F.col("exact")).count()
+    assert bad == 0
+    # and with width >> distinct keys, most estimates are exact
+    n = est.count()
+    tight = est.where(F.col("cms_est") == F.col("exact")).count()
+    assert tight >= n * 0.5
+
+
+def test_cms_merge_equals_whole(spark, sf_dir):
+    """SUM-merging per-day sketches == sketching the whole stream:
+    the property that makes the stored daily rollup lossless."""
+    ev = _events(spark, sf_dir)
+    day = F.to_date("ts")
+    cutoff = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    a = cms_build(ev.where(day <= F.lit(cutoff)), "user_id")
+    b = cms_build(ev.where(day > F.lit(cutoff)), "user_id")
+    merged = cms_merge(a.union(b))
+    whole = cms_build(ev, "user_id")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_sketch_is_bounded(spark, sf_dir):
+    """The sketch never exceeds depth × width rows regardless of
+    input size — the 100 TB argument in one assert."""
+    ev = _events(spark, sf_dir)
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    assert sketch.count() <= 4 * 64
+
+
+def test_kmv_exact_below_k(spark, sf_dir):
+    """Fewer distinct keys than k ⇒ the sketch is the set and the
+    estimate is exact (user_id DIV 4 keeps distincts < k=64)."""
+    ev = _events(spark, sf_dir)
+    key = "CAST(user_id DIV 4 AS STRING)"
+    sk = kmv_sketch(ev, ["event_type"], key, k=64)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(F.expr(key)).alias("exact")
+    )
+    rows = est.join(exact, "event_type").collect()
+    assert rows and all(r["exact"] < 64 for r in rows)
+    assert all(r["distinct_est"] == r["exact"] for r in rows)
+
+
+def test_kmv_rejects_overflow_k(spark, sf_dir):
+    """k > 128 would overflow the int64 estimator numerator — the
+    guard raises up front instead of failing in codegen."""
+    import pytest
+
+    ev = _events(spark, sf_dir)
+    with pytest.raises(ValueError, match="128"):
+        kmv_sketch(ev, [], "CAST(user_id AS STRING)", k=256)
+
+
+def test_kmv_estimator_in_band_above_k(spark, sf_dir):
+    """Above k the estimate is approximate; k=64 gives ~12.5% rel.
+    std. error — assert a generous 4σ band."""
+    ev = _events(spark, sf_dir)
+    key = "concat(CAST(user_id AS STRING), '@', CAST(event_id AS STRING))"
+    sk = kmv_sketch(ev, [], key, k=64)
+    est = kmv_estimate(sk, [], k=64).collect()[0]["distinct_est"]
+    exact = ev.selectExpr(key).distinct().count()
+    assert exact > 64
+    assert abs(est - exact) <= exact * 0.5
+
+
+def test_kmv_union_and_overlap(spark, sf_dir):
+    """Union sketch == sketch of the union (lossless merge), and the
+    overlap estimate of a set with itself is its own cardinality
+    estimate (ρ = 1)."""
+    ev = _events(spark, sf_dir)
+    key = "concat(CAST(user_id AS STRING), '@', CAST(event_id AS STRING))"
+    a = kmv_sketch(ev.where("event_type = 'view'"), [], key, k=64)
+    b = kmv_sketch(ev.where("event_type = 'click'"), [], key, k=64)
+    both = kmv_sketch(
+        ev.where("event_type IN ('view','click')"), [], key, k=64
+    )
+    u = kmv_union(a, b, k=64)
+    assert u.exceptAll(both.select("h")).count() == 0
+    assert both.select("h").exceptAll(u).count() == 0
+
+    self_ov = kmv_overlap(a, a, k=64).collect()[0]
+    assert self_ov["inter_est"] == self_ov["union_est"]
+
+    # disjoint key spaces (view vs click event_ids) ⇒ tiny overlap
+    ov = kmv_overlap(a, b, k=64).collect()[0]
+    assert ov["inter_est"] <= ov["union_est"] * 0.2

@@ -1,0 +1,182 @@
+"""Count-min sketch: mergeable point-frequency estimation.
+
+The HLL rollup (operators/sketches.py) answers "how many DISTINCT
+keys"; the count-min sketch answers the complementary streaming
+question — "roughly how OFTEN does key x occur" — in O(depth·width)
+space regardless of key cardinality, with a one-sided guarantee
+(estimate ≥ true count, overshoot ≤ εN with probability 1−δ for
+width = e/ε, depth = ln 1/δ; Cormode & Muthukrishnan 2005). Stored
+per day/partition it composes exactly like the HLL rollup: cells are
+plain counts, so a month's sketch is SUM over the dailies — no
+re-scan of the raw stream.
+
+Spark-first design (100 TB shape):
+- build: each row expands to ``depth`` (row, bucket) coordinates
+  and a hash-aggregate reduces them; map-side combine caps the
+  shuffle at tasks × depth × width rows, so the wire cost is the
+  SKETCH size, not the data size.
+- merge: SUM by (depth, bucket) — associative, any grain.
+- estimate: the sketch is depth × width rows (KB-scale), so it
+  broadcasts; query keys take min over depth of their cells.
+
+Cross-engine determinism: bucket = composite 56-bit portable hash
+(functions/portable_hash.py) of ``salt ‖ depth ‖ '_' ‖ key`` mod
+width — DuckDB computes bit-identical cells, so build + merge +
+estimate are all fully oracle-checked (no tolerance band needed:
+counts are integers).
+
+Reference parity: the reference's transform core
+(src/transform/core.py) is empty; this extends the beyond-reference
+sketch tier the round briefs ask for.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.portable_hash import (
+    composite_hash_col,
+    composite_hash_sql,
+)
+
+DEPTH = 4
+WIDTH = 512
+
+_SAFE_SALT = re.compile(r"[A-Za-z0-9_.\-]+")
+
+
+def _check_salt(salt: str) -> None:
+    """Salt is interpolated into generated SQL on both engines;
+    restrict to a quote-free charset (same rule as splits.py)."""
+    if not _SAFE_SALT.fullmatch(salt):
+        raise ValueError(f"salt must match {_SAFE_SALT.pattern!r}: {salt!r}")
+
+
+def _salted(salt: str, j: int, key_sql: str) -> str:
+    return f"concat('{salt}{j}_', CAST({key_sql} AS STRING))"
+
+
+def cms_build(
+    df: DataFrame,
+    key_sql: str,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+    salt: str = "cmsv1",
+) -> DataFrame:
+    """Build the sketch: one row per non-empty (depth, bucket) cell.
+
+    ``key_sql`` is a SQL expression (it is inlined into the hash
+    expression, like splits.py does). NULL keys hash as NULL buckets
+    and are dropped — count NULLs separately if they matter.
+
+    One explode (depth small: 4-8) + one hash-agg shuffle whose
+    distinct-key count is ≤ depth × width — partial aggregation
+    collapses the wire cost to sketch-size per task.
+    """
+    _check_salt(salt)
+    coords = F.array(*[
+        F.struct(
+            F.lit(j).alias("depth"),
+            (composite_hash_col(_salted(salt, j, key_sql)) % width)
+            .alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(coords).alias("c"))
+        .select("c.depth", "c.bucket")
+        .where(F.col("bucket").isNotNull())
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge any union of sketch relations built with the same
+    (depth, width, salt): cells are counts, so merge is SUM."""
+    return sketches.groupBy("depth", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+    salt: str = "cmsv1",
+    out: str = "cms_est",
+) -> DataFrame:
+    """Point-query a (small) key relation against the sketch.
+
+    The sketch is ≤ depth × width rows — broadcast unconditionally
+    (fixed-size by construction, like the nation/region dims); keys
+    expand to ``depth`` coordinate rows, left-join their cells
+    (absent cell = 0), and take MIN over depth. Estimate ≥ true
+    count always; equality when none of the key's cells collide.
+    """
+    _check_salt(salt)
+    coords = F.array(*[
+        F.struct(
+            F.lit(j).alias("depth"),
+            (composite_hash_col(_salted(salt, j, key_col)) % width)
+            .alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+    kb = keys.withColumn("__c", F.explode(coords)).select(
+        *keys.columns, F.col("__c.depth"), F.col("__c.bucket")
+    )
+    joined = kb.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return (
+        joined.groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out))
+    )
+
+
+def cms_cells_oracle_sql(
+    from_sql: str,
+    key_sql: str,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+    salt: str = "cmsv1",
+) -> str:
+    """DuckDB CTE body computing the identical cells: one aggregate
+    per depth, UNION ALL (the per-depth salt is baked into each)."""
+    _check_salt(salt)
+    parts = []
+    for j in range(depth):
+        h = composite_hash_sql(
+            f"concat('{salt}{j}_', CAST({key_sql} AS VARCHAR))"
+        )
+        parts.append(
+            f"SELECT {j} AS depth, ({h}) % {width} AS bucket,"
+            f" COUNT(*) AS cnt FROM {from_sql}"
+            f" WHERE {key_sql} IS NOT NULL GROUP BY 2"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def cms_key_coords_oracle_sql(
+    keys_sql: str,
+    key_sql: str,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+    salt: str = "cmsv1",
+) -> str:
+    """DuckDB CTE body: each key row × its ``depth`` coordinates."""
+    _check_salt(salt)
+    parts = []
+    for j in range(depth):
+        h = composite_hash_sql(
+            f"concat('{salt}{j}_', CAST({key_sql} AS VARCHAR))"
+        )
+        parts.append(
+            f"SELECT *, {j} AS depth, ({h}) % {width} AS bucket"
+            f" FROM ({keys_sql})"
+        )
+    return " UNION ALL ".join(parts)

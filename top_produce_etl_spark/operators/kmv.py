@@ -1,0 +1,192 @@
+"""KMV (k-minimum-values) distinct sketch with set-intersection
+estimation.
+
+HLL (operators/sketches.py) estimates |A| and |A ∪ B| but NOT
+|A ∩ B| without inclusion-exclusion error blowup. KMV (the theta-
+sketch family: Bar-Yossef et al. 2002, Beyer et al. 2007) keeps the
+k smallest distinct hash values of a set; h_k (the k-th smallest,
+normalized by hash space M) is a uniform order statistic, so
+
+    distinct ≈ (k-1) · M / h_k        (unbiased KMV estimator)
+
+and — the part HLL cannot do — the union sketch of A and B is the k
+smallest of (sketch_A ∪ sketch_B), a UNIFORM SAMPLE of A ∪ B, so
+the fraction ρ of its members present in both sketches estimates
+Jaccard, giving |A ∩ B| ≈ ρ · |A ∪ B|_est directly.
+
+Spark-first design (100 TB shape):
+- sketch: distinct (group, hash) is one hash-agg shuffle; the
+  per-group k-smallest filter is a rank window that Spark executes
+  as WindowGroupLimit — bounded per-partition state, no full sort
+  materialization.
+- everything downstream operates on sketches (k rows per group) —
+  merge/union/intersect never touch the raw data again.
+
+Cross-engine determinism: the 56-bit composite portable hash
+(functions/portable_hash.py) makes DuckDB compute bit-identical
+sketches, and the estimator uses INTEGER division ((k-1)·M DIV h_k,
+max (k-1)·2^56 < 2^63), so build + estimate + overlap are fully
+oracle-checked with no float tolerance.
+
+Reference parity: the reference's transform core
+(src/transform/core.py) is empty; beyond-reference sketch tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.portable_hash import (
+    COMPOSITE_BITS,
+    composite_hash_col,
+    composite_hash_sql,
+)
+
+HASH_SPACE = 1 << COMPOSITE_BITS  # 2^56
+K = 64
+# the estimator's (k-1)·2^56 numerator must stay inside int64
+# ((k-1) ≤ 127 ⇒ ≤ 127·2^56 < 2^63); k=128 is already ~8.8% rel.
+# std. error — raise COMPOSITE bits, not k, if you need tighter
+MAX_K = 128
+
+
+def _check_k(k: int) -> None:
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_sql: str,
+    k: int = K,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct hash values.
+
+    Output: group cols + ``h`` (one row per kept hash, ≤ k rows per
+    group). ``key_sql`` is a SQL expression inlined into the hash
+    (splits.py convention). Distinct KEYS are identified by distinct
+    HASHES — the 56-bit space makes same-group collisions negligible
+    and, crucially, deterministic (both engines lose the same ones).
+    """
+    _check_k(k)
+    hashed = df.select(
+        *group_cols, composite_hash_col(key_sql).alias("h")
+    ).where(F.col("h").isNotNull())
+    distinct = hashed.distinct()
+    if not group_cols:
+        # global sketch: sort+limit → TakeOrderedAndProject, a
+        # bounded per-partition top-k (a global row_number window
+        # would be a data-sized single partition — audit-forbidden)
+        return distinct.orderBy(F.col("h").asc()).limit(k)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = K,
+    out: str = "distinct_est",
+) -> DataFrame:
+    """Distinct-count estimate per group from its sketch rows.
+
+    Fewer than k kept values means the sketch IS the distinct set —
+    the estimate is exact. Otherwise (k-1)·M DIV h_k (integer)."""
+    _check_k(k)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__hk")
+    )
+    # integer DIV, not float /: (k-1)·2^56 exceeds double's 2^53
+    # exact-integer range, and Spark casts double→bigint by
+    # truncation while DuckDB rounds — DIV sidesteps both.
+    est = F.when(F.col("__n") < k, F.col("__n")).otherwise(
+        F.expr(f"{(k - 1) * HASH_SPACE}L DIV __hk")
+    )
+    return agg.select(*group_cols, est.alias(out))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = K) -> DataFrame:
+    """Union sketch: k smallest of the combined distinct hashes.
+    Operates on sketches only (≤ 2k rows in)."""
+    _check_k(k)
+    both = a.select("h").union(b.select("h")).distinct()
+    # sort+limit (TakeOrderedAndProject), not a global window —
+    # already sketch-sized here, but the audit rule is uniform
+    return both.orderBy(F.col("h").asc()).limit(k)
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, k: int = K
+) -> DataFrame:
+    """One-row |A ∪ B| and |A ∩ B| estimates from two sketches.
+
+    The union sketch is a uniform sample of A ∪ B; members present
+    in BOTH input sketches vote for the intersection. Integer-only:
+    inter_est = matches · union_est DIV kept."""
+    _check_k(k)
+    u = kmv_union(a, b, k)
+    marked = (
+        u.join(a.select("h").distinct(), "h", "left_semi")
+        .join(b.select("h").distinct(), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__matches"))
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).alias("__kept"), F.max("h").alias("__hk")
+    )
+    union_est = F.when(F.col("__kept") < k, F.col("__kept")).otherwise(
+        F.expr(f"{(k - 1) * HASH_SPACE}L DIV __hk")  # see kmv_estimate
+    )
+    return (
+        stats.crossJoin(marked)  # two 1-row relations
+        .withColumn("union_est", union_est)
+        # ρ·|A∪B|: matches ≤ k and union_est < 2^63/k, so the
+        # integer product cannot overflow before the DIV
+        .withColumn(
+            "inter_est", F.expr("(__matches * union_est) DIV __kept")
+        )
+        .select("union_est", "inter_est")
+    )
+
+
+def kmv_sketch_oracle_sql(
+    from_sql: str,
+    group_sql: list[str],
+    key_sql: str,
+    k: int = K,
+) -> str:
+    """DuckDB CTE body producing the identical sketch rows."""
+    h = composite_hash_sql(f"CAST({key_sql} AS VARCHAR)")
+    gsel = ", ".join(group_sql)
+    gpart = f"PARTITION BY {gsel}" if group_sql else ""
+    prefix = f"{gsel}, " if group_sql else ""
+    return f"""
+        SELECT {prefix}h FROM (
+            SELECT {prefix}h,
+                   row_number() OVER ({gpart} ORDER BY h) AS rn
+            FROM (SELECT DISTINCT {prefix}({h}) AS h
+                  FROM {from_sql}
+                  WHERE {key_sql} IS NOT NULL)
+        ) WHERE rn <= {k}
+    """
+
+
+def kmv_estimate_oracle_sql(
+    sketch_sql: str, group_sql: list[str], k: int = K
+) -> str:
+    """DuckDB estimator over a sketch CTE (same integer math)."""
+    gsel = ", ".join(group_sql)
+    prefix = f"{gsel}, " if group_sql else ""
+    gby = f"GROUP BY {gsel}" if group_sql else ""
+    return f"""
+        SELECT {prefix}
+               CASE WHEN COUNT(*) < {k} THEN COUNT(*)
+                    ELSE {(k - 1) * HASH_SPACE} // MAX(h)
+               END AS distinct_est
+        FROM ({sketch_sql}) {gby}
+    """

@@ -178,6 +178,7 @@ def _load_all() -> None:
         aggregates,
         analytics_q,
         dedup_q,
+        dsir_q,
         etl_q,
         eventtime,
         joins_q,
@@ -189,6 +190,7 @@ def _load_all() -> None:
         scalars2,
         setops,
         similarity_q,
+        sketch_q,
         streaming_q,
         text_q,
         tpch2_q,

@@ -1,0 +1,193 @@
+"""Frequency / distinct-intersection sketch queries (round 5,
+wave 5): count-min point-frequency estimation and KMV (theta-family)
+distinct + overlap estimation — the two mergeable-sketch shapes the
+HLL rollup (queries/eventtime.py) does not cover. Every query is
+fully oracle-checked: the sketches are built on the portable 56-bit
+hash and integer math, so DuckDB reproduces them bit-identically.
+
+Reference parity: the reference's transform core
+(src/transform/core.py) is empty; beyond-reference sketch tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.countmin import (
+    cms_build,
+    cms_cells_oracle_sql,
+    cms_estimate,
+    cms_key_coords_oracle_sql,
+)
+from top_produce_etl_spark.operators.kmv import (
+    kmv_estimate,
+    kmv_estimate_oracle_sql,
+    kmv_overlap,
+    kmv_sketch,
+    kmv_sketch_oracle_sql,
+)
+from top_produce_etl_spark.queries import query
+
+# user-day key: "<user_id>@<yyyy-mm-dd>" — both engines render
+# BIGINT and DATE casts to identical strings
+_UDAY_SPARK = (
+    "concat(CAST(user_id AS STRING), '@', "
+    "CAST(CAST(ts AS DATE) AS STRING))"
+)
+_UDAY_DUCK = (
+    "concat(CAST(user_id AS VARCHAR), '@', "
+    "CAST(CAST(ts AS DATE) AS VARCHAR))"
+)
+
+
+@query(
+    "countmin_user_event_counts", extended=True,
+    oracle=f"""
+    WITH cells AS ({cms_cells_oracle_sql("events", "user_id")}),
+    ex AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1
+    ),
+    keys AS (
+        SELECT * FROM ex ORDER BY exact_cnt DESC, user_id LIMIT 20
+    ),
+    kb AS ({cms_key_coords_oracle_sql("SELECT * FROM keys", "user_id")})
+    SELECT kb.user_id, kb.exact_cnt,
+           MIN(COALESCE(c.cnt, 0)) AS cms_est,
+           MIN(COALESCE(c.cnt, 0)) - kb.exact_cnt AS overcount
+    FROM kb LEFT JOIN cells c USING (depth, bucket)
+    GROUP BY kb.user_id, kb.exact_cnt
+    """,
+)
+def countmin_user_event_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min sketch point queries vs exact truth: sketch the
+    event stream by user, then estimate the 20 busiest users'
+    event counts from the sketch alone (operators/countmin.py —
+    build is one sketch-sized hash-agg shuffle; the depth×width
+    sketch broadcasts to the key probes; estimate ≥ exact is the
+    CMS one-sided guarantee, surfaced as ``overcount``)."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    keys = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    ).limit(20)
+    est = cms_estimate(sketch, keys, "user_id")
+    return est.withColumn(
+        "overcount", F.col("cms_est") - F.col("exact_cnt")
+    )
+
+
+_KMV_SKETCH_DUCK = kmv_sketch_oracle_sql(
+    "events", ["event_type"], _UDAY_DUCK
+)
+
+
+@query(
+    "kmv_userdays_by_type", extended=True,
+    oracle=f"""
+    WITH sk AS ({_KMV_SKETCH_DUCK}),
+    est AS ({kmv_estimate_oracle_sql("SELECT * FROM sk", ["event_type"])}),
+    ex AS (
+        SELECT event_type,
+               COUNT(DISTINCT {_UDAY_DUCK}) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT est.event_type, est.distinct_est, ex.exact_distinct
+    FROM est JOIN ex USING (event_type)
+    """,
+)
+def kmv_userdays_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct estimation vs exact truth: per event type,
+    estimate the number of distinct user-days from the k=64 smallest
+    portable-hash values (operators/kmv.py — one distinct shuffle,
+    then a WindowGroupLimit rank filter; the estimator is pure
+    integer math so the oracle is exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], _UDAY_SPARK)
+    est = kmv_estimate(sk, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(F.expr(_UDAY_SPARK)).alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+_VIEW_SK_DUCK = kmv_sketch_oracle_sql(
+    "(SELECT * FROM events WHERE event_type = 'view')", [], _UDAY_DUCK
+)
+_CLICK_SK_DUCK = kmv_sketch_oracle_sql(
+    "(SELECT * FROM events WHERE event_type = 'click')", [], _UDAY_DUCK
+)
+
+
+@query(
+    "kmv_overlap_view_click", extended=True,
+    oracle=f"""
+    WITH ska AS ({_VIEW_SK_DUCK}),
+    skb AS ({_CLICK_SK_DUCK}),
+    u AS (
+        SELECT h FROM (SELECT DISTINCT h FROM (
+            SELECT h FROM ska UNION ALL SELECT h FROM skb))
+        ORDER BY h LIMIT 64
+    ),
+    stats AS (SELECT COUNT(*) AS kept, MAX(h) AS hk FROM u),
+    m AS (
+        SELECT COUNT(*) AS matches FROM u
+        WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ),
+    uest AS (
+        SELECT CASE WHEN kept < 64 THEN kept
+                    ELSE {63 * (1 << 56)} // hk END AS union_est,
+               kept
+        FROM stats
+    ),
+    est AS (
+        SELECT union_est,
+               (matches * union_est) // kept AS inter_est
+        FROM uest, m
+    ),
+    va AS (SELECT DISTINCT {_UDAY_DUCK} AS ud FROM events
+           WHERE event_type = 'view'),
+    vb AS (SELECT DISTINCT {_UDAY_DUCK} AS ud FROM events
+           WHERE event_type = 'click'),
+    ex AS (
+        SELECT (SELECT COUNT(*) FROM (SELECT ud FROM va
+                UNION SELECT ud FROM vb)) AS exact_union,
+               (SELECT COUNT(*) FROM va WHERE ud IN
+                (SELECT ud FROM vb)) AS exact_inter
+    )
+    SELECT est.union_est, est.inter_est, ex.exact_union,
+           ex.exact_inter
+    FROM est, ex
+    """,
+)
+def kmv_overlap_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION estimation — the query shape HLL
+    cannot answer without inclusion-exclusion error blowup: how many
+    user-days saw BOTH a view and a click, estimated from two k=64
+    KMV sketches (operators/kmv.py::kmv_overlap — the union sketch
+    is a uniform sample of A ∪ B, so its double-membership fraction
+    estimates Jaccard). Exact truth rides along for the audit."""
+    ev = load_table(spark, sf_dir, "events")
+    view = ev.where(F.col("event_type") == "view")
+    click = ev.where(F.col("event_type") == "click")
+    ska = kmv_sketch(view, [], _UDAY_SPARK)
+    skb = kmv_sketch(click, [], _UDAY_SPARK)
+    est = kmv_overlap(ska, skb)
+
+    ka = view.select(F.expr(_UDAY_SPARK).alias("ud")).distinct()
+    kb = click.select(F.expr(_UDAY_SPARK).alias("ud")).distinct()
+    exact_union = (
+        ka.union(kb).distinct().agg(
+            F.count(F.lit(1)).alias("exact_union")
+        )
+    )
+    exact_inter = ka.join(kb, "ud", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact_inter")
+    )
+    return est.crossJoin(exact_union).crossJoin(exact_inter)
