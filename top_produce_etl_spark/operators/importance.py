@@ -1,0 +1,225 @@
+"""DSIR-style importance resampling for training-data selection.
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS
+2023, public paper): select raw-corpus documents whose hashed
+n-gram distribution looks like a TARGET corpus. Both distributions
+are bagged into B hash buckets; each bucket gets a log importance
+weight
+
+    λ_b = log p_target(b) − log p_raw(b)        (add-1 smoothed)
+
+and a document's score is the sum of λ over its token occurrences.
+Selection = top-N by score (deterministic) or Gumbel-max resampling
+(sample ∝ exp(score) — the classic Gumbel trick: perturb each score
+with G = −ln(−ln u) and take the top-N of the perturbed scores).
+
+Spark-first design (100 TB shape):
+- featurize: explode tokens → bucket via the portable hash; ONE
+  (bucket) hash-agg per distribution — partial aggregation caps the
+  shuffle at tasks × B rows (B defaults to 512).
+- the λ relation is EXACTLY B rows — fixed cardinality, broadcast
+  unconditionally (nation/region-class, not SF-scaled).
+- score: one (doc, bucket) explode joined map-side against the
+  broadcast λ, then a per-doc sum — a single data-sized shuffle.
+- no data-sized driver state; the model (λ) never leaves the JVM.
+
+Cross-engine determinism: the micro-nat fixed-point discipline of
+operators/retrieval.py::unigram_surprisal — every log is rounded to
+an integer number of micro-nats FIRST (L(x) = round(ln x · 1e6)),
+so per-doc totals are associative integer sums and DuckDB matches
+bit-for-bit. Gumbel noise derives from the portable hash of the
+doc id (u = (h + 0.5) / 2^56), so the "random" resample is also
+fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.functions.portable_hash import (
+    COMPOSITE_BITS,
+    composite_hash_col,
+    composite_hash_sql,
+)
+
+BUCKETS = 512
+INFO_SCALE = 1_000_000  # micro-nats
+_HASH_SPACE = 1 << COMPOSITE_BITS
+
+
+def _L(col):  # micro-nat fixed-point log (same contract as retrieval.py)
+    return F.round(F.log(col.cast("double")) * INFO_SCALE).cast("bigint")
+
+
+def _doc_buckets(
+    docs: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """(id, bucket): one row per token occurrence. Whitespace
+    tokenization (functions/text.py convention); empty tokens from
+    leading/trailing spaces hash like any other key — both engines
+    see the identical stream."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    )
+    return tok.select(
+        F.col(id_col),
+        (composite_hash_col("__tok") % buckets).alias("bucket"),
+    )
+
+
+def bucket_log_ratios(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: str,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """The fitted model: B rows of (bucket, lambda_micro).
+
+    λ_micro = [L(c_tgt+1) − L(T_tgt+B)] − [L(c_raw+1) − L(T_raw+B)]
+    with c the bucket counts, T the total counts, add-1 smoothing
+    over the full bucket domain (absent buckets count 0 — the domain
+    is materialized from sequence(), not from observed rows)."""
+    tb = _doc_buckets(docs, id_col, text_col, buckets).join(
+        docs.select(
+            F.col(id_col), F.expr(target_pred).alias("__is_tgt")
+        ),
+        id_col,
+    )
+    counts = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    domain = F.broadcast(
+        counts.sparkSession.range(buckets).select(
+            F.col("id").alias("bucket")
+        )
+    )
+    full = domain.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+    )
+    totals = full.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    lam = (
+        full.crossJoin(F.broadcast(totals))  # 1-row totals relation
+        .select(
+            "bucket",
+            (
+                (_L(F.col("c_tgt") + 1) - _L(F.col("t_tgt") + buckets))
+                - (_L(F.col("c_raw") + 1) - _L(F.col("t_raw") + buckets))
+            ).alias("lambda_micro"),
+        )
+    )
+    return lam
+
+
+def dsir_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: str,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """(id, n_tokens, score_micro): per-doc importance score =
+    integer sum of its token buckets' λ. The λ relation is exactly
+    ``buckets`` rows → unconditional broadcast."""
+    lam = bucket_log_ratios(docs, id_col, text_col, target_pred, buckets)
+    tb = _doc_buckets(docs, id_col, text_col, buckets)
+    return (
+        tb.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lambda_micro").alias("score_micro"),
+        )
+    )
+
+
+def gumbel_micro(id_sql: str, salt: str = "dsir-g1"):
+    """Integer micro-nat Gumbel(0,1) noise from the portable hash:
+    u = (h + 0.5) / 2^56 (never 0 or 1), G = −ln(−ln u)."""
+    h = composite_hash_col(f"concat('{salt}', CAST({id_sql} AS STRING))")
+    u = (h.cast("double") + 0.5) / float(_HASH_SPACE)
+    return F.round(-F.log(-F.log(u)) * INFO_SCALE).cast("bigint")
+
+
+def gumbel_micro_sql(id_sql: str, salt: str = "dsir-g1") -> str:
+    """DuckDB twin of :func:`gumbel_micro`."""
+    h = composite_hash_sql(
+        f"concat('{salt}', CAST({id_sql} AS VARCHAR))"
+    )
+    u = f"((({h}) + 0.5) / {float(_HASH_SPACE)})"
+    return f"CAST(round(-ln(-ln({u})) * {INFO_SCALE}) AS BIGINT)"
+
+
+def bucket_log_ratios_oracle_sql(
+    docs_sql: str,
+    id_sql: str,
+    text_sql: str,
+    target_pred: str,
+    buckets: int = BUCKETS,
+) -> str:
+    """DuckDB CTE body for the λ relation (bit-identical)."""
+    h = composite_hash_sql("__tok")
+    return f"""
+        WITH tb AS (
+            SELECT {id_sql} AS id, ({h}) % {buckets} AS bucket,
+                   ({target_pred}) AS __is_tgt
+            FROM (SELECT *, unnest(string_split({text_sql}, ' '))
+                         AS __tok
+                  FROM {docs_sql})
+        ),
+        counts AS (
+            SELECT bucket, COUNT(*) AS c_raw,
+                   SUM(CASE WHEN __is_tgt THEN 1 ELSE 0 END) AS c_tgt
+            FROM tb GROUP BY 1
+        ),
+        full_dom AS (
+            SELECT d.bucket, COALESCE(c.c_raw, 0) AS c_raw,
+                   COALESCE(c.c_tgt, 0) AS c_tgt
+            FROM (SELECT unnest(range({buckets})) AS bucket) d
+                 LEFT JOIN counts c USING (bucket)
+        ),
+        tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt
+                FROM full_dom)
+        SELECT bucket,
+               (CAST(round(ln(c_tgt + 1) * {INFO_SCALE}) AS BIGINT)
+                - CAST(round(ln(t_tgt + {buckets}) * {INFO_SCALE})
+                       AS BIGINT))
+               - (CAST(round(ln(c_raw + 1) * {INFO_SCALE}) AS BIGINT)
+                  - CAST(round(ln(t_raw + {buckets}) * {INFO_SCALE})
+                         AS BIGINT)) AS lambda_micro
+        FROM full_dom, tot
+    """
+
+
+def dsir_scores_oracle_sql(
+    docs_sql: str,
+    id_sql: str,
+    text_sql: str,
+    target_pred: str,
+    buckets: int = BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`dsir_scores` (reuses the λ CTE)."""
+    h = composite_hash_sql("__tok")
+    lam = bucket_log_ratios_oracle_sql(
+        docs_sql, id_sql, text_sql, target_pred, buckets
+    )
+    return f"""
+        WITH lam AS ({lam}),
+        tb2 AS (
+            SELECT {id_sql} AS id, ({h}) % {buckets} AS bucket
+            FROM (SELECT *, unnest(string_split({text_sql}, ' '))
+                         AS __tok
+                  FROM {docs_sql})
+        )
+        SELECT tb2.id, COUNT(*) AS n_tokens,
+               SUM(lam.lambda_micro) AS score_micro
+        FROM tb2 JOIN lam USING (bucket)
+        GROUP BY tb2.id
+    """

@@ -1,0 +1,83 @@
+"""DSIR importance-resampling queries (round 5, wave 5): select
+raw-corpus documents whose hashed-unigram distribution matches a
+target slice (lang='en'), deterministically and by Gumbel-max
+resampling — both fully oracle-checked (integer micro-nat scores,
+portable-hash noise; operators/importance.py).
+
+Reference parity: the reference's transform core
+(src/transform/core.py) is empty; beyond-reference LLM-curation
+tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.importance import (
+    dsir_scores,
+    dsir_scores_oracle_sql,
+    gumbel_micro,
+    gumbel_micro_sql,
+)
+from top_produce_etl_spark.queries import query
+
+_TARGET = "lang = 'en'"
+_SCORES_DUCK = dsir_scores_oracle_sql(
+    "documents", "doc_id", "text", _TARGET
+)
+
+
+@query(
+    "dsir_selection_top100", extended=True,
+    oracle=f"""
+    SELECT id AS doc_id, n_tokens, score_micro
+    FROM ({_SCORES_DUCK})
+    ORDER BY score_micro DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_selection_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection, deterministic variant: the 100 documents
+    whose hashed-unigram distribution is most target-like
+    (operators/importance.py::dsir_scores — the B-row λ model
+    broadcasts; one (doc, bucket) shuffle; top-N is a
+    TakeOrderedAndProject, no global sort materialization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_scores(docs, "doc_id", "text", _TARGET)
+    return scores.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
+@query(
+    "dsir_gumbel_resample", extended=True,
+    oracle=f"""
+    SELECT doc_id, score_micro, perturbed_micro
+    FROM (
+        SELECT id AS doc_id, score_micro,
+               score_micro + {gumbel_micro_sql("id")} AS perturbed_micro
+        FROM ({_SCORES_DUCK})
+    )
+    ORDER BY perturbed_micro DESC, doc_id LIMIT 60
+    """,
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling proper: sample 60 documents WITHOUT
+    replacement with probability ∝ exp(score) via the Gumbel-max
+    trick — each score is perturbed by G = −ln(−ln u) with u drawn
+    from the portable hash of the doc id, so the sample is both a
+    true weighted draw and exactly reproducible cross-engine
+    (operators/importance.py::gumbel_micro)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_scores(docs, "doc_id", "text", _TARGET)
+    perturbed = scores.select(
+        "doc_id",
+        "score_micro",
+        (F.col("score_micro") + gumbel_micro("doc_id")).alias(
+            "perturbed_micro"
+        ),
+    )
+    return perturbed.orderBy(
+        F.col("perturbed_micro").desc(), F.col("doc_id").asc()
+    ).limit(60)
