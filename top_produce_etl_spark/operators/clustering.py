@@ -461,3 +461,90 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def k_center_select(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> DataFrame:
+    """Greedy k-center / farthest-first traversal: a DIVERSE subset
+    of k embedding rows (Gonzalez 1985 — a 2-approximation of the
+    k-center cover; in LLM-data curation this is the classic
+    diversity-selection / coreset-seed pass complementing the
+    similarity-dedup operators, which REMOVE near-twins, by
+    POSITIVELY selecting spread-out exemplars).
+
+    Each round scores every point by its squared distance to the
+    nearest already-selected center (broadcast model literals, the
+    kmeans_fit shape: one scan + TakeOrdered(1), no data-sized
+    driver state — selected vectors are k·dim model rows) and
+    selects the farthest (tie-break: lowest id; center vectors are
+    6dp-rounded like kmeans init, the oracle's determinism
+    contract).
+
+    Output: (sel_round int, id, radius double) — ``radius`` is the
+    selected point's distance-to-cover, 6dp, a non-increasing
+    sequence that IS the k-center coverage-radius curve.
+    """
+    pts = df.select(F.col(id_col), F.col(vec_col))
+    first = pts.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    cents: list[tuple[int, list[float]]] = [
+        (0, [round(float(x), 6) for x in first[vec_col]])
+    ]
+    rows = [(0, first[id_col], 0.0)]
+    for r in range(1, k):
+        d = F.array_min(_dist_structs(vec_col)).getField("d")
+        cand = (
+            _attach_cents(pts, vec_col, cents)
+            .select(F.col(id_col), F.col(vec_col), d.alias("__d"))
+            .orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append(
+            (r, [round(float(x), 6) for x in cand[vec_col]])
+        )
+        rows.append((r, cand[id_col], round(float(cand["__d"]), 6)))
+    return df.sparkSession.createDataFrame(
+        rows, schema=f"sel_round int, {id_col} bigint, radius double"
+    )
+
+
+def k_center_oracle_sql(k: int = 8) -> str:
+    """Round-unrolled DuckDB twin of :func:`k_center_select` over
+    the embeddings table (same CTE scheme as the kmeans oracle)."""
+    dist_expr = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) ^ 2))"
+    )
+    sql = """WITH cents0 AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> ROUND(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 1)
+)"""
+    for r in range(1, k):
+        sql += f""",
+dist{r} AS (
+  SELECT e.vec_id, MIN({dist_expr}) AS d
+  FROM embeddings e CROSS JOIN cents{r - 1} c
+  GROUP BY e.vec_id
+),
+pick{r} AS (
+  SELECT vec_id, ROUND(d, 6) AS radius
+  FROM dist{r} ORDER BY d DESC, vec_id LIMIT 1
+),
+cents{r} AS (
+  SELECT * FROM cents{r - 1}
+  UNION ALL
+  SELECT e.vec_id, list_transform(e.embedding,
+         x -> ROUND(CAST(x AS DOUBLE), 6))
+  FROM embeddings e JOIN pick{r} USING (vec_id)
+)"""
+    picks = " UNION ALL ".join(
+        f"SELECT {r} AS sel_round, vec_id, radius FROM pick{r}"
+        for r in range(1, k)
+    )
+    sql += f"""
+SELECT 0 AS sel_round, vec_id, CAST(0 AS DOUBLE) AS radius FROM cents0
+UNION ALL
+{picks}"""
+    return sql

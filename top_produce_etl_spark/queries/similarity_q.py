@@ -848,3 +848,22 @@ def rp_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(
         proj, queries, "vec_id", "proj", k=3, scoring="double"
     )
+
+
+@query(
+    "kcenter_diverse_selection", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.clustering",
+        fromlist=["k_center_oracle_sql"],
+    ).k_center_oracle_sql(k=8),
+)
+def kcenter_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity selection: greedy k-center (farthest-first) picks 8
+    maximally spread embedding exemplars; ``radius`` traces the
+    non-increasing coverage-radius curve
+    (operators/clustering.py::k_center_select — one scan +
+    TakeOrdered(1) per round against broadcast model literals)."""
+    from top_produce_etl_spark.operators.clustering import k_center_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return k_center_select(emb, "vec_id", "embedding", k=8)
