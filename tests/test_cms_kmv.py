@@ -118,3 +118,24 @@ def test_kmv_union_and_overlap(spark, sf_dir):
     # disjoint key spaces (view vs click event_ids) ⇒ tiny overlap
     ov = kmv_overlap(a, b, k=64).collect()[0]
     assert ov["inter_est"] <= ov["union_est"] * 0.2
+
+
+def test_kmv_fast_twin_accuracy_parity(spark, sf_dir):
+    """The xxhash64 production path estimates the same cardinality
+    within the k=64 error band (±4σ ≈ ±50%), and its sketch is
+    bounded like the oracle path's."""
+    ev = _events(spark, sf_dir)
+    key = "concat(CAST(user_id AS STRING), '@', CAST(event_id AS STRING))"
+    exact = ev.selectExpr(key).distinct().count()
+    sk = kmv_sketch(ev, [], key, k=64, hasher="xxhash64")
+    assert sk.count() <= 64
+    est = kmv_estimate(sk, [], k=64).collect()[0]["distinct_est"]
+    assert abs(est - exact) <= exact * 0.5
+
+
+def test_kmv_rejects_unknown_hasher(spark, sf_dir):
+    import pytest
+
+    ev = _events(spark, sf_dir)
+    with pytest.raises(ValueError, match="hasher"):
+        kmv_sketch(ev, [], "CAST(user_id AS STRING)", hasher="md5")

@@ -66,3 +66,28 @@ def test_gumbel_noise_is_reproducible_and_salted(spark, sf_dir):
     }
     assert set(base) == set(other)
     assert sum(base[i] == other[i] for i in base) < len(base)
+
+
+def test_fast_twin_selection_overlap(spark, sf_dir):
+    """xxhash64 bucketing is a different (equally valid) featurizer;
+    the SELECTION it induces must still largely agree with the
+    portable-hash oracle path — the signal is the distribution, not
+    the hash."""
+    docs = _docs(spark, sf_dir)
+    a = dsir_scores(docs, "doc_id", "text", "lang = 'en'")
+    b = dsir_scores(
+        docs, "doc_id", "text", "lang = 'en'", hasher="xxhash64"
+    )
+
+    def top100(df):
+        return {
+            r["doc_id"]
+            for r in df.orderBy(
+                F.col("score_micro").desc(), F.col("doc_id").asc()
+            )
+            .limit(100)
+            .collect()
+        }
+
+    overlap = len(top100(a) & top100(b))
+    assert overlap >= 60

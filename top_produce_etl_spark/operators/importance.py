@@ -53,20 +53,29 @@ def _L(col):  # micro-nat fixed-point log (same contract as retrieval.py)
 
 
 def _doc_buckets(
-    docs: DataFrame, id_col: str, text_col: str, buckets: int
+    docs: DataFrame, id_col: str, text_col: str, buckets: int,
+    hasher: str = "portable",
 ) -> DataFrame:
     """(id, bucket): one row per token occurrence. Whitespace
     tokenization (functions/text.py convention); empty tokens from
     leading/trailing spaces hash like any other key — both engines
-    see the identical stream."""
+    see the identical stream.
+
+    ``hasher``: "portable" (oracle path) or "xxhash64" (production
+    path — one fused JVM intrinsic per token; a different but
+    equally valid bucketing, so scores shift slightly while the
+    selection signal is preserved — parity-tested)."""
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
     )
-    return tok.select(
-        F.col(id_col),
-        (composite_hash_col("__tok") % buckets).alias("bucket"),
-    )
+    if hasher == "xxhash64":
+        bucket = F.pmod(F.xxhash64("__tok"), F.lit(buckets))
+    elif hasher == "portable":
+        bucket = composite_hash_col("__tok") % buckets
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    return tok.select(F.col(id_col), bucket.alias("bucket"))
 
 
 def bucket_log_ratios(
@@ -75,6 +84,7 @@ def bucket_log_ratios(
     text_col: str,
     target_pred: str,
     buckets: int = BUCKETS,
+    hasher: str = "portable",
 ) -> DataFrame:
     """The fitted model: B rows of (bucket, lambda_micro).
 
@@ -82,7 +92,7 @@ def bucket_log_ratios(
     with c the bucket counts, T the total counts, add-1 smoothing
     over the full bucket domain (absent buckets count 0 — the domain
     is materialized from sequence(), not from observed rows)."""
-    tb = _doc_buckets(docs, id_col, text_col, buckets).join(
+    tb = _doc_buckets(docs, id_col, text_col, buckets, hasher).join(
         docs.select(
             F.col(id_col), F.expr(target_pred).alias("__is_tgt")
         ),
@@ -124,12 +134,15 @@ def dsir_scores(
     text_col: str,
     target_pred: str,
     buckets: int = BUCKETS,
+    hasher: str = "portable",
 ) -> DataFrame:
     """(id, n_tokens, score_micro): per-doc importance score =
     integer sum of its token buckets' λ. The λ relation is exactly
     ``buckets`` rows → unconditional broadcast."""
-    lam = bucket_log_ratios(docs, id_col, text_col, target_pred, buckets)
-    tb = _doc_buckets(docs, id_col, text_col, buckets)
+    lam = bucket_log_ratios(
+        docs, id_col, text_col, target_pred, buckets, hasher
+    )
+    tb = _doc_buckets(docs, id_col, text_col, buckets, hasher)
     return (
         tb.join(F.broadcast(lam), "bucket")
         .groupBy(id_col)

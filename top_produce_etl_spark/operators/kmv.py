@@ -61,6 +61,7 @@ def kmv_sketch(
     group_cols: list[str],
     key_sql: str,
     k: int = K,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Per-group KMV sketch: the k smallest distinct hash values.
 
@@ -69,11 +70,27 @@ def kmv_sketch(
     (splits.py convention). Distinct KEYS are identified by distinct
     HASHES — the 56-bit space makes same-group collisions negligible
     and, crucially, deterministic (both engines lose the same ones).
+
+    ``hasher``: "portable" (oracle-checkable cross-engine, the
+    battery path) or "xxhash64" (one fused JVM intrinsic masked to
+    the same 56-bit space — the production path, ~3× cheaper; the
+    simhash/ivf fast-twin precedent). Estimator math is identical.
     """
     _check_k(k)
-    hashed = df.select(
-        *group_cols, composite_hash_col(key_sql).alias("h")
-    ).where(F.col("h").isNotNull())
+    if hasher == "xxhash64":
+        # xxhash64(NULL) returns the seed, not NULL — guard so NULL
+        # keys drop in both paths alike
+        h = F.expr(
+            f"CASE WHEN ({key_sql}) IS NULL THEN NULL "
+            f"ELSE xxhash64({key_sql}) & {HASH_SPACE - 1} END"
+        )
+    elif hasher == "portable":
+        h = composite_hash_col(key_sql)
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    hashed = df.select(*group_cols, h.alias("h")).where(
+        F.col("h").isNotNull()
+    )
     distinct = hashed.distinct()
     if not group_cols:
         # global sketch: sort+limit → TakeOrderedAndProject, a

@@ -81,3 +81,20 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perturbed.orderBy(
         F.col("perturbed_micro").desc(), F.col("doc_id").asc()
     ).limit(60)
+
+
+@query("dsir_selection_fast", extended=True)
+def dsir_selection_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`dsir_selection_top100` on xxhash64
+    token bucketing (one fused JVM intrinsic per token vs the
+    portable hash's interpreted polynomial fold) — identical plan,
+    different (equally valid) bucketing, so this is a rows-only
+    battery entry; selection-overlap parity with the oracle path is
+    pinned in tests/test_importance.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_scores(
+        docs, "doc_id", "text", _TARGET, hasher="xxhash64"
+    )
+    return scores.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(100)

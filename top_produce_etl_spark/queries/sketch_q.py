@@ -191,3 +191,19 @@ def kmv_overlap_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_inter")
     )
     return est.crossJoin(exact_union).crossJoin(exact_inter)
+
+
+@query("kmv_userdays_fast", extended=True)
+def kmv_userdays_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`kmv_userdays_by_type` on masked
+    xxhash64 (same 56-bit space, same integer estimator) — a
+    different but equally uniform hash, so estimates differ within
+    the k=64 error band; rows-only battery entry, accuracy parity
+    pinned in tests/test_cms_kmv.py."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], _UDAY_SPARK, hasher="xxhash64")
+    est = kmv_estimate(sk, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(F.expr(_UDAY_SPARK)).alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
