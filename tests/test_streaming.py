@@ -349,3 +349,19 @@ def test_idempotent_append_sink_exactly_once(spark, tmp_path):
         (r.k, r.v) for r in read_committed_appends(spark, out).collect()
     )
     assert final == first + [(100, 100), (101, 101), (102, 102)]
+
+
+def test_cms_stream_equals_batch(spark, sf_dir):
+    """The streaming-maintained count-min sketch equals the batch
+    sketch cell-for-cell once the bounded source is consumed —
+    bounded state (≤ depth × width) is the whole point."""
+    from top_produce_etl_spark.operators.countmin import cms_build
+    from top_produce_etl_spark.streaming.jobs import run_cms_stream
+
+    streamed = run_cms_stream(spark, sf_dir, sink_table="t_cms_stream")
+    batch = cms_build(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id"
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.count() <= 4 * 512

@@ -242,3 +242,23 @@ def stream_session_windows_parity(
     return sessionize_stream(
         events, sink_table="oracle_stream_sessions"
     )
+
+
+@query(
+    "stream_countmin_parity", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.countmin",
+        fromlist=["cms_cells_oracle_sql"],
+    ).cms_cells_oracle_sql("events", "user_id"),
+)
+def stream_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained by Structured Streaming
+    (streaming/jobs.py:run_cms_stream): the incremental engine's
+    bounded state (≤ depth × width cells) after consuming the whole
+    fixture must equal the batch-built sketch — and the oracle is
+    DuckDB re-deriving the same cells from the portable hash, so
+    this one query pins streaming parity AND cross-engine
+    determinism of the sketch at once."""
+    from top_produce_etl_spark.streaming.jobs import run_cms_stream
+
+    return run_cms_stream(spark, sf_dir, sink_table="oracle_stream_cms")

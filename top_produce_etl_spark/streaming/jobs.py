@@ -730,3 +730,34 @@ def purchase_click_outer_attribution_stream(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_cms_cells",
+) -> DataFrame:
+    """Count-min sketch built BY THE STREAMING RUNTIME: readStream →
+    the identical cms_build projection/aggregation (narrow explode +
+    hash-agg — streaming-legal), complete-mode memory sink.
+
+    The CMS is the canonical streaming-frequency structure: its cells
+    are plain counts, so the incremental engine maintains them with
+    bounded state (≤ depth × width rows) forever — no watermark
+    needed, the sketch IS the state bound. For a fully-consumed
+    bounded source the sink equals the batch sketch bit-for-bit,
+    which the parity query's DuckDB oracle re-derives cross-engine.
+    """
+    from top_produce_etl_spark.operators.countmin import cms_build
+
+    events = stream_events(spark, sf_dir)
+    sketch = cms_build(events, "user_id")
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
