@@ -549,3 +549,40 @@ def test_yaml_span_clean_runs_end_to_end(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_yaml_dsir_selection_shares_query_oracle(spark, sf_dir):
+    """The shipped YAML DSIR pipeline under the portable hasher must
+    select EXACTLY the doc set of the oracle-checked
+    dsir_selection_top100 query — the YAML path inherits the
+    battery's verification; the shipped xxhash64 default must
+    produce the same-shaped corpus (n rows, source columns)."""
+    import duckdb
+
+    from top_produce_etl_spark.plans.builder import load_pipeline_spec
+    from top_produce_etl_spark.queries import get_all_oracles
+
+    spec = load_pipeline_spec("/root/repo/configs/pipeline_dsir.yaml")
+    tables = {"documents": load_table(spark, sf_dir, "documents")}
+
+    # production default: selection of n docs with source columns
+    fast = build_pipeline(spark, spec, tables)
+    assert fast.columns == tables["documents"].columns
+    assert fast.count() == 100
+
+    # oracle parity: portable hasher reproduces the battery query
+    spec["ops"][0]["hasher"] = "portable"
+    got = {
+        r["doc_id"] for r in build_pipeline(spark, spec, tables).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = {
+        r[0]
+        for r in con.execute(
+            get_all_oracles()["dsir_selection_top100"]
+        ).fetchall()
+    }
+    assert got == oracle and len(got) == 100

@@ -226,7 +226,9 @@ def build_pipeline(
          "sentinel": "<mask>"},
         {"op": "curation_funnel", "id_col": "doc_id", "text_col": "text",
          "lang": "en", "min_quality": 0.65, "max_dup_ngram_frac": 0.05,
-         "max_mean_info_micro": 3450000, "keep_only": false}
+         "max_mean_info_micro": 3450000, "keep_only": false},
+        {"op": "dsir_select", "id_col": "doc_id", "text_col": "text",
+         "target_pred": "lang = 'en'", "n": 100}
       ]
     }
 
@@ -436,6 +438,33 @@ def build_pipeline(
                 salt=op.get("salt", "cap-v1"),
                 strategy=op.get("strategy", "hash"),
             )
+        elif kind == "dsir_select":
+            # DSIR importance selection from config: keep the n
+            # documents most like the target slice (the same
+            # verified function behind dsir_selection_top100; the
+            # xxhash64 featurizer is the production default, the
+            # portable hasher opts into oracle-parity runs)
+            from top_produce_etl_spark.operators.importance import (
+                dsir_scores,
+            )
+
+            scores = dsir_scores(
+                df,
+                op["id_col"],
+                op["text_col"],
+                op["target_pred"],
+                buckets=int(op.get("buckets", 512)),
+                hasher=op.get("hasher", "xxhash64"),
+            )
+            keep = (
+                scores.orderBy(
+                    F.col("score_micro").desc(),
+                    F.col(op["id_col"]).asc(),
+                )
+                .limit(int(op["n"]))
+                .select(op["id_col"])
+            )
+            df = df.join(keep, op["id_col"], "left_semi")
         else:
             raise ValueError(f"unknown op: {kind}")
     return df
