@@ -139,3 +139,20 @@ def test_kmv_rejects_unknown_hasher(spark, sf_dir):
     ev = _events(spark, sf_dir)
     with pytest.raises(ValueError, match="hasher"):
         kmv_sketch(ev, [], "CAST(user_id AS STRING)", hasher="md5")
+
+
+def test_cms_sum_sketch_one_sided(spark, sf_dir):
+    """The SUM variant keeps the one-sided guarantee for
+    non-negative values: estimate ≥ exact for every key."""
+    ev = _events(spark, sf_dir)
+    val = "CAST(round(value * 1000) AS BIGINT)"  # non-negative milli
+    sketch = cms_build(
+        ev.where("value >= 0"), "user_id", value_sql=val
+    )
+    exact = (
+        ev.where("value >= 0")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr(val)).alias("exact"))
+    )
+    est = cms_estimate(sketch, exact, "user_id")
+    assert est.where(F.col("cms_est") < F.col("exact")).count() == 0

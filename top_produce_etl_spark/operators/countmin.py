@@ -65,12 +65,18 @@ def cms_build(
     depth: int = DEPTH,
     width: int = WIDTH,
     salt: str = "cmsv1",
+    value_sql: str | None = None,
 ) -> DataFrame:
     """Build the sketch: one row per non-empty (depth, bucket) cell.
 
     ``key_sql`` is a SQL expression (it is inlined into the hash
     expression, like splits.py does). NULL keys hash as NULL buckets
     and are dropped — count NULLs separately if they matter.
+
+    ``value_sql``: None counts occurrences (the classic CMS);
+    a BIGINT SQL expression sums it instead (the count-min SUM
+    sketch — "estimated revenue per key" in sketch space; the
+    one-sided guarantee holds as long as the value is non-negative).
 
     One explode (depth small: 4-8) + one hash-agg shuffle whose
     distinct-key count is ≤ depth × width — partial aggregation
@@ -85,12 +91,13 @@ def cms_build(
         )
         for j in range(depth)
     ])
+    val = F.lit(1) if value_sql is None else F.expr(value_sql)
     return (
-        df.select(F.explode(coords).alias("c"))
-        .select("c.depth", "c.bucket")
+        df.select(F.explode(coords).alias("c"), val.alias("__v"))
+        .select("c.depth", "c.bucket", "__v")
         .where(F.col("bucket").isNotNull())
         .groupBy("depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__v").alias("cnt"))
     )
 
 
@@ -144,10 +151,12 @@ def cms_cells_oracle_sql(
     depth: int = DEPTH,
     width: int = WIDTH,
     salt: str = "cmsv1",
+    value_sql: str | None = None,
 ) -> str:
     """DuckDB CTE body computing the identical cells: one aggregate
     per depth, UNION ALL (the per-depth salt is baked into each)."""
     _check_salt(salt)
+    agg = "COUNT(*)" if value_sql is None else f"SUM({value_sql})"
     parts = []
     for j in range(depth):
         h = composite_hash_sql(
@@ -155,7 +164,7 @@ def cms_cells_oracle_sql(
         )
         parts.append(
             f"SELECT {j} AS depth, ({h}) % {width} AS bucket,"
-            f" COUNT(*) AS cnt FROM {from_sql}"
+            f" {agg} AS cnt FROM {from_sql}"
             f" WHERE {key_sql} IS NOT NULL GROUP BY 2"
         )
     return " UNION ALL ".join(parts)

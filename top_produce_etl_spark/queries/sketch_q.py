@@ -207,3 +207,53 @@ def kmv_userdays_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.expr(_UDAY_SPARK)).alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+# exact cents: the double goes through DECIMAL first (the
+# functions/numeric.py discipline) — a raw double*100 cast
+# truncates in Spark but rounds in DuckDB (observed 3-cent
+# drift on this fixture)
+_REV_SPARK = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"
+_REV_DUCK = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)"
+
+
+@query(
+    "countmin_revenue_by_customer", extended=True,
+    oracle=f"""
+    WITH cells AS ({cms_cells_oracle_sql(
+        "orders", "o_custkey", value_sql=_REV_DUCK)}),
+    ex AS (
+        SELECT o_custkey, SUM({_REV_DUCK}) AS exact_cents
+        FROM orders GROUP BY 1
+    ),
+    keys AS (
+        SELECT * FROM ex ORDER BY exact_cents DESC, o_custkey LIMIT 10
+    ),
+    kb AS ({cms_key_coords_oracle_sql("SELECT * FROM keys", "o_custkey")})
+    SELECT kb.o_custkey, kb.exact_cents,
+           MIN(COALESCE(c.cnt, 0)) AS cms_cents,
+           MIN(COALESCE(c.cnt, 0)) - kb.exact_cents AS overcount
+    FROM kb LEFT JOIN cells c USING (depth, bucket)
+    GROUP BY kb.o_custkey, kb.exact_cents
+    """,
+)
+def countmin_revenue_by_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-min SUM sketch: estimated revenue-cents per customer
+    from sketch space alone (operators/countmin.py::cms_build with
+    value_sql — same depth×width cells, SUM instead of COUNT; the
+    one-sided guarantee holds because revenue is non-negative).
+    Probes the 10 top spenders against exact truth."""
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = cms_build(orders, "o_custkey", value_sql=_REV_SPARK)
+    exact = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr(_REV_SPARK)).alias("exact_cents")
+    )
+    keys = exact.orderBy(
+        F.col("exact_cents").desc(), F.col("o_custkey").asc()
+    ).limit(10)
+    est = cms_estimate(sketch, keys, "o_custkey", out="cms_cents")
+    return est.withColumn(
+        "overcount", F.col("cms_cents") - F.col("exact_cents")
+    )
