@@ -791,3 +791,54 @@ def test_file_size_report_and_compaction_advisor(spark, tmp_path):
         spark, path, target_file_bytes=1 << 20, min_files=8
     )
     assert not after and rep3["n_files"] < 8
+
+
+def test_read_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Dirty JSONL ingest: well-formed rows land with the declared
+    schema, malformed lines are quarantined VERBATIM for replay —
+    nothing dropped, nothing fails the job."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from top_produce_etl_spark.io.sources import read_quarantine
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{broken json line\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "not-a-number", "name": "type clash"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+        ]
+    )
+    good, bad = read_quarantine(spark, str(p), schema)
+    assert good.columns == ["id", "name"]
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    rows = bad.collect()
+    bad_lines = [r["_corrupt_record"] for r in rows]
+    assert len(bad_lines) == 2
+    assert "{broken json line" in bad_lines  # raw text preserved
+    # PERMISSIVE salvage: the type-clash row keeps its good field
+    salvaged = {r["name"] for r in rows}
+    assert "type clash" in salvaged
+    # replay contract: every input line is in exactly one leg
+    assert good.count() + bad.count() == 4
+
+
+def test_read_quarantine_rejects_colliding_corrupt_col(spark, tmp_path):
+    import pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from top_produce_etl_spark.io.sources import read_quarantine
+
+    schema = StructType([StructField("_corrupt_record", StringType())])
+    with pytest.raises(ValueError, match="collides"):
+        read_quarantine(spark, str(tmp_path), schema)

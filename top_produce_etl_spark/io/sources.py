@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 # Canonical fixture tables (TESTDATA.md).
@@ -350,3 +351,65 @@ def pruning_report(spark, path: str, col: str, lo=None, hi=None) -> dict:
         "bytes_total": manifest["total_bytes"],
         "bytes_kept": bk,
     }
+
+
+def read_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "json",
+    corrupt_col: str = "_corrupt_record",
+    options: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dirty-ingest pattern for semi-structured sources: PERMISSIVE
+    parse with corrupt-record capture, split into (good, quarantine).
+
+    A 100 TB JSON/CSV ingest ALWAYS contains malformed lines;
+    FAILFAST kills the job on the first one and DROPMALFORMED loses
+    them silently — the production shape is to land good rows and
+    QUARANTINE the raw text of bad ones for replay after a parser
+    fix (same reasoning as the sink's idempotent-append design:
+    never drop data you can't re-derive).
+
+    Returns ``(good, bad)``: ``good`` has exactly ``schema``'s
+    columns; ``bad`` keeps the FULL row — whatever fields PERMISSIVE
+    salvaged (nulls where parsing failed) plus the verbatim raw line
+    in ``corrupt_col``. The parsed frame is CACHED before the
+    split (MEMORY_AND_DISK, spilling as needed): Spark refuses any
+    query whose pruned SOURCE schema is only the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
+    the bad leg's filter and a caller's ``bad.count()`` prune to
+    exactly that — the cache boundary pins the full-row parse, which
+    is also Spark's documented remedy. Cost: one materialization of
+    the parsed landing zone, amortized across both legs (the
+    alternative at extreme scale is a write-side split:
+    foreachBatch/partitioned write of both legs in one pass).
+
+    Reference parity: the reference's loader
+    (src/utils/spark_helper.py) reads trusted parquet only; this is
+    part of the beyond-reference raw-ingestion surface.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    if not isinstance(schema, StructType):
+        raise TypeError("read_quarantine needs an explicit StructType")
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"{corrupt_col!r} collides with a schema field")
+    # NOT schema.add(): that appends IN PLACE and would mutate the
+    # caller's schema object
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType())]
+    )
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.format(fmt).load(path).cache()
+    good = df.where(F.col(corrupt_col).isNull()).select(
+        *[F.col(f) for f in schema.fieldNames()]
+    )
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return good, bad
