@@ -138,37 +138,84 @@ def kmv_union(a: DataFrame, b: DataFrame, k: int = K) -> DataFrame:
     return both.orderBy(F.col("h").asc()).limit(k)
 
 
+def _theta_scaled(cnt_col: str, theta_col: str) -> str:
+    """Exact integer floor(cnt · M / θ) decomposed to stay inside
+    int64:  cnt·(M DIV θ) + (cnt·(M MOD θ)) DIV θ.
+
+    Safe because cnt ≤ 2k ≤ 256 = 2^8, M MOD θ < 2^56, and θ ≥ 2k
+    in any realistic regime (θ < 2k would mean ≳2^52 distinct keys;
+    callers get a NULL there rather than silent overflow — see the
+    guard at the call sites). Both engines evaluate the identical
+    integer ops, so the oracle matches bit-for-bit (cross-engine
+    check pinned when this landed: Spark DIV == DuckDB // on the
+    decomposition for boundary θ values)."""
+    return (
+        f"{cnt_col} * ({HASH_SPACE}L DIV {theta_col})"
+        f" + ({cnt_col} * ({HASH_SPACE}L % {theta_col})) DIV {theta_col}"
+    )
+
+
 def kmv_overlap(
     a: DataFrame, b: DataFrame, k: int = K
 ) -> DataFrame:
-    """One-row |A ∪ B| and |A ∩ B| estimates from two sketches.
+    """One-row |A ∪ B| and |A ∩ B| estimates from two sketches —
+    the standard THETA-sketch estimator (Dasgupta et al. 2016
+    lineage): θ = min of the two sketches' k-th smallest values
+    (M when a sketch holds its whole set), the combined distinct
+    hashes below θ form a uniform sample of A ∪ B at inclusion
+    probability θ/M, and EVERY sample member's membership in each
+    input is decidable (h < θ ≤ that sketch's own threshold), so
 
-    The union sketch is a uniform sample of A ∪ B; members present
-    in BOTH input sketches vote for the intersection. Integer-only:
-    inter_est = matches · union_est DIV kept."""
+        est(S) = |sample ∩ S| · M / θ        (integer-exact DIV)
+
+    — unlike the naive union-sketch resemblance, which cannot decide
+    B-membership for hashes past B's threshold and undercounts ρ.
+    When both inputs hold their whole sets (θ = M) the estimates are
+    exact. θ < 512 (≈2^52+ distinct keys) returns NULL estimates
+    instead of risking int64 overflow in the scale-up.
+    """
     _check_k(k)
-    u = kmv_union(a, b, k)
-    marked = (
-        u.join(a.select("h").distinct(), "h", "left_semi")
-        .join(b.select("h").distinct(), "h", "left_semi")
-        .agg(F.count(F.lit(1)).alias("__matches"))
-    )
-    stats = u.agg(
-        F.count(F.lit(1)).alias("__kept"), F.max("h").alias("__hk")
-    )
-    union_est = F.when(F.col("__kept") < k, F.col("__kept")).otherwise(
-        F.expr(f"{(k - 1) * HASH_SPACE}L DIV __hk")  # see kmv_estimate
-    )
-    return (
-        stats.crossJoin(marked)  # two 1-row relations
-        .withColumn("union_est", union_est)
-        # ρ·|A∪B|: matches ≤ k and union_est < 2^63/k, so the
-        # integer product cannot overflow before the DIV
+    a_st = a.agg(F.count(F.lit(1)).alias("__na"), F.max("h").alias("__ha"))
+    b_st = b.agg(F.count(F.lit(1)).alias("__nb"), F.max("h").alias("__hb"))
+    m = F.lit(HASH_SPACE)
+    stats = (
+        a_st.crossJoin(b_st)  # two 1-row relations
         .withColumn(
-            "inter_est", F.expr("(__matches * union_est) DIV __kept")
+            "__theta",
+            F.least(
+                F.when(F.col("__na") < k, m).otherwise(F.col("__ha")),
+                F.when(F.col("__nb") < k, m).otherwise(F.col("__hb")),
+            ),
         )
-        .select("union_est", "inter_est")
+        .select("__theta")
     )
+    sample = (
+        a.select("h").union(b.select("h")).distinct()
+        .crossJoin(F.broadcast(stats))  # 1-row θ relation
+        .where(F.col("h") < F.col("__theta"))
+    )
+    u_cnt = sample.agg(F.count(F.lit(1)).alias("__uc"))
+    i_cnt = (
+        sample.join(a.select("h").distinct(), "h", "left_semi")
+        .join(b.select("h").distinct(), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("__ic"))
+    )
+    est = (
+        stats.crossJoin(u_cnt).crossJoin(i_cnt)  # 1-row relations
+        .withColumn(
+            "union_est",
+            F.when(F.col("__theta") == m, F.col("__uc"))
+            .when(F.col("__theta") < 512, F.lit(None).cast("bigint"))
+            .otherwise(F.expr(_theta_scaled("__uc", "__theta"))),
+        )
+        .withColumn(
+            "inter_est",
+            F.when(F.col("__theta") == m, F.col("__ic"))
+            .when(F.col("__theta") < 512, F.lit(None).cast("bigint"))
+            .otherwise(F.expr(_theta_scaled("__ic", "__theta"))),
+        )
+    )
+    return est.select("union_est", "inter_est")
 
 
 def kmv_sketch_oracle_sql(

@@ -130,26 +130,38 @@ _CLICK_SK_DUCK = kmv_sketch_oracle_sql(
     oracle=f"""
     WITH ska AS ({_VIEW_SK_DUCK}),
     skb AS ({_CLICK_SK_DUCK}),
-    u AS (
-        SELECT h FROM (SELECT DISTINCT h FROM (
-            SELECT h FROM ska UNION ALL SELECT h FROM skb))
-        ORDER BY h LIMIT 64
+    ast AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM ska),
+    bst AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM skb),
+    th AS (
+        SELECT LEAST(
+            CASE WHEN ast.n < 64 THEN {1 << 56} ELSE ast.hk END,
+            CASE WHEN bst.n < 64 THEN {1 << 56} ELSE bst.hk END
+        ) AS theta
+        FROM ast, bst
     ),
-    stats AS (SELECT COUNT(*) AS kept, MAX(h) AS hk FROM u),
-    m AS (
-        SELECT COUNT(*) AS matches FROM u
+    samp AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM ska UNION ALL SELECT h FROM skb), th
+        WHERE h < th.theta
+    ),
+    uc AS (SELECT COUNT(*) AS c FROM samp),
+    ic AS (
+        SELECT COUNT(*) AS c FROM samp
         WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
     ),
-    uest AS (
-        SELECT CASE WHEN kept < 64 THEN kept
-                    ELSE {63 * (1 << 56)} // hk END AS union_est,
-               kept
-        FROM stats
-    ),
     est AS (
-        SELECT union_est,
-               (matches * union_est) // kept AS inter_est
-        FROM uest, m
+        SELECT
+            CASE WHEN theta = {1 << 56} THEN uc.c
+                 WHEN theta < 512 THEN NULL
+                 ELSE uc.c * ({1 << 56} // theta)
+                      + (uc.c * ({1 << 56} % theta)) // theta
+            END AS union_est,
+            CASE WHEN theta = {1 << 56} THEN ic.c
+                 WHEN theta < 512 THEN NULL
+                 ELSE ic.c * ({1 << 56} // theta)
+                      + (ic.c * ({1 << 56} % theta)) // theta
+            END AS inter_est
+        FROM th, uc, ic
     ),
     va AS (SELECT DISTINCT {_UDAY_DUCK} AS ud FROM events
            WHERE event_type = 'view'),
