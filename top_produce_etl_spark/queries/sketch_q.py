@@ -202,7 +202,16 @@ def kmv_overlap_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_inter = ka.join(kb, "ud", "left_semi").agg(
         F.count(F.lit(1)).alias("exact_inter")
     )
-    return est.crossJoin(exact_union).crossJoin(exact_inter)
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+
+    # 1-row attaches as constant-key broadcast hash joins (the
+    # no-cartesian plan-audit contract)
+    return attach_scalar_row(
+        attach_scalar_row(est, exact_union, "union_est", "exact_union"),
+        exact_inter,
+        "exact_union",
+        "exact_inter",
+    )
 
 
 @query("kmv_userdays_fast", extended=True)
