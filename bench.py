@@ -150,6 +150,7 @@ EXTENSION = [
     "kmv_userdays_fast",         # KMV distinct sketch, xxhash64 (r5w6)
     "dsir_selection_fast",       # DSIR selection, xxhash64 (r5w6)
     "kcenter_diverse_selection",  # farthest-first diversity pick (r5w6)
+    "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
     # masked_decontamination_proof is battery-gated, not timed: it
     # re-runs the contamination detection AND the post-mask overlap
     # join (~2x contaminated_span_report's cost) purely to prove
@@ -284,6 +285,12 @@ def main() -> None:
     rp = queries["rp_quality_report"](spark, SF_DIR).collect()[0]
     recalls["rp_cos_mae"] = float(rp["cos_mae"])
     recalls["rp_cos_max_err"] = float(rp["cos_max_err"])
+    # PQ (r5w6): same treatment — recall tracked untargeted, the
+    # gate is reconstruction-cosine MAE (measured ~0.12 at 32x
+    # compression; tests/test_pq.py pins <= 0.2 at the smoke SF)
+    recalls[f"pq_recall_at_{RECALL_K}"] = recall_at_k(
+        spark, queries, SF_DIR, "pq_topk_embeddings"
+    )
     for k, v in recalls.items():
         print(f"# {k}: {v}", file=sys.stderr)
 

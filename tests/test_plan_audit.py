@@ -67,6 +67,8 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "cosine_topk_numpy",  # same broadcast-queries shape as bruteforce
         "cosine_topk_quantized",  # broadcast-queries cross on int8 vectors
         "cosine_topk_adc",  # same shape — int8 corpus, float queries
+        "pq_topk_embeddings",  # same shape — codeword-reconstructed
+        # corpus (8-byte codes at rest), float queries
         "quantized_recall_report",  # composes bruteforce + quantized —
         # the cross is the SAME broadcast-small-queries attach those
         # two entries exempt; the evaluation itself is equi-join + agg

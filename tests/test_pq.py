@@ -1,0 +1,88 @@
+"""Product-quantization invariants (operators/pq.py): model shape,
+code bounds, determinism, and that reconstruction actually ranks
+near-neighbors (recall sanity vs the exact baseline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pq_model_and_code_bounds(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, "vec_id", "embedding", dim=64)
+    assert len(books) == 8
+    assert all(1 <= len(b) <= 16 for b in books)
+    assert all(len(cv) == 8 for b in books for cv in b)
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    row = enc.agg(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("s"),
+    ).collect()[0]
+    assert row["lo"] >= 1 and row["s"] == 8
+    assert row["hi"] <= max(len(b) for b in books)
+
+
+def test_pq_encode_rerun_identical(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, "vec_id", "embedding", dim=64)
+    a = pq_encode(emb, "vec_id", "embedding", books).collect()
+    b = pq_encode(emb, "vec_id", "embedding", books).collect()
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_pq_rejects_indivisible_dim(spark, sf_dir):
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, "vec_id", "embedding", dim=64, subspaces=7)
+
+
+def test_pq_reconstruction_cosine_error_bounded(spark, sf_dir):
+    """The meaningful PQ quality gate on this near-uniform fixture
+    is reconstruction-cosine error, not recall (the random-
+    projection precedent: true top-3 gaps here are slivers, so
+    recall is noise — bench tracks it untargeted). Measured MAE is
+    ~0.10 at 32× compression (vs the RP tier's 0.18 at 4×); gate at
+    0.2 with headroom, plus a far-better-than-chance recall floor.
+    """
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10")
+    n = emb.count()
+    exact = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
+    # k = corpus size ⇒ the PQ ranking carries a pq_cosine for every
+    # (query, candidate) pair; join the exact top pairs against it
+    full = pq_topk(emb, queries, "vec_id", "embedding", dim=64, k=n)
+    j = exact.join(
+        full.select("query_id", "neighbor_id", "pq_cosine"),
+        ["query_id", "neighbor_id"],
+    )
+    stats = j.agg(
+        F.avg(F.abs(F.col("cosine") - F.col("pq_cosine"))).alias("mae"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert stats["n"] == 30
+    assert stats["mae"] <= 0.2
+
+    exact_set = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    top3 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in full.where(F.col("rank") <= 3).collect()
+    }
+    # chance overlap ≈ 3/|corpus| ≈ 0.06 at the smoke SF; PQ sits
+    # well above it
+    assert len(exact_set & top3) / len(exact_set) >= 0.15

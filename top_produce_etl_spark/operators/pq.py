@@ -1,0 +1,356 @@
+"""Product quantization (PQ) for embedding compression + ANN.
+
+The quantization tier so far compresses uniformly: int8 scalar
+(4×, operators/similarity.py::quantize_embeddings), asymmetric int8
+ADC, and random-projection dimension cuts. PQ (Jégou, Douze, Schmid
+2011 — the faiss workhorse) is the codebook family: split each
+vector into S subvectors, k-means each subspace to C codewords, and
+store S small code ids per vector — 64 float dims become S=8 bytes
+(32× smaller than float32) while distances stay computable against
+the codebooks.
+
+Spark-first design (100 TB shape):
+- train: ALL S subspaces per Lloyd round in ONE scan + ONE
+  (subspace, code, dim) hash-agg (see pq_train) — the same "small
+  model, big data" loop as IVF/k-means (S·C·d driver state only);
+  production trains on a bounded sample, the fixture path trains on
+  the whole table so the DuckDB oracle can re-derive identical
+  codebooks.
+- model: all S codebooks ride ONE one-row broadcast relation
+  (``array<array<array<double>>>``) — the _cents_rel lesson:
+  literal arrays of this size dominate codegen, a one-row join
+  carries them as plain columns at identical arithmetic.
+- encode: S narrow argmin expressions per row — map-side only,
+  zero shuffle; the encoded corpus is the thing you STORE.
+- search (ADC style): queries stay full-precision; a candidate's
+  vector is RECONSTRUCTED from its codewords and scored with the
+  exact-decimal cosine kernel, so the whole pipeline remains
+  oracle-checkable bit-for-bit. (The classic LUT optimization —
+  per-query S×C distance tables — is a physical shortcut to the
+  same reconstructed score; the reconstruction spelling is the
+  verifiable one and the LUT is noted here for the cluster port.)
+
+Determinism contract (the kmeans oracle scheme): init = codewords
+from the C lowest-id vectors' subvectors, 6 dp rounding at init and
+after every update, argmin tie-breaks on codeword position, empty
+codewords drop. Codes are 1-based POSITIONS in the cid-ordered
+codebook so the oracle's row_number enumeration matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.similarity import _dec_dot
+
+SUBSPACES = 8
+CODES = 16
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    subspaces: int = SUBSPACES,
+    codes: int = CODES,
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Fit the S codebooks: ``books[s][pos-1] = subvector``
+    (position-dense; empty codewords drop on update, like
+    kmeans_fit).
+
+    ALL subspaces train in the same pass: init is ONE collect of the
+    C lowest-id vectors (sliced driver-side), and each Lloyd round
+    is ONE scan — the S per-subspace assignments are S narrow argmin
+    expressions over the broadcast model, the vector posexplodes
+    once, and a single (subspace, code, dim) hash-agg updates every
+    codebook (S·C·d model rows back to the driver). A per-subspace
+    kmeans_fit loop computes the same model in S× the scans and 2S×
+    the driver round-trips — measured 9.3 s → the fused trainer at
+    sf0.1."""
+    if dim % subspaces:
+        raise ValueError(f"dim {dim} not divisible by {subspaces}")
+    d = dim // subspaces
+    init_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(codes)
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [
+            [round(float(x), 6) for x in r[vec_col][s * d:(s + 1) * d]]
+            for r in init_rows
+        ]
+        for s in range(subspaces)
+    ]
+    for _ in range(iters):
+        enc = pq_encode(df, id_col, vec_col, books, keep_vec=True)
+        longf = enc.select(
+            F.col("codes"),
+            F.posexplode(F.col(vec_col)).alias("__p0", "__x"),
+        ).select(
+            (F.col("__p0") / d).cast("int").alias("__s"),
+            F.element_at(
+                F.col("codes"), ((F.col("__p0") / d).cast("int") + 1)
+            ).alias("__code"),
+            F.pmod(F.col("__p0"), F.lit(d)).alias("__i"),
+            F.col("__x"),
+        )
+        rows = (
+            longf.groupBy("__s", "__code", "__i")
+            .agg(F.round(F.avg(F.col("__x").cast("double")), 6).alias("v"))
+            .collect()
+        )
+        by_s: dict[int, dict[int, dict[int, float]]] = {}
+        for r in rows:
+            by_s.setdefault(r["__s"], {}).setdefault(r["__code"], {})[
+                r["__i"]
+            ] = r["v"]
+        books = [
+            [
+                [cw[i] for i in sorted(cw)]
+                for _, cw in sorted(by_s.get(s, {}).items())
+            ]
+            for s in range(subspaces)
+        ]
+    return books
+
+
+def _pq_rel(spark, books: list[list[list[float]]]) -> DataFrame:
+    """The PQ model as a ONE-ROW broadcastable relation."""
+    vecs = [[[float(x) for x in cv] for cv in book] for book in books]
+    return spark.createDataFrame(
+        [(0, vecs)], "__pk int, __pq_vecs array<array<array<double>>>"
+    )
+
+
+def _attach_model(df: DataFrame, vec_col: str, books) -> DataFrame:
+    # non-foldable always-0 key → BroadcastHashJoin (audit contract)
+    return (
+        df.withColumn(
+            "__pk", F.pmod(F.size(F.col(vec_col)), F.lit(1)).cast("int")
+        )
+        .join(F.broadcast(_pq_rel(df.sparkSession, books)), "__pk")
+        .drop("__pk")
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    out: str = "codes",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, codes): 1-based codeword positions per subspace — S
+    narrow argmin expressions, no shuffle. Subvector slices are
+    materialized in their own projection first so codegen doesn't
+    re-slice per codeword (the staged-tokenization lesson in
+    functions/text.py)."""
+    subspaces = len(books)
+    d = len(books[0][0])
+    staged = _attach_model(df.select(F.col(id_col), vec_col), vec_col, books)
+    for s in range(subspaces):
+        staged = staged.withColumn(
+            f"__s{s}", F.slice(F.col(vec_col), s * d + 1, d)
+        )
+    def _cand_fn(s: int):
+        # a closure, NOT a `s=s` default arg — PySpark counts lambda
+        # parameters to bind HOF variables, and a defaulted third
+        # parameter reads as a 3-arg lambda (NUM_ARGS_MISMATCH)
+        def fn(cv, p):
+            return F.struct(
+                _sq_dist(F.col(f"__s{s}"), cv).alias("d"),
+                p.alias("p"),
+            ).cast("struct<d:double,p:int>")
+
+        return fn
+
+    code_cols = []
+    for s in range(subspaces):
+        book = F.element_at(F.col("__pq_vecs"), s + 1)
+        cands = F.zip_with(
+            book, F.sequence(F.lit(1), F.size(book)), _cand_fn(s)
+        )
+        code_cols.append(F.array_min(cands).getField("p"))
+    cols = [F.col(id_col), F.array(*code_cols).alias(out)]
+    if keep_vec:
+        cols.append(F.col(vec_col))
+    return staged.select(*cols)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    subspaces: int = SUBSPACES,
+    codes: int = CODES,
+) -> DataFrame:
+    """Asymmetric PQ top-k cosine: full-precision queries scored
+    against codeword-reconstructed corpus vectors with the exact
+    DECIMAL kernel. Output: query_id, neighbor_id, pq_cosine, rank.
+    """
+    books = pq_train(
+        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+    )
+    enc = pq_encode(corpus, id_col, vec_col, books)
+    enc = _attach_model(
+        enc.withColumnRenamed(id_col, "neighbor_id"), "codes", books
+    )
+    recon = F.flatten(
+        F.array(*[
+            F.element_at(
+                F.element_at(F.col("__pq_vecs"), s + 1),
+                F.element_at(F.col("codes"), s + 1),
+            )
+            for s in range(subspaces)
+        ])
+    )
+    c = enc.withColumn("__rv", recon).withColumn(
+        "__rn", F.sqrt(_dec_dot(F.col("__rv"), F.col("__rv")))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    # broadcast-queries cross: the standard |Q|-small ANN scoring
+    # shape (cosine_topk_bruteforce/adc exemption in the plan audit)
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "pq_cosine",
+        _dec_dot(F.col("__qv"), F.col("__rv"))
+        / (F.col("__qn") * F.col("__rn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rank")
+    )
+
+
+def pq_topk_oracle_sql(
+    dim: int = 64,
+    subspaces: int = SUBSPACES,
+    codes: int = CODES,
+    k: int = 3,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`pq_topk` over the embeddings table:
+    per-subspace unrolled 1-iteration Lloyd (the kmeans oracle
+    scheme — init = C lowest-id subvectors at 6 dp, argmin tie-break
+    on codeword id, update means at 6 dp, empty codewords drop),
+    positional encode, codeword reconstruction, and the exact
+    DECIMAL cosine of the ADC oracle."""
+    d = dim // subspaces
+    parts = []
+    enc_parts = []
+    rec_parts = []
+    for s in range(subspaces):
+        lo = s * d  # 0-based offset; DuckDB lists are 1-based
+        dist0 = (
+            f"list_sum(list_transform(range(1, {d} + 1), "
+            f"i -> (CAST(e.embedding[{lo} + i] AS DOUBLE) "
+            f"- c.cvec[i]) ^ 2))"
+        )
+        parts.append(f"""
+cb{s}_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(embedding[{lo + 1}:{lo + d}],
+                        x -> ROUND(CAST(x AS DOUBLE), 6)) AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {codes})
+),
+asg{s} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {dist0}, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cb{s}_0 c
+  ) WHERE rn = 1
+),
+cbl{s} AS (
+  SELECT a.cid, t.i AS dim,
+         ROUND(AVG(CAST(e.embedding[{lo} + t.i] AS DOUBLE)), 6) AS v
+  FROM asg{s} a JOIN embeddings e USING (vec_id),
+       UNNEST(generate_series(1, {d})) AS t(i)
+  GROUP BY a.cid, t.i
+),
+cb{s} AS (
+  SELECT row_number() OVER (ORDER BY cid) AS pos,
+         list(v ORDER BY dim) AS cvec
+  FROM (SELECT cid, v, dim FROM cbl{s}) GROUP BY cid
+)""")
+        enc_parts.append(f"""
+enc{s} AS (
+  SELECT vec_id, pos FROM (
+    SELECT e.vec_id, c.pos,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {dist0.replace("c.cid", "c.pos")}, c.pos) AS rn
+    FROM embeddings e CROSS JOIN cb{s} c
+  ) WHERE rn = 1
+)""")
+        rec_parts.append(
+            f"SELECT a.vec_id, {lo} + t.i AS dim, c.cvec[t.i] AS v"
+            f" FROM enc{s} a JOIN cb{s} c USING (pos),"
+            f" UNNEST(generate_series(1, {d})) AS t(i)"
+        )
+    body = ",".join(parts) + "," + ",".join(enc_parts)
+    recon = " UNION ALL ".join(rec_parts)
+    return f"""WITH {body},
+recon AS ({recon}),
+cnorm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+  FROM recon GROUP BY vec_id
+),
+exq AS (
+  SELECT vec_id, r.i AS dim, CAST(embedding[r.i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, {dim} + 1)) r(i)
+  WHERE {query_pred}
+),
+qnorm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+  FROM exq GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+  FROM exq q JOIN recon c ON q.dim = c.dim
+  WHERE q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, pq_cosine, "rank"
+FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.nrm * nc.nrm) AS pq_cosine,
+         ROW_NUMBER() OVER (
+             PARTITION BY d.query_id
+             ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                      d.neighbor_id ASC
+         ) AS "rank"
+  FROM dots d
+  JOIN qnorm nq ON d.query_id = nq.vec_id
+  JOIN cnorm nc ON d.neighbor_id = nc.vec_id
+)
+WHERE "rank" <= {k}"""

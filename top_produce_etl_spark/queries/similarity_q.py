@@ -867,3 +867,24 @@ def kcenter_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return k_center_select(emb, "vec_id", "embedding", k=8)
+
+
+@query(
+    "pq_topk_embeddings", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.pq",
+        fromlist=["pq_topk_oracle_sql"],
+    ).pq_topk_oracle_sql(dim=64, k=3),
+)
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): 8 codebooks × 16
+    codewords turn 64 float dims into 8 bytes (32× compression);
+    queries stay full-precision and score against codeword
+    reconstructions with the exact-decimal kernel — training,
+    encoding, and search all FULLY oracle-checked via per-subspace
+    unrolled-Lloyd CTEs (the kmeans oracle scheme)."""
+    from top_produce_etl_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, "vec_id", "embedding", dim=64, k=3)
