@@ -151,6 +151,7 @@ EXTENSION = [
     "dsir_selection_fast",       # DSIR selection, xxhash64 (r5w6)
     "kcenter_diverse_selection",  # farthest-first diversity pick (r5w6)
     "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
+    "pq_topk_fast",              # same plan, double fast path (r5w6)
     # masked_decontamination_proof is battery-gated, not timed: it
     # re-runs the contamination detection AND the post-mask overlap
     # join (~2x contaminated_span_report's cost) purely to prove

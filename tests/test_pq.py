@@ -86,3 +86,25 @@ def test_pq_reconstruction_cosine_error_bounded(spark, sf_dir):
     # chance overlap ≈ 3/|corpus| ≈ 0.06 at the smoke SF; PQ sits
     # well above it
     assert len(exact_set & top3) / len(exact_set) >= 0.15
+
+
+def test_pq_fast_twin_same_neighbor_sets(spark, sf_dir):
+    """The double kernel must retrieve the same neighbors as the
+    decimal oracle twin (scores may differ in the last ulps; the
+    SETS must not)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10")
+    dec = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3
+        ).collect()
+    }
+    dbl = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3,
+            scoring="double",
+        ).collect()
+    }
+    assert dec == dbl

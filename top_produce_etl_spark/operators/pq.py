@@ -202,11 +202,18 @@ def pq_topk(
     k: int = 3,
     subspaces: int = SUBSPACES,
     codes: int = CODES,
+    scoring: str = "decimal",
 ) -> DataFrame:
     """Asymmetric PQ top-k cosine: full-precision queries scored
-    against codeword-reconstructed corpus vectors with the exact
-    DECIMAL kernel. Output: query_id, neighbor_id, pq_cosine, rank.
+    against codeword-reconstructed corpus vectors. ``scoring`` picks
+    the dot kernel: "decimal" (oracle-exact, the battery entry) or
+    "double" (codegen'd fast path — the ivf_topk_fast precedent;
+    neighbor-set parity pinned in tests/test_pq.py). Output:
+    query_id, neighbor_id, pq_cosine, rank.
     """
+    from top_produce_etl_spark.operators.similarity import dot_fn
+
+    dot = dot_fn(scoring)
     books = pq_train(
         corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
     )
@@ -224,11 +231,11 @@ def pq_topk(
         ])
     )
     c = enc.withColumn("__rv", recon).withColumn(
-        "__rn", F.sqrt(_dec_dot(F.col("__rv"), F.col("__rv")))
+        "__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv")))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
     # broadcast-queries cross: the standard |Q|-small ANN scoring
     # shape (cosine_topk_bruteforce/adc exemption in the plan audit)
     pairs = c.crossJoin(F.broadcast(q)).filter(
@@ -236,7 +243,7 @@ def pq_topk(
     )
     scored = pairs.withColumn(
         "pq_cosine",
-        _dec_dot(F.col("__qv"), F.col("__rv"))
+        dot(F.col("__qv"), F.col("__rv"))
         / (F.col("__qn") * F.col("__rn")),
     )
     w = Window.partitionBy("query_id").orderBy(
