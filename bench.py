@@ -152,6 +152,7 @@ EXTENSION = [
     "kcenter_diverse_selection",  # farthest-first diversity pick (r5w6)
     "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
     "pq_topk_fast",              # same plan, double fast path (r5w6)
+    "ivfpq_topk_embeddings",     # faiss shape: cells x codes (r5w6)
     # masked_decontamination_proof is battery-gated, not timed: it
     # re-runs the contamination detection AND the post-mask overlap
     # join (~2x contaminated_span_report's cost) purely to prove
@@ -291,6 +292,9 @@ def main() -> None:
     # compression; tests/test_pq.py pins <= 0.2 at the smoke SF)
     recalls[f"pq_recall_at_{RECALL_K}"] = recall_at_k(
         spark, queries, SF_DIR, "pq_topk_embeddings"
+    )
+    recalls[f"ivfpq_recall_at_{RECALL_K}"] = recall_at_k(
+        spark, queries, SF_DIR, "ivfpq_topk_embeddings"
     )
     for k, v in recalls.items():
         print(f"# {k}: {v}", file=sys.stderr)

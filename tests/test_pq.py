@@ -108,3 +108,30 @@ def test_pq_fast_twin_same_neighbor_sets(spark, sf_dir):
         ).collect()
     }
     assert dec == dbl
+
+
+def test_ivfpq_prunes_candidates_and_retrieves(spark, sf_dir):
+    """IVF×PQ must (a) run end-to-end with exactly-k rows per query,
+    (b) agree with plain PQ on most neighbors despite scoring only
+    n_probe/n_cells of the corpus (the cells route near-neighbors
+    together — that's the index working)."""
+    from top_produce_etl_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10")
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3,
+            scoring="double",
+        ).collect()
+    }
+    pruned_rows = ivfpq_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=3,
+        scoring="double",
+    ).collect()
+    assert len(pruned_rows) == 30
+    pruned = {(r["query_id"], r["neighbor_id"]) for r in pruned_rows}
+    # scoring only ~4/16 of the corpus still recovers most of what
+    # exhaustive PQ finds on this fixture
+    assert len(full & pruned) / len(full) >= 0.5

@@ -361,3 +361,97 @@ FROM (
   JOIN cnorm nc ON d.neighbor_id = nc.vec_id
 )
 WHERE "rank" <= {k}"""
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    subspaces: int = SUBSPACES,
+    codes: int = CODES,
+    scoring: str = "decimal",
+) -> DataFrame:
+    """IVF×PQ — the full faiss architecture in DataFrame ops: a
+    coarse k-means cell index bounds WHICH candidates are scored
+    (|Q|·|corpus|·n_probe/n_cells pairs instead of |Q|·|corpus|),
+    and PQ codes bound WHAT is stored and shuffled per candidate
+    (8 bytes + cell id instead of dim floats). Composes the two
+    verified halves unchanged: cell routing from
+    operators/clustering.py (ivf_topk's shape — broadcast model,
+    one cell-keyed equi-join), scoring from :func:`pq_topk`
+    (codeword reconstruction, decimal or double kernel).
+
+    Approximate in WHICH pairs are scored (cell pruning) and in the
+    SCORES (quantization) — rows-only battery entry; recall rides
+    bench beside ivf/pq, and the pruning property is pinned in
+    tests/test_pq.py. Output: query_id, neighbor_id, pq_cosine,
+    rank.
+    """
+    from top_produce_etl_spark.operators.clustering import (
+        kmeans_fit,
+        with_nearest_cell,
+        with_probe_cells,
+    )
+    from top_produce_etl_spark.operators.similarity import dot_fn
+
+    dot = dot_fn(scoring)
+    cents = kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=1)
+    books = pq_train(
+        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+    )
+    enc = pq_encode(corpus, id_col, vec_col, books, keep_vec=True)
+    inv = with_nearest_cell(
+        enc.withColumnRenamed(id_col, "neighbor_id"),
+        vec_col,
+        cents,
+        out="cell",
+    ).drop(vec_col)
+    inv = _attach_model(inv, "codes", books)
+    recon = F.flatten(
+        F.array(*[
+            F.element_at(
+                F.element_at(F.col("__pq_vecs"), s + 1),
+                F.element_at(F.col("codes"), s + 1),
+            )
+            for s in range(subspaces)
+        ])
+    )
+    inv = inv.withColumn("__rv", recon).withColumn(
+        "__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv")))
+    )
+    probes = (
+        with_probe_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+            ),
+            "__qv",
+            cents,
+            n_probe,
+            out="__cells",
+        )
+        .withColumn("cell", F.explode("__cells"))
+        .withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
+    )
+    scored = (
+        probes.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pq_cosine",
+            dot(F.col("__qv"), F.col("__rv"))
+            / (F.col("__qn") * F.col("__rn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rank")
+    )

@@ -905,3 +905,21 @@ def pq_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", dim=64, k=3,
         scoring="double",
     )
+
+
+@query("ivfpq_topk_embeddings", extended=True)  # cell-pruned + quantized → rows-only
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ ANN (operators/pq.py::ivfpq_topk): coarse cells bound
+    the candidate set, 8-byte PQ codes bound the stored/shuffled
+    bytes — the faiss architecture end-to-end in DataFrame ops.
+    Rows-only (approximate twice over); recall tracked in bench
+    beside the ivf and pq tiers, pruning property pinned in
+    tests/test_pq.py."""
+    from top_produce_etl_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=3,
+        scoring="double",
+    )
