@@ -9,10 +9,11 @@ normalized by hash space M) is a uniform order statistic, so
 
     distinct ≈ (k-1) · M / h_k        (unbiased KMV estimator)
 
-and — the part HLL cannot do — the union sketch of A and B is the k
-smallest of (sketch_A ∪ sketch_B), a UNIFORM SAMPLE of A ∪ B, so
-the fraction ρ of its members present in both sketches estimates
-Jaccard, giving |A ∩ B| ≈ ρ · |A ∪ B|_est directly.
+and — the part HLL cannot do — set EXPRESSIONS: below θ = min of
+the two sketches' thresholds, the combined distinct hashes are a
+uniform sample of A ∪ B in which every member's per-set membership
+is decidable, so |A ∪ B| and |A ∩ B| scale directly from sample
+counts (the theta-sketch estimator; see :func:`kmv_overlap`).
 
 Spark-first design (100 TB shape):
 - sketch: distinct (group, hash) is one hash-agg shuffle; the
