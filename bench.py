@@ -141,12 +141,13 @@ EXTENSION = [
     "contaminated_span_report",  # span-level test-set leak masking (r5w5)
     "upsampled_mixture_docs",    # fractional-epoch upsampling (r5w5)
     "clean_corpus_pipeline",     # survivors -> span strip, e2e (r5w5)
-    "countmin_user_event_counts",  # CMS point-frequency estimates (r5w6)
-    # kmv_userdays_by_type / dsir_selection_top100 (portable-hash
+    # countmin_user_event_counts / kmv_userdays_by_type /
+    # dsir_selection_top100 (portable-hash
     # oracle variants) are battery-gated, not timed: the interpreted
-    # polynomial hash costs ~3x the production intrinsic — the fast
-    # twins below time the identical plan on xxhash64 (the
-    # semdedup_fast / ivf_topk_fast precedent).
+    # polynomial hash costs 3-30x the production intrinsic (CMS pays
+    # it per depth) — the fast twins below time the identical plans
+    # on xxhash64 (the semdedup_fast / ivf_topk_fast precedent).
+    "countmin_user_fast",        # CMS point estimates, xxhash64 (r5w6)
     "kmv_userdays_fast",         # KMV distinct sketch, xxhash64 (r5w6)
     "dsir_selection_fast",       # DSIR selection, xxhash64 (r5w6)
     "kcenter_diverse_selection",  # farthest-first diversity pick (r5w6)

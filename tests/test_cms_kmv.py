@@ -156,3 +156,15 @@ def test_cms_sum_sketch_one_sided(spark, sf_dir):
     )
     est = cms_estimate(sketch, exact, "user_id")
     assert est.where(F.col("cms_est") < F.col("exact")).count() == 0
+
+
+def test_cms_fast_twin_one_sided(spark, sf_dir):
+    """The xxhash64 production path keeps the CMS contract: a
+    different (equally uniform) bucketing, estimate ≥ exact for
+    every key, sketch still bounded."""
+    ev = _events(spark, sf_dir)
+    sketch = cms_build(ev, "user_id", hasher="xxhash64")
+    assert sketch.count() <= 4 * 512
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sketch, exact, "user_id", hasher="xxhash64")
+    assert est.where(F.col("cms_est") < F.col("exact")).count() == 0

@@ -278,3 +278,25 @@ def countmin_revenue_by_customer(
     return est.withColumn(
         "overcount", F.col("cms_cents") - F.col("exact_cents")
     )
+
+
+@query("countmin_user_fast", extended=True)
+def countmin_user_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`countmin_user_event_counts` on
+    xxhash64 buckets (one fused JVM intrinsic per depth vs the
+    interpreted portable-hash fold — 34 s → sub-second on the sf0.1
+    build under the noop-sink protocol). Rows-only battery entry;
+    the one-sided guarantee is hash-independent and pinned for this
+    path in tests/test_cms_kmv.py."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", hasher="xxhash64")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    keys = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("user_id").asc()
+    ).limit(20)
+    est = cms_estimate(sketch, keys, "user_id", hasher="xxhash64")
+    return est.withColumn(
+        "overcount", F.col("cms_est") - F.col("exact_cnt")
+    )
