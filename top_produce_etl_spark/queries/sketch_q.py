@@ -182,9 +182,10 @@ def kmv_overlap_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set INTERSECTION estimation — the query shape HLL
     cannot answer without inclusion-exclusion error blowup: how many
     user-days saw BOTH a view and a click, estimated from two k=64
-    KMV sketches (operators/kmv.py::kmv_overlap — the union sketch
-    is a uniform sample of A ∪ B, so its double-membership fraction
-    estimates Jaccard). Exact truth rides along for the audit."""
+    KMV sketches (operators/kmv.py::kmv_overlap — the theta
+    estimator: below θ = min sketch threshold every sample member's
+    per-set membership is decidable, so counts scale by M/θ).
+    Exact truth rides along for the audit."""
     ev = load_table(spark, sf_dir, "events")
     view = ev.where(F.col("event_type") == "view")
     click = ev.where(F.col("event_type") == "click")
