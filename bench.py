@@ -651,6 +651,67 @@ def main() -> None:
     }
     print(f"# graph_probe: {graph_probe}", file=sys.stderr)
 
+    # Sketch probe (r5w6): CMS + KMV on the SAME 500k-doc generated
+    # corpus shape — the sketch tier's 100x evidence with planted
+    # truth:
+    #   - CMS (xxhash64 production path) keyed on the document TEXT:
+    #     the 1000-doc hot cluster is one key, so its point estimate
+    #     must be >= its exact count (one-sided guarantee) and within
+    #     the depth-4 collision envelope (4 * N / width);
+    #   - global KMV distinct of text vs exact countDistinct — the
+    #     k=64 estimator must land within 4 sigma (~50%).
+    # Both are single-pass sketch-sized aggregations; the wall time
+    # IS the 100 TB cost model (no quadratic anything).
+    from top_produce_etl_spark.operators.countmin import (
+        WIDTH as CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+    from top_produce_etl_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    sk_df = (
+        spark.read.format("synthdocs")
+        .option("rows", probe_rows).option("partitions", CPUS)
+        .option("tokens", 54).option("dup_every", 100)
+        .option("hot_cluster", probe_hot)
+        .option("zipf", 1.1).option("vocab", 10_000).load()
+    )
+    hot_text = (
+        sk_df.orderBy(F.col("doc_id").desc()).limit(1).collect()[0]["text"]
+    )
+    exact_hot = sk_df.filter(F.col("text") == hot_text).count()
+    exact_distinct = sk_df.select("text").distinct().count()
+    t0 = time.monotonic()
+    cms = cms_build(sk_df, "text", hasher="xxhash64")
+    hot_keys = sk_df.orderBy(F.col("doc_id").desc()).limit(1).select("text")
+    cms_hot = cms_estimate(
+        cms, hot_keys, "text", hasher="xxhash64"
+    ).collect()[0]["cms_est"]
+    cms_sec = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    kmv_est = kmv_estimate(
+        kmv_sketch(sk_df, [], "text", hasher="xxhash64"), []
+    ).collect()[0]["distinct_est"]
+    kmv_sec = round(time.monotonic() - t0, 3)
+    sketch_probe = {
+        "sketch_probe_docs": probe_rows,
+        "sketch_probe_cms_sec": cms_sec,
+        "sketch_probe_cms_docs_per_sec": round(probe_rows / cms_sec, 1),
+        "sketch_probe_cms_hot_exact": exact_hot,
+        "sketch_probe_cms_hot_est": int(cms_hot),
+        "sketch_probe_cms_one_sided_ok": bool(cms_hot >= exact_hot),
+        "sketch_probe_cms_envelope_ok": bool(
+            cms_hot <= exact_hot + 4 * probe_rows / CMS_WIDTH
+        ),
+        "sketch_probe_kmv_sec": kmv_sec,
+        "sketch_probe_kmv_exact": exact_distinct,
+        "sketch_probe_kmv_est": int(kmv_est),
+        "sketch_probe_kmv_in_band": bool(
+            abs(kmv_est - exact_distinct) <= 0.5 * exact_distinct
+        ),
+    }
+    print(f"# sketch_probe: {sketch_probe}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
         "metric": "sum_median_sec_headline_queries",
@@ -672,6 +733,7 @@ def main() -> None:
         **bpe_probe,
         **rel_probe,
         **graph_probe,
+        **sketch_probe,
     }
     print(json.dumps(out))
 
