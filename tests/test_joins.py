@@ -156,3 +156,23 @@ def test_semi_anti_partition(spark):
     anti = {r["k"] for r in anti_join(left, right, "k").collect()}
     assert semi == {2, 3} and anti == {1}
     assert semi | anti == {1, 2, 3}  # semi ∪ anti = left
+
+
+def test_attach_scalar_row_is_hash_join_and_null_safe(spark):
+    """attach_scalar_row must (a) plan a BroadcastHashJoin — never a
+    nested-loop/cartesian (the reason it exists), (b) not drop rows
+    whose key column is NULL (the key coalesces)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+    from top_produce_etl_spark.plans.audit import plan_audit
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "v bigint"
+    )
+    one = spark.createDataFrame([(10,)], "total bigint")
+    out = attach_scalar_row(df, one, "v", "total")
+    assert out.count() == 3  # NULL-keyed row survives
+    assert {r["total"] for r in out.collect()} == {10}
+    audit = plan_audit(out)
+    assert not audit["cartesian"]
