@@ -49,3 +49,18 @@ def test_kmv_global_sketch_is_take_ordered(spark, sf_dir):
     p = plan(sk)
     assert "TakeOrderedAndProject" in p, p
     assert "Window" not in p, p
+
+
+def test_pq_encode_is_map_side_only(spark, sf_dir):
+    """Encoding the corpus to PQ codes must be a pure map stage —
+    the model joins as a broadcast, the codes are narrow argmin
+    expressions, and NO shuffle Exchange appears (the property that
+    makes 'encode and store 100 TB' a single pass)."""
+    from top_produce_etl_spark.operators.pq import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, "vec_id", "embedding", dim=64)
+    p = plan(pq_encode(emb, "vec_id", "embedding", books))
+    assert "BroadcastHashJoin" in p, p
+    # broadcast exchange is fine; a shuffle exchange is not
+    assert "Exchange hashpartitioning" not in p, p

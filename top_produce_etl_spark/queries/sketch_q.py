@@ -301,3 +301,78 @@ def countmin_user_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.withColumn(
         "overcount", F.col("cms_est") - F.col("exact_cnt")
     )
+
+
+_KMV_DAILY_DUCK = kmv_sketch_oracle_sql(
+    "evd", ["event_type", "day"], "CAST(user_id AS VARCHAR)"
+)
+_KMV_DIRECT_DUCK = kmv_sketch_oracle_sql(
+    "events", ["event_type"], "CAST(user_id AS VARCHAR)"
+)
+
+
+@query(
+    "kmv_rollup_month_exactness", extended=True,
+    oracle=f"""
+    WITH evd AS (
+        SELECT *, CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events
+    ),
+    daily AS ({_KMV_DAILY_DUCK}),
+    merged AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn
+            FROM (SELECT DISTINCT event_type, h FROM daily)
+        ) WHERE rn <= 64
+    ),
+    mest AS ({kmv_estimate_oracle_sql(
+        "SELECT event_type, h FROM merged", ["event_type"])}),
+    direct AS ({_KMV_DIRECT_DUCK}),
+    dest AS ({kmv_estimate_oracle_sql(
+        "SELECT event_type, h FROM direct", ["event_type"])})
+    SELECT mest.event_type, mest.distinct_est AS merged_est,
+           dest.distinct_est AS direct_est,
+           CAST(mest.distinct_est = dest.distinct_est AS BOOLEAN)
+               AS lossless
+    FROM mest JOIN dest USING (event_type)
+    """,
+)
+def kmv_rollup_month_exactness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stored-rollup story with EXACT verification (the HLL
+    rollup's transparent twin): per-(type, day) KMV sketches merge
+    to a month sketch whose estimate must equal sketching the raw
+    month directly — k-smallest of a union of daily k-smallest IS
+    the month's k-smallest, so the merge is provably lossless and
+    the whole chain is oracle-checked, no DataSketches binary
+    opacity. One distinct shuffle for the dailies; everything after
+    is sketch-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    with_day = ev.withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    daily = kmv_sketch(
+        with_day, ["event_type", "day"], "CAST(user_id AS STRING)"
+    )
+    # merge: k smallest distinct hashes per type across the days —
+    # the grouped twin of kmv_union (WindowGroupLimit, sketch-sized)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    merged = (
+        daily.select("event_type", "h").distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 64)
+        .select("event_type", "h")
+    )
+    mest = kmv_estimate(merged, ["event_type"], out="merged_est")
+    direct = kmv_sketch(ev, ["event_type"], "CAST(user_id AS STRING)")
+    dest = kmv_estimate(direct, ["event_type"], out="direct_est")
+    return (
+        mest.join(dest, "event_type")
+        .withColumn(
+            "lossless", F.col("merged_est") == F.col("direct_est")
+        )
+    )
