@@ -801,3 +801,39 @@ def test_mask_spans_overlapping_union_of_sources(spark):
     assert not {"t1", "t2", "t3", "t4"} & set(toks)
     assert all(t == "<mask>" for t in toks[1:-2])
     assert row["masked_tokens"] == 6  # raw span-length sum (3 + 3)
+
+
+def test_semantic_contamination_flags_planted_duplicate(spark):
+    """Mechanism check with planted truth: a train vector identical
+    to a test vector must be flagged (cosine 1.0); an orthogonal one
+    must not."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.similarity import _dec_dot
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # train, == test vector
+        (1, [0.0, 1.0, 0.0, 0.0]),   # train, orthogonal
+        (100, [1.0, 0.0, 0.0, 0.0]),  # test
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, e array<float>")
+    train = df.where("vec_id < 100").select(
+        "vec_id", F.col("e").alias("__tv")
+    ).withColumn("__tn", F.sqrt(_dec_dot(F.col("__tv"), F.col("__tv"))))
+    test = df.where("vec_id >= 100").select(
+        F.col("e").alias("__qv")
+    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    out = {
+        r["vec_id"]: r["m"]
+        for r in train.crossJoin(F.broadcast(test))
+        .withColumn(
+            "c",
+            _dec_dot(F.col("__tv"), F.col("__qv"))
+            / (F.col("__tn") * F.col("__qn")),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("m"))
+        .collect()
+    }
+    assert out[0] >= 0.999999
+    assert out[1] <= 1e-9

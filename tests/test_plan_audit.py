@@ -70,6 +70,9 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "pq_topk_embeddings",  # same shape — codeword-reconstructed
         # corpus (8-byte codes at rest), float queries
         "pq_topk_fast",  # double-kernel twin, same cross shape
+        "semantic_contamination_check",  # broadcast TEST-benchmark
+        # cross (the fixed-suite small side; split_decontamination
+        # argument)
         "quantized_recall_report",  # composes bruteforce + quantized —
         # the cross is the SAME broadcast-small-queries attach those
         # two entries exempt; the evaluation itself is equi-join + agg

@@ -923,3 +923,99 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "embedding", dim=64, k=3,
         scoring="double",
     )
+
+
+_SEM_FRACTIONS = {"train": 0.96, "test": 0.04}
+_SEM_SALT = "semsplit-v1"
+_SEM_SPLIT_DUCK = __import__(
+    "top_produce_etl_spark.operators.splits",
+    fromlist=["split_oracle_sql"],
+).split_oracle_sql("vec_id", _SEM_FRACTIONS, _SEM_SALT)
+
+
+@query(
+    "semantic_contamination_check", extended=True,
+    oracle=f"""
+    WITH lab AS (
+        SELECT vec_id, embedding, {_SEM_SPLIT_DUCK} AS split
+        FROM embeddings
+    ),
+    tr AS (
+        SELECT vec_id, r.i AS dim, CAST(embedding[r.i] AS DOUBLE) AS v
+        FROM lab, unnest(range(1, 65)) r(i) WHERE split = 'train'
+    ),
+    te AS (
+        SELECT vec_id, r.i AS dim, CAST(embedding[r.i] AS DOUBLE) AS v
+        FROM lab, unnest(range(1, 65)) r(i) WHERE split = 'test'
+    ),
+    trn AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE))
+                   AS nrm
+        FROM tr GROUP BY vec_id
+    ),
+    ten AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE))
+                   AS nrm
+        FROM te GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT tr.vec_id AS train_id, te.vec_id AS test_id,
+               CAST(SUM(CAST(tr.v * te.v AS DECIMAL(28,14)))
+                    AS DOUBLE) AS dot
+        FROM tr JOIN te ON tr.dim = te.dim
+        GROUP BY 1, 2
+    ),
+    cos AS (
+        SELECT d.train_id AS vec_id,
+               MAX(d.dot / (a.nrm * b.nrm)) AS max_test_cosine
+        FROM dots d
+        JOIN trn a ON d.train_id = a.vec_id
+        JOIN ten b ON d.test_id = b.vec_id
+        GROUP BY 1
+    )
+    SELECT vec_id, max_test_cosine,
+           CAST(max_test_cosine >= 0.5 AS BOOLEAN) AS contaminated
+    FROM cos
+    """,
+)
+def semantic_contamination_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic (embedding-level) test-set decontamination — the
+    vector-space sibling of `split_decontamination_check`'s n-gram
+    overlap: a train document whose embedding is near-identical to
+    a TEST document leaks the benchmark even when no n-gram matches
+    (paraphrase contamination). Every train vector reports its max
+    cosine to the test split, flagged at τ = 0.5.
+
+    Scale shape: the test side is a fixed benchmark suite —
+    broadcast-small by nature (the `split_decontamination_check`
+    argument); one broadcast cross of train×test with the exact
+    DECIMAL kernel, then a per-train max. Fully oracle-checked; the
+    planted-duplicate mechanism test lives in
+    tests/test_dedup_similarity.py."""
+    from top_produce_etl_spark.operators.similarity import _dec_dot
+    from top_produce_etl_spark.operators.splits import assign_split
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = assign_split(emb, "vec_id", _SEM_FRACTIONS, salt=_SEM_SALT)
+    train = lab.where(F.col("split") == "train").select(
+        F.col("vec_id"), F.col("embedding").alias("__tv")
+    ).withColumn("__tn", F.sqrt(_dec_dot(F.col("__tv"), F.col("__tv"))))
+    test = lab.where(F.col("split") == "test").select(
+        F.col("embedding").alias("__qv")
+    ).withColumn("__qn", F.sqrt(_dec_dot(F.col("__qv"), F.col("__qv"))))
+    scored = train.crossJoin(F.broadcast(test)).withColumn(
+        "__cos",
+        _dec_dot(F.col("__tv"), F.col("__qv"))
+        / (F.col("__tn") * F.col("__qn")),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.max("__cos").alias("max_test_cosine"))
+        .withColumn(
+            "contaminated", F.col("max_test_cosine") >= F.lit(0.5)
+        )
+    )
