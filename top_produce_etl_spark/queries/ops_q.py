@@ -486,3 +486,73 @@ def copurchase_local_clustering(
     from top_produce_etl_spark.operators.graph import local_clustering
 
     return local_clustering(_copurchase_edges_df(spark, sf_dir), "u", "v")
+
+
+_RBFS_EDGES_DUCK = """
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@query(
+    "recursive_bfs_copurchase", extended=True,
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_RBFS_EDGES_DUCK}),
+    bi AS (
+        SELECT src, dst FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ),
+    seed AS (SELECT MIN(src) AS s FROM bi),
+    reach(node, hop) AS (
+        SELECT s, 0 FROM seed
+        UNION ALL
+        SELECT bi.dst, reach.hop + 1
+        FROM reach JOIN bi ON bi.src = reach.node
+        WHERE reach.hop < 3
+    )
+    SELECT node, CAST(MIN(hop) AS INT) AS hops
+    FROM reach GROUP BY node
+    """,
+)
+def recursive_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative-recursion BFS (Spark 4 WITH RECURSIVE — the
+    SQL-native twin of operators/graph.py::bfs_distances' iterative
+    DataFrame loop): min-hop distances ≤ 3 from the lowest-keyed
+    part over the co-purchase graph, written as ONE recursive SQL
+    query that DuckDB runs near-verbatim as the oracle. The engine
+    plans each recursion step as a self-union-join; the hop bound
+    caps the expansion exactly like the driver loop's fixed
+    iteration count. UNION ALL recursion enumerates PATHS, not
+    nodes, so the graph is support-thresholded (pairs co-bought in
+    ≥2 orders) to keep the expansion inside Spark's recursion row
+    limit — the same reason the iterative operator
+    (graph.py::bfs_distances) min-aggregates its frontier per hop;
+    for dense graphs that loop IS the scale path and this query is
+    the SQL-surface coverage."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("rbfs_lineitem")
+    return spark.sql("""
+        WITH RECURSIVE edges AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM rbfs_lineitem a JOIN rbfs_lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        bi AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        seed AS (SELECT MIN(src) AS s FROM bi),
+        reach(node, hop) AS (
+            SELECT s, 0 FROM seed
+            UNION ALL
+            SELECT bi.dst, reach.hop + 1
+            FROM reach JOIN bi ON bi.src = reach.node
+            WHERE reach.hop < 3
+        )
+        SELECT node, CAST(MIN(hop) AS INT) AS hops
+        FROM reach GROUP BY node
+    """)
