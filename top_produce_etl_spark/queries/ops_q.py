@@ -556,3 +556,39 @@ def recursive_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, CAST(MIN(hop) AS INT) AS hops
         FROM reach GROUP BY node
     """)
+
+
+@query(
+    "pipe_syntax_revenue_by_status", extended=True,
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def pipe_syntax_revenue_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators — the linear
+    query-shape surface): scan |> filter |> aggregate, compiled by
+    Catalyst to the identical plan as the classic SELECT (filters
+    still push down, aggregates still partial) — the oracle is the
+    classic spelling, so parity IS the check. Money through exact
+    DECIMAL (functions/numeric.py discipline)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders"
+    )
+    return spark.sql("""
+        FROM pipe_orders
+        |> WHERE o_orderdate >= DATE '1995-01-01'
+        |> AGGREGATE
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue,
+             COUNT(*) AS n_orders
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, revenue, n_orders
+    """)
