@@ -463,3 +463,67 @@ def test_duplicate_spans_partitioning_invariant(spark, rows, parts):
         )
     )
     assert a == b
+
+
+# --- sketch algebra properties (r5w6) -------------------------------
+
+KEYS = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=0, max_size=30
+)
+
+
+def _kdf(spark, keys):
+    return spark.createDataFrame(
+        [(int(k),) for k in keys], "k bigint"
+    )
+
+
+@given(keys=KEYS, cut=st.integers(min_value=0, max_value=40))
+@SETTINGS
+def test_cms_merge_is_split_invariant(spark, keys, cut):
+    """Sketching any 2-way split and SUM-merging equals sketching
+    the whole — for EVERY split point, not just the day boundary the
+    example test uses."""
+    from top_produce_etl_spark.operators.countmin import (
+        cms_build,
+        cms_merge,
+    )
+
+    df = _kdf(spark, keys)
+    whole = cms_build(df, "k", depth=2, width=16)
+    a = cms_build(df.where(f"k < {cut}"), "k", depth=2, width=16)
+    b = cms_build(df.where(f"k >= {cut}"), "k", depth=2, width=16)
+    merged = cms_merge(a.union(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+@given(keys=KEYS)
+@SETTINGS
+def test_kmv_union_commutes_and_below_k_exact(spark, keys):
+    """kmv_union(a, b) == kmv_union(b, a), and with few distinct
+    keys the union sketch IS the distinct hash set (k larger than
+    the key space ⇒ estimator exact)."""
+    from top_produce_etl_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_union,
+    )
+
+    df = _kdf(spark, keys)
+    a = kmv_sketch(df.where("k % 2 = 0"), [], "CAST(k AS STRING)", k=64)
+    b = kmv_sketch(df.where("k % 2 = 1"), [], "CAST(k AS STRING)", k=64)
+    ab = sorted(r["h"] for r in kmv_union(a, b, k=64).collect())
+    ba = sorted(r["h"] for r in kmv_union(b, a, k=64).collect())
+    assert ab == ba
+    est = kmv_estimate(
+        spark.createDataFrame(
+            [(h,) for h in ab], "h bigint"
+        ) if ab else a.limit(0),
+        [],
+        k=64,
+    ).collect()
+    exact = df.select("k").distinct().count()
+    if exact:
+        assert est[0]["distinct_est"] == exact
