@@ -91,13 +91,22 @@ def bucket_log_ratios(
     λ_micro = [L(c_tgt+1) − L(T_tgt+B)] − [L(c_raw+1) − L(T_raw+B)]
     with c the bucket counts, T the total counts, add-1 smoothing
     over the full bucket domain (absent buckets count 0 — the domain
-    is materialized from sequence(), not from observed rows)."""
-    tb = _doc_buckets(docs, id_col, text_col, buckets, hasher).join(
-        docs.select(
-            F.col(id_col), F.expr(target_pred).alias("__is_tgt")
-        ),
-        id_col,
-    )
+    is materialized from sequence(), not from observed rows).
+
+    The target flag rides the token explode as a plain column — no
+    join back to the corpus on doc id (that would be a second
+    data-sized shuffle purely to re-attach a predicate the scan
+    already evaluates)."""
+    if hasher == "xxhash64":
+        bucket = F.pmod(F.xxhash64("__tok"), F.lit(buckets))
+    elif hasher == "portable":
+        bucket = composite_hash_col("__tok") % buckets
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    tb = docs.select(
+        F.expr(target_pred).alias("__is_tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(F.col("__is_tgt"), bucket.alias("bucket"))
     counts = tb.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("c_tgt"),
