@@ -154,6 +154,7 @@ EXTENSION = [
     "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
     "pq_topk_fast",              # same plan, double fast path (r5w6)
     "ivfpq_topk_embeddings",     # faiss shape: cells x codes (r5w6)
+    "ddsketch_price_quantiles",  # relative-error quantile sketch (r5w6)
     # masked_decontamination_proof is battery-gated, not timed: it
     # re-runs the contamination detection AND the post-mask overlap
     # join (~2x contaminated_span_report's cost) purely to prove

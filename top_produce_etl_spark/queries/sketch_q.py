@@ -376,3 +376,30 @@ def kmv_rollup_month_exactness(
             "lossless", F.col("merged_est") == F.col("direct_est")
         )
     )
+
+
+_DD_ORACLE = __import__(
+    "top_produce_etl_spark.operators.ddsketch",
+    fromlist=["dd_quantiles_oracle_sql"],
+).dd_quantiles_oracle_sql(
+    "orders", "o_orderpriority", "o_totalprice", [0.5, 0.9, 0.99]
+)
+
+
+@query("ddsketch_price_quantiles", extended=True, oracle=_DD_ORACLE)
+def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (operators/ddsketch.py): p50/p90/p99 of
+    order value per priority from a mergeable log-bucket sketch —
+    RELATIVE-error quantiles at any value scale, the rollup-algebra
+    complement of the fixed-bin histogram (absolute error) and HLL
+    (distincts). Micro-nat integer bucketing makes the whole chain
+    oracle-exact; the γ=1.02 guarantee (±2% relative error) is
+    gated against exact percentiles in tests/test_ddsketch.py."""
+    from top_produce_etl_spark.operators.ddsketch import (
+        dd_build,
+        dd_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = dd_build(orders, ["o_orderpriority"], "o_totalprice")
+    return dd_quantiles(sk, ["o_orderpriority"], [0.5, 0.9, 0.99])
