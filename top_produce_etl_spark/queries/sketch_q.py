@@ -403,3 +403,28 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     sk = dd_build(orders, ["o_orderpriority"], "o_totalprice")
     return dd_quantiles(sk, ["o_orderpriority"], [0.5, 0.9, 0.99])
+
+
+_DD_CELLS_DUCK = """
+    SELECT event_type, {b} AS bucket, COUNT(*) AS cnt
+    FROM events WHERE value > 0
+    GROUP BY 1, 2
+""".format(
+    b=__import__(
+        "top_produce_etl_spark.operators.ddsketch",
+        fromlist=["dd_bucket_sql"],
+    ).dd_bucket_sql("value")
+)
+
+
+@query("stream_ddsketch_parity", extended=True, oracle=_DD_CELLS_DUCK)
+def stream_ddsketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch built by Structured Streaming
+    (streaming/jobs.py::run_ddsketch_stream): grid-bounded
+    incremental state whose sink must equal both the batch sketch
+    and DuckDB's re-derivation of the log-bucket cells — streaming
+    parity AND cross-engine determinism for the quantile sketch in
+    one query (the stream_countmin_parity pattern)."""
+    from top_produce_etl_spark.streaming.jobs import run_ddsketch_stream
+
+    return run_ddsketch_stream(spark, sf_dir, sink_table="oracle_stream_dd")

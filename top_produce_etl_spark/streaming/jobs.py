@@ -761,3 +761,29 @@ def run_cms_stream(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_ddsketch_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_dd_cells",
+) -> DataFrame:
+    """DDSketch maintained BY the streaming runtime (the CMS
+    pattern, run_cms_stream): readStream → the identical dd_build
+    log-bucket aggregation over event values — grid-bounded state,
+    no watermark needed — complete-mode memory sink. For a fully-
+    consumed bounded source the sink equals the batch sketch, and
+    the parity query's oracle re-derives the cells in DuckDB."""
+    from top_produce_etl_spark.operators.ddsketch import dd_build
+
+    events = stream_events(spark, sf_dir)
+    sketch = dd_build(events, ["event_type"], "value")
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
