@@ -819,7 +819,7 @@ def test_read_quarantine_splits_good_and_bad(spark, tmp_path):
             StructField("name", StringType()),
         ]
     )
-    good, bad = read_quarantine(spark, str(p), schema)
+    good, bad, unpersist = read_quarantine(spark, str(p), schema)
     assert good.columns == ["id", "name"]
     assert {r["id"] for r in good.collect()} == {1, 2}
     rows = bad.collect()
@@ -831,6 +831,11 @@ def test_read_quarantine_splits_good_and_bad(spark, tmp_path):
     assert "type clash" in salvaged
     # replay contract: every input line is in exactly one leg
     assert good.count() + bad.count() == 4
+    # release the pinned parse; legs that reference real columns
+    # stay queryable by recompute (corrupt-only prunes — e.g. a bare
+    # count() — need the cache, which is exactly why it existed)
+    unpersist()
+    assert {r["id"] for r in good.collect()} == {1, 2}
 
 
 def test_read_quarantine_rejects_colliding_corrupt_col(spark, tmp_path):

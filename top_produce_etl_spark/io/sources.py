@@ -360,7 +360,7 @@ def read_quarantine(
     fmt: str = "json",
     corrupt_col: str = "_corrupt_record",
     options: dict | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, "Callable[[], None]"]:
     """Dirty-ingest pattern for semi-structured sources: PERMISSIVE
     parse with corrupt-record capture, split into (good, quarantine).
 
@@ -371,10 +371,14 @@ def read_quarantine(
     fix (same reasoning as the sink's idempotent-append design:
     never drop data you can't re-derive).
 
-    Returns ``(good, bad)``: ``good`` has exactly ``schema``'s
-    columns; ``bad`` keeps the FULL row — whatever fields PERMISSIVE
-    salvaged (nulls where parsing failed) plus the verbatim raw line
-    in ``corrupt_col``. The parsed frame is CACHED before the
+    Returns ``(good, bad, unpersist)``: ``good`` has exactly
+    ``schema``'s columns; ``bad`` keeps the FULL row — whatever
+    fields PERMISSIVE salvaged (nulls where parsing failed) plus the
+    verbatim raw line in ``corrupt_col``; ``unpersist`` releases the
+    pinned parse — call it once both legs are materialized, or every
+    looped/repeated ingest accumulates a full cached copy of the
+    landing zone for the session's lifetime. The parsed frame is
+    CACHED before the
     split (MEMORY_AND_DISK, spilling as needed): Spark refuses any
     query whose pruned SOURCE schema is only the corrupt column
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
@@ -412,4 +416,8 @@ def read_quarantine(
         *[F.col(f) for f in schema.fieldNames()]
     )
     bad = df.where(F.col(corrupt_col).isNotNull())
-    return good, bad
+
+    def unpersist() -> None:
+        df.unpersist()
+
+    return good, bad, unpersist

@@ -157,9 +157,17 @@ def cms_estimate(
         *keys.columns, F.col("__c.depth"), F.col("__c.bucket")
     )
     joined = kb.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    # NULL probe keys were EXCLUDED by the build ("count NULLs
+    # separately"), so a confident 0 would be a lie — surface NULL.
     return (
         joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out))
+        .withColumn(
+            out,
+            F.when(F.col(key_col).isNull(), F.lit(None)).otherwise(
+                F.col(out)
+            ),
+        )
     )
 
 

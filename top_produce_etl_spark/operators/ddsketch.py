@@ -16,7 +16,7 @@ over the |buckets|-row sketch per group — bounded by the GRID, not
 the data, so the window is scale-safe by construction.
 
 Cross-engine determinism: the log-bucket index is computed in
-micro-nat integer space — bucket = L(x) DIV L(γ) with
+micro-nat integer space — bucket = FLOOR(L(x) / L(γ)) with
 L(v) = round(ln v · 1e6) — so the boundary cases that raw
 floor(ln x / ln γ) could flip across engines (a ratio of doubles
 landing within 1 ulp of an integer) become exact integer division;
@@ -42,28 +42,33 @@ def _l_gamma_micro(gamma: float) -> int:
 
 
 def dd_bucket(value_sql: str, gamma: float = GAMMA):
-    """Integer log-bucket of a positive value (micro-nat DIV)."""
+    """Integer log-bucket of a positive value: FLOOR(L(x) / L(γ)).
+
+    Floor — not truncate-toward-zero — is load-bearing: truncation
+    would give bucket 0 the double-width span (γ⁻¹, γ), so values
+    just above γ⁻¹ would be estimated at γ^0.5 with worst-case
+    relative error ≈ γ^1.5−1 (~3% at γ=1.02), silently exceeding
+    the advertised (γ−1) DDSketch guarantee for sub-1 values. Spark
+    ``DIV`` truncates, so the floor is spelled sign-explicitly
+    (ceil-of-negated for negative numerators; lg > 0 always)."""
     lg = _l_gamma_micro(gamma)
-    return F.expr(
+    h = (
         f"CAST(round(ln(CAST({value_sql} AS DOUBLE)) * {INFO_SCALE}) "
-        f"AS BIGINT) DIV {lg}L"
+        f"AS BIGINT)"
+    )
+    return F.expr(
+        f"(CASE WHEN {h} >= 0 THEN ({h}) DIV {lg}L"
+        f" ELSE -((-({h}) + {lg - 1}L) DIV {lg}L) END)"
     )
 
 
 def dd_bucket_sql(value_sql: str, gamma: float = GAMMA) -> str:
-    """DuckDB twin of :func:`dd_bucket` (``//`` = Spark ``DIV``
-    for these signed integers? No — DuckDB ``//`` floors while
-    Spark ``DIV`` truncates toward zero, and log-buckets of values
-    below 1 are NEGATIVE. The sketch therefore uses the explicit
-    truncating form on both engines so sub-1 values bucket
-    identically."""
+    """DuckDB twin of :func:`dd_bucket`. DuckDB ``//`` already
+    floors signed integers, so the plain form matches Spark's
+    sign-explicit floor exactly."""
     lg = _l_gamma_micro(gamma)
     h = f"CAST(round(ln(CAST({value_sql} AS DOUBLE)) * {INFO_SCALE}) AS BIGINT)"
-    # truncation toward zero, expressed sign-explicitly
-    return (
-        f"(CASE WHEN {h} >= 0 THEN {h} // {lg}"
-        f" ELSE -((-{h}) // {lg}) END)"
-    )
+    return f"(({h}) // {lg})"
 
 
 def dd_build(

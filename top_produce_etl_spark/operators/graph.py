@@ -16,10 +16,12 @@ state is zero: ranks live in DataFrames end-to-end, and the loop
 count is a fixed hyperparameter (no data-dependent convergence
 collect in the hot path).
 
-Dangling nodes (no out-edges) simply leak their mass — the classic
-simplification; ranks still order correctly for link-analysis use.
-Documented rather than patched: redistributing dangling mass needs
-an extra global aggregate per round for little analytical gain.
+Dangling nodes (no out-edges): the default leaks their mass — the
+classic simplification; ranks still order correctly for
+link-analysis use. ``pagerank(redistribute_dangling=True)`` is the
+mass-conserving variant (oracle-checked: trade_pagerank_dangling) —
+one extra 1-row global aggregate per round re-injects the dangling
+mass through the restart distribution.
 """
 
 from __future__ import annotations

@@ -58,8 +58,11 @@ def _doc_buckets(
 ) -> DataFrame:
     """(id, bucket): one row per token occurrence. Whitespace
     tokenization (functions/text.py convention); empty tokens from
-    leading/trailing spaces hash like any other key — both engines
-    see the identical stream.
+    consecutive/leading/trailing spaces are FILTERED on both engines
+    — the portable hash's sequence(1,0)/element_at machinery is
+    undefined at length 0 (Spark raises INVALID_INDEX_OF_ZERO where
+    DuckDB silently yields NULL), so the only cross-engine-safe
+    contract is to drop them symmetrically.
 
     ``hasher``: "portable" (oracle path) or "xxhash64" (production
     path — one fused JVM intrinsic per token; a different but
@@ -68,7 +71,7 @@ def _doc_buckets(
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
-    )
+    ).where(F.col("__tok") != "")
     if hasher == "xxhash64":
         bucket = F.pmod(F.xxhash64("__tok"), F.lit(buckets))
     elif hasher == "portable":
@@ -103,20 +106,25 @@ def bucket_log_ratios(
         bucket = composite_hash_col("__tok") % buckets
     else:
         raise ValueError(f"unknown hasher: {hasher!r}")
-    tb = docs.select(
-        F.expr(target_pred).alias("__is_tgt"),
-        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
-    ).select(F.col("__is_tgt"), bucket.alias("bucket"))
+    tb = (
+        docs.select(
+            F.expr(target_pred).alias("__is_tgt"),
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        )
+        .where(F.col("__tok") != "")  # see _doc_buckets: length-0-unsafe hash
+        .select(F.col("__is_tgt"), bucket.alias("bucket"))
+    )
     counts = tb.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("c_tgt"),
     )
-    domain = F.broadcast(
-        counts.sparkSession.range(buckets).select(
-            F.col("id").alias("bucket")
-        )
+    domain = counts.sparkSession.range(buckets).select(
+        F.col("id").alias("bucket")
     )
-    full = domain.join(counts, "bucket", "left").select(
+    # Broadcast the BUILD side (counts, bounded by the bucket domain):
+    # Spark cannot build-side-broadcast the preserved side of a LEFT
+    # OUTER join, so hinting `domain` would be silently ignored.
+    full = domain.join(F.broadcast(counts), "bucket", "left").select(
         "bucket",
         F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
         F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
@@ -199,6 +207,7 @@ def bucket_log_ratios_oracle_sql(
             FROM (SELECT *, unnest(string_split({text_sql}, ' '))
                          AS __tok
                   FROM {docs_sql})
+            WHERE __tok <> ''
         ),
         counts AS (
             SELECT bucket, COUNT(*) AS c_raw,
@@ -243,6 +252,7 @@ def dsir_scores_oracle_sql(
             FROM (SELECT *, unnest(string_split({text_sql}, ' '))
                          AS __tok
                   FROM {docs_sql})
+            WHERE __tok <> ''
         )
         SELECT tb2.id, COUNT(*) AS n_tokens,
                SUM(lam.lambda_micro) AS score_micro
