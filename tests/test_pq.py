@@ -89,9 +89,10 @@ def test_pq_reconstruction_cosine_error_bounded(spark, sf_dir):
 
 
 def test_pq_fast_twin_same_neighbor_sets(spark, sf_dir):
-    """The double kernel must retrieve the same neighbors as the
-    decimal oracle twin (scores may differ in the last ulps; the
-    SETS must not)."""
+    """Both fast kernels — reconstructed IEEE-double and the
+    production S×C lookup table — must retrieve the same neighbors
+    as the decimal oracle twin (scores may differ in the last ulps;
+    the SETS must not)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter("vec_id < 10")
     dec = {
@@ -107,7 +108,37 @@ def test_pq_fast_twin_same_neighbor_sets(spark, sf_dir):
             scoring="double",
         ).collect()
     }
+    lut = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3,
+            scoring="lut",
+        ).collect()
+    }
     assert dec == dbl
+    assert dec == lut
+
+
+def test_pq_model_cache_trains_once(spark, sf_dir):
+    """cache_key memoizes the trained model: the second call must
+    reuse the SAME books object (train-once production shape)."""
+    from top_produce_etl_spark.operators.pq import _MODEL_CACHE
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10")
+    key = ("pq", "__cache_test__", 64, 8, 16)
+    _MODEL_CACHE.pop(key, None)
+    pq_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=3,
+        scoring="lut", cache_key="__cache_test__",
+    ).collect()
+    first = _MODEL_CACHE[key]
+    pq_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=3,
+        scoring="lut", cache_key="__cache_test__",
+    ).collect()
+    assert _MODEL_CACHE[key] is first
+    _MODEL_CACHE.pop(key, None)
 
 
 def test_ivfpq_prunes_candidates_and_retrieves(spark, sf_dir):
@@ -135,3 +166,64 @@ def test_ivfpq_prunes_candidates_and_retrieves(spark, sf_dir):
     # scoring only ~4/16 of the corpus still recovers most of what
     # exhaustive PQ finds on this fixture
     assert len(full & pruned) / len(full) >= 0.5
+
+
+def test_pq_recall_gate_on_separable_fixture(spark):
+    """The recall gate that can actually FAIL (r5 verdict #1c): on
+    the planted-truth synthembs fixture (64 well-separated groups of
+    4 near-identical members; true top-3 = the 3 groupmates), a
+    correct PQ retrieves the groupmates — recall ≥ 0.9 — because its
+    codebooks recover the canonical subspace patterns. A broken
+    trainer/encoder/scorer lands near chance (3/255 ≈ 0.01)."""
+    from top_produce_etl_spark.io.synth_source import register_synth_source
+    from top_produce_etl_spark.operators.pq import ivfpq_topk
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    register_synth_source(spark)
+    emb = spark.read.format("synthembs").load()
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(
+            emb, queries, "vec_id", "embedding", k=3, scoring="double"
+        ).collect()
+    }
+    # planted truth holds: every exact neighbor is a groupmate
+    assert all(a % 64 == b % 64 for a, b in exact)
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3,
+            scoring="lut",
+        ).collect()
+    }
+    assert len(exact & pq) / len(exact) >= 0.9
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3,
+            scoring="lut",
+        ).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.9
+
+
+def test_synthembs_deterministic_rereads(spark):
+    """The embedding generator is a pure function of vec_id: two
+    reads at different partition counts are row-identical."""
+    from top_produce_etl_spark.io.synth_source import register_synth_source
+
+    register_synth_source(spark)
+    a = (
+        spark.read.format("synthembs")
+        .option("partitions", 2).load().collect()
+    )
+    b = (
+        spark.read.format("synthembs")
+        .option("partitions", 7).load().collect()
+    )
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len(a) == 256 and len(a[0]["embedding"]) == 64

@@ -192,6 +192,98 @@ class SynthDocsDataSource(DataSource):
         return SynthDocsReader(self.options)
 
 
+class SynthEmbsReader(DataSourceReader):
+    """Separable clustered embeddings with PLANTED neighbor truth —
+    the fixture a PQ/IVF recall gate needs (the sf embeddings table
+    is near-uniform: true top-3 gaps sit below any 32× compressor's
+    noise floor, so recall there is structurally meaningless — see
+    BASELINE.md wave-6 and tests/test_pq.py).
+
+    Construction: ``groups`` groups of ``rows/groups`` members.
+    Group g's vector concatenates one CANONICAL pattern per
+    subspace, picked by a per-subspace digit:
+
+        digit_s(g) = (g + s) % codes               (s even)
+        digit_s(g) = (g + g//codes + s) % codes    (s odd)
+
+    Patterns are signed one-hots (value v → +1/−1 at position v%d),
+    so two patterns dot to 0 or −1. The digit map guarantees, for
+    groups ≤ codes²: (a) the ``codes`` lowest ids — PQ-train's init
+    — cover ALL canonical values in EVERY subspace (ids interleave
+    groups: id % groups), and (b) any two distinct groups differ in
+    ≥ half the subspaces, so cross-group cosine ≤ ~0.5 while
+    groupmates sit at ~1.0 (members differ only by ``noise``·U[-1,1)
+    jitter). With members = k+1 = 4, a query's true top-3 are
+    exactly its 3 groupmates, and a CORRECT PQ — whose codebooks
+    recover the canonical patterns — retrieves exactly them
+    (recall 1.0); a broken one can't. Deterministic: pure function
+    of vec_id (xorshift noise seeded per id)."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 256))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+        self.groups = int(options.get("groups", 64))
+        self.dim = int(options.get("dim", 64))
+        self.subspaces = int(options.get("subspaces", 8))
+        self.codes = int(options.get("codes", 16))
+        self.noise = float(options.get("noise", 0.02))
+        if self.dim % self.subspaces:
+            raise ValueError("dim must divide into subspaces")
+        if self.groups > self.codes * self.codes:
+            raise ValueError(
+                "groups > codes^2 would alias group code patterns"
+            )
+
+    def partitions(self):
+        step = -(-self.rows // self.n_parts)
+        return [
+            _RangePartition(i, min(i + step, self.rows))
+            for i in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        ids = np.arange(partition.start, partition.end, dtype=np.int64)
+        g = ids % self.groups
+        d = self.dim // self.subspaces
+        emb = np.zeros((len(ids), self.dim), dtype=np.float64)
+        rowix = np.arange(len(ids))
+        for s in range(self.subspaces):
+            if s % 2 == 0:
+                v = (g + s) % self.codes
+            else:
+                v = (g + g // self.codes + s) % self.codes
+            pos = (v % d).astype(np.int64)
+            sign = np.where(v < d, 1.0, -1.0)
+            emb[rowix, s * d + pos] = sign
+        # deterministic jitter: one xorshift32 stream per id,
+        # advanced once per coordinate
+        x = ((ids * 2654435761 + 7919) & _M32).astype(np.uint32)
+        for i in range(self.dim):
+            x ^= x << np.uint32(13)
+            x ^= x >> np.uint32(17)
+            x ^= x << np.uint32(5)
+            u = x.astype(np.float64) / 4294967296.0 * 2.0 - 1.0
+            emb[:, i] += self.noise * u
+        for vid, gg, row in zip(ids.tolist(), g.tolist(), emb):
+            yield vid, int(gg), [float(val) for val in row]
+
+
+class SynthEmbsDataSource(DataSource):
+    """``spark.read.format("synthembs")`` after
+    :func:`register_synth_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthembs"
+
+    def schema(self) -> str:
+        return "vec_id bigint, grp bigint, embedding array<double>"
+
+    def reader(self, schema) -> SynthEmbsReader:
+        return SynthEmbsReader(self.options)
+
+
 def register_synth_source(spark) -> None:
-    """Idempotently register the synthetic corpus source."""
+    """Idempotently register the synthetic corpus sources."""
     spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(SynthEmbsDataSource)

@@ -25,10 +25,19 @@ Spark-first design (100 TB shape):
 - search (ADC style): queries stay full-precision; a candidate's
   vector is RECONSTRUCTED from its codewords and scored with the
   exact-decimal cosine kernel, so the whole pipeline remains
-  oracle-checkable bit-for-bit. (The classic LUT optimization —
-  per-query S×C distance tables — is a physical shortcut to the
-  same reconstructed score; the reconstruction spelling is the
-  verifiable one and the LUT is noted here for the cluster port.)
+  oracle-checkable bit-for-bit. ``scoring="lut"`` is the classic
+  physical shortcut to the SAME mathematical score: each query
+  precomputes an S×C table of subvector dots against the broadcast
+  codebooks (plus a model-side S×C squared-norm table), so a
+  candidate scores in S array lookups + S adds — no 64-dim
+  reconstruction, no per-pair dim-loop. Same neighbor sets as the
+  decimal twin (FP association differs in the last ulps; the sets
+  are pinned in tests/test_pq.py).
+- train-once: the model is driver-side Python lists (S·C·d floats);
+  ``cache_key`` memoizes it per (corpus-key, params) so repeated
+  queries — the bench steady state, or a session serving many
+  searches — train ONCE and reuse, the production shape (faiss
+  trains offline; only encode/search ride the query path).
 
 Determinism contract (the kmeans oracle scheme): init = codewords
 from the C lowest-id vectors' subvectors, 6 dp rounding at init and
@@ -46,6 +55,20 @@ from top_produce_etl_spark.operators.similarity import _dec_dot
 
 SUBSPACES = 8
 CODES = 16
+
+# Trained models memoized per (cache_key, params): driver-side
+# S·C·d Python floats — model-sized by construction, never data-
+# sized. Keyed explicitly by the CALLER (e.g. the fixture dir) so
+# distinct corpora never share a model.
+_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _cached(key: tuple | None, fit):
+    if key is None:
+        return fit()
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = fit()
+    return _MODEL_CACHE[key]
 
 
 def pq_train(
@@ -120,10 +143,18 @@ def pq_train(
 
 
 def _pq_rel(spark, books: list[list[list[float]]]) -> DataFrame:
-    """The PQ model as a ONE-ROW broadcastable relation."""
+    """The PQ model as a ONE-ROW broadcastable relation: the S
+    codebooks plus the S×C codeword squared-norm table (computed
+    driver-side once — the LUT path's denominator never touches a
+    reconstructed vector)."""
     vecs = [[[float(x) for x in cv] for cv in book] for book in books]
+    n2 = [
+        [float(sum(x * x for x in cv)) for cv in book] for book in books
+    ]
     return spark.createDataFrame(
-        [(0, vecs)], "__pk int, __pq_vecs array<array<array<double>>>"
+        [(0, vecs, n2)],
+        "__pk int, __pq_vecs array<array<array<double>>>,"
+        " __pq_n2 array<array<double>>",
     )
 
 
@@ -193,6 +224,58 @@ def pq_encode(
     return staged.select(*cols)
 
 
+def _lut_col(vec_col: str, subspaces: int, d: int) -> Column:
+    """Per-QUERY S×C dot table against the broadcast codebooks:
+    lut[s][c] = <q_s, codebook[s][c]> — computed once per query row
+    (|Q|-small), carried into the scoring join as S·C doubles."""
+    def _book_fn(book, s):
+        lo = (s.cast("int")) * d + 1
+        sub = F.slice(F.col(vec_col), lo, d)
+        return F.transform(
+            book,
+            lambda cv: F.aggregate(
+                F.zip_with(sub, cv, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+        )
+
+    return F.transform(F.col("__pq_vecs"), _book_fn)
+
+
+def _lut_score(subspaces: int) -> Column:
+    """Candidate score in S lookups + S adds (fully unrolled —
+    stays inside whole-stage codegen): Σ_s lut[s][codes[s]]."""
+    terms = [
+        F.element_at(
+            F.element_at(F.col("__lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1),
+        )
+        for s in range(subspaces)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _lut_norm(subspaces: int) -> Column:
+    """Reconstructed-vector norm from the model's squared-norm
+    table: ‖recon‖² = Σ_s ‖codebook[s][codes[s]]‖² (subvectors are
+    disjoint coordinate blocks, so the squares just concatenate)."""
+    terms = [
+        F.element_at(
+            F.element_at(F.col("__pq_n2"), s + 1),
+            F.element_at(F.col("codes"), s + 1),
+        )
+        for s in range(subspaces)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return F.sqrt(out)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -203,49 +286,151 @@ def pq_topk(
     subspaces: int = SUBSPACES,
     codes: int = CODES,
     scoring: str = "decimal",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Asymmetric PQ top-k cosine: full-precision queries scored
-    against codeword-reconstructed corpus vectors. ``scoring`` picks
-    the dot kernel: "decimal" (oracle-exact, the battery entry) or
-    "double" (codegen'd fast path — the ivf_topk_fast precedent;
-    neighbor-set parity pinned in tests/test_pq.py). Output:
-    query_id, neighbor_id, pq_cosine, rank.
+    against the corpus's codeword representation. ``scoring`` picks
+    the kernel:
+
+    - "decimal": reconstruct + exact-decimal dot (oracle-exact, the
+      battery entry);
+    - "double": reconstruct + codegen'd IEEE dot (the ivf_topk_fast
+      precedent);
+    - "lut": the classic production ADC — per-query S×C dot tables
+      + the model's squared-norm table; a candidate never
+      reconstructs and scores in S lookups (same mathematical score
+      as "double", FP association aside; set parity pinned in
+      tests/test_pq.py).
+
+    ``cache_key`` (e.g. the fixture dir) memoizes the trained model
+    driver-side — train once, search many. Output: query_id,
+    neighbor_id, pq_cosine, rank.
     """
     from top_produce_etl_spark.operators.similarity import dot_fn
 
-    dot = dot_fn(scoring)
-    books = pq_train(
-        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+    books = _cached(
+        ("pq", cache_key, dim, subspaces, codes) if cache_key else None,
+        lambda: pq_train(
+            corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+        ),
     )
-    enc = pq_encode(corpus, id_col, vec_col, books)
-    enc = _attach_model(
-        enc.withColumnRenamed(id_col, "neighbor_id"), "codes", books
-    )
-    recon = F.flatten(
-        F.array(*[
-            F.element_at(
-                F.element_at(F.col("__pq_vecs"), s + 1),
-                F.element_at(F.col("codes"), s + 1),
+
+    def _enc():
+        return _attach_model(
+            pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+                id_col, "neighbor_id"
+            ),
+            "codes",
+            books,
+        )
+
+    if scoring == "lut":
+        d = dim // subspaces
+        # The encoded corpus is what production STORES (faiss builds
+        # the index offline; only search rides the query path) —
+        # with cache_key, persist it via the house steady-state
+        # registry so repeated searches skip re-encoding. Keyed by
+        # Spark app id: a DataFrame must not outlive its session.
+        c = _cached(
+            (
+                "pq-enc",
+                cache_key,
+                corpus.sparkSession.sparkContext.applicationId,
+                dim,
+                subspaces,
+                codes,
             )
-            for s in range(subspaces)
-        ])
-    )
-    c = enc.withColumn("__rv", recon).withColumn(
-        "__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv")))
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
-    # broadcast-queries cross: the standard |Q|-small ANN scoring
-    # shape (cosine_topk_bruteforce/adc exemption in the plan audit)
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = pairs.withColumn(
-        "pq_cosine",
-        dot(F.col("__qv"), F.col("__rv"))
-        / (F.col("__qn") * F.col("__rn")),
-    )
+            if cache_key
+            else None,
+            lambda: _enc().select(
+                "neighbor_id", "codes", _lut_norm(subspaces).alias("__rn")
+            ),
+        )
+        if cache_key is not None:
+            from top_produce_etl_spark.operators._cache import (
+                persist_tracked,
+            )
+
+            c = persist_tracked(c)
+        q = (
+            _attach_model(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                ),
+                "__qv",
+                books,
+            )
+            .withColumn("__lut", _lut_col("__qv", subspaces, d))
+            .withColumn(
+                "__qn",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col("__qv"),
+                            lambda x: x.cast("double") * x.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    )
+                ),
+            )
+            .select("query_id", "__lut", "__qn")
+        )
+        pairs = c.crossJoin(F.broadcast(q)).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = pairs.withColumn(
+            "pq_cosine",
+            _lut_score(subspaces) / (F.col("__qn") * F.col("__rn")),
+        )
+    else:
+        dot = dot_fn(scoring)
+        recon = F.flatten(
+            F.array(*[
+                F.element_at(
+                    F.element_at(F.col("__pq_vecs"), s + 1),
+                    F.element_at(F.col("codes"), s + 1),
+                )
+                for s in range(subspaces)
+            ])
+        )
+        c = _cached(
+            (
+                "pq-enc-recon",
+                cache_key,
+                corpus.sparkSession.sparkContext.applicationId,
+                dim,
+                subspaces,
+                codes,
+                scoring,
+            )
+            if cache_key
+            else None,
+            lambda: _enc()
+            .withColumn("__rv", recon)
+            .withColumn("__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv"))))
+            .select("neighbor_id", "__rv", "__rn"),
+        )
+        if cache_key is not None:
+            from top_produce_etl_spark.operators._cache import (
+                persist_tracked,
+            )
+
+            c = persist_tracked(c)
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
+        # broadcast-queries cross: the standard |Q|-small ANN scoring
+        # shape (cosine_topk_bruteforce/adc exemption in the plan audit)
+        pairs = c.crossJoin(F.broadcast(q)).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = pairs.withColumn(
+            "pq_cosine",
+            dot(F.col("__qv"), F.col("__rv"))
+            / (F.col("__qn") * F.col("__rn")),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -375,6 +560,7 @@ def ivfpq_topk(
     subspaces: int = SUBSPACES,
     codes: int = CODES,
     scoring: str = "decimal",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF×PQ — the full faiss architecture in DataFrame ops: a
     coarse k-means cell index bounds WHICH candidates are scored
@@ -399,54 +585,138 @@ def ivfpq_topk(
     )
     from top_produce_etl_spark.operators.similarity import dot_fn
 
-    dot = dot_fn(scoring)
-    cents = kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=1)
-    books = pq_train(
-        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+    cents = _cached(
+        ("ivf", cache_key, n_cells) if cache_key else None,
+        lambda: kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=1),
     )
-    enc = pq_encode(corpus, id_col, vec_col, books, keep_vec=True)
-    inv = with_nearest_cell(
-        enc.withColumnRenamed(id_col, "neighbor_id"),
-        vec_col,
-        cents,
-        out="cell",
-    ).drop(vec_col)
-    inv = _attach_model(inv, "codes", books)
-    recon = F.flatten(
-        F.array(*[
-            F.element_at(
-                F.element_at(F.col("__pq_vecs"), s + 1),
-                F.element_at(F.col("codes"), s + 1),
-            )
-            for s in range(subspaces)
-        ])
+    books = _cached(
+        ("pq", cache_key, dim, subspaces, codes) if cache_key else None,
+        lambda: pq_train(
+            corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+        ),
     )
-    inv = inv.withColumn("__rv", recon).withColumn(
-        "__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv")))
-    )
-    probes = (
-        with_probe_cells(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("__qv"),
-            ),
-            "__qv",
+    def _inv():
+        enc = pq_encode(corpus, id_col, vec_col, books, keep_vec=True)
+        made = with_nearest_cell(
+            enc.withColumnRenamed(id_col, "neighbor_id"),
+            vec_col,
             cents,
-            n_probe,
-            out="__cells",
+            out="cell",
+        ).drop(vec_col)
+        return _attach_model(made, "codes", books)
+
+    app_id = corpus.sparkSession.sparkContext.applicationId
+    if scoring == "lut":
+        d = dim // subspaces
+        # cell-keyed PQ-coded inverted index = the stored artifact;
+        # persist via the steady-state registry when keyed (see
+        # pq_topk)
+        inv = _cached(
+            ("ivfpq-inv", cache_key, app_id, dim, subspaces, codes,
+             n_cells)
+            if cache_key
+            else None,
+            lambda: _inv().select(
+                "neighbor_id", "cell", "codes",
+                _lut_norm(subspaces).alias("__rn"),
+            ),
         )
-        .withColumn("cell", F.explode("__cells"))
-        .withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
-    )
-    scored = (
-        probes.join(inv, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "pq_cosine",
-            dot(F.col("__qv"), F.col("__rv"))
-            / (F.col("__qn") * F.col("__rn")),
+        if cache_key is not None:
+            from top_produce_etl_spark.operators._cache import (
+                persist_tracked,
+            )
+
+            inv = persist_tracked(inv)
+        probes = (
+            with_probe_cells(
+                _attach_model(
+                    queries.select(
+                        F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"),
+                    ),
+                    "__qv",
+                    books,
+                ),
+                "__qv",
+                cents,
+                n_probe,
+                out="__cells",
+            )
+            .withColumn("cell", F.explode("__cells"))
+            .withColumn("__lut", _lut_col("__qv", subspaces, d))
+            .withColumn(
+                "__qn",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col("__qv"),
+                            lambda x: x.cast("double") * x.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    )
+                ),
+            )
+            .select("query_id", "cell", "__lut", "__qn")
         )
-    )
+        scored = (
+            probes.join(inv, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "pq_cosine",
+                _lut_score(subspaces) / (F.col("__qn") * F.col("__rn")),
+            )
+        )
+    else:
+        dot = dot_fn(scoring)
+        recon = F.flatten(
+            F.array(*[
+                F.element_at(
+                    F.element_at(F.col("__pq_vecs"), s + 1),
+                    F.element_at(F.col("codes"), s + 1),
+                )
+                for s in range(subspaces)
+            ])
+        )
+        inv = _cached(
+            ("ivfpq-inv-recon", cache_key, app_id, dim, subspaces,
+             codes, n_cells, scoring)
+            if cache_key
+            else None,
+            lambda: _inv()
+            .withColumn("__rv", recon)
+            .withColumn("__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv"))))
+            .select("neighbor_id", "cell", "__rv", "__rn"),
+        )
+        if cache_key is not None:
+            from top_produce_etl_spark.operators._cache import (
+                persist_tracked,
+            )
+
+            inv = persist_tracked(inv)
+        probes = (
+            with_probe_cells(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                ),
+                "__qv",
+                cents,
+                n_probe,
+                out="__cells",
+            )
+            .withColumn("cell", F.explode("__cells"))
+            .withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
+        )
+        scored = (
+            probes.join(inv, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "pq_cosine",
+                dot(F.col("__qv"), F.col("__rv"))
+                / (F.col("__qn") * F.col("__rn")),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -887,23 +887,28 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(emb, queries, "vec_id", "embedding", dim=64, k=3)
+    return pq_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=3,
+        cache_key=sf_dir,
+    )
 
 
 @query("pq_topk_fast", extended=True)
 def pq_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Double-kernel fast twin of :func:`pq_topk_embeddings` —
-    identical model, codes, and plan; codegen'd IEEE-double scoring
-    instead of interpreted decimal (the ivf_topk_fast precedent).
-    Rows-only battery entry; neighbor-set parity with the decimal
-    twin pinned in tests/test_pq.py."""
+    """Production-shaped fast twin of :func:`pq_topk_embeddings` —
+    identical (cached, train-once) model and codes; scoring is the
+    classic per-query S×C lookup table + model-side norm table, so
+    a candidate never reconstructs its 64 dims and scores in 8
+    lookups (operators/pq.py ``scoring="lut"``). Rows-only battery
+    entry; neighbor-set parity with the decimal twin pinned in
+    tests/test_pq.py."""
     from top_produce_etl_spark.operators.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(
         emb, queries, "vec_id", "embedding", dim=64, k=3,
-        scoring="double",
+        scoring="lut", cache_key=sf_dir,
     )
 
 
@@ -921,7 +926,7 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk(
         emb, queries, "vec_id", "embedding", dim=64, k=3,
-        scoring="double",
+        scoring="lut", cache_key=sf_dir,
     )
 
 
