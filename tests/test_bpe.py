@@ -76,3 +76,28 @@ def test_encode_corpus_round_trips_words(spark):
     assert got[2].n_pieces == 6
     enc1 = got[1].encoded.split(" ")
     assert "".join(enc1) == "low" * 5 + "newest" * 6 + "widest" * 3
+
+
+def test_bpe_checkpoint_invariant_to_cadence(spark):
+    """Lineage checkpointing is a physical-only change: the learned
+    merge list and final vocabulary must be IDENTICAL at any
+    checkpoint cadence (including none), and per-round timings are
+    collected when asked."""
+    from top_produce_etl_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "hug " * 10 + "pug " * 5 + "pun " * 12 + "bun hugs")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    rt: list = []
+    m_ck, v_ck = bpe_train(
+        docs, "text", 8, checkpoint_every=2, round_times=rt
+    )
+    m_no, v_no = bpe_train(docs, "text", 8, checkpoint_every=0)
+    assert m_ck == m_no
+    assert len(rt) == len(m_ck)
+    key = lambda r: r["word"]  # noqa: E731
+    assert sorted(v_ck.collect(), key=key) == sorted(
+        v_no.collect(), key=key
+    )

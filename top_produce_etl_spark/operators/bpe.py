@@ -86,7 +86,11 @@ def merge_pair(sym: Column, x: str, y: str) -> Column:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 16,
+    round_times: list | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a corpus; returns the
     ordered merge list (the tokenizer model — driver-side, tiny)
@@ -98,19 +102,32 @@ def bpe_train(
     merge as a narrow map. The base vocabulary is PERSISTED
     (operators/_cache.py contract — |vocab|-sized): without it,
     lazy lineage re-runs the corpus-wide word count once per merge
-    round (measured 9.4 s → 3.4 s for 2 merges over 50k docs). The
-    symbol column's lineage still grows one fold per round; at
-    production merge counts (30k) the vocabulary would be
-    checkpoint-materialized every few rounds — also a
-    corpus-size-independent cost.
+    round (measured 9.4 s → 3.4 s for 2 merges over 50k docs).
+
+    Production merge counts (256 … 30k) need lineage CONTROL, not
+    just the base persist: each round's ``withColumn`` nests one
+    more fold, so round r re-analyzes and re-executes an r-deep
+    expression — O(r²) total and an eventual codegen blowout. Every
+    ``checkpoint_every`` rounds the vocabulary is materialized via
+    ``localCheckpoint`` (the graph.py iterative-loop discipline),
+    truncating both the logical plan and the physical fold chain;
+    cost is one |vocab|-row write per k rounds — corpus-size-
+    independent. Per-round flatness is probed at 256 merges on a
+    200k-doc corpus in bench.py (``bpe_probe``).
+
+    ``round_times``: pass a list to receive per-round wall seconds
+    (the probe's flatness evidence); leave None otherwise.
     """
+    import time as _time
+
     from top_produce_etl_spark.operators._cache import persist_tracked
 
     vocab = persist_tracked(
         word_vocab(df, text_col).withColumn("sym", F.split("word", ""))
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for r in range(n_merges):
+        t0 = _time.monotonic()
         best = (
             pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
@@ -122,6 +139,10 @@ def bpe_train(
         x, y = best[0]["a"], best[0]["b"]
         merges.append((x, y))
         vocab = vocab.withColumn("sym", merge_pair(F.col("sym"), x, y))
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+        if round_times is not None:
+            round_times.append(_time.monotonic() - t0)
     return merges, vocab
 
 
