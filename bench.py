@@ -795,6 +795,56 @@ def main() -> None:
     }
     print(f"# sketch_probe: {sketch_probe}", file=sys.stderr)
 
+    # k-center probe (r5 verdict #5): planted geometry — synthembs
+    # scaled to 6400 vectors in 64 well-separated groups (100 near-
+    # identical members each). Farthest-first diversity selection of
+    # k=8 must land every pick in a DISTINCT group (a groupmate of an
+    # existing center is never the farthest point), for BOTH the
+    # exact path and the hash-sampled coreset path (sample_mod=8 →
+    # ~800-candidate pool that still covers all 64 groups).
+    from top_produce_etl_spark.operators.clustering import k_center_select
+
+    from top_produce_etl_spark.operators._cache import (
+        persist_tracked as _pt,
+        unpersist_all as _upa,
+    )
+
+    # persist the generated pool: the greedy loop re-reads it k
+    # times per path, and re-driving the Python data source 16x is
+    # probe overhead, not operator cost
+    kc_emb = _pt(
+        spark.read.format("synthembs")
+        .option("rows", 6400).option("groups", 64)
+        .option("partitions", CPUS).load()
+    )
+    kc_truth = {}
+    t0 = time.monotonic()
+    for label, mod in (("exact", None), ("sampled", 8)):
+        picks = k_center_select(
+            kc_emb, "vec_id", "embedding", k=8, sample_mod=mod
+        )
+        grps = (
+            picks.join(kc_emb.select("vec_id", "grp"), "vec_id")
+            .agg(
+                F.countDistinct("grp").alias("g"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        kc_truth[label] = (grps["n"], grps["g"])
+    kc_sec = round(time.monotonic() - t0, 3)
+    _upa()
+    kcenter_probe = {
+        "kcenter_probe_vectors": 6400,
+        "kcenter_probe_sec": kc_sec,
+        "kcenter_probe_exact_distinct_groups": kc_truth["exact"][1],
+        "kcenter_probe_sampled_distinct_groups": kc_truth["sampled"][1],
+        "kcenter_probe_all_picks_distinct_groups": bool(
+            kc_truth["exact"] == (8, 8) and kc_truth["sampled"] == (8, 8)
+        ),
+    }
+    print(f"# kcenter_probe: {kcenter_probe}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     ext_core = {k: v for k, v in extension.items() if k in EXTENSION_CORE}
     ext_other = {
@@ -827,6 +877,7 @@ def main() -> None:
         **rel_probe,
         **graph_probe,
         **sketch_probe,
+        **kcenter_probe,
     }
     print(json.dumps(out))
     # Compact headline-only line printed LAST (r5 verdict #4): the

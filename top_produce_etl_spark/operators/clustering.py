@@ -464,7 +464,12 @@ def ivf_topk(
 
 
 def k_center_select(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    sample_mod: int | None = None,
+    sample_salt: str = "kc-v1",
 ) -> DataFrame:
     """Greedy k-center / farthest-first traversal: a DIVERSE subset
     of k embedding rows (Gonzalez 1985 — a 2-approximation of the
@@ -481,11 +486,30 @@ def k_center_select(
     6dp-rounded like kmeans init, the oracle's determinism
     contract).
 
+    Greedy Gonzalez is inherently k scans; at 100 TB the standard
+    scale-out is Gonzalez-on-a-coreset: ``sample_mod=m`` first
+    restricts the CANDIDATE POOL to the deterministic portable-hash
+    sample (salt‖id) % m == 0 — a 1/m coreset, append-stable and
+    salt-refreshable like the splits tier — and runs the exact
+    greedy over it, so the k scans touch 1/m of the data. The
+    sampled path stays FULLY oracle-checkable (the hash is
+    cross-engine) and its diversity is probed on planted geometry in
+    bench.py (``kcenter_probe``: every pick must land in a distinct
+    planted group, sampled or not).
+
     Output: (sel_round int, id, radius double) — ``radius`` is the
     selected point's distance-to-cover, 6dp, a non-increasing
-    sequence that IS the k-center coverage-radius curve.
+    sequence that IS the k-center coverage-radius curve (over the
+    candidate pool when sampled).
     """
     pts = df.select(F.col(id_col), F.col(vec_col))
+    if sample_mod:
+        from top_produce_etl_spark.functions.portable_hash import (
+            composite_hash_col,
+        )
+
+        keyed = f"concat('{sample_salt}', CAST({id_col} AS STRING))"
+        pts = pts.where(composite_hash_col(keyed) % sample_mod == 0)
     first = pts.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
     cents: list[tuple[int, list[float]]] = [
         (0, [round(float(x), 6) for x in first[vec_col]])
@@ -509,23 +533,43 @@ def k_center_select(
     )
 
 
-def k_center_oracle_sql(k: int = 8) -> str:
+def k_center_oracle_sql(
+    k: int = 8,
+    sample_mod: int | None = None,
+    sample_salt: str = "kc-v1",
+) -> str:
     """Round-unrolled DuckDB twin of :func:`k_center_select` over
-    the embeddings table (same CTE scheme as the kmeans oracle)."""
+    the embeddings table (same CTE scheme as the kmeans oracle).
+    ``sample_mod`` mirrors the coreset pre-pass bit-identically via
+    the portable hash."""
+    from top_produce_etl_spark.functions.portable_hash import (
+        composite_hash_sql,
+    )
+
+    src = "embeddings"
+    if sample_mod:
+        h = composite_hash_sql(
+            f"concat('{sample_salt}', CAST(vec_id AS VARCHAR))"
+        )
+        src = (
+            f"(SELECT * FROM embeddings"
+            f" WHERE ({h}) % {sample_mod} = 0)"
+        )
     dist_expr = (
         "list_sum(list_transform(range(1, len(e.embedding) + 1), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) ^ 2))"
     )
-    sql = """WITH cents0 AS (
+    sql = f"""WITH pool AS (SELECT * FROM {src}),
+cents0 AS (
   SELECT vec_id, list_transform(embedding,
          x -> ROUND(CAST(x AS DOUBLE), 6)) AS cvec
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 1)
+  FROM (SELECT * FROM pool ORDER BY vec_id LIMIT 1)
 )"""
     for r in range(1, k):
         sql += f""",
 dist{r} AS (
   SELECT e.vec_id, MIN({dist_expr}) AS d
-  FROM embeddings e CROSS JOIN cents{r - 1} c
+  FROM pool e CROSS JOIN cents{r - 1} c
   GROUP BY e.vec_id
 ),
 pick{r} AS (
@@ -537,7 +581,7 @@ cents{r} AS (
   UNION ALL
   SELECT e.vec_id, list_transform(e.embedding,
          x -> ROUND(CAST(x AS DOUBLE), 6))
-  FROM embeddings e JOIN pick{r} USING (vec_id)
+  FROM pool e JOIN pick{r} USING (vec_id)
 )"""
     picks = " UNION ALL ".join(
         f"SELECT {r} AS sel_round, vec_id, radius FROM pick{r}"

@@ -870,6 +870,28 @@ def kcenter_diverse_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kcenter_sampled_selection", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.clustering",
+        fromlist=["k_center_oracle_sql"],
+    ).k_center_oracle_sql(k=8, sample_mod=4),
+)
+def kcenter_sampled_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-center SCALE path (r5 verdict #5): Gonzalez-on-a-
+    coreset — a deterministic portable-hash 1/4 sample bounds the
+    candidate pool, then the exact greedy runs over it, so the k
+    scans touch a quarter of the data. Still FULLY oracle-checked
+    (the sample predicate is cross-engine bit-identical); planted-
+    geometry diversity of this path rides bench's kcenter_probe."""
+    from top_produce_etl_spark.operators.clustering import k_center_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return k_center_select(
+        emb, "vec_id", "embedding", k=8, sample_mod=4
+    )
+
+
+@query(
     "pq_topk_embeddings", extended=True,
     oracle=__import__(
         "top_produce_etl_spark.operators.pq",
