@@ -586,3 +586,67 @@ def test_yaml_dsir_selection_shares_query_oracle(spark, sf_dir):
         ).fetchall()
     }
     assert got == oracle and len(got) == 100
+
+
+def test_yaml_full_composition_matches_direct_operators(spark, sf_dir):
+    """The composed training-data pipeline (r5 verdict #6):
+    configs/pipeline_mix_curate_pack.yaml — mixture cap -> span
+    dedup -> curation funnel -> token-budget selection -> packed
+    layout — must be row-identical to the same composition spelled
+    as direct operator calls. Every stage is the verified function
+    behind an oracle-checked battery query, so the YAML path
+    inherits each stage's verification."""
+    from top_produce_etl_spark.functions.text import quality_score, tokens
+    from top_produce_etl_spark.operators.dedup import (
+        strip_duplicate_spans,
+    )
+    from top_produce_etl_spark.operators.mixture import (
+        budget_select,
+        cap_per_category,
+    )
+    from top_produce_etl_spark.operators.packing import pack_sequences
+    from top_produce_etl_spark.operators.textquality import curation_funnel
+    from top_produce_etl_spark.plans.builder import load_pipeline_spec
+
+    docs = load_table(spark, sf_dir, "documents")
+    tables = {"documents": docs}
+    spec = load_pipeline_spec(
+        "/root/repo/configs/pipeline_mix_curate_pack.yaml"
+    )
+    got = build_pipeline(spark, spec, tables).collect()
+
+    # the same composition, spelled directly
+    capped = cap_per_category(docs, "source", "doc_id", 120)
+    cleaned = strip_duplicate_spans(
+        capped, "doc_id", "text", k=8, min_docs=2
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    verdicts = curation_funnel(
+        cleaned, "doc_id", "text", lang="en", min_quality=0.65,
+        max_dup_ngram_frac=0.05, max_mean_info_micro=3_450_000, ngram=3,
+    )
+    survivors = cleaned.join(
+        verdicts.filter(F.col("keep")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    kept = budget_select(
+        survivors.withColumn("__q", quality_score("text")).withColumn(
+            "__toks", F.size(tokens("text"))
+        ),
+        "__q", "__toks", budget=20_000,
+    ).drop("__q", "__toks", "__bucket")
+    expected = pack_sequences(
+        kept, "doc_id", F.size(tokens("text")), budget=512, n_shards=8
+    ).collect()
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert len(got) > 0
+    assert sorted(got, key=key) == sorted(expected, key=key)
+    # layout invariant: every packed bin respects the token budget
+    packed = spark.createDataFrame(got)
+    over = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("n_tokens").alias("t"))
+        .filter(F.col("t") > 512)
+        .count()
+    )
+    assert over == 0

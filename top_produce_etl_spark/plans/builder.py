@@ -228,7 +228,11 @@ def build_pipeline(
          "lang": "en", "min_quality": 0.65, "max_dup_ngram_frac": 0.05,
          "max_mean_info_micro": 3450000, "keep_only": false},
         {"op": "dsir_select", "id_col": "doc_id", "text_col": "text",
-         "target_pred": "lang = 'en'", "n": 100}
+         "target_pred": "lang = 'en'", "n": 100},
+        {"op": "budget_select", "text_col": "text", "budget": 20000,
+         "score": "quality", "n_buckets": 1000},
+        {"op": "pack_sequences", "id_col": "doc_id", "text_col": "text",
+         "budget": 512, "n_shards": 32}
       ]
     }
 
@@ -437,6 +441,65 @@ def build_pipeline(
                 int(op["cap"]),
                 salt=op.get("salt", "cap-v1"),
                 strategy=op.get("strategy", "hash"),
+            )
+        elif kind == "budget_select":
+            # token-budget quality selection from config: keep the
+            # best score-buckets whose cumulative token mass fits
+            # the budget (operators/mixture.py::budget_select — the
+            # verified function behind budget_selected_corpus).
+            # score defaults to the house quality_score over
+            # text_col; tokens defaults to the whitespace count.
+            from top_produce_etl_spark.functions.text import (
+                quality_score,
+                tokens as _tok,
+            )
+            from top_produce_etl_spark.operators.mixture import (
+                budget_select,
+            )
+
+            score = (
+                quality_score(op["text_col"])
+                if op.get("score") in (None, "quality")
+                else F.expr(op["score"])
+            )
+            tok = (
+                F.size(_tok(op["text_col"]))
+                if op.get("tokens") is None
+                else F.expr(op["tokens"])
+            )
+            kept = budget_select(
+                df.withColumn("__q", score).withColumn("__toks", tok),
+                "__q",
+                "__toks",
+                budget=int(op["budget"]),
+                n_buckets=int(op.get("n_buckets", 1000)),
+            )
+            df = (
+                kept
+                if op.get("keep_audit")
+                else kept.drop("__q", "__toks", "__bucket")
+            )
+        elif kind == "pack_sequences":
+            # packed training layout from config: every surviving
+            # document gets a (shard, bin, pos) slot under the token
+            # budget (operators/packing.py — the verified function
+            # behind packed_training_layout)
+            from top_produce_etl_spark.functions.text import tokens as _tok
+            from top_produce_etl_spark.operators.packing import (
+                pack_sequences,
+            )
+
+            ln = (
+                F.expr(op["len_expr"])
+                if "len_expr" in op
+                else F.size(_tok(op["text_col"]))
+            )
+            df = pack_sequences(
+                df,
+                op["id_col"],
+                ln,
+                budget=int(op["budget"]),
+                n_shards=int(op.get("n_shards", 32)),
             )
         elif kind == "dsir_select":
             # DSIR importance selection from config: keep the n
