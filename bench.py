@@ -151,6 +151,8 @@ EXTENSION = [
     "kmv_userdays_fast",         # KMV distinct sketch, xxhash64 (r5w6)
     "dsir_selection_fast",       # DSIR selection, xxhash64 (r5w6)
     "kcenter_diverse_selection",  # farthest-first diversity pick (r5w6)
+    "kcenter_sampled_selection",  # Gonzalez-on-a-coreset scale path (r6)
+    "entity_golden_parts",       # record linkage -> golden records (r6)
     "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
     "pq_topk_fast",              # same plan, double fast path (r5w6)
     "ivfpq_topk_embeddings",     # faiss shape: cells x codes (r5w6)

@@ -50,7 +50,9 @@ def test_pq_reconstruction_cosine_error_bounded(spark, sf_dir):
     """The meaningful PQ quality gate on this near-uniform fixture
     is reconstruction-cosine error, not recall (the random-
     projection precedent: true top-3 gaps here are slivers, so
-    recall is noise — bench tracks it untargeted). Measured MAE is
+    recall here is noise — the failable recall gate lives on the
+    separable synthembs fixture, test_pq_recall_gate_on_separable_
+    fixture below, and bench measures it there too). Measured MAE is
     ~0.10 at 32× compression (vs the RP tier's 0.18 at 4×); gate at
     0.2 with headroom, plus a far-better-than-chance recall floor.
     """
