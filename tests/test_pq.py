@@ -229,3 +229,38 @@ def test_synthembs_deterministic_rereads(spark):
     key = lambda r: r["vec_id"]  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
     assert len(a) == 256 and len(a[0]["embedding"]) == 64
+
+
+def test_pq_index_save_load_roundtrip_search(spark, sf_dir, tmp_path):
+    """The stored-index lifecycle: save (codebooks + 8-byte codes as
+    parquet), load, and serve — retrieved neighbor sets must equal
+    the live LUT path's, and the stored model must round-trip
+    exactly."""
+    from top_produce_etl_spark.operators.pq import (
+        pq_index_load,
+        pq_index_save,
+        pq_topk_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10")
+    path = str(tmp_path / "pqidx")
+    books = pq_index_save(emb, "vec_id", "embedding", dim=64, path=path)
+    loaded, enc = pq_index_load(spark, path)
+    assert loaded == books
+    assert enc.columns == ["neighbor_id", "codes"]
+
+    live = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3,
+            scoring="lut",
+        ).collect()
+    }
+    served = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk_from_index(
+            spark, path, queries, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    assert served == live and len(served) == 30

@@ -441,6 +441,126 @@ def pq_topk(
     )
 
 
+def pq_index_save(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    path: str,
+    subspaces: int = SUBSPACES,
+    codes: int = CODES,
+) -> list[list[list[float]]]:
+    """Materialize the PQ index as PARQUET ARTIFACTS — the offline
+    half of the faiss lifecycle: train + encode once at ingest,
+    store, and serve every later search from the stored tables
+    (``pq_topk_from_index``) with no retraining and no access to the
+    raw vectors.
+
+    Artifacts under ``path``:
+    - ``codebooks``: (subspace, pos, cvec, n2) — S·C model rows,
+      including the precomputed squared norms the LUT denominator
+      needs;
+    - ``codes``: (neighbor_id, codes) — the 8-bytes-per-vector
+      compressed corpus, the thing PQ exists to store.
+
+    Returns the trained books (callers may keep encoding new
+    batches with them — append-stable: codes depend only on the
+    model, not on other rows)."""
+    spark = corpus.sparkSession
+    books = pq_train(
+        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+    )
+    cb_rows = [
+        (s, p + 1, [float(x) for x in cv],
+         float(sum(x * x for x in cv)))
+        for s, book in enumerate(books)
+        for p, cv in enumerate(book)
+    ]
+    spark.createDataFrame(
+        cb_rows,
+        "subspace int, pos int, cvec array<double>, n2 double",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(corpus, id_col, vec_col, books).withColumnRenamed(
+        id_col, "neighbor_id"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    return books
+
+
+def pq_index_load(
+    spark, path: str
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Load a stored PQ index: (books, codes DataFrame). The
+    codebook read is a model-sized collect (S·C rows); the coded
+    corpus stays a lazy scan."""
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    by_s: dict[int, dict[int, list[float]]] = {}
+    for r in cb:
+        by_s.setdefault(r["subspace"], {})[r["pos"]] = list(r["cvec"])
+    books = [
+        [by_s[s][p] for p in sorted(by_s[s])] for s in sorted(by_s)
+    ]
+    return books, spark.read.parquet(f"{path}/codes")
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Serve top-k from the STORED index (LUT scoring — the serving
+    path never touches raw corpus vectors, only the 8-byte codes +
+    the S·C model). Same output contract as :func:`pq_topk`."""
+    books, enc = pq_index_load(spark, path)
+    subspaces = len(books)
+    d = len(books[0][0])
+    c = _attach_model(enc, "codes", books).select(
+        "neighbor_id", "codes", _lut_norm(subspaces).alias("__rn")
+    )
+    q = (
+        _attach_model(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+            ),
+            "__qv",
+            books,
+        )
+        .withColumn("__lut", _lut_col("__qv", subspaces, d))
+        .withColumn(
+            "__qn",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("__qv"),
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                )
+            ),
+        )
+        .select("query_id", "__lut", "__qn")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "pq_cosine",
+        _lut_score(subspaces) / (F.col("__qn") * F.col("__rn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rank")
+    )
+
+
 def pq_topk_oracle_sql(
     dim: int = 64,
     subspaces: int = SUBSPACES,
