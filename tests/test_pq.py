@@ -264,3 +264,46 @@ def test_pq_index_save_load_roundtrip_search(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert served == live and len(served) == 30
+
+
+def test_pq_index_append_grows_corpus_without_retraining(spark, sf_dir, tmp_path):
+    """Incremental maintenance: build the index on half the corpus,
+    append the other half encoded with the STORED books — appended
+    codes must equal a fresh encode under the same model, existing
+    codes must be untouched, and serving must retrieve across both
+    batches."""
+    from top_produce_etl_spark.operators.pq import (
+        pq_index_append,
+        pq_index_load,
+        pq_index_save,
+        pq_topk_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "pqidx2")
+    books = pq_index_save(half_a, "vec_id", "embedding", dim=64, path=path)
+    before = {
+        r["neighbor_id"]: r["codes"]
+        for r in pq_index_load(spark, path)[1].collect()
+    }
+    pq_index_append(half_b, "vec_id", "embedding", path)
+    loaded_books, enc = pq_index_load(spark, path)
+    assert loaded_books == books
+    after = {r["neighbor_id"]: r["codes"] for r in enc.collect()}
+    assert len(after) == emb.count()
+    assert all(after[k] == v for k, v in before.items())
+    expected_b = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(
+            half_b, "vec_id", "embedding", books
+        ).collect()
+    }
+    assert all(after[k] == v for k, v in expected_b.items())
+    served = pq_topk_from_index(
+        spark, path, emb.filter("vec_id < 6"), "vec_id", "embedding", k=5
+    ).collect()
+    ids = {r["neighbor_id"] for r in served}
+    assert len(served) == 30
+    assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)

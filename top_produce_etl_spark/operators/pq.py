@@ -486,6 +486,21 @@ def pq_index_save(
     return books
 
 
+def pq_index_append(
+    batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Incremental index maintenance: encode a NEW batch with the
+    STORED codebooks and append its codes — no retraining, no touch
+    of existing rows (codes depend only on the model, so the append
+    is idempotent-safe per batch and existing codes never change).
+    This is the ingest-time half of serving at 100 TB: the model is
+    fixed, the coded corpus grows."""
+    books, _ = pq_index_load(batch.sparkSession, path)
+    pq_encode(batch, id_col, vec_col, books).withColumnRenamed(
+        id_col, "neighbor_id"
+    ).write.mode("append").parquet(f"{path}/codes")
+
+
 def pq_index_load(
     spark, path: str
 ) -> tuple[list[list[list[float]]], DataFrame]:
