@@ -847,6 +847,61 @@ def main() -> None:
     }
     print(f"# kcenter_probe: {kcenter_probe}", file=sys.stderr)
 
+    # PQ serving probe (r6): the STORED-INDEX lifecycle at 100x the
+    # sf0.1 embedding fixture — 500k synthembs vectors in 256
+    # separated groups. Phase 1 (index): train + encode + write the
+    # parquet artifacts (pq_index_save — the offline ingest cost).
+    # Phase 2 (serve): pq_topk_from_index answers 10 queries from the
+    # stored codes alone (LUT scoring, no raw vectors). Planted truth
+    # riding the timing: group members are near-identical and groups
+    # differ in >= half the subspaces, so every retrieved neighbor
+    # MUST share its query's group — a wrong trainer/encoder/scorer
+    # breaks it long before recall numerics would.
+    import shutil
+    import tempfile
+
+    from top_produce_etl_spark.operators.pq import (
+        pq_index_save,
+        pq_topk_from_index,
+    )
+
+    pq_rows = 500_000
+    pq_emb = (
+        spark.read.format("synthembs")
+        .option("rows", pq_rows).option("groups", 256)
+        .option("partitions", CPUS).load()
+    )
+    pq_dir = tempfile.mkdtemp(prefix="pq_probe_")
+    try:
+        t0 = time.monotonic()
+        pq_index_save(
+            pq_emb, "vec_id", "embedding", dim=64, path=pq_dir
+        )
+        pq_index_sec = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        served = pq_topk_from_index(
+            spark, pq_dir, pq_emb.filter("vec_id < 10"),
+            "vec_id", "embedding", k=3,
+        ).collect()
+        pq_serve_sec = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(pq_dir, ignore_errors=True)
+    pq_groupmates = sum(
+        1 for r in served
+        if r["query_id"] % 256 == r["neighbor_id"] % 256
+    )
+    pq_probe = {
+        "pq_probe_vectors": pq_rows,
+        "pq_probe_index_sec": pq_index_sec,
+        "pq_probe_index_vecs_per_sec": round(pq_rows / pq_index_sec, 1),
+        "pq_probe_serve_sec": pq_serve_sec,
+        "pq_probe_neighbors": len(served),
+        "pq_probe_all_neighbors_in_query_group": bool(
+            len(served) == 30 and pq_groupmates == 30
+        ),
+    }
+    print(f"# pq_probe: {pq_probe}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     ext_core = {k: v for k, v in extension.items() if k in EXTENSION_CORE}
     ext_other = {
@@ -880,6 +935,7 @@ def main() -> None:
         **graph_probe,
         **sketch_probe,
         **kcenter_probe,
+        **pq_probe,
     }
     print(json.dumps(out))
     # Compact headline-only line printed LAST (r5 verdict #4): the

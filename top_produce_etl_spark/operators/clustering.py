@@ -502,6 +502,8 @@ def k_center_select(
     sequence that IS the k-center coverage-radius curve (over the
     candidate pool when sampled).
     """
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
     pts = df.select(F.col(id_col), F.col(vec_col))
     if sample_mod:
         from top_produce_etl_spark.functions.portable_hash import (
@@ -510,6 +512,9 @@ def k_center_select(
 
         keyed = f"concat('{sample_salt}', CAST({id_col} AS STRING))"
         pts = pts.where(composite_hash_col(keyed) % sample_mod == 0)
+    # the greedy loop re-reads the pool k times — persist it via the
+    # house registry (callers release with unpersist_all)
+    pts = persist_tracked(pts)
     first = pts.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
     cents: list[tuple[int, list[float]]] = [
         (0, [round(float(x), 6) for x in first[vec_col]])

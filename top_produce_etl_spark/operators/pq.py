@@ -705,7 +705,11 @@ def ivfpq_topk(
     verified halves unchanged: cell routing from
     operators/clustering.py (ivf_topk's shape — broadcast model,
     one cell-keyed equi-join), scoring from :func:`pq_topk`
-    (codeword reconstruction, decimal or double kernel).
+    (codeword reconstruction with the decimal/double kernels, or
+    the production LUT path — S lookups per candidate, no
+    reconstruction; train-once ``cache_key`` memoizes both the
+    coarse centroids and the codebooks, and persists the coded
+    inverted index via the steady-state registry).
 
     Approximate in WHICH pairs are scored (cell pruning) and in the
     SCORES (quantization) — rows-only battery entry; recall rides
