@@ -365,3 +365,89 @@ def test_cms_stream_equals_batch(spark, sf_dir):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.count() <= 4 * 512
+
+
+def test_kmv_stream_equals_batch_across_micro_batches(spark, tmp_path):
+    """The custom-state KMV stream must converge to the batch sketch
+    REGARDLESS of micro-batch boundaries: the events are split into
+    3 files consumed one per trigger (maxFilesPerTrigger=1), so the
+    k-min-of-union merge runs across real batch seams. Final per-key
+    set == batch kmv_sketch rows."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    from top_produce_etl_spark.functions.portable_hash import (
+        composite_hash_col,
+    )
+    from top_produce_etl_spark.operators.kmv import kmv_sketch
+
+    rows = [
+        (i // 100, i % 3, f"key{i % 37}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "f int, grp int, key string")
+    src_dir = str(tmp_path / "kmv_src")
+    os.makedirs(src_dir)
+    # one file per row-range: every grp appears in EVERY file, so
+    # each key's state crosses real micro-batch seams
+    for part in range(3):
+        df.filter(F.col("f") == part).select("grp", "key").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    k = 8
+    batch = kmv_sketch(
+        spark.read.parquet(src_dir), ["grp"], "key", k=k
+    )
+
+    hashed = (
+        spark.readStream.schema("grp int, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("grp", composite_hash_col("key").alias("h"))
+        .where(F.col("h").isNotNull())
+    )
+
+    def fn(key, pdfs, state):
+        n_seen, hs = state.get if state.exists else (0, [])
+        s = set(hs)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            s.update(int(x) for x in pdf["h"])
+        kept = sorted(s)[:k]
+        state.update((n_seen, kept))
+        yield pd.DataFrame(
+            {"grp": [key[0]] * len(kept), "n_seen": [n_seen] * len(kept),
+             "h": kept}
+        )
+
+    updates = hashed.groupBy("grp").applyInPandasWithState(
+        fn, "grp int, n_seen bigint, h bigint",
+        "n bigint, hs array<bigint>", "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("t_kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("t_kmv_stream")
+    # more than one micro-batch actually happened (the seams are real)
+    assert sink.select("grp", "n_seen").distinct().count() > 3
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp")
+    final = (
+        sink.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("grp", "h")
+        .distinct()
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0

@@ -262,3 +262,48 @@ def stream_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top_produce_etl_spark.streaming.jobs import run_cms_stream
 
     return run_cms_stream(spark, sf_dir, sink_table="oracle_stream_cms")
+
+
+_KMV_UDAY_SPARK = (
+    "concat(CAST(user_id AS STRING), '@', CAST(CAST(ts AS DATE) AS STRING))"
+)
+_KMV_UDAY_DUCK = (
+    "concat(CAST(user_id AS VARCHAR), '@', "
+    "CAST(CAST(ts AS DATE) AS VARCHAR))"
+)
+
+
+@query(
+    "stream_kmv_parity", extended=True,
+    oracle=f"""
+    WITH sk AS ({__import__(
+        "top_produce_etl_spark.operators.kmv",
+        fromlist=["kmv_sketch_oracle_sql"],
+    ).kmv_sketch_oracle_sql("events", ["event_type"], _KMV_UDAY_DUCK)})
+    SELECT event_type, h FROM sk
+    """,
+)
+def stream_kmv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch maintained by Structured Streaming via a
+    CUSTOM state machine (streaming/jobs.py:run_kmv_stream —
+    ``applyInPandasWithState``; the k-min set is not a built-in
+    streaming aggregate, unlike the CMS/DDSketch SUM cells). The
+    final per-type k-min hash sets after consuming the whole fixture
+    must equal the batch kmv_sketch rows — and the oracle is DuckDB
+    re-deriving them from the portable hash, pinning streaming
+    parity AND cross-engine determinism at once. Final state = the
+    max-``n_seen`` emission per key (update-mode sink contract)."""
+    from pyspark.sql import Window
+
+    from top_produce_etl_spark.streaming.jobs import run_kmv_stream
+
+    sink = run_kmv_stream(
+        spark, sf_dir, _KMV_UDAY_SPARK, sink_table="oracle_stream_kmv"
+    )
+    w = Window.partitionBy("event_type")
+    return (
+        sink.withColumn("__mx", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("__mx"))
+        .select("event_type", "h")
+        .distinct()
+    )

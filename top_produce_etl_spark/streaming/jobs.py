@@ -763,6 +763,78 @@ def run_cms_stream(
     return spark.table(sink_table)
 
 
+def run_kmv_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    key_sql: str,
+    k: int = 64,
+    sink_table: str = "stream_kmv_cells",
+) -> DataFrame:
+    """KMV distinct sketch maintained BY the streaming runtime via a
+    CUSTOM state machine (``applyInPandasWithState``).
+
+    Unlike the CMS/DDSketch streaming twins (plain SUM cells — a
+    built-in streaming aggregate maintains them), the k-min hash set
+    is NOT expressible as a streaming aggregate; it needs per-key
+    custom state. The state IS the sketch: the k smallest distinct
+    portable hashes seen so far — bounded at k values per key
+    forever, no watermark (k-min of union-of-k-mins is exactly the
+    KMV merge algebra, so batch-boundary placement cannot change the
+    final set). Hashes are computed JVM-side in the streaming
+    projection; Python only merges sorted ≤k-lists.
+
+    Emission per touching micro-batch: the current k-min set plus a
+    strictly-growing ``n_seen`` counter, so the final state per key
+    is the max-``n_seen`` emission (the update-mode memory-sink
+    contract of ``running_user_totals_stream``). For a fully-
+    consumed bounded source the final sets equal the batch
+    ``kmv_sketch`` rows bit-for-bit — the parity query's DuckDB
+    oracle re-derives them cross-engine."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from top_produce_etl_spark.functions.portable_hash import (
+        composite_hash_col,
+    )
+
+    events = stream_events(spark, sf_dir)
+    hashed = events.select(
+        "event_type", composite_hash_col(key_sql).alias("h")
+    ).where(F.col("h").isNotNull())
+
+    out_schema = "event_type string, n_seen bigint, h bigint"
+    state_schema = "n bigint, hs array<bigint>"
+
+    def fn(key, pdfs, state):
+        n_seen, hs = state.get if state.exists else (0, [])
+        s = set(hs)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            s.update(int(x) for x in pdf["h"])
+        kept = sorted(s)[:k]
+        state.update((n_seen, kept))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(kept),
+                "n_seen": [n_seen] * len(kept),
+                "h": kept,
+            }
+        )
+
+    updates = hashed.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def run_ddsketch_stream(
     spark: SparkSession,
     sf_dir: str,
