@@ -63,12 +63,17 @@ def dd_bucket(value_sql: str, gamma: float = GAMMA):
 
 
 def dd_bucket_sql(value_sql: str, gamma: float = GAMMA) -> str:
-    """DuckDB twin of :func:`dd_bucket`. DuckDB ``//`` already
-    floors signed integers, so the plain form matches Spark's
-    sign-explicit floor exactly."""
+    """DuckDB twin of :func:`dd_bucket`. DuckDB ``//`` truncates
+    toward zero on NEGATIVE integers exactly like Spark ``DIV``
+    (measured: ``(-7) // 2 = -3``, not −4), so the floor must be
+    spelled sign-explicitly on BOTH engines — the same
+    ceil-of-negated form as the Spark side."""
     lg = _l_gamma_micro(gamma)
     h = f"CAST(round(ln(CAST({value_sql} AS DOUBLE)) * {INFO_SCALE}) AS BIGINT)"
-    return f"(({h}) // {lg})"
+    return (
+        f"(CASE WHEN {h} >= 0 THEN ({h}) // {lg}"
+        f" ELSE -((-({h}) + {lg - 1}) // {lg}) END)"
+    )
 
 
 def dd_build(
