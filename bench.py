@@ -154,8 +154,8 @@ EXTENSION = [
     "kcenter_sampled_selection",  # Gonzalez-on-a-coreset scale path (r6)
     "entity_golden_parts",       # record linkage -> golden records (r6)
     "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
-    "pq_topk_fast",              # same plan, double fast path (r5w6)
-    "ivfpq_topk_embeddings",     # faiss shape: cells x codes (r5w6)
+    "pq_topk_fast",              # production LUT scoring path (r6)
+    "ivfpq_topk_embeddings",     # faiss shape: cells x codes, LUT (r6)
     "ddsketch_price_quantiles",  # relative-error quantile sketch (r5w6)
     # masked_decontamination_proof is battery-gated, not timed: it
     # re-runs the contamination detection AND the post-mask overlap

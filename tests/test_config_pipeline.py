@@ -650,3 +650,39 @@ def test_yaml_full_composition_matches_direct_operators(spark, sf_dir):
         .count()
     )
     assert over == 0
+
+
+def test_yaml_resolve_entities_matches_query(spark, sf_dir):
+    """The record-linkage op from config reproduces the oracle-checked
+    entity_golden_parts query exactly — the YAML surface inherits the
+    linkage family's verification."""
+    from top_produce_etl_spark.queries.linkage_q import entity_golden_parts
+
+    spec = {
+        "source": "part",
+        "ops": [
+            {
+                "op": "resolve_entities",
+                "id_col": "p_partkey",
+                "block_cols": ["p_name", "p_brand"],
+                "match_pred": (
+                    "levenshtein(a_p_type, b_p_type) <= 5"
+                    " AND abs(a_p_size - b_p_size) <= 3"
+                ),
+                "attrs": ["p_type", "p_size"],
+                "golden": {
+                    "n_records": "count(*)",
+                    "p_name": "min(p_name)",
+                    "p_brand": "min(p_brand)",
+                    "best_price": "max(p_retailprice)",
+                    "min_size": "min(p_size)",
+                },
+            }
+        ],
+    }
+    tables = {"part": load_table(spark, sf_dir, "part")}
+    got = build_pipeline(spark, spec, tables).collect()
+    expected = entity_golden_parts(spark, sf_dir).collect()
+    key = lambda r: r["entity_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(expected, key=key)
+    assert len(got) > 0

@@ -490,11 +490,14 @@ def pq_index_append(
     batch: DataFrame, id_col: str, vec_col: str, path: str
 ) -> None:
     """Incremental index maintenance: encode a NEW batch with the
-    STORED codebooks and append its codes — no retraining, no touch
-    of existing rows (codes depend only on the model, so the append
-    is idempotent-safe per batch and existing codes never change).
+    STORED codebooks and append its codes — no retraining, and
+    existing codes never change (codes depend only on the model).
     This is the ingest-time half of serving at 100 TB: the model is
-    fixed, the coded corpus grows."""
+    fixed, the coded corpus grows. NOTE: a plain parquet append is
+    deterministic but NOT retry-idempotent — re-running the same
+    batch duplicates its rows; a production ingest routes this write
+    through the exactly-once batch-id-fenced sink
+    (io/sinks.py::idempotent append)."""
     books, _ = pq_index_load(batch.sparkSession, path)
     pq_encode(batch, id_col, vec_col, books).withColumnRenamed(
         id_col, "neighbor_id"

@@ -442,6 +442,34 @@ def build_pipeline(
                 salt=op.get("salt", "cap-v1"),
                 strategy=op.get("strategy", "hash"),
             )
+        elif kind == "resolve_entities":
+            # record linkage from config: blocking + declarative
+            # comparison + transitive closure; emits (id, entity_id)
+            # unless golden-record aggregates are declared, in which
+            # case the merged survivorship rows are emitted
+            # (operators/linkage.py — the verified functions behind
+            # entity_pairs_parts / entity_golden_parts)
+            from top_produce_etl_spark.operators.linkage import (
+                golden_records,
+                resolve_entities,
+            )
+
+            assign = resolve_entities(
+                df,
+                op["id_col"],
+                list(op["block_cols"]),
+                op["match_pred"],
+                attrs=list(op.get("attrs", [])),
+            )
+            if op.get("golden"):
+                df = golden_records(
+                    df,
+                    assign,
+                    op["id_col"],
+                    {str(k): str(v) for k, v in op["golden"].items()},
+                )
+            else:
+                df = assign
         elif kind == "budget_select":
             # token-budget quality selection from config: keep the
             # best score-buckets whose cumulative token mass fits
