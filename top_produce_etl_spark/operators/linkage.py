@@ -9,7 +9,9 @@ standard pipeline (Fellegi-Sunter shape, public literature):
   1. BLOCKING: only rows sharing a cheap exact key ever meet — the
      step that makes linkage sub-quadratic. One equi-join on the
      block key; block sizes are bounded by construction (a hot
-     block is a data-quality bug the pair-count audit surfaces).
+     block is a data-quality bug — :func:`block_stats` is the
+     pre-flight that surfaces it BEFORE the join runs, the
+     orderkey_skew_report pattern).
   2. COMPARISON: a declarative match predicate over the candidate
      pair's attribute columns (edit distance, numeric tolerance,
      equality) — a codegen'd filter on the join output, no UDFs
@@ -36,6 +38,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def block_stats(
+    df: DataFrame, block_cols: list[str], top: int = 20
+) -> DataFrame:
+    """Blocking pre-flight: the ``top`` largest blocks with their row
+    and candidate-pair counts (n·(n−1)/2). Run BEFORE
+    :func:`blocked_pairs` on a new dataset — a hot block makes the
+    self-join quadratic within it, and the fix (a finer block key, or
+    excluding the degenerate key value) is a data decision this
+    report informs. One hash-agg + a bounded TakeOrdered."""
+    return (
+        df.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "n_pairs", F.col("n_rows") * (F.col("n_rows") - 1) / 2
+        )
+        .withColumn("n_pairs", F.col("n_pairs").cast("bigint"))
+        .orderBy(F.col("n_rows").desc(), *block_cols)
+        .limit(top)
+    )
 
 
 def blocked_pairs(

@@ -127,3 +127,29 @@ def entity_golden_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_size": "min(p_size)",
         },
     )
+
+
+@query(
+    "entity_block_stats",
+    extended=True,
+    oracle="""
+    SELECT p_name, p_brand, n_rows,
+           CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS n_pairs
+    FROM (
+        SELECT p_name, p_brand, COUNT(*) AS n_rows
+        FROM part GROUP BY 1, 2
+    )
+    ORDER BY n_rows DESC, p_name, p_brand LIMIT 20
+    """,
+)
+def entity_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking pre-flight (operators/linkage.py::block_stats):
+    the 20 largest (p_name, p_brand) blocks with row and candidate-
+    pair counts — the report that catches a degenerate block key
+    before the self-join goes quadratic inside it. Total order
+    (count desc, then key) so the LIMIT boundary is deterministic
+    cross-engine."""
+    from top_produce_etl_spark.operators.linkage import block_stats
+
+    part = load_table(spark, sf_dir, "part")
+    return block_stats(part, ["p_name", "p_brand"], top=20)
