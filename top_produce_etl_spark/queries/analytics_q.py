@@ -1851,3 +1851,58 @@ def cosine_topk_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_adc(emb, queries, "vec_id", "embedding", k=3)
+
+
+_BOOT_MEANS_DUCK = __import__(
+    "top_produce_etl_spark.operators.bootstrap",
+    fromlist=["bootstrap_means_oracle_sql"],
+).bootstrap_means_oracle_sql(
+    "orders", ["o_orderpriority"], "o_orderkey", "o_totalprice", b=50
+)
+
+
+@query(
+    "bootstrap_ci_order_value", extended=True,
+    oracle=f"""
+    WITH bm AS ({_BOOT_MEANS_DUCK}),
+    rk AS (
+        SELECT o_orderpriority, boot_mean,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY boot_mean, rep
+               ) AS rn
+        FROM bm
+    ),
+    pk AS (
+        SELECT o_orderpriority,
+               MAX(CASE WHEN rn = 2 THEN boot_mean END) AS ci_lo,
+               MAX(CASE WHEN rn = 49 THEN boot_mean END) AS ci_hi,
+               COUNT(*) AS n_reps
+        FROM rk GROUP BY 1
+    ),
+    pt AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                    AS DOUBLE) / COUNT(*) AS point_est
+        FROM orders GROUP BY 1
+    )
+    SELECT pt.o_orderpriority, point_est, ci_lo, ci_hi, n_reps
+    FROM pt JOIN pk USING (o_orderpriority)
+    """,
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value per priority
+    (operators/bootstrap.py — the Chamandy et al. distributed
+    bootstrap: each row gets a deterministic hash-derived Poisson(1)
+    multiplicity per replicate, so a replicate is a narrow per-row
+    weight, never a global resample; 50 replicates = one ×50 explode
+    + one (group, rep) hash-agg + B-row order statistics). Every
+    stage is bit-identical cross-engine: literal Poisson CDF
+    thresholds, exact-decimal weighted sums, row_number order-stat
+    picks."""
+    from top_produce_etl_spark.operators.bootstrap import bootstrap_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bootstrap_ci(
+        orders, ["o_orderpriority"], "o_orderkey", "o_totalprice", b=50
+    )
