@@ -25,6 +25,11 @@ not an interpolating percentile function. Every replicate mean is
 bit-identical cross-engine. (The mix is a deterministic counter RNG
 at 31-bit granularity — ample for Poisson(1) weights, and the whole
 point is that re-runs and engines agree.)
+
+Reference parity: the reference (a 98-LoC config scaffold,
+src/transform/top3_logic.py:1 empty) has no statistics surface;
+this extends the beyond-reference applied-statistics tier beside
+the A/B z-test and CUPED operators (SURVEY.md §2.12).
 """
 
 from __future__ import annotations
