@@ -158,6 +158,7 @@ EXTENSION = [
     # the known 3-30x tax (the countmin/kmv/dsir precedent); the
     # xxhash64 twin below times the identical plan.
     "bootstrap_ci_fast",         # distributed Poisson-bootstrap CI (r6)
+    "conformal_intervals_orders",  # split-conformal intervals (r6)
     "pq_topk_embeddings",        # 32x product-quantized ANN (r5w6)
     "pq_topk_fast",              # production LUT scoring path (r6)
     "ivfpq_topk_embeddings",     # faiss shape: cells x codes, LUT (r6)

@@ -1924,3 +1924,80 @@ def bootstrap_ci_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ["o_orderpriority"], "o_orderkey", "o_totalprice",
         b=50, hasher="xxhash64",
     )
+
+
+_CONF_IV_DUCK = __import__(
+    "top_produce_etl_spark.operators.conformal",
+    fromlist=["conformal_intervals_oracle_sql"],
+).conformal_intervals_oracle_sql(
+    "orders", ["o_orderpriority"], "o_orderkey", "o_totalprice",
+    alpha=0.1,
+)
+
+
+@query(
+    "conformal_intervals_orders", extended=True, oracle=_CONF_IV_DUCK,
+)
+def conformal_intervals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction intervals for order value per
+    priority (operators/conformal.py — Lei et al. split conformal:
+    train-mean predictor on the salted-hash train slice, absolute
+    residuals on the disjoint calibration slice, half-width = the
+    ceil((n_cal+1)·0.9)-th smallest residual, a finite-sample-valid
+    order statistic). Every stage — split, decimal means, row_number
+    order-stat pick — is bit-identical cross-engine."""
+    from top_produce_etl_spark.operators.conformal import (
+        conformal_intervals,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return conformal_intervals(
+        orders, ["o_orderpriority"], "o_orderkey", "o_totalprice",
+        alpha=0.1,
+    )
+
+
+_CONF_SPLIT_DUCK = __import__(
+    "top_produce_etl_spark.operators.splits",
+    fromlist=["split_oracle_sql"],
+).split_oracle_sql(
+    "o_orderkey", {"train": 0.5, "cal": 0.25, "test": 0.25}, "conf-v1"
+)
+
+
+@query(
+    "conformal_coverage_report", extended=True,
+    oracle=f"""
+    WITH iv AS ({_CONF_IV_DUCK}),
+    lab AS (
+        SELECT o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS __y,
+               {_CONF_SPLIT_DUCK} AS split
+        FROM orders
+    )
+    SELECT lab.o_orderpriority,
+           COUNT(*) AS n_test,
+           SUM(CASE WHEN __y >= iv.lo AND __y <= iv.hi
+                    THEN 1 ELSE 0 END) AS n_covered,
+           CAST(floor(SUM(CASE WHEN __y >= iv.lo AND __y <= iv.hi
+                               THEN 1 ELSE 0 END) * 1000.0
+                      / COUNT(*)) AS BIGINT) AS coverage_milli
+    FROM lab JOIN iv USING (o_orderpriority)
+    WHERE split = 'test'
+    GROUP BY lab.o_orderpriority
+    """,
+)
+def conformal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conformal SELF-EVALUATION: empirical coverage of the 90%
+    intervals on the TEST slice (disjoint from train and
+    calibration) — marginal validity says E[coverage] >= 0.9, and
+    this query measures it in-engine (integer per-mille, exact)."""
+    from top_produce_etl_spark.operators.conformal import (
+        conformal_coverage,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return conformal_coverage(
+        orders, ["o_orderpriority"], "o_orderkey", "o_totalprice",
+        alpha=0.1,
+    )
