@@ -44,3 +44,37 @@ def test_assert_quality_raises_with_details(spark):
 def test_assert_quality_passes_clean(spark):
     df = spark.createDataFrame([("a",)], "x string")
     assert_quality(df, [{"check": "not_null", "col": "x"}])
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    """A group that is k-anonymous but sensitive-homogeneous must be
+    flagged by l-diversity and MISSED by k-anonymity — the exact
+    failure mode the operator exists for."""
+    import pytest
+
+    from top_produce_etl_spark.operators.quality import (
+        k_anonymity_violations,
+        l_diversity_violations,
+    )
+
+    rows = (
+        # group A: 10 rows, all the SAME disease -> k-anon OK (>=8),
+        # l-diversity VIOLATION at l=2
+        [(i, "10001", "M", "flu") for i in range(10)]
+        # group B: 10 rows, 3 distinct -> passes both
+        + [(100 + i, "10002", "F", ["flu", "cold", "ok"][i % 3])
+           for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "id long, zip string, sex string, diagnosis string"
+    )
+    k_ok = k_anonymity_violations(df, ["zip", "sex"], 8).collect()
+    assert k_ok == []  # k-anonymity is blind to homogeneity
+    viol = l_diversity_violations(
+        df, ["zip", "sex"], "diagnosis", 2
+    ).collect()
+    assert [(r["zip"], r["distinct_sensitive"]) for r in viol] == [
+        ("10001", 1)
+    ]
+    with pytest.raises(ValueError, match=">= 2"):
+        l_diversity_violations(df, ["zip"], "diagnosis", 1)

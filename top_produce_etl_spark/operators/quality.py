@@ -183,6 +183,43 @@ def k_anonymity_violations(
     )
 
 
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 - the literature's name for the parameter
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — the companion release gate to
+    :func:`k_anonymity_violations` (Machanavajjhala et al. 2007:
+    k-anonymity alone fails to the HOMOGENEITY attack — a group of
+    k rows that all share the sensitive value still discloses it;
+    distinct-l-diversity requires ≥ l well-represented values per
+    group).
+
+    Output: (quasi_cols..., group_size, distinct_sensitive) for
+    violating groups only. One hash-aggregate shuffle on the
+    quasi-identifier key; the distinct count is exact (countDistinct
+    — a second partial within the same shuffle), never approximate:
+    a privacy gate must not pass on an HLL overestimate. NULL
+    sensitive values are NOT counted as a disclosure-safe value
+    (countDistinct skips NULLs — conservative: an all-NULL sensitive
+    column yields 0 distinct values and always violates).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(sensitive_col).alias("distinct_sensitive"),
+        )
+        .filter(F.col("distinct_sensitive") < l)
+    )
+
+
 def table_fingerprint(
     df: DataFrame,
     cols: list[str] | None = None,

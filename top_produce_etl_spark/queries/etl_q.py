@@ -229,6 +229,41 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "l_diversity_customer", extended=True,
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, n AS group_size,
+           d AS distinct_sensitive
+    FROM (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+               COUNT(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT))
+                   AS d
+        FROM customer GROUP BY 1, 2
+    )
+    WHERE d < 5
+    """,
+)
+def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate
+    (operators/quality.py::l_diversity_violations): k-anonymity's
+    companion against the HOMOGENEITY attack — (nation, segment)
+    groups whose SENSITIVE attribute (account-balance band) takes
+    fewer than l=5 distinct values still disclose it even when the
+    group is large. Exact countDistinct, never approximate: a
+    privacy gate must not pass on an HLL overestimate."""
+    from top_produce_etl_spark.operators.quality import (
+        l_diversity_violations,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint"),
+    )
+    return l_diversity_violations(
+        customer, ["c_nationkey", "c_mktsegment"], "bal_band", 5
+    )
+
+
+@query(
     "pit_status_at_purchase", extended=True,
     oracle="""
     WITH ordered AS (
