@@ -168,3 +168,28 @@ def test_cms_fast_twin_one_sided(spark, sf_dir):
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
     est = cms_estimate(sketch, exact, "user_id", hasher="xxhash64")
     assert est.where(F.col("cms_est") < F.col("exact")).count() == 0
+
+
+def test_cms_estimate_expression_key(spark, sf_dir):
+    """ADVICE r6: _bucket accepts SQL expressions, so the NULL-probe
+    guard must too (F.expr, not F.col) — probe with a computed key
+    and with a NULL-producing expression."""
+    ev = _events(spark, sf_dir)
+    expr = "concat(event_type, '|', CAST(user_id % 10 AS STRING))"
+    sketch = cms_build(ev, expr)
+    exact = (
+        ev.selectExpr(f"{expr} AS k")
+        .groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    )
+    probes = exact.selectExpr(
+        "concat(split(k, '\\\\|')[0], '|', split(k, '\\\\|')[1]) AS k",
+        "exact",
+    )
+    est = cms_estimate(sketch, probes, "k")
+    assert est.where(F.col("cms_est") < F.col("exact")).count() == 0
+    # a NULL-valued expression key must surface NULL, not 0
+    nulls = spark.createDataFrame([(None,)], "k string")
+    got = cms_estimate(
+        sketch, nulls, "coalesce(k, CAST(NULL AS STRING))"
+    ).collect()
+    assert got[0]["cms_est"] is None

@@ -79,3 +79,42 @@ def test_alpha_monotonicity(spark):
     }
     for g in q90:
         assert q99[g] is None or q99[g] >= q90[g]
+
+
+def test_tiny_calibration_group_null_parity_with_duckdb(spark):
+    """ADVICE r6: a group whose calibration slice is too small for
+    the finite-sample rank must read NULL coverage on BOTH engines
+    (undefined, not 0%) — the latent Spark-NULL-vs-DuckDB-0
+    divergence, pinned cross-engine here."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.conformal import (
+        conformal_coverage_oracle_sql,
+    )
+
+    # g_big: plenty of calibration rows; g_tiny: so few that
+    # ceil((n_cal+1)*0.99) > n_cal -> NULL interval -> NULL coverage
+    rows = [(i, "g_big", float(100 + i % 37)) for i in range(600)]
+    rows += [(10_000 + i, "g_tiny", 50.0 + i) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, grp string, y double")
+
+    got = {
+        r["grp"]: (r["n_covered"], r["coverage_milli"])
+        for r in conformal_coverage(
+            df, ["grp"], "id", "y", alpha=0.01
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = conformal_coverage_oracle_sql(
+        "t", ["grp"], "id", "y", alpha=0.01
+    )
+    want = {
+        g: (nc, cm) for g, _, nc, cm in con.execute(sql).fetchall()
+    }
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g] == want[g], (g, got[g], want[g])
+    if "g_tiny" in got:
+        assert got["g_tiny"] == (None, None)
+    assert got["g_big"][0] is not None

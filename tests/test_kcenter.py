@@ -27,3 +27,21 @@ def test_kcenter_rerun_is_identical(spark, sf_dir):
     a = k_center_select(emb, "vec_id", "embedding", k=4).collect()
     b = k_center_select(emb, "vec_id", "embedding", k=4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kcenter_empty_pool_raises_diagnosable(spark):
+    """ADVICE r6: an over-aggressive sample_mod must raise a named
+    ValueError, not a bare IndexError from an empty collect."""
+    import pytest
+
+    from top_produce_etl_spark.operators.clustering import (
+        k_center_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(5)],
+        "id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="empty candidate pool"):
+        k_center_select(df, "id", "embedding", k=2,
+                        sample_mod=10_000_019)

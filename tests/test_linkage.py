@@ -80,3 +80,46 @@ def test_golden_records_survivorship(spark):
         for r in golden.collect()
     }
     assert got == {1: (3, 12.0), 4: (1, 13.0), 5: (1, 14.0)}
+
+
+def test_golden_records_id_col_named_id(spark):
+    """ADVICE r6: drop-by-name drops ALL 'id' columns, so
+    id_col == 'id' used to nuke the data side — the reserved-name
+    join must survive it."""
+    df = spark.createDataFrame(
+        [
+            (1, "acme", "widget deluxe", 10.0),
+            (2, "acme", "widget delux", 11.0),
+            (3, "acme", "other", 12.0),
+        ],
+        "id long, vendor string, product string, price double",
+    )
+    assign = resolve_entities(
+        df,
+        "id",
+        ["vendor"],
+        "levenshtein(a_product, b_product) <= 1",
+        attrs=["product"],
+    )
+    golden = golden_records(
+        df, assign, "id",
+        {"n_records": "count(*)", "max_id": "max(id)"},
+    )
+    got = {
+        r["entity_id"]: (r["n_records"], r["max_id"])
+        for r in golden.collect()
+    }
+    assert got == {1: (2, 2), 3: (1, 3)}
+
+
+def test_golden_records_rejects_entity_id_collision(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "rec_id long, entity_id string, price double"
+    )
+    assign = spark.createDataFrame(
+        [(1, 1)], "id long, entity_id long"
+    )
+    with pytest.raises(ValueError, match="entity_id"):
+        golden_records(df, assign, "rec_id", {"n": "count(*)"})

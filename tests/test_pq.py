@@ -307,3 +307,42 @@ def test_pq_index_append_grows_corpus_without_retraining(spark, sf_dir, tmp_path
     ids = {r["neighbor_id"] for r in served}
     assert len(served) == 30
     assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
+
+
+def test_model_cache_evicts_dead_session_entries():
+    """ADVICE r6: DataFrame-valued cache entries are session-bound —
+    a lookup under a NEW app id must purge entries from dead
+    sessions, while pure-model entries (app_id None) survive."""
+    from top_produce_etl_spark.operators.pq import (
+        _MODEL_CACHE,
+        _cached,
+        pq_cache_clear,
+    )
+
+    pq_cache_clear()
+    try:
+        _cached(("pq", "corpus-a", 64), lambda: "model-a")  # model tier
+        _cached(
+            ("pq-enc", "corpus-a", "app-OLD", 64),
+            lambda: "df-old",
+            app_id="app-OLD",
+        )
+        assert len(_MODEL_CACHE) == 2
+        got = _cached(
+            ("pq-enc", "corpus-a", "app-NEW", 64),
+            lambda: "df-new",
+            app_id="app-NEW",
+        )
+        assert got == "df-new"
+        keys = set(_MODEL_CACHE)
+        assert ("pq-enc", "corpus-a", "app-OLD", 64) not in keys
+        assert ("pq", "corpus-a", 64) in keys  # model survives
+        # memoization still works within the live session
+        again = _cached(
+            ("pq-enc", "corpus-a", "app-NEW", 64),
+            lambda: "SHOULD-NOT-REFIT",
+            app_id="app-NEW",
+        )
+        assert again == "df-new"
+    finally:
+        pq_cache_clear()

@@ -515,7 +515,14 @@ def k_center_select(
     # the greedy loop re-reads the pool k times — persist it via the
     # house registry (callers release with unpersist_all)
     pts = persist_tracked(pts)
-    first = pts.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    seed_rows = pts.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        raise ValueError(
+            "k_center_select: empty candidate pool "
+            f"(sample_mod={sample_mod} filtered out every row — "
+            "lower it or pass sample_mod=None)"
+        )
+    first = seed_rows[0]
     cents: list[tuple[int, list[float]]] = [
         (0, [round(float(x), 6) for x in first[vec_col]])
     ]

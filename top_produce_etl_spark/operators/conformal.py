@@ -139,16 +139,24 @@ def conformal_coverage(
         "split",
     )
     test = labeled.where(F.col("split") == "test").join(iv, group_cols)
+    # NULL-interval contract (cross-engine, see ADVICE r6): when the
+    # finite-sample rank overflowed n_cal the interval is (NULL, NULL)
+    # = half-width +inf, and coverage is UNDEFINED, not 0 — emit an
+    # EXPLICIT NULL per row so SUM yields NULL for such groups on
+    # both engines instead of Spark-NULL-vs-DuckDB-0 divergence.
+    covered = (
+        F.when(F.col("lo").isNull(), F.lit(None).cast("int"))
+        .when(
+            (F.col("__y") >= F.col("lo")) & (F.col("__y") <= F.col("hi")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
     return (
         test.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_test"),
-            F.sum(
-                (
-                    (F.col("__y") >= F.col("lo"))
-                    & (F.col("__y") <= F.col("hi"))
-                ).cast("int")
-            ).alias("n_covered"),
+            F.sum(covered).alias("n_covered"),
         )
         .withColumn(
             "coverage_milli",
@@ -220,4 +228,47 @@ def conformal_intervals_oracle_sql(
                pred - qhat AS lo, pred + qhat AS hi,
                n_train, n_cal, q_rank
         FROM tr JOIN pk USING ({gsel})
+    """
+
+
+def conformal_coverage_oracle_sql(
+    from_sql: str,
+    group_sql: list[str],
+    key_sql: str,
+    value_sql: str,
+    alpha: float = 0.1,
+    salt: str = "conf-v1",
+) -> str:
+    """DuckDB twin of :func:`conformal_coverage`.
+
+    NULL-interval contract (ADVICE r6): a rank-overflow group has
+    lo IS NULL = +inf half-width, so its coverage is UNDEFINED —
+    the CASE emits NULL (matching Spark's explicit per-row NULL),
+    never a semantically-wrong 0%.
+    """
+    gsel = ", ".join(group_sql)
+    iv = conformal_intervals_oracle_sql(
+        from_sql, group_sql, key_sql, value_sql, alpha, salt
+    )
+    split = _split_case_sql(key_sql, salt)
+    covered = (
+        "CASE WHEN iv.lo IS NULL THEN NULL "
+        "WHEN __y >= iv.lo AND __y <= iv.hi THEN 1 ELSE 0 END"
+    )
+    return f"""
+    WITH iv AS ({iv}),
+    lab AS (
+        SELECT {gsel},
+               CAST({value_sql} AS DOUBLE) AS __y,
+               {split} AS split
+        FROM {from_sql}
+    )
+    SELECT lab.{gsel.replace(', ', ', lab.')},
+           COUNT(*) AS n_test,
+           SUM({covered}) AS n_covered,
+           CAST(floor(SUM({covered}) * 1000.0 / COUNT(*)) AS BIGINT)
+               AS coverage_milli
+    FROM lab JOIN iv USING ({gsel})
+    WHERE split = 'test'
+    GROUP BY lab.{gsel.replace(', ', ', lab.')}
     """

@@ -163,8 +163,11 @@ def cms_estimate(
         joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out))
         .withColumn(
+            # F.expr, not F.col: key_col may be a SQL expression
+            # (``_bucket`` accepts one), and the guard must keep that
+            # contract (ADVICE r6).
             out,
-            F.when(F.col(key_col).isNull(), F.lit(None)).otherwise(
+            F.when(F.expr(key_col).isNull(), F.lit(None)).otherwise(
                 F.col(out)
             ),
         )

@@ -137,8 +137,29 @@ def golden_records(
     ``{"n_records": "count(*)", "best_price": "max(p_retailprice)"}``).
     Output: (entity_id, aggs…) — one hash-agg, map-side combinable.
     """
-    labeled = df.join(
-        assignments, df[id_col] == assignments["id"]
-    ).drop("id")
+    # Alias the assignments side to reserved names BEFORE joining:
+    # drop-by-name drops ALL columns with that name, so when
+    # id_col == 'id' the old ``.drop('id')`` nuked the data side too,
+    # and a pre-existing 'entity_id' column would silently collide
+    # (ADVICE r6).
+    if "__link_id" in df.columns or "__link_entity" in df.columns:
+        raise ValueError(
+            "golden_records: df already has a __link_id/__link_entity "
+            "column (reserved)"
+        )
+    if "entity_id" in df.columns:
+        raise ValueError(
+            "golden_records: df already has an 'entity_id' column — "
+            "rename it before survivorship (output grouping key)"
+        )
+    asg = assignments.select(
+        F.col("id").alias("__link_id"),
+        F.col("entity_id").alias("__link_entity"),
+    )
+    labeled = (
+        df.join(asg, df[id_col] == asg["__link_id"])
+        .drop("__link_id")
+        .withColumnRenamed("__link_entity", "entity_id")
+    )
     aggs = [F.expr(e).alias(name) for name, e in agg_exprs.items()]
     return labeled.groupBy("entity_id").agg(*aggs)

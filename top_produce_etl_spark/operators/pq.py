@@ -59,16 +59,38 @@ CODES = 16
 # Trained models memoized per (cache_key, params): driver-side
 # S·C·d Python floats — model-sized by construction, never data-
 # sized. Keyed explicitly by the CALLER (e.g. the fixture dir) so
-# distinct corpora never share a model.
-_MODEL_CACHE: dict[tuple, object] = {}
+# distinct corpora never share a model; a caller reusing one
+# cache_key for a DIFFERENT corpus gets the stale model — that is
+# the documented contract (same as faiss index files on disk).
+# Entries are stored as (session_app_id | None, value): DataFrame-
+# valued entries (encoded corpus, inverted lists) are session-bound
+# and EVICTED at lookup time once their session is gone (ADVICE r6
+# — the cache must not leak stale DataFrames across session
+# restarts in one process). Pure-model entries (app_id None: Python
+# float lists) legitimately outlive sessions.
+_MODEL_CACHE: dict[tuple, tuple[str | None, object]] = {}
 
 
-def _cached(key: tuple | None, fit):
+def _cached(key: tuple | None, fit, app_id: str | None = None):
     if key is None:
         return fit()
+    if app_id is not None:
+        # purge every session-bound entry from dead sessions — O(cache)
+        dead = [
+            k
+            for k, (aid, _) in _MODEL_CACHE.items()
+            if aid is not None and aid != app_id
+        ]
+        for k in dead:
+            del _MODEL_CACHE[k]
     if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = fit()
-    return _MODEL_CACHE[key]
+        _MODEL_CACHE[key] = (app_id, fit())
+    return _MODEL_CACHE[key][1]
+
+
+def pq_cache_clear() -> None:
+    """Drop every memoized model/index (tests, corpus swaps)."""
+    _MODEL_CACHE.clear()
 
 
 def pq_train(
@@ -345,6 +367,7 @@ def pq_topk(
             lambda: _enc().select(
                 "neighbor_id", "codes", _lut_norm(subspaces).alias("__rn")
             ),
+            app_id=corpus.sparkSession.sparkContext.applicationId,
         )
         if cache_key is not None:
             from top_produce_etl_spark.operators._cache import (
@@ -411,6 +434,7 @@ def pq_topk(
             .withColumn("__rv", recon)
             .withColumn("__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv"))))
             .select("neighbor_id", "__rv", "__rn"),
+            app_id=corpus.sparkSession.sparkContext.applicationId,
         )
         if cache_key is not None:
             from top_produce_etl_spark.operators._cache import (
@@ -762,6 +786,7 @@ def ivfpq_topk(
                 "neighbor_id", "cell", "codes",
                 _lut_norm(subspaces).alias("__rn"),
             ),
+            app_id=app_id,
         )
         if cache_key is not None:
             from top_produce_etl_spark.operators._cache import (
@@ -829,6 +854,7 @@ def ivfpq_topk(
             .withColumn("__rv", recon)
             .withColumn("__rn", F.sqrt(dot(F.col("__rv"), F.col("__rv"))))
             .select("neighbor_id", "cell", "__rv", "__rn"),
+            app_id=app_id,
         )
         if cache_key is not None:
             from top_produce_etl_spark.operators._cache import (

@@ -1957,35 +1957,15 @@ def conformal_intervals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONF_SPLIT_DUCK = __import__(
-    "top_produce_etl_spark.operators.splits",
-    fromlist=["split_oracle_sql"],
-).split_oracle_sql(
-    "o_orderkey", {"train": 0.5, "cal": 0.25, "test": 0.25}, "conf-v1"
-)
-
-
 @query(
     "conformal_coverage_report", extended=True,
-    oracle=f"""
-    WITH iv AS ({_CONF_IV_DUCK}),
-    lab AS (
-        SELECT o_orderpriority,
-               CAST(o_totalprice AS DOUBLE) AS __y,
-               {_CONF_SPLIT_DUCK} AS split
-        FROM orders
-    )
-    SELECT lab.o_orderpriority,
-           COUNT(*) AS n_test,
-           SUM(CASE WHEN __y >= iv.lo AND __y <= iv.hi
-                    THEN 1 ELSE 0 END) AS n_covered,
-           CAST(floor(SUM(CASE WHEN __y >= iv.lo AND __y <= iv.hi
-                               THEN 1 ELSE 0 END) * 1000.0
-                      / COUNT(*)) AS BIGINT) AS coverage_milli
-    FROM lab JOIN iv USING (o_orderpriority)
-    WHERE split = 'test'
-    GROUP BY lab.o_orderpriority
-    """,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.conformal",
+        fromlist=["conformal_coverage_oracle_sql"],
+    ).conformal_coverage_oracle_sql(
+        "orders", ["o_orderpriority"], "o_orderkey", "o_totalprice",
+        alpha=0.1,
+    ),
 )
 def conformal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The conformal SELF-EVALUATION: empirical coverage of the 90%
