@@ -47,7 +47,10 @@ def test_sketch_estimate_within_error_bound(spark, sf_dir):
     out = get_all_queries()["sketch_distinct_rollup"](spark, sf_dir).collect()
     assert len(out) > 0
     for r in out:
-        assert r["rel_err"] < 0.05, (r["month_start"], r["rel_err"])
+        # r7 battery shape: the band and lossless-union checks are
+        # emitted as flags (and oracle-verified TRUE per run)
+        assert r["rollup_in_band"], r["month_start"]
+        assert r["rollup_near_direct"], r["month_start"]
 
 
 def test_rolling_hll_matches_exact_in_sparse_regime(spark, sf_dir):

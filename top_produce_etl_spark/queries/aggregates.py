@@ -165,17 +165,33 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_distinct_rollup", extended=True)  # HLL binary → rows-only
+@query(
+    "sketch_distinct_rollup", extended=True,
+    # computable-error-bound oracle (r6 verdict #2): exact monthly
+    # NDV hash-checks against DuckDB; the sketch estimate is
+    # verified via a 3σ in-band flag (lgConfigK=12 → σ ≈ 1.6%,
+    # 3σ ≈ 5%) and union fidelity (rollup within 2% of the direct
+    # whole-month sketch — exactly equal in the sparse regime) as a
+    # second flag; a broken sketch flips either and fails the hash.
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS rollup_in_band,
+           TRUE AS rollup_near_direct
+    FROM events GROUP BY 1
+    """,
+)
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly distinct users derived from STORED daily HLL sketches
-    (operators/sketches.py) next to the exact answer from the raw
-    table. COUNT DISTINCT partials aren't summable, so the
+    (operators/sketches.py) verified against the exact answer from
+    the raw table. COUNT DISTINCT partials aren't summable, so the
     continuous-aggregate pattern (hierarchical_rollup_monthly) needs
-    a mergeable sketch for this metric at 100 TB; union of daily
-    sketches is lossless at equal lgConfigK, so the rollup estimate
-    EQUALS the direct whole-month sketch (pinned with the error
-    bound in tests/test_sketches.py — no SQL oracle, the sketch
-    binary is DataSketches-specific)."""
+    a mergeable sketch for this metric at 100 TB. Battery shape (r6
+    verdict #2): exact NDV + two flags — the 3σ error band, and
+    union fidelity (daily-sketch rollup within 2% of the direct
+    whole-month sketch; exactly equal in the sparse regime, a few
+    per-mille apart once the HLL_4→HLL_8 union gadget promotes
+    modes — measured 1488 vs 1499 at sf0.1)."""
     from top_produce_etl_spark.operators.sketches import (
         hll_daily_sketches,
         hll_rollup_estimate,
@@ -184,15 +200,32 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = hll_daily_sketches(events, "ts", "user_id")
     est = hll_rollup_estimate(daily)
+    direct = events.groupBy(
+        F.date_trunc("month", "ts").alias("month_start")
+    ).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("direct_est")
+    )
     exact = events.groupBy(
         F.date_trunc("month", "ts").alias("month_start")
     ).agg(F.countDistinct("user_id").alias("exact_distinct"))
-    return est.join(exact, "month_start").select(
-        "month_start",
-        "est_distinct",
-        "exact_distinct",
-        (
-            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-            / F.col("exact_distinct")
-        ).alias("rel_err"),
+    return (
+        est.join(exact, "month_start")
+        .join(direct, "month_start")
+        .select(
+            # DATE on both engines: DuckDB renders a month-truncated
+            # TIMESTAMP without the midnight suffix, Spark with it —
+            # the date cast makes the formatted compare identical
+            F.col("month_start").cast("date").alias("month_start"),
+            "exact_distinct",
+            (
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("rollup_in_band"),
+            (
+                F.abs(F.col("est_distinct") - F.col("direct_est"))
+                <= 0.02 * F.col("exact_distinct")
+            ).alias("rollup_near_direct"),
+        )
     )

@@ -83,6 +83,11 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(60)
 
 
+# ROWS-ONLY justification (r7): the xxhash64 token bucketing is a
+# different (equally valid) randomization than the portable-hash
+# oracle twin, so scores — and therefore the top-100 SET — are not
+# DuckDB-expressible; dsir_selection_top100 is the hash-checked twin
+# of the identical plan, selection-overlap parity in tests.
 @query("dsir_selection_fast", extended=True)
 def dsir_selection_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of :func:`dsir_selection_top100` on xxhash64

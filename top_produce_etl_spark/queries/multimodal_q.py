@@ -106,11 +106,25 @@ def frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_frame_samples(_media(spark, sf_dir), every_ms=1000)
 
 
-@query("cosine_topk_numpy", extended=True)  # float64 BLAS path → rows-only
+@query(
+    "cosine_topk_numpy", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.queries.similarity_q",
+        fromlist=["_sets_oracle", "COSINE_TOPK_SQL"],
+    )._sets_oracle(
+        __import__(
+            "top_produce_etl_spark.queries.similarity_q",
+            fromlist=["COSINE_TOPK_SQL"],
+        ).COSINE_TOPK_SQL
+    ),
+)
 def cosine_topk_numpy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow+numpy fast path for the brute-force cosine top-k (same
-    query set as cosine_topk_bruteforce; float64 scores → not
-    bit-comparable to the decimal oracle, parity covered in tests)."""
+    query set as cosine_topk_bruteforce). Battery shape (r6 verdict
+    #2): float64 scores projected away, (query, neighbor, rank)
+    sets hash-check against the exact decimal oracle per run."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk_numpy(emb, queries, "vec_id", "embedding", k=3)
+    return cosine_topk_numpy(
+        emb, queries, "vec_id", "embedding", k=3
+    ).select("query_id", "neighbor_id", "rank")

@@ -283,14 +283,29 @@ def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("orders_profile_drift_fast", extended=True)  # approx NDV → rows-only
+@query(
+    "orders_profile_drift_fast", extended=True,
+    # computable-bound oracle (r6 verdict #2): every EXACT column of
+    # the drift report hash-checks against the same DuckDB twin as
+    # the exact entry; the two approx-NDV columns — the only HLL-
+    # divergent outputs — are verified through 3σ in-band flags
+    # (approx_count_distinct rsd=0.05 → 15%) vs the exact NDV.
+    oracle=f"""
+    SELECT "column", n_old, n_new, null_rate_delta_micro,
+           min_old, min_new, max_old, max_new,
+           TRUE AS ndv_old_in_band, TRUE AS ndv_new_in_band
+    FROM ({_PROFILE_DRIFT_ORACLE()}) AS __drift
+    """,
+)
 def orders_profile_drift_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ``orders_profile_drift``: identical
     single-pass drift report with ``approx_count_distinct`` (HLL —
-    no Expand row multiplication, the 100 TB path). NDV is the only
-    column that can differ (±~2% HLL error); everything else is
-    bit-identical to the exact twin. Latency tracked in bench beside
-    the exact entry."""
+    no Expand row multiplication, the 100 TB path). Battery shape
+    (r6 verdict #2): the exact columns hash-check against the exact
+    oracle and the approx NDVs carry 3σ in-band flags (this pays an
+    extra exact-NDV pass at battery/bench time — the production
+    OPERATOR stays single-pass; the flags are the verification
+    harness, not the pipeline)."""
     from top_produce_etl_spark.operators.profiling import profile_drift
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -299,12 +314,23 @@ def orders_profile_drift_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderpriority",
     )
     cut = F.lit(f"{_PROFILE_SPLIT} 00:00:00").cast("timestamp")
-    return profile_drift(
-        orders.where(F.col("o_orderdate") < cut),
-        orders.where(F.col("o_orderdate") >= cut),
-        _PROFILE_COLS,
-        exact_ndv=False,
+    old = orders.where(F.col("o_orderdate") < cut)
+    new = orders.where(F.col("o_orderdate") >= cut)
+    fast = profile_drift(old, new, _PROFILE_COLS, exact_ndv=False)
+    exact_ndv = profile_drift(old, new, _PROFILE_COLS).select(
+        "column",
+        F.col("ndv_old").alias("__xo"),
+        F.col("ndv_new").alias("__xn"),
     )
+    band = 0.15  # 3σ at rsd = 0.05
+    return fast.join(exact_ndv, "column").select(
+        "column", "n_old", "n_new", "null_rate_delta_micro",
+        "min_old", "min_new", "max_old", "max_new",
+        (F.abs(F.col("ndv_old") - F.col("__xo"))
+         <= band * F.col("__xo")).alias("ndv_old_in_band"),
+        (F.abs(F.col("ndv_new") - F.col("__xn"))
+         <= band * F.col("__xn")).alias("ndv_new_in_band"),
+    ).orderBy("column")
 
 
 # ---------------------------------------------------------------------------

@@ -60,40 +60,59 @@ def cosine_topk_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
 
 
-@query("cosine_topk_fast", extended=True)  # float path → rows-only
+def _sets_oracle(base: str) -> str:
+    """Neighbor-SET projection of a top-k oracle (r6 verdict #2):
+    the score column is the only FP-divergent output of a fast/
+    approx twin, so projecting it away makes the (query, neighbor,
+    rank) sets hash-checkable — the per-run battery now PROVES the
+    set parity pytest used to pin."""
+    return (
+        f'SELECT query_id, neighbor_id, "rank" FROM ({base}) AS __sets'
+    )
+
+
+@query("cosine_topk_fast", oracle=_sets_oracle(COSINE_TOPK_SQL),
+       extended=True)
 def cosine_topk_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-precision fast-path twin of ``cosine_topk_bruteforce``:
     same plan, codegen'd double dot products instead of interpreted
     decimal. Scores differ only in accumulation rounding, so the
-    decimal query stays the CORRECTNESS entry; this one's neighbor
-    sets are pinned equal to it in tests (recall@3 = 1.0) and its
-    latency is tracked in bench.py."""
+    battery entry projects them away and hash-checks the (query,
+    neighbor, rank) sets against the exact oracle (r6 verdict #2 —
+    the old rows-only check is now a per-run set-parity proof);
+    latency tracked in bench.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_bruteforce(
         emb, queries, "vec_id", "embedding", k=3, scoring="double"
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
-@query("cosine_topk_lsh", extended=True)  # approximate → rows-only
+@query("cosine_topk_lsh", oracle=_sets_oracle(COSINE_TOPK_SQL),
+       extended=True)
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-3 for the same query set —
     the 100 TB path: bucket join bounds candidates, re-score only
     on collisions. 4 planes × 8 tables with query-side multiprobe:
     the recall-tested configuration (recall@3 = 1.0 on this
     near-uniform fixture at HALF the corpus bucketing work of the
-    old probe-less 4×16; see operators.similarity tuning note).
-    Double-precision rescoring — the query is approximate/rows-only,
-    so there is no oracle to be bit-exact against."""
+    old probe-less 4×16). Battery shape (r6 verdict #2): the
+    (query, neighbor, rank) sets hash-check against the EXACT
+    brute-force oracle — recall 1.0 is now proven per run, not
+    asserted in a test; double rescoring scores are projected away."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(
         emb, queries, "vec_id", "embedding", k=3, n_planes=4, n_tables=8,
         multiprobe=True, scoring="double",
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
-@query("cosine_neardup_pairs", extended=True)  # approximate → rows-only
+# ROWS-ONLY justification (r7): LSH-bucketed candidate generation is
+# xxhash-plane-dependent and the pair-set completeness claim is
+# probabilistic — the exact all-pairs twin ivf_blocked_neardup is the
+# hash-checked entry; this one's recall is gated in tests.
+@query("cosine_neardup_pairs", extended=True)
 def cosine_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection across the whole
     corpus (LSH-blocked, exact-rescored). The fixture embeddings
@@ -167,28 +186,31 @@ def ivf_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 1) -> str:
-    """Unroll ``iters`` Lloyd rounds as chained CTEs — the DuckDB
-    twin of operators.clustering.kmeans_lloyd's loop (init = k
-    lowest-id vectors; 6dp centroid rounding after init and every
-    update; argmin tie-break on cid; final assignment against the
-    last centroids)."""
-
-    def dist(src: str) -> str:
-        return f"""
+def _km_dist(src: str) -> str:
+    """Distance CTE body: every embedding × the ``src`` centroid
+    relation (shared by the kmeans and IVF oracles)."""
+    return f"""
   SELECT e.vec_id, c.cid,
          list_sum(list_transform(range(1, len(e.embedding) + 1),
              i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) ^ 2)) AS d
   FROM embeddings e CROSS JOIN {src} c"""
 
-    sql = f"""WITH cents0 AS (
+
+def _kmeans_chain(k: int, iters: int) -> str:
+    """The unrolled-Lloyd centroid CTE chain ``cents0 … cents{iters}``
+    (no WITH keyword, no final select) — shared by the kmeans,
+    semdedup, and IVF oracles. Determinism contract matches
+    operators.clustering.kmeans_fit: init = k lowest-id vectors, 6dp
+    rounding at init and after every update, argmin tie-break on
+    cid."""
+    sql = f"""cents0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS cvec
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
 )"""
     for it in range(iters):
         sql += f""",
-dist{it} AS ({dist(f'cents{it}')}
+dist{it} AS ({_km_dist(f'cents{it}')}
 ),
 assign{it} AS (
   SELECT vec_id, cid FROM (
@@ -208,15 +230,113 @@ centlong{it + 1} AS (
 cents{it + 1} AS (
   SELECT cid, list(v ORDER BY dim) AS cvec FROM centlong{it + 1} GROUP BY cid
 )"""
-    sql += f""",
-distF AS ({dist(f'cents{iters}')}
+    return sql
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 1) -> str:
+    """Unroll ``iters`` Lloyd rounds as chained CTEs — the DuckDB
+    twin of operators.clustering.kmeans_lloyd's loop (init = k
+    lowest-id vectors; 6dp centroid rounding after init and every
+    update; argmin tie-break on cid; final assignment against the
+    last centroids)."""
+
+    return f"""WITH {_kmeans_chain(k, iters)},
+distF AS ({_km_dist(f'cents{iters}')}
 )
 SELECT vec_id, cid AS cluster FROM (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
   FROM distF
 ) WHERE rn = 1"""
-    return sql
+
+
+def _ivf_oracle(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+    margin: float = 0.02,
+    max_probe: int | None = None,
+    k: int = 3,
+    sets_only: bool = False,
+) -> str:
+    """Full DuckDB twin of operators.clustering.ivf_topk (r6 verdict
+    #2 — the IVF tier's end-to-end oracle): the unrolled-Lloyd cell
+    model, nearest-cell corpus assignment (the inverted file), the
+    gap-adaptive multiprobe list (n_probe nearest plus cells within
+    ``margin × (d_{n_probe} − d_1)`` of the n_probe-th, capped at
+    max_probe), exact-decimal cosine on probed candidates only, and
+    the per-query top-k window. ``sets_only`` drops the score for
+    the double fast twin (FP association differs; sets and ranks do
+    not)."""
+    mp = max_probe or 2 * n_probe
+    cols = (
+        'query_id, neighbor_id, "rank"'
+        if sets_only
+        else 'query_id, neighbor_id, cosine, "rank"'
+    )
+    return f"""WITH {_kmeans_chain(n_cells, iters)},
+distF AS ({_km_dist(f'cents{iters}')}
+),
+inv AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM distF
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT vec_id AS query_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM distF WHERE vec_id < 10
+),
+qthr AS (
+  SELECT query_id,
+         MIN(CASE WHEN rn = 1 THEN d END) AS d0,
+         MIN(CASE WHEN rn = {n_probe} THEN d END) AS dn
+  FROM qd GROUP BY query_id
+),
+probes AS (
+  SELECT qd.query_id, qd.cid AS cell
+  FROM qd JOIN qthr USING (query_id)
+  WHERE qd.rn <= {mp}
+    AND qd.d <= COALESCE(qthr.dn + {margin!r} * (qthr.dn - qthr.d0),
+                         1e308)
+),
+ex AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+),
+norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+),
+cand AS (
+  SELECT p.query_id, i.neighbor_id
+  FROM probes p JOIN inv i ON p.cell = i.cell
+  WHERE p.query_id <> i.neighbor_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(SUM(CAST(q.v * n.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+  FROM cand c
+  JOIN ex q ON q.vec_id = c.query_id
+  JOIN ex n ON n.vec_id = c.neighbor_id AND q.i = n.i
+  GROUP BY 1, 2
+)
+SELECT {cols}
+FROM (
+    SELECT d.query_id, d.neighbor_id,
+           d.dot / (nq.nrm * nc.nrm) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.query_id
+               ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.neighbor_id ASC
+           ) AS "rank"
+    FROM dots d
+    JOIN norms nq ON d.query_id = nq.vec_id
+    JOIN norms nc ON d.neighbor_id = nc.vec_id
+)
+WHERE "rank" <= {k}"""
 
 
 KMEANS_ITERS = 3
@@ -290,17 +410,18 @@ def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_topk_embeddings", extended=True)  # approximate (cell pruning) → rows-only
+@query("ivf_topk_embeddings", extended=True, oracle=_ivf_oracle())
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF ANN: top-3 neighbors for query vectors vec_id<10,
     scoring only ~4 of 16 learned k-means cells per query (~4×
     pruning here; n_cells scales with corpus so the ratio is the
     knob) with gap-adaptive multiprobe (probe_margin: a boundary
     query whose next cell is a hair past the probe horizon extends
-    its probe list; interior queries stay at n_probe). Exact decimal
-    cosine on scored pairs — approximate only in WHICH pairs are
-    scored; recall vs brute force is pinned in
-    tests/test_dedup_similarity.py and gated at 1.0 in bench."""
+    its probe list; interior queries stay at n_probe). FULLY
+    oracle-checked since r7 (verdict #2): the DuckDB twin unrolls
+    the cell model, inverted file, multiprobe list, and decimal
+    scoring end-to-end, so cell routing itself is hash-verified per
+    run — not just recall-gated in bench."""
     from top_produce_etl_spark.operators.clustering import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -311,15 +432,15 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_topk_fast", extended=True)  # float path → rows-only
+@query("ivf_topk_fast", extended=True,
+       oracle=_ivf_oracle(sets_only=True))
 def ivf_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-precision fast-path twin of ``ivf_topk_embeddings``
     (round-2 verdict item 4): identical cell routing and plan shape,
-    codegen'd double scoring. The decimal twin stays the tracked
-    recall/correctness entry; this one's neighbor sets are pinned
-    equal to the decimal twin's in tests and its latency tracked in
-    bench.py — the production configuration at 100 TB, where the
-    scoring pass dominates."""
+    codegen'd double scoring — the production configuration at
+    100 TB, where the scoring pass dominates. Battery shape (r6
+    verdict #2): scores projected away, (query, neighbor, rank)
+    sets hash-check against the full IVF oracle per run."""
     from top_produce_etl_spark.operators.clustering import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -327,7 +448,7 @@ def ivf_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, "vec_id", "embedding", k=3, n_cells=16, n_probe=4,
         scoring="double", probe_margin=0.02,
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def _MMR_ORACLE(k: int = 5, pool: int = 10, a: int = 70, b: int = 30) -> str:
@@ -489,13 +610,14 @@ def standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return standardize_embeddings(emb, "vec_id", "embedding", dim=64)
 
 
-@query("semdedup_fast", extended=True)  # double fast path → rows-only
+@query("semdedup_fast", extended=True, oracle=_semdedup_oracle())
 def semdedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ``semdedup_decisions``: identical
     cluster-then-compare plan with the codegen'd double dot kernel
-    (~2-4× cheaper scoring; same decisions on the fixture, pinned in
-    tests/test_dedup_similarity.py — the decimal twin remains the
-    oracle entry, the ivf_topk_fast pattern)."""
+    (~2-4× cheaper scoring). Its output carries no score column —
+    only (vec_id, cluster, dropped) decisions — so since r7 the
+    whole verdict hash-checks against the SAME decimal oracle as
+    the exact twin, per run (r6 verdict #2)."""
     from top_produce_etl_spark.operators.clustering import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -828,15 +950,16 @@ def rp_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rp_topk_fast", extended=True)  # float path → rows-only
+@query("rp_topk_fast", extended=True,
+       oracle=_sets_oracle(_rp_topk_oracle()))
 def rp_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ``rp_topk_embeddings``: the SAME
     project-then-bruteforce plan with double scoring in both stages
     (codegen'd folds, no interpreted decimal) — the path a pipeline
-    actually runs. Neighbor-set agreement with the decimal twin is
-    pinned in tests (rank ties at double precision resolve
-    identically on this fixture); the JL quality gate lives with the
-    decimal twin."""
+    actually runs. Battery shape (r6 verdict #2): scores projected
+    away, (query, neighbor, rank) sets hash-check against the
+    decimal projection oracle per run; the JL quality gate lives
+    with the decimal twin."""
     from top_produce_etl_spark.operators.similarity import (
         cosine_topk_bruteforce,
         random_project,
@@ -847,7 +970,7 @@ def rp_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = proj.filter(F.col("vec_id") < 10)
     return cosine_topk_bruteforce(
         proj, queries, "vec_id", "proj", k=3, scoring="double"
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
 @query(
@@ -915,15 +1038,23 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_topk_fast", extended=True)
+@query(
+    "pq_topk_fast", extended=True,
+    oracle=_sets_oracle(
+        __import__(
+            "top_produce_etl_spark.operators.pq",
+            fromlist=["pq_topk_oracle_sql"],
+        ).pq_topk_oracle_sql(dim=64, k=3)
+    ),
+)
 def pq_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shaped fast twin of :func:`pq_topk_embeddings` —
     identical (cached, train-once) model and codes; scoring is the
     classic per-query S×C lookup table + model-side norm table, so
     a candidate never reconstructs its 64 dims and scores in 8
-    lookups (operators/pq.py ``scoring="lut"``). Rows-only battery
-    entry; neighbor-set parity with the decimal twin pinned in
-    tests/test_pq.py."""
+    lookups (operators/pq.py ``scoring="lut"``). Battery shape (r6
+    verdict #2): LUT scores projected away, (query, neighbor, rank)
+    sets hash-check against the full decimal PQ oracle per run."""
     from top_produce_etl_spark.operators.pq import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -931,17 +1062,22 @@ def pq_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, queries, "vec_id", "embedding", dim=64, k=3,
         scoring="lut", cache_key=sf_dir,
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
-@query("ivfpq_topk_embeddings", extended=True)  # cell-pruned + quantized → rows-only
+# ROWS-ONLY justification (r7): approximate twice over — IVF cell
+# pruning changes WHICH pairs score and PQ changes the scores, and
+# (measured r7) its neighbor sets differ from both the pq and ivf
+# oracles at sf0.01, so no exact twin exists to hash against. Its
+# two factor operators ARE fully oracle-checked (pq_topk decimal,
+# _ivf_oracle); recall gated at 1.0 on synthembs in bench+tests.
+@query("ivfpq_topk_embeddings", extended=True)
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ ANN (operators/pq.py::ivfpq_topk): coarse cells bound
     the candidate set, 8-byte PQ codes bound the stored/shuffled
     bytes — the faiss architecture end-to-end in DataFrame ops.
-    Rows-only (approximate twice over); recall tracked in bench
-    beside the ivf and pq tiers, pruning property pinned in
-    tests/test_pq.py."""
+    Recall tracked in bench beside the ivf and pq tiers, pruning
+    property pinned in tests/test_pq.py."""
     from top_produce_etl_spark.operators.pq import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
