@@ -78,3 +78,79 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     ]
     with pytest.raises(ValueError, match=">= 2"):
         l_diversity_violations(df, ["zip"], "diagnosis", 1)
+
+
+def test_t_closeness_homogeneous_vs_matching_groups(spark):
+    """Hand-checked ordered EMD. Global = {0:5, 1:2, 2:2} over 9
+    rows (B's homogeneity skews it). Group B (all '0', n_g=3), over
+    the common denominator n_g*n = 27: cum diffs 3*9-5*3 = 12, then
+    12 + (0*9-2*3) = 6, then 0 -> EMD = (12+6)/(27*2) = 1/3.
+    Groups A/C ({0,1,2}): cum diffs -6, -3, 0 -> EMD = 9/54 = 1/6.
+    The homogeneous group reads 2x the balanced ones and only it
+    violates at t = 0.2."""
+    from top_produce_etl_spark.operators.quality import (
+        t_closeness_violations,
+    )
+
+    rows = [("A", v) for v in (0, 1, 2)]
+    rows += [("B", 0), ("B", 0), ("B", 0)]  # homogeneous on 0
+    rows += [("C", v) for v in (0, 1, 2)]
+    df = spark.createDataFrame(rows, "grp string, s int")
+    all_emd = {
+        r["grp"]: r["emd_micro"]
+        for r in t_closeness_violations(
+            df, ["grp"], "s", t_micro=0
+        ).collect()
+    }
+    assert all_emd == {"A": 166_666, "B": 333_333, "C": 166_666}
+    viol = {
+        r["grp"]: r["emd_micro"]
+        for r in t_closeness_violations(
+            df, ["grp"], "s", t_micro=200_000
+        ).collect()
+    }
+    assert viol == {"B": 333_333}
+
+
+def test_t_closeness_oracle_parity_duckdb(spark):
+    """Cross-engine bit-identity of the integer EMD on a small
+    synthetic with ragged group sizes."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.quality import (
+        t_closeness_oracle_sql,
+        t_closeness_violations,
+    )
+
+    rows = [(f"g{i % 4}", (i * 7) % 5) for i in range(60)]
+    rows += [("g9", 4)] * 7  # skewed small group
+    df = spark.createDataFrame(rows, "grp string, s int")
+    got = {
+        (r["grp"]): (r["group_size"], r["emd_micro"])
+        for r in t_closeness_violations(
+            df, ["grp"], "s", t_micro=0
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        g: (gs, emd)
+        for g, gs, emd in con.execute(
+            t_closeness_oracle_sql("t", ["grp"], "s", t_micro=0)
+        ).fetchall()
+    }
+    assert got == want and "g9" in got
+
+
+def test_t_closeness_rejects_bad_params(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.quality import (
+        t_closeness_violations,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "grp string, s int")
+    with pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness_violations(df, [], "s", 1000)
+    with pytest.raises(ValueError, match="t_micro"):
+        t_closeness_violations(df, ["grp"], "s", 2_000_000)

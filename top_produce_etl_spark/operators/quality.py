@@ -220,6 +220,175 @@ def l_diversity_violations(
     )
 
 
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_micro: int,
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE-attribute distribution
+    sits farther than ``t`` (in 1e6 fixed point) from the GLOBAL
+    distribution — the third privacy release gate (Li, Li &
+    Venkatasubramanian 2007), closing the SKEWNESS attack that
+    k-anonymity (operators/quality.py::k_anonymity_violations) and
+    l-diversity (::l_diversity_violations) both miss: a group can be
+    large AND diverse yet still leak (e.g. 90% of its members share
+    a rare sensitive value that is 1% globally).
+
+    Distance = the ordered-attribute Earth Mover's Distance of the
+    t-closeness paper: for the sorted sensitive domain v_1 < … < v_m
+    with group probabilities p_i and global q_i,
+    ``EMD = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (p_j − q_j)|`` — a
+    cumulative-sum window expression, fully SQL-expressible.
+
+    Determinism contract: all arithmetic is INTEGER. The cumulative
+    difference is computed over the common denominator n_g·n
+    (``cnt_g·n − cnt·n_g`` — exact BIGINTs), and the final distance
+    is one floor division into 1e6 fixed point (Spark ``div`` ==
+    DuckDB ``//``), so the report is bit-identical cross-engine.
+    Headroom: |Σ|cum|| ≤ (m−1)·n_g·n, so the pre-division product
+    needs (m−1)·n_g·n·1e6 < 2^63 — fine to ~30M rows at m ≤ 10
+    sensitive bands; band the attribute coarser (any real release
+    gate does) before going bigger, or widen to DECIMAL(38,0).
+
+    Plan shape: one (quasi) hash-agg, one (quasi, value) hash-agg,
+    a broadcast of the |values|-row global distribution onto the
+    |groups|×|values| grid (both release-gate-sized — the sensitive
+    domain is BANDED by construction), one per-group cumulative
+    window. Nothing data-sized crosses a join. NULL sensitive values
+    are excluded from both distributions (they have no position in
+    the ordered domain); run the PII/null gates beside this one.
+
+    Output: (quasi_cols…, group_size, emd_micro) for groups with
+    ``emd_micro > t_micro`` only.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0 <= t_micro < 1_000_000:
+        raise ValueError(f"t_micro must be in [0, 1e6), got {t_micro}")
+    from pyspark.sql import Window
+
+    rows = df.select(*quasi_cols, F.col(sensitive_col).alias("__v"))
+    rows = rows.where(F.col("__v").isNotNull())
+    glob = rows.groupBy("__v").agg(F.count(F.lit(1)).alias("__gc"))
+    # m and n are scalars of the |values|-row relation — window
+    # totals keep them in one pass, then the relation broadcasts
+    glob = glob.select(
+        "__v", "__gc",
+        F.sum("__gc").over(Window.partitionBy()).alias("__n"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    grp = rows.groupBy(*quasi_cols, "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    sizes = rows.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    # the full groups × values grid: absent values carry cnt 0 (the
+    # cumulative difference must keep flowing through them). The
+    # grid expansion is a constant-key broadcast HASH join (the
+    # _attach_cents trick — a non-foldable always-0 key keeps the
+    # plan BroadcastHashJoin so the repo-wide no-BNLJ audit holds).
+    grid = (
+        sizes.withColumn(
+            "__k", F.pmod(F.col("group_size"), F.lit(1)).cast("int")
+        )
+        .join(
+            F.broadcast(
+                glob.withColumn(
+                    "__k", F.pmod(F.col("__gc"), F.lit(1)).cast("int")
+                )
+            ),
+            "__k",
+        )
+        .drop("__k")
+        .join(grp, [*quasi_cols, "__v"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn(
+        "__cum",
+        F.sum(
+            F.col("__c") * F.col("__n")
+            - F.col("__gc") * F.col("group_size")
+        ).over(w),
+    )
+    return (
+        cum.groupBy(*quasi_cols)
+        .agg(
+            F.max("group_size").alias("group_size"),
+            F.sum(F.abs(F.col("__cum"))).alias("__sa"),
+            F.max("__n").alias("__n"),
+            F.max("__m").alias("__m"),
+        )
+        .withColumn(
+            "emd_micro",
+            F.expr(
+                "(__sa * 1000000L) div "
+                "(group_size * __n * (__m - 1))"
+            ),
+        )
+        .filter(F.col("emd_micro") > t_micro)
+        .select(*quasi_cols, "group_size", "emd_micro")
+    )
+
+
+def t_closeness_oracle_sql(
+    from_sql: str,
+    quasi_sql: list[str],
+    sensitive_sql: str,
+    t_micro: int,
+) -> str:
+    """DuckDB twin of :func:`t_closeness_violations`
+    (bit-identical: integer cumulative EMD, ``//`` floor division)."""
+    q = ", ".join(quasi_sql)
+    return f"""
+    WITH rows_ AS (
+        SELECT {q}, {sensitive_sql} AS v
+        FROM {from_sql} WHERE {sensitive_sql} IS NOT NULL
+    ),
+    gdist AS (
+        SELECT v, COUNT(*) AS gc FROM rows_ GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(gc) AS n, COUNT(*) AS m FROM gdist
+    ),
+    grp AS (
+        SELECT {q}, v, COUNT(*) AS c FROM rows_ GROUP BY ALL
+    ),
+    sizes AS (
+        SELECT {q}, COUNT(*) AS group_size FROM rows_ GROUP BY ALL
+    ),
+    grid AS (
+        SELECT s.*, g.v, g.gc, t.n, t.m, COALESCE(p.c, 0) AS c
+        FROM sizes s CROSS JOIN gdist g CROSS JOIN tot t
+        LEFT JOIN grp p
+          ON p.v = g.v AND {" AND ".join(f"p.{c} = s.{c}" for c in quasi_sql)}
+    ),
+    cum AS (
+        SELECT {q}, group_size, n, m,
+               SUM(c * n - gc * group_size) OVER (
+                   PARTITION BY {q} ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cd
+        FROM grid
+    ),
+    agg AS (
+        SELECT {q}, MAX(group_size) AS group_size,
+               SUM(ABS(cd)) AS sa, MAX(n) AS n, MAX(m) AS m
+        FROM cum GROUP BY ALL
+    )
+    SELECT {q}, group_size,
+           (sa * 1000000) // (group_size * n * (m - 1)) AS emd_micro
+    FROM agg
+    WHERE (sa * 1000000) // (group_size * n * (m - 1)) > {t_micro}
+    """
+
+
 def table_fingerprint(
     df: DataFrame,
     cols: list[str] | None = None,

@@ -264,6 +264,41 @@ def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_closeness_customer", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.quality",
+        fromlist=["t_closeness_oracle_sql"],
+    ).t_closeness_oracle_sql(
+        "(SELECT *, CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band"
+        " FROM customer)",
+        ["c_nationkey", "c_mktsegment"],
+        "bal_band",
+        t_micro=60_000,
+    ),
+)
+def t_closeness_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate (r6 verdict #3 — completing the
+    privacy trio with k-anonymity and l-diversity): (nation,
+    segment) groups whose account-balance-band DISTRIBUTION sits
+    more than t = 0.06 (ordered EMD, 1e6 fixed point) from the
+    global one — the skewness attack neither companion gate sees.
+    Integer cumulative-EMD arithmetic end-to-end, fully
+    oracle-checked (operators/quality.py::t_closeness_violations)."""
+    from top_produce_etl_spark.operators.quality import (
+        t_closeness_violations,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint"),
+    )
+    return t_closeness_violations(
+        customer, ["c_nationkey", "c_mktsegment"], "bal_band",
+        t_micro=60_000,
+    )
+
+
+@query(
     "pit_status_at_purchase", extended=True,
     oracle="""
     WITH ordered AS (
