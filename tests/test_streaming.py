@@ -451,3 +451,56 @@ def test_kmv_stream_equals_batch_across_micro_batches(spark, tmp_path):
     )
     assert final.exceptAll(batch).count() == 0
     assert batch.exceptAll(final).count() == 0
+
+
+def test_checkpoint_restart_recovers_window_state(spark, sf_dir, tmp_path):
+    """r6 verdict #4 — the restart-semantics proof: a watermarked
+    windowed aggregation consumes part of its input, terminates, and
+    a NEW query restarts from the same checkpoint over the full
+    input. The final committed sink must equal the batch aggregate
+    over everything (state restored, nothing double-counted), and
+    phase 1 must verifiably have left UNFLUSHED state behind (the
+    restart did real recovery, not a no-op)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.streaming.jobs import (
+        restart_recovery_windowed_counts,
+    )
+
+    work = str(tmp_path / "recovery")
+    report = {}
+    final = restart_recovery_windowed_counts(
+        spark, sf_dir, work, n_slices=6, phase1_slices=3, report=report
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in final.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy(
+                F.window("ts", "1 day").alias("win"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+    # proof the restart RECOVERED state: the sink committed before
+    # the restart is a STRICT subset — the straddling window (and
+    # everything after) lived only in the state store at the cut
+    assert 0 <= report["phase1_rows"] < len(got), report
+    # and the offsets log spans both query runs (batch ids continue
+    # across the restart — resumed, never reset to zero)
+    import glob as _glob
+
+    offsets = sorted(_glob.glob(f"{work}/ckpt/offsets/[0-9]*"))
+    assert len(offsets) > 3  # phase 1 alone was only 3 file-batches
