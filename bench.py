@@ -965,16 +965,28 @@ def main() -> None:
     )
 
     pq_rows = 500_000
-    pq_emb = (
-        spark.read.format("synthembs")
-        .option("rows", pq_rows).option("groups", 256)
-        .option("partitions", CPUS).load()
-    )
     pq_dir = tempfile.mkdtemp(prefix="pq_probe_")
     try:
+        # materialize the synthetic corpus to parquet FIRST
+        # (untimed): a production index build reads a stored table —
+        # timing the Python-data-source row generator was measuring
+        # the fixture, not the operator (r6: generation was ~2 of
+        # the 80 s... the probe now isolates the build itself)
+        (
+            spark.read.format("synthembs")
+            .option("rows", pq_rows).option("groups", 256)
+            .option("partitions", CPUS).load()
+            .write.mode("overwrite").parquet(f"{pq_dir}/corpus")
+        )
+        pq_emb = spark.read.parquet(f"{pq_dir}/corpus")
         t0 = time.monotonic()
+        # r6 verdict #5: codebooks train on a deterministic xxhash
+        # 1/10 sample (50k of 500k — still ~390 points per codeword);
+        # the full corpus is encoded. The planted-truth gate below is
+        # UNCHANGED, so a sample-degraded model fails loudly.
         pq_index_save(
-            pq_emb, "vec_id", "embedding", dim=64, path=pq_dir
+            pq_emb, "vec_id", "embedding", dim=64, path=pq_dir,
+            train_sample_mod=10,
         )
         pq_index_sec = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()

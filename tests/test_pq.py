@@ -346,3 +346,63 @@ def test_model_cache_evicts_dead_session_entries():
         assert again == "df-new"
     finally:
         pq_cache_clear()
+
+
+def test_pq_sampled_training_keeps_planted_recall(spark, tmp_path):
+    """r6 verdict #5: codebooks trained on a deterministic xxhash
+    1/4 sample must still retrieve groupmates on the separable
+    fixture (recall >= 0.9) — training quality needs points per
+    codeword, not the corpus. Also pins determinism (same sample ->
+    same books) and that the arithmetic id%mod trap is avoided (the
+    hash sample covers all planted groups)."""
+    from top_produce_etl_spark.io.synth_source import register_synth_source
+    from top_produce_etl_spark.operators.pq import (
+        pq_index_save,
+        pq_topk_from_index,
+        pq_train,
+    )
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from pyspark.sql import functions as F
+
+    register_synth_source(spark)
+    # default fixture: 64 groups x 4 members -> exact top-3 IS the
+    # groupmate set (more members per group would make the gate a
+    # within-group micro-ranking PQ legitimately can't resolve)
+    emb = spark.read.format("synthembs").load()
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(
+            emb, queries, "vec_id", "embedding", k=3, scoring="double"
+        ).collect()
+    }
+    # the hash sample must cover (nearly) all planted groups
+    sampled_groups = (
+        emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id"), F.lit(17)), F.lit(4)) == 0
+        )
+        .select(F.countDistinct("grp"))
+        .collect()[0][0]
+    )
+    # expected coverage ~ 64*(1-(3/4)^4) ~ 44; an id%4 arithmetic
+    # sample covers exactly 16 (gcd structure) — 35 separates them
+    assert sampled_groups >= 35
+
+    idx = str(tmp_path / "pq_sampled")
+    books = pq_index_save(
+        emb, "vec_id", "embedding", dim=64, path=idx,
+        train_sample_mod=4,
+    )
+    books2 = pq_train(
+        emb, "vec_id", "embedding", dim=64, train_sample_mod=4
+    )
+    assert books == books2  # deterministic sample -> same model
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk_from_index(
+            spark, idx, queries, "vec_id", "embedding", k=3
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.9

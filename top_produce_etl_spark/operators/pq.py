@@ -101,6 +101,7 @@ def pq_train(
     subspaces: int = SUBSPACES,
     codes: int = CODES,
     iters: int = 1,
+    train_sample_mod: int | None = None,
 ) -> list[list[list[float]]]:
     """Fit the S codebooks: ``books[s][pos-1] = subvector``
     (position-dense; empty codewords drop on update, like
@@ -114,9 +115,32 @@ def pq_train(
     codebook (S·C·d model rows back to the driver). A per-subspace
     kmeans_fit loop computes the same model in S× the scans and 2S×
     the driver round-trips — measured 9.3 s → the fused trainer at
-    sf0.1."""
+    sf0.1.
+
+    ``train_sample_mod`` (r6 verdict #5 — standard faiss practice):
+    train on a deterministic 1/mod sample instead of the full
+    corpus. Codebook quality needs ~O(100·C) points per subspace,
+    not the corpus, so index builds at 100 TB sample aggressively.
+    The sample key is ``xxhash64(id)`` — NOT ``id % mod``, which
+    would correlate with any id-structured data layout (synthembs
+    plants group = id % groups; an arithmetic sample would silently
+    train on a subset of groups). Reproducible run-to-run; the
+    probe's planted recall gate runs against the sampled model in
+    bench (``pq_probe``)."""
     if dim % subspaces:
         raise ValueError(f"dim {dim} not divisible by {subspaces}")
+    if train_sample_mod is not None:
+        if train_sample_mod < 2:
+            raise ValueError(
+                f"train_sample_mod must be >= 2, got {train_sample_mod}"
+            )
+        df = df.filter(
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(17)),
+                F.lit(train_sample_mod),
+            )
+            == 0
+        )
     d = dim // subspaces
     init_rows = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -473,12 +497,15 @@ def pq_index_save(
     path: str,
     subspaces: int = SUBSPACES,
     codes: int = CODES,
+    train_sample_mod: int | None = None,
 ) -> list[list[list[float]]]:
     """Materialize the PQ index as PARQUET ARTIFACTS — the offline
     half of the faiss lifecycle: train + encode once at ingest,
     store, and serve every later search from the stored tables
     (``pq_topk_from_index``) with no retraining and no access to the
-    raw vectors.
+    raw vectors. ``train_sample_mod`` trains the codebooks on a
+    deterministic hash sample (see :func:`pq_train`) — the FULL
+    corpus is always encoded; only training samples.
 
     Artifacts under ``path``:
     - ``codebooks``: (subspace, pos, cvec, n2) — S·C model rows,
@@ -492,7 +519,8 @@ def pq_index_save(
     model, not on other rows)."""
     spark = corpus.sparkSession
     books = pq_train(
-        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes
+        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes,
+        train_sample_mod=train_sample_mod,
     )
     cb_rows = [
         (s, p + 1, [float(x) for x in cv],
