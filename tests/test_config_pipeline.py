@@ -686,3 +686,59 @@ def test_yaml_resolve_entities_matches_query(spark, sf_dir):
     key = lambda r: r["entity_id"]  # noqa: E731
     assert sorted(got, key=key) == sorted(expected, key=key)
     assert len(got) > 0
+
+
+def test_yaml_ann_topk_shares_pq_oracle(spark, sf_dir, tmp_path):
+    """configs/pipeline_ann.yaml (r6 verdict #6): declarative
+    index-then-serve ANN. The YAML path must (a) materialize the
+    stored-index artifacts, (b) return the SAME neighbor sets as the
+    oracle-checked pq battery queries (DuckDB unrolled-Lloyd PQ
+    oracle, sets projection — LUT scores are FP-divergent, sets and
+    ranks are not), and (c) serve from the stored artifacts on
+    re-run without retraining (the cache-bypassing from_index path)."""
+    import duckdb
+
+    from top_produce_etl_spark.plans.builder import (
+        build_pipeline,
+        load_pipeline_spec,
+    )
+    from top_produce_etl_spark.queries import get_all_oracles
+
+    spec = load_pipeline_spec("/root/repo/configs/pipeline_ann.yaml")
+    idx = str(tmp_path / "ann_index")
+    spec["ops"][1]["index_path"] = idx
+    tables = {"embeddings": load_table(spark, sf_dir, "embeddings")}
+
+    out = build_pipeline(spark, spec, tables)
+    assert out.columns == ["query_id", "neighbor_id", "pq_cosine", "rank"]
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in out.collect()
+    }
+    # artifacts exist on disk (the stored-index lifecycle)
+    import os
+
+    assert os.path.isdir(f"{idx}/codebooks") and os.path.isdir(f"{idx}/codes")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    oracle = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            get_all_oracles()["pq_topk_fast"]  # the sets projection
+        ).fetchall()
+    }
+    assert got == oracle and len(got) == 30
+
+    # second run: serve from the stored index (no build_from table
+    # needed at all — the pure serving deployment)
+    spec2 = {k: v for k, v in spec.items()}
+    spec2["ops"] = [spec["ops"][0], dict(spec["ops"][1])]
+    del spec2["ops"][1]["build_from"]
+    again = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in build_pipeline(spark, spec2, tables).collect()
+    }
+    assert again == got

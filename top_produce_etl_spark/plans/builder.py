@@ -556,6 +556,47 @@ def build_pipeline(
                 .select(op["id_col"])
             )
             df = df.join(keep, op["id_col"], "left_semi")
+        elif kind == "ann_topk":
+            # ANN retrieval from config (r6 verdict #6): the current
+            # frame is the QUERY relation; neighbors come from a
+            # STORED product-quantization index (pq_index_save
+            # artifacts — codebooks + 8-byte codes), LUT-scored
+            # without touching raw corpus vectors. ``build_from``
+            # (optional) names a corpus table to index first when
+            # the artifacts don't exist yet — the one-YAML
+            # index-then-serve composition; ``rebuild: true`` forces
+            # retraining. Emits (query_id, neighbor_id, pq_cosine,
+            # rank) — the same contract as the oracle-checked
+            # pq_topk battery queries.
+            import os as _os
+
+            from top_produce_etl_spark.operators.pq import (
+                pq_index_save,
+                pq_topk_from_index,
+            )
+
+            path = op["index_path"]
+            have = _os.path.isdir(_os.path.join(path, "codebooks"))
+            if op.get("build_from") and (not have or op.get("rebuild")):
+                corpus = resolve(op["build_from"])
+                pq_index_save(
+                    corpus,
+                    op["id_col"],
+                    op["vec_col"],
+                    dim=int(op["dim"]),
+                    path=path,
+                    subspaces=int(op.get("subspaces", 8)),
+                    codes=int(op.get("codes", 16)),
+                    train_sample_mod=op.get("train_sample_mod"),
+                )
+            df = pq_topk_from_index(
+                spark,
+                path,
+                df,
+                op["id_col"],
+                op["vec_col"],
+                k=int(op.get("k", 3)),
+            )
         else:
             raise ValueError(f"unknown op: {kind}")
     return df
