@@ -259,7 +259,11 @@ CAL_REF_SEC = 2.951  # min measured calibration (round-5 quiet run)
 # protocol: the ref constant is the quietest ever measured.
 CAL_SHUF_ROWS = 40_000_000
 CAL_SHUF_KEYS = 2_000_000
-CAL_SHUF_REF_SEC = 2.314  # min measured (round-7 introduction run)
+# min over the round-7 introduction series on a quiet host (medians
+# 1.996/1.876/1.846/1.812; under heavy co-load the same workload
+# read 2.2-7.6 — exactly the sensitivity the CPU fold lacks).
+# Re-baseline only downward, like CAL_REF_SEC.
+CAL_SHUF_REF_SEC = 1.812
 
 
 def _timed_noop(df, runs: int) -> list[float]:

@@ -469,3 +469,50 @@ def incremental_revenue_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.col("revenue").cast("decimal(18,2)").alias("revenue"),
     )
+
+
+@query(
+    "dp_counts_by_priority", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.privacy",
+        fromlist=["dp_noisy_counts_oracle_sql"],
+    ).dp_noisy_counts_oracle_sql(
+        "orders", ["o_orderpriority"], epsilon=0.5
+    ),
+)
+def dp_counts_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy release of order counts per priority (r7 —
+    operators/privacy.py::dp_noisy_counts, the Laplace mechanism at
+    ε=0.5 with deterministic portable-hash seeding): the RELEASE
+    half of the privacy tier whose gates are k-anonymity,
+    l-diversity and t-closeness. Fully oracle-checked — the seeded
+    inverse-CDF noise is bit-identical cross-engine."""
+    from top_produce_etl_spark.operators.privacy import dp_noisy_counts
+
+    orders = load_table(spark, sf_dir, "orders")
+    return dp_noisy_counts(orders, ["o_orderpriority"], epsilon=0.5)
+
+
+@query(
+    "dp_sum_balance_by_segment", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.privacy",
+        fromlist=["dp_noisy_sum_oracle_sql"],
+    ).dp_noisy_sum_oracle_sql(
+        "customer", ["c_mktsegment"], "c_acctbal",
+        clip_lo=-1000.0, clip_hi=10000.0, epsilon=1.0,
+    ),
+)
+def dp_sum_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy sum of account balances per market segment
+    (operators/privacy.py::dp_noisy_sum): values CLIPPED to
+    [-1000, 10000] — the clip, not the data, bounds the sensitivity
+    Δ = 10000 the Laplace scale calibrates to — then the exact
+    decimal sum releases with Lap(Δ/ε) in 1e3 fixed point."""
+    from top_produce_etl_spark.operators.privacy import dp_noisy_sum
+
+    customer = load_table(spark, sf_dir, "customer")
+    return dp_noisy_sum(
+        customer, ["c_mktsegment"], "c_acctbal",
+        clip_lo=-1000.0, clip_hi=10000.0, epsilon=1.0,
+    )
