@@ -680,3 +680,146 @@ def entropy_by_group(
     return out.select(
         *keys, "n", "n_cats", "entropy_micro", evenness.alias("evenness_micro")
     )
+
+
+def distribution_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cat_sql: str,
+    smoothing: int = 1,
+) -> DataFrame:
+    """KL and Jensen-Shannon divergence between two slices'
+    CATEGORICAL distributions (r7, beyond-reference §2.12) — the
+    mixture-drift monitor for discrete domains: token distributions
+    of two corpus snapshots, source/lang mixes across releases,
+    label balance across splits. Complements the numeric drift gates
+    (PSI `psi_price_drift`, KS `ks_price_drift_by_priority`) and the
+    static composition gauge (`entropy_by_group`).
+
+    Math: add-``smoothing`` (Laplace) smoothing over the UNION
+    domain of both slices — so a category seen only on one side
+    contributes finitely instead of blowing KL to +inf —
+    ``p_c = (n_ac + k) / (n_a + k·V)``, then
+
+        KL(a‖b)  = Σ_c p_c · ln(p_c / q_c)
+        JS(a,b)  = ½·KL(a‖m) + ½·KL(b‖m),  m = (p+q)/2
+
+    Determinism contract (the entropy_by_group/surprisal pattern):
+    every per-category contribution rounds to micro-nats BEFORE the
+    integer sum, so the report is bit-identical cross-engine. JS is
+    computed term-wise from the same p/q doubles, bounded by ln 2 ≈
+    693147 micro-nats.
+
+    Plan shape: one |vocab|-bounded hash agg per side, a full-outer
+    join on category (absent side counts 0 via smoothing), totals
+    attached by constant-key broadcast hash joins (no BNLJ), one
+    final 1-row fold. Nothing data-sized crosses a join.
+
+    Output (one row): (n_a, n_b, vocab, kl_ab_micro, kl_ba_micro,
+    js_micro).
+    """
+    if smoothing < 1:
+        raise ValueError(f"smoothing must be >= 1, got {smoothing}")
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+
+    ca = (
+        df_a.select(F.expr(cat_sql).alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__na"))
+    )
+    cb = (
+        df_b.select(F.expr(cat_sql).alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    grid = (
+        ca.join(cb, "__c", "full_outer")
+        .select(
+            "__c",
+            F.coalesce(F.col("__na"), F.lit(0)).alias("__na"),
+            F.coalesce(F.col("__nb"), F.lit(0)).alias("__nb"),
+        )
+    )
+    tots = grid.agg(
+        F.sum("__na").alias("__ta"),
+        F.sum("__nb").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    grid = attach_scalar_row(grid, tots, "__na", "__ta")
+    k = float(smoothing)
+    p = (F.col("__na").cast("double") + F.lit(k)) / (
+        F.col("__ta").cast("double") + F.lit(k) * F.col("__v")
+    )
+    q = (F.col("__nb").cast("double") + F.lit(k)) / (
+        F.col("__tb").cast("double") + F.lit(k) * F.col("__v")
+    )
+    m = (p + q) / F.lit(2.0)
+
+    def micro(x):
+        return F.round(x * F.lit(1e6)).cast("bigint")
+
+    terms = grid.select(
+        "__na", "__nb", "__ta", "__tb", "__v",
+        micro(p * F.log(p / q)).alias("__ab"),
+        micro(q * F.log(q / p)).alias("__ba"),
+        micro(
+            F.lit(0.5) * p * F.log(p / m)
+            + F.lit(0.5) * q * F.log(q / m)
+        ).alias("__js"),
+    )
+    return terms.agg(
+        F.max("__ta").alias("n_a"),
+        F.max("__tb").alias("n_b"),
+        F.max("__v").alias("vocab"),
+        F.sum("__ab").alias("kl_ab_micro"),
+        F.sum("__ba").alias("kl_ba_micro"),
+        F.sum("__js").alias("js_micro"),
+    )
+
+
+def distribution_divergence_oracle_sql(
+    rel_a: str,
+    rel_b: str,
+    cat_sql: str,
+    smoothing: int = 1,
+) -> str:
+    """DuckDB twin of :func:`distribution_divergence`
+    (bit-identical: same smoothing, same per-term micro rounding)."""
+    k = float(smoothing)
+    return f"""
+    WITH ca AS (
+        SELECT {cat_sql} AS c, COUNT(*) AS na FROM {rel_a}
+        WHERE {cat_sql} IS NOT NULL GROUP BY 1
+    ),
+    cb AS (
+        SELECT {cat_sql} AS c, COUNT(*) AS nb FROM {rel_b}
+        WHERE {cat_sql} IS NOT NULL GROUP BY 1
+    ),
+    grid AS (
+        SELECT COALESCE(ca.c, cb.c) AS c,
+               COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        FROM ca FULL OUTER JOIN cb ON ca.c = cb.c
+    ),
+    tots AS (
+        SELECT SUM(na) AS ta, SUM(nb) AS tb, COUNT(*) AS v FROM grid
+    ),
+    terms AS (
+        SELECT ta, tb, v,
+               (CAST(na AS DOUBLE) + {k!r})
+                   / (CAST(ta AS DOUBLE) + {k!r} * v) AS p,
+               (CAST(nb AS DOUBLE) + {k!r})
+                   / (CAST(tb AS DOUBLE) + {k!r} * v) AS q
+        FROM grid CROSS JOIN tots
+    )
+    SELECT MAX(ta) AS n_a, MAX(tb) AS n_b, MAX(v) AS vocab,
+           SUM(CAST(round(p * ln(p / q) * 1000000.0) AS BIGINT))
+               AS kl_ab_micro,
+           SUM(CAST(round(q * ln(q / p) * 1000000.0) AS BIGINT))
+               AS kl_ba_micro,
+           SUM(CAST(round((0.5 * p * ln(p / (0.5 * (p + q)))
+                           + 0.5 * q * ln(q / (0.5 * (p + q))))
+                          * 1000000.0) AS BIGINT)) AS js_micro
+    FROM terms
+    """

@@ -1241,3 +1241,41 @@ def upsampled_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsample_mixture(
         docs, "lang", "doc_id", _UPSAMPLE_EPOCHS
     ).select("doc_id", "lang", "epoch")
+
+
+@query(
+    "token_js_divergence_docs", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.stats",
+        fromlist=["distribution_divergence_oracle_sql"],
+    ).distribution_divergence_oracle_sql(
+        "(SELECT t.tok FROM documents, "
+        "unnest(string_split(text, ' ')) t(tok) "
+        "WHERE lang = 'en' AND t.tok <> '')",
+        "(SELECT t.tok FROM documents, "
+        "unnest(string_split(text, ' ')) t(tok) "
+        "WHERE lang <> 'en' AND t.tok <> '')",
+        "tok",
+    ),
+)
+def token_js_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution KL/JS divergence between the English and
+    non-English corpus slices (r7 —
+    operators/stats.py::distribution_divergence): the discrete
+    mixture-drift monitor beside PSI (numeric), KS (nonparametric)
+    and entropy (composition). Add-1 smoothing over the union
+    vocabulary, per-term micro-nat rounding — fully oracle-checked."""
+    from top_produce_etl_spark.operators.stats import (
+        distribution_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return distribution_divergence(
+        toks.where(F.col("lang") == "en"),
+        toks.where(F.col("lang") != "en"),
+        "tok",
+    )
