@@ -268,16 +268,19 @@ def t_closeness_violations(
         raise ValueError(f"t_micro must be in [0, 1e6), got {t_micro}")
     from pyspark.sql import Window
 
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+
     rows = df.select(*quasi_cols, F.col(sensitive_col).alias("__v"))
     rows = rows.where(F.col("__v").isNotNull())
     glob = rows.groupBy("__v").agg(F.count(F.lit(1)).alias("__gc"))
-    # m and n are scalars of the |values|-row relation — window
-    # totals keep them in one pass, then the relation broadcasts
-    glob = glob.select(
-        "__v", "__gc",
-        F.sum("__gc").over(Window.partitionBy()).alias("__n"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    # n and m are scalars of the |values|-row relation — a 1-row agg
+    # attached back via the constant-key broadcast hash join (an
+    # unpartitioned window here would trip the repo-wide
+    # global-window audit, and rightly so as a habit)
+    nm = glob.agg(
+        F.sum("__gc").alias("__n"), F.count(F.lit(1)).alias("__m")
     )
+    glob = attach_scalar_row(glob, nm, "__gc", "__n")
     grp = rows.groupBy(*quasi_cols, "__v").agg(
         F.count(F.lit(1)).alias("__c")
     )
