@@ -783,3 +783,74 @@ def test_distribution_divergence_duckdb_parity(spark):
     ).fetchdf().iloc[0]
     for k in cols:
         assert int(want[k]) == int(got[k]), (k, want[k], got[k])
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """Planted mean shift at t=100: the UP alarm must fire only
+    after the shift, the DOWN alarm only in the low first half
+    (two-sided CUSUM against the whole-series mean), and both
+    statistics clamp at 0 where the running min resets."""
+    from top_produce_etl_spark.operators.anomaly import (
+        cusum_changepoints,
+    )
+
+    rows = [("s", t, 10.0) for t in range(100)]
+    rows += [("s", t, 20.0) for t in range(100, 200)]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = {
+        r["t"]: r
+        for r in cusum_changepoints(df, ["grp"], "t", "v").collect()
+    }
+    assert len(out) == 200
+    assert out[0]["s_pos_micro"] == 0  # clamp at the start
+    ups = sorted(t for t, r in out.items() if r["alarm_up"])
+    downs = sorted(t for t, r in out.items() if r["alarm_down"])
+    assert ups and min(ups) >= 100  # fires only after the shift
+    assert max(ups) == 199  # and stays latched to the end
+    # the low-side alarm arms DURING the low first half and decays
+    # (no post-alarm reset in tabular CUSUM) within ~S/7.5 steps of
+    # the shift — it must start early and die out well before the end
+    assert downs and min(downs) < 100 and max(downs) < 150
+
+
+def test_cusum_duckdb_parity(spark):
+    import duckdb
+
+    from top_produce_etl_spark.operators.anomaly import (
+        cusum_changepoints,
+        cusum_oracle_sql,
+    )
+
+    rows = [
+        ("a", t, float(10 + (t * 7) % 5 + (5 if t > 30 else 0)))
+        for t in range(60)
+    ] + [("b", t, float((t * 3) % 11)) for t in range(40)]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    got = {
+        (r["grp"], r["t"]): (
+            r["s_pos_micro"], r["s_neg_micro"],
+            r["alarm_up"], r["alarm_down"],
+        )
+        for r in cusum_changepoints(df, ["grp"], "t", "v").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        (g, t): (sp, sn, au, ad)
+        for g, t, _v, sp, sn, au, ad in con.execute(
+            cusum_oracle_sql("t", ["grp"], "t", "v")
+        ).fetchall()
+    }
+    assert got == want and len(got) == 100
+
+
+def test_cusum_rejects_bad_params(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.anomaly import (
+        cusum_changepoints,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "g string, t int, v double")
+    with pytest.raises(ValueError, match="k_milli"):
+        cusum_changepoints(df, ["g"], "t", "v", k_milli=-1)

@@ -344,3 +344,175 @@ def ks_two_sample(
             F.max("__d").alias("ks_micro"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_sql: str,
+    k_milli: int = 500,
+    h_milli: int = 4000,
+) -> DataFrame:
+    """Tabular CUSUM changepoint detection per series (r7,
+    beyond-reference §2.12) — the sequential drift alarm the
+    batch-window gates (PSI/KS/divergence) can't give you: WHERE in
+    the series the level shifted, not just that two slices differ.
+    Page (1954), the public SPC literature:
+
+        S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k·σ))
+        S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − k·σ))
+
+    alarm when S exceeds h·σ (k = slack in σ units, typically 0.5;
+    h = decision interval, typically 4-5).
+
+    Spark-first shape: the recursive clamp LOOKS fold-only, but has
+    a closed form over prefix sums — ``S⁺_t = C_t − min(0,
+    min_{j≤t} C_j)`` with ``C`` the cumulative sum of the slack-
+    adjusted deviations (the clamp resets exactly where the running
+    min does). So the whole detector is ONE partition-ordered
+    exchange reused by two window passes (cumulative sum, running
+    min) — no UDF, no iteration, no driver state.
+
+    Determinism contract: μ and σ derive from exact DECIMAL sums
+    (cast to double once), deviations round to 1e6 fixed point per
+    row BEFORE the integer prefix sums, thresholds compare in the
+    same integer space — bit-identical cross-engine
+    (:func:`cusum_oracle_sql`).
+
+    Output: (keys…, order_col, value, s_pos_micro, s_neg_micro,
+    alarm_up, alarm_down), the full monitor trace.
+    """
+    if k_milli < 0 or h_milli <= 0:
+        raise ValueError(
+            f"k_milli must be >= 0 and h_milli > 0, got {k_milli}, {h_milli}"
+        )
+    from pyspark.sql import Window
+
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    x = F.expr(value_sql).cast("double")
+    series = df.select(
+        *keys, F.col(order_col), x.alias("__x"),
+        F.expr(value_sql).cast("decimal(28,6)").alias("__xd"),
+    )
+    stats = series.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__xd").cast("double").alias("__s1"),
+        F.sum(F.col("__xd") * F.col("__xd")).cast("double").alias("__s2"),
+    ).select(
+        *keys,
+        (F.col("__s1") / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("__s2")
+                    - F.col("__s1") * F.col("__s1") / F.col("__n")
+                )
+                / F.greatest(F.col("__n") - 1, F.lit(1)),
+                F.lit(0.0),
+            )
+        ).alias("__sigma"),
+    )
+    k = k_milli / 1000.0
+    lab = series.join(maybe_broadcast(stats), keys).select(
+        *keys, order_col,
+        F.col("__x").alias("value"),
+        F.round(
+            (F.col("__x") - F.col("__mu") - F.lit(k) * F.col("__sigma"))
+            * 1e6
+        ).cast("bigint").alias("__dp"),
+        F.round(
+            (F.col("__mu") - F.col("__x") - F.lit(k) * F.col("__sigma"))
+            * 1e6
+        ).cast("bigint").alias("__dn"),
+        F.round(F.col("__sigma") * (h_milli / 1000.0) * 1e6)
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lab.select(
+        *keys, order_col, "value", "__thr",
+        F.sum("__dp").over(w).alias("__cp"),
+        F.sum("__dn").over(w).alias("__cn"),
+    )
+    s_pos = F.col("__cp") - F.least(
+        F.lit(0).cast("bigint"), F.min("__cp").over(w)
+    )
+    s_neg = F.col("__cn") - F.least(
+        F.lit(0).cast("bigint"), F.min("__cn").over(w)
+    )
+    return cum.select(
+        *keys, order_col, "value",
+        s_pos.alias("s_pos_micro"),
+        s_neg.alias("s_neg_micro"),
+        (s_pos > F.col("__thr")).alias("alarm_up"),
+        (s_neg > F.col("__thr")).alias("alarm_down"),
+    )
+
+
+def cusum_oracle_sql(
+    from_sql: str,
+    keys: list[str],
+    order_sql: str,
+    value_sql: str,
+    k_milli: int = 500,
+    h_milli: int = 4000,
+    order_name: str = "ord",
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoints` (bit-identical)."""
+    g = ", ".join(keys)
+    k = k_milli / 1000.0
+    h = h_milli / 1000.0
+    return f"""
+    WITH series AS (
+        SELECT {g}, {order_sql} AS ord,
+               CAST({value_sql} AS DOUBLE) AS x,
+               CAST({value_sql} AS DECIMAL(28,6)) AS xd
+        FROM {from_sql}
+    ),
+    st AS (
+        SELECT {g},
+               CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS mu,
+               sqrt(greatest(
+                   (CAST(SUM(xd * xd) AS DOUBLE)
+                    - CAST(SUM(xd) AS DOUBLE) * CAST(SUM(xd) AS DOUBLE)
+                      / COUNT(*))
+                   / greatest(COUNT(*) - 1, 1), 0.0)) AS sigma
+        FROM series GROUP BY {g}
+    ),
+    lab AS (
+        SELECT s.*, CAST(round((s.x - st.mu - {k!r} * st.sigma) * 1e6)
+                    AS BIGINT) AS dp,
+               CAST(round((st.mu - s.x - {k!r} * st.sigma) * 1e6)
+                    AS BIGINT) AS dn,
+               CAST(round(st.sigma * {h!r} * 1e6) AS BIGINT) AS thr
+        FROM series s JOIN st USING ({g})
+    ),
+    cum AS (
+        SELECT {g}, ord, x, thr,
+               SUM(dp) OVER (PARTITION BY {g} ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+               SUM(dn) OVER (PARTITION BY {g} ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        FROM lab
+    ),
+    runmin AS (
+        SELECT {g}, ord, x, thr, cp, cn,
+               MIN(cp) OVER (PARTITION BY {g} ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp,
+               MIN(cn) OVER (PARTITION BY {g} ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        FROM cum
+    )
+    SELECT {g}, ord AS {order_name}, x AS value,
+           cp - least(CAST(0 AS BIGINT), mp) AS s_pos_micro,
+           cn - least(CAST(0 AS BIGINT), mn) AS s_neg_micro,
+           cp - least(CAST(0 AS BIGINT), mp) > thr AS alarm_up,
+           cn - least(CAST(0 AS BIGINT), mn) > thr AS alarm_down
+    FROM runmin
+    """

@@ -618,3 +618,48 @@ def pipe_syntax_revenue_by_status(
            GROUP BY o_orderstatus
         |> SELECT o_orderstatus, revenue, n_orders
     """)
+
+
+_CUSUM_DAILY_REL = """(
+    SELECT o_orderpriority,
+           CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+    FROM orders GROUP BY 1, 2
+)"""
+
+
+@query(
+    "cusum_daily_revenue", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.anomaly",
+        fromlist=["cusum_oracle_sql"],
+    ).cusum_oracle_sql(
+        _CUSUM_DAILY_REL, ["o_orderpriority"], "day", "rev",
+        order_name="day",
+    ),
+)
+def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential changepoint monitor (r7 —
+    operators/anomaly.py::cusum_changepoints): two-sided tabular
+    CUSUM over each priority's daily-revenue series. The recursive
+    clamp runs as its prefix-sum closed form (cumsum − running min)
+    — one partition-ordered exchange, two window passes, no UDF —
+    and the whole trace (S⁺, S⁻, alarms in integer micro units) is
+    fully oracle-checked."""
+    from top_produce_etl_spark.operators.anomaly import (
+        cusum_changepoints,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    return cusum_changepoints(
+        daily, ["o_orderpriority"], "day", "rev"
+    )
