@@ -131,7 +131,12 @@ EXTENSION = [
     "semdedup_fast",             # semantic dedup, double fast path (r5w3)
     "corpus_datasheet",          # per-source dataset card rollup (r5w3)
     "capped_docs_per_source",    # per-domain frequency capping (r5w3)
-    "orders_profile_drift_fast",  # drift report, approx-NDV path (r5w3)
+    # orders_profile_drift_fast is battery-gated, not timed (r7): its
+    # battery shape now JOINS the exact-NDV twin to verify the approx
+    # NDVs in-band, so its wall time measures the verification
+    # harness, not the single-pass production operator — the exact
+    # twin above times the identical plan plus the Expand the fast
+    # path exists to avoid.
     "bpe_encoded_docs",          # tokenizer encode at corpus scale (r5w3)
     "trending_brands_ewma",      # smoothed-momentum trending top-10 (r5w3)
     "quantized_recall_report",   # in-engine ANN evaluation (r5w3)
