@@ -837,3 +837,38 @@ def test_semantic_contamination_flags_planted_duplicate(spark):
     }
     assert out[0] >= 0.999999
     assert out[1] <= 1e-9
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment
+    (src->dst) reads ~1.0 while Jaccard stays far below any dedup
+    threshold — the asymmetric leak mode the operator exists for."""
+    from top_produce_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        unpersist_all,
+    )
+
+    short = " ".join(f"q{i}" for i in range(20))
+    long = (
+        " ".join(f"w{i}" for i in range(200))
+        + " " + short + " "
+        + " ".join(f"z{i}" for i in range(200))
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in containment_pairs(
+            docs, "doc_id", "text", k=5, threshold=0.8
+        ).collect()
+    }
+    unpersist_all()
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # fully contained
+    assert (2, 1) not in cont  # the long side is NOT inside the short
+    jac = jaccard_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.5
+    ).collect()
+    unpersist_all()
+    assert jac == []  # resemblance misses the quote entirely

@@ -301,3 +301,48 @@ def test_profile_drift_approx_twin_matches_except_ndv(spark):
                 assert abs(ap[c][field] - v) <= max(2, int(v * 0.05))
             else:
                 assert ap[c][field] == v, (c, field)
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """THE content-defined-chunking property: prepend one token to a
+    document and the chunk multiset stays almost identical (edges
+    realign after the edit), while fixed-stride windows all shift.
+    Also pins 0-based per-doc chunk ids and full token coverage."""
+    from top_produce_etl_spark.operators.chunking import (
+        cdc_chunks,
+        chunk_documents,
+    )
+
+    base = " ".join(f"w{i}" for i in range(400))  # all-distinct tokens
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED " + base)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs, "doc_id", "text", target_tokens=16)
+    rows = out.collect()
+    a = sorted(r["chunk_text"] for r in rows if r["doc_id"] == 1)
+    b = sorted(r["chunk_text"] for r in rows if r["doc_id"] == 2)
+    shared = len(set(a) & set(b))
+    assert shared >= len(a) - 2  # all but the edited head realigns
+    # coverage: chunk token counts sum to the doc length
+    assert sum(r["n_tokens"] for r in rows if r["doc_id"] == 1) == 400
+    assert min(r["chunk_id"] for r in rows if r["doc_id"] == 1) == 0
+    # contrast: fixed-stride chunking shares (almost) nothing
+    fixed = chunk_documents(docs, "doc_id", "text", size=16, stride=16)
+    fa = {r["chunk_text"] for r in fixed.collect() if r["doc_id"] == 1}
+    fb = {r["chunk_text"] for r in fixed.collect() if r["doc_id"] == 2}
+    assert len(fa & fb) <= 1
+
+
+def test_cdc_chunks_xxhash_production_path(spark):
+    """The xxhash64 hasher produces a valid chunking too (coverage +
+    determinism); only the portable hasher is oracle-checkable."""
+    from top_produce_etl_spark.operators.chunking import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 97}" for i in range(300)))],
+        "doc_id long, text string",
+    )
+    a = cdc_chunks(docs, "doc_id", "text", 16, hasher="xxhash64").collect()
+    b = cdc_chunks(docs, "doc_id", "text", 16, hasher="xxhash64").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sum(r["n_tokens"] for r in a) == 300

@@ -895,3 +895,65 @@ def mask_spans(
         F.size("__toks").alias("n_tokens"),
         masked_n.alias("masked_tokens"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED n-gram containment join: ordered pairs (src, dst)
+    with ``|S_src ∩ S_dst| / |S_src| >= threshold`` over k-word
+    shingle sets — "src is (nearly) contained in dst". The
+    asymmetric companion to :func:`jaccard_pairs`: a short document
+    quoted whole inside a long one has high containment but LOW
+    Jaccard (the union is dominated by the long side), so resemblance
+    thresholds structurally miss quote/subset duplication — the case
+    Broder's original resemblance-vs-containment distinction exists
+    for, and a first-class leak mode in LLM training corpora
+    (boilerplate-wrapped copies, quoted test items).
+
+    Plan shape: identical to jaccard_pairs — the same persisted
+    shingle table feeds sizes and both join sides; the unordered
+    common-shingle counts compute ONCE and fan out into the two
+    directions afterward (a |pairs|-row map, not a second join).
+    Output: (src_id, dst_id, containment) for src != dst.
+    """
+    sh = _persist(
+        shingle_sets(df, id_col, text_col, k).select(
+            F.col(id_col), F.explode("sset").alias("shingle")
+        )
+    )
+    if max_df is not None:
+        sh = _drop_stop_shingles(sh, max_df)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    sized = common.join(na, "a_id").join(nb, "b_id")
+    fwd = sized.select(
+        F.col("a_id").alias("src_id"),
+        F.col("b_id").alias("dst_id"),
+        (F.col("common").cast("double") / F.col("na").cast("double"))
+        .alias("containment"),
+    )
+    rev = sized.select(
+        F.col("b_id").alias("src_id"),
+        F.col("a_id").alias("dst_id"),
+        (F.col("common").cast("double") / F.col("nb").cast("double"))
+        .alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment") >= threshold
+    )

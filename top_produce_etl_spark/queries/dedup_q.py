@@ -941,3 +941,47 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(maybe_broadcast(losers), "doc_id", "left_anti")
     )
     return strip_duplicate_spans(surv, "doc_id", "text", k=8, min_docs=2)
+
+
+CONTAINMENT_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+    FROM toks, unnest(range(1, len(t) - 3)) r(i)
+    WHERE len(t) >= 5
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), sized AS (
+    SELECT cm.a_id, cm.b_id, cm.c, na.n AS na, nb.n AS nb
+    FROM common cm
+    JOIN sizes na ON na.doc_id = cm.a_id
+    JOIN sizes nb ON nb.doc_id = cm.b_id
+), dir AS (
+    SELECT a_id AS src_id, b_id AS dst_id,
+           CAST(c AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+    FROM sized
+    UNION ALL
+    SELECT b_id, a_id, CAST(c AS DOUBLE) / CAST(nb AS DOUBLE)
+    FROM sized
+)
+SELECT src_id, dst_id, containment FROM dir WHERE containment >= 0.6
+"""
+
+
+@query("ngram_containment_pairs", extended=True, oracle=CONTAINMENT_SQL)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment join (r7 —
+    operators/dedup.py::containment_pairs): src docs whose 5-gram
+    shingle set is >= 60% inside dst's — the quote/subset leak mode
+    resemblance (Jaccard) structurally under-scores because the
+    union is dominated by the long side. Same persisted-shingle
+    inverted-index plan as jaccard_pairs; fully oracle-checked."""
+    from top_produce_etl_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", k=5, threshold=0.6)

@@ -516,3 +516,55 @@ def dp_sum_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer, ["c_mktsegment"], "c_acctbal",
         clip_lo=-1000.0, clip_hi=10000.0, epsilon=1.0,
     )
+
+
+def _CDC_CHUNKS_ORACLE(target: int = 32) -> str:
+    from top_produce_etl_spark.functions.portable_hash import (
+        composite_hash_sql,
+    )
+
+    h = composite_hash_sql("tok")
+    return f"""
+    WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toked AS (
+        SELECT doc_id, t[r.i] AS tok, CAST(r.i AS BIGINT) AS pos,
+               CASE WHEN ({h.replace("tok", "t[r.i]")}) % {target} = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM arr, unnest(range(1, len(t) + 1)) r(i)
+    ),
+    chunked AS (
+        SELECT doc_id, tok, pos,
+               COALESCE(SUM(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS chunk_id
+        FROM toked
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           COUNT(*) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    """
+
+
+@query("cdc_chunks_docs", extended=True, oracle=_CDC_CHUNKS_ORACLE())
+def cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (r7 —
+    operators/chunking.py::cdc_chunks): boundaries where the token
+    hash ≡ 0 (mod 32), so chunk edges survive insertions (the
+    FastCDC/rsync realignment property — pinned in
+    tests/test_intervals_patterns.py) unlike the fixed-stride
+    chunker beside it. Portable-hash boundaries → fully
+    oracle-checked; xxhash64 is the production hasher. Filtered to
+    doc_id % 10 = 0 (the doc_chunks_rag fixture discipline: small
+    compare, corpus-wide mechanics)."""
+    from top_produce_etl_spark.operators.chunking import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return cdc_chunks(docs, "doc_id", "text", target_tokens=32)
