@@ -389,33 +389,33 @@ def cusum_changepoints(
         )
     from pyspark.sql import Window
 
-    from top_produce_etl_spark.operators.joins import maybe_broadcast
-
     x = F.expr(value_sql).cast("double")
     series = df.select(
         *keys, F.col(order_col), x.alias("__x"),
         F.expr(value_sql).cast("decimal(28,6)").alias("__xd"),
     )
-    stats = series.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__xd").cast("double").alias("__s1"),
-        F.sum(F.col("__xd") * F.col("__xd")).cast("double").alias("__s2"),
-    ).select(
-        *keys,
-        (F.col("__s1") / F.col("__n")).alias("__mu"),
-        F.sqrt(
-            F.greatest(
-                (
-                    F.col("__s2")
-                    - F.col("__s1") * F.col("__s1") / F.col("__n")
-                )
-                / F.greatest(F.col("__n") - 1, F.lit(1)),
-                F.lit(0.0),
-            )
-        ).alias("__sigma"),
+    # μ/σ as UNORDERED window aggregates over the same key
+    # partitioning the ordered CUSUM windows need — the planner
+    # satisfies all three passes from ONE exchange, where the
+    # agg+join formulation recomputed the (possibly expensive)
+    # upstream relation once per branch (observed: 4 exchanges → 1)
+    w0 = Window.partitionBy(*keys)
+    n = F.count(F.lit(1)).over(w0)
+    s1 = F.sum("__xd").over(w0).cast("double")
+    s2 = F.sum(F.col("__xd") * F.col("__xd")).over(w0).cast("double")
+    mu = s1 / n
+    sigma = F.sqrt(
+        F.greatest(
+            (s2 - s1 * s1 / n) / F.greatest(n - 1, F.lit(1)),
+            F.lit(0.0),
+        )
+    )
+    series = series.select(
+        *keys, order_col, "__x",
+        mu.alias("__mu"), sigma.alias("__sigma"),
     )
     k = k_milli / 1000.0
-    lab = series.join(maybe_broadcast(stats), keys).select(
+    lab = series.select(
         *keys, order_col,
         F.col("__x").alias("value"),
         F.round(
