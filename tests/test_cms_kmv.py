@@ -193,3 +193,35 @@ def test_cms_estimate_expression_key(spark, sf_dir):
         sketch, nulls, "coalesce(k, CAST(NULL AS STRING))"
     ).collect()
     assert got[0]["cms_est"] is None
+
+
+def test_cms_join_size_one_sided_and_tight(spark, sf_dir):
+    """The AMS/CMS inner-product join estimate: >= exact always
+    (collisions only add), and within the depth-min envelope on the
+    fixture; symmetric in its arguments."""
+    from top_produce_etl_spark.operators.countmin import (
+        cms_build,
+        cms_join_size,
+    )
+
+    ev = _events(spark, sf_dir)
+    view = ev.where(F.col("event_type") == "view")
+    click = ev.where(F.col("event_type") == "click")
+    sa, sb = cms_build(view, "user_id"), cms_build(click, "user_id")
+    est = cms_join_size(sa, sb).collect()[0]["est_join_size"]
+    est_sym = cms_join_size(sb, sa).collect()[0]["est_join_size"]
+    exact = (
+        view.groupBy("user_id").count().withColumnRenamed("count", "a")
+        .join(
+            click.groupBy("user_id").count()
+            .withColumnRenamed("count", "b"),
+            "user_id",
+        )
+        .selectExpr("CAST(SUM(a * b) AS BIGINT) AS x")
+        .collect()[0]["x"]
+    )
+    assert est == est_sym
+    assert est >= exact
+    # collision mass ~ Na*Nb/width; 3x headroom on the fixture
+    na, nb = view.count(), click.count()
+    assert est <= exact + 3 * na * nb / 512

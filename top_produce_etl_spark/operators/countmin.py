@@ -218,3 +218,55 @@ def cms_key_coords_oracle_sql(
             f" FROM ({keys_sql})"
         )
     return " UNION ALL ".join(parts)
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = DEPTH,
+) -> DataFrame:
+    """Equi-join CARDINALITY estimation from two stored CMS sketches
+    — the classic sketch inner product (Alon-Matias-Szegedy F2 /
+    Cormode-Muthukrishnan §4.3): ``|A ⋈ B| = Σ_k a_k·b_k`` is
+    estimated per depth row as ``Σ_bucket cntA·cntB`` (collisions
+    only ADD, so each row over-estimates) and the MIN over depths is
+    the one-sided estimate, exactly like a point query.
+
+    This is the capacity-planning / pre-flight primitive: the join
+    size of two 100 TB relations from two width×depth sketch tables,
+    no scan of either side — run it before a backfill to know
+    whether the shuffle fits. Both sketches must share (depth,
+    width, salt, hasher).
+
+    Plan shape: one (depth, bucket) equi-join of two sketch-sized
+    relations + a depth-row agg + a 1-row min — everything after the
+    (already stored) sketches is sketch-sized. Output: one row,
+    ``est_join_size``.
+    """
+    a = sketch_a.select("depth", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("depth", "bucket", F.col("cnt").alias("__cb"))
+    per_depth = (
+        a.join(b, ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_depth.agg(F.min("__ip").alias("est_join_size"))
+
+
+def cms_join_size_oracle_sql(
+    cells_a_sql: str,
+    cells_b_sql: str,
+) -> str:
+    """DuckDB twin of :func:`cms_join_size` over two
+    :func:`cms_cells_oracle_sql` bodies (bit-identical with the
+    portable hasher)."""
+    return f"""
+    WITH ca AS ({cells_a_sql}),
+    cb AS ({cells_b_sql}),
+    per_depth AS (
+        SELECT ca.depth, SUM(ca.cnt * cb.cnt) AS ip
+        FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
+        GROUP BY ca.depth
+    )
+    SELECT MIN(ip) AS est_join_size FROM per_depth
+    """

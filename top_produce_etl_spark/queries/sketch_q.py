@@ -476,3 +476,80 @@ def stream_ddsketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top_produce_etl_spark.streaming.jobs import run_ddsketch_stream
 
     return run_ddsketch_stream(spark, sf_dir, sink_table="oracle_stream_dd")
+
+
+def _CMS_JOIN_ORACLE() -> str:
+    from top_produce_etl_spark.operators.countmin import (
+        cms_cells_oracle_sql,
+        cms_join_size_oracle_sql,
+    )
+
+    est = cms_join_size_oracle_sql(
+        cms_cells_oracle_sql(
+            "(SELECT * FROM events WHERE event_type = 'view')", "user_id"
+        ),
+        cms_cells_oracle_sql(
+            "(SELECT * FROM events WHERE event_type = 'click')", "user_id"
+        ),
+    )
+    return f"""
+    WITH est AS ({est}),
+    ex AS (
+        SELECT CAST(SUM(v.n * c.n) AS BIGINT) AS exact_join_size
+        FROM (SELECT user_id, COUNT(*) AS n FROM events
+              WHERE event_type = 'view' GROUP BY 1) v
+        JOIN (SELECT user_id, COUNT(*) AS n FROM events
+              WHERE event_type = 'click' GROUP BY 1) c
+          ON v.user_id = c.user_id
+    )
+    SELECT est.est_join_size, ex.exact_join_size,
+           est.est_join_size - ex.exact_join_size AS overcount
+    FROM est, ex
+    """
+
+
+@query("cms_join_size_view_click", extended=True, oracle=_CMS_JOIN_ORACLE())
+def cms_join_size_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from stored sketches (r7 —
+    operators/countmin.py::cms_join_size, the AMS/CMS inner
+    product): |view ⋈ click on user_id| — the genuinely quadratic
+    per-user join a pre-flight wants sized BEFORE the shuffle —
+    estimated from two depth×width sketch tables alone, no scan of
+    either side at estimate time. One-sided (collisions only add);
+    exact truth rides along. Fully oracle-checked (portable
+    hasher)."""
+    from top_produce_etl_spark.operators.countmin import (
+        cms_build,
+        cms_join_size,
+    )
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+
+    ev = load_table(spark, sf_dir, "events")
+    view = ev.where(F.col("event_type") == "view")
+    click = ev.where(F.col("event_type") == "click")
+    est = cms_join_size(
+        cms_build(view, "user_id"), cms_build(click, "user_id")
+    )
+    exact = (
+        view.groupBy("user_id").agg(F.count(F.lit(1)).alias("__nv"))
+        .join(
+            click.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("__nc")
+            ),
+            "user_id",
+        )
+        .agg(
+            F.sum(F.col("__nv") * F.col("__nc"))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    return attach_scalar_row(
+        est, exact, "est_join_size", "exact_join_size"
+    ).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias(
+            "overcount"
+        ),
+    )
