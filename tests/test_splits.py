@@ -92,3 +92,47 @@ def test_assign_fold_on_group_key_is_group_kfold(spark):
     )
     assert all(r.nf == 1 for r in per_group.collect())
     assert folded.select("fold").distinct().count() >= 4
+
+
+def test_stratified_exact_split_counts_and_determinism(spark):
+    """Every stratum must land floor-exact proportions (the property
+    assign_split only gives in expectation), re-runs identically,
+    and a different salt reshuffles membership without changing the
+    counts."""
+    from top_produce_etl_spark.operators.splits import (
+        stratified_exact_split,
+    )
+
+    rows = [(i, "s_small" if i < 50 else "s_big") for i in range(1050)]
+    df = spark.createDataFrame(rows, "id long, stratum string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = stratified_exact_split(df, ["stratum"], "id", fr)
+    counts = {
+        (r["stratum"], r["split"]): r["n"]
+        for r in out.groupBy("stratum", "split").agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n")
+        ).collect()
+    }
+    # small stratum: 50 rows -> exactly 40/5/5
+    assert counts[("s_small", "train")] == 40
+    assert counts[("s_small", "val")] == 5
+    assert counts[("s_small", "test")] == 5
+    # big stratum: 1000 -> 800/100/100
+    assert counts[("s_big", "train")] == 800
+    assert counts[("s_big", "val")] == 100
+    assert counts[("s_big", "test")] == 100
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["id"], r["split"])
+        for r in stratified_exact_split(df, ["stratum"], "id", fr).collect()
+    }
+    assert a == b  # deterministic
+    c = {
+        (r["id"], r["split"])
+        for r in stratified_exact_split(
+            df, ["stratum"], "id", fr, salt="strat-v2"
+        ).collect()
+    }
+    assert c != a  # salt reshuffles membership
+    with __import__("pytest").raises(ValueError, match="sum to 1"):
+        stratified_exact_split(df, ["stratum"], "id", {"a": 0.5})

@@ -201,3 +201,115 @@ def weighted_reservoir_rank_sql(
     return (
         f"row_number() OVER ({part}ORDER BY {r} DESC, {key_sql} ASC)"
     )
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "strat-v1",
+    out: str = "split",
+) -> DataFrame:
+    """EXACT-count stratified split (r7): within every stratum, rank
+    rows by their salted portable hash and cut at
+    ``floor(f·n_stratum)`` boundaries — so each stratum lands the
+    requested proportions EXACTLY (±1 from the floor), where
+    :func:`assign_split`'s per-row hash threshold only hits them in
+    expectation (a 50-row stratum can easily come out 10% off — fatal
+    for small eval slices).
+
+    Trade-off vs assign_split, stated honestly: exactness costs
+    APPEND-STABILITY. New rows shift ranks, so splits move when data
+    grows — use this for FROZEN snapshots (benchmark/eval set
+    construction); use assign_split for growing corpora. The hash
+    order (never ts/id order) still kills any correlation between
+    arrival order and split.
+
+    One |strata|-keyed window (rank + count over the same ordered
+    exchange) — no joins, no driver state. Deterministic and
+    SQL-expressible: ties are impossible (the hash input embeds the
+    key; the rank orders by (hash, key)).
+
+    Output: df columns + ``out`` label.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    _check_safe(salt, key_col)
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    from pyspark.sql import Window
+
+    from top_produce_etl_spark.functions.portable_hash import (
+        composite_hash_col,
+    )
+
+    keyed = f"concat('{salt}', CAST({key_col} AS STRING))"
+    h = composite_hash_col(keyed)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    wn = Window.partitionBy(*strata_cols)
+    ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    # cut points: cumulative floor(f_i * n) boundaries, last split
+    # takes the remainder — rank <= floor(cum_f * n) picks split i
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = F.col("__rk") <= F.floor(F.lit(cum) * F.col("__n"))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    label = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    return ranked.withColumn(out, label).drop("__rk", "__n")
+
+
+def stratified_exact_split_oracle_sql(
+    from_sql: str,
+    strata_sql: list[str],
+    key_sql: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "strat-v1",
+) -> str:
+    """DuckDB twin of :func:`stratified_exact_split` (bit-identical:
+    same hash order, same floor cut points). Emits all source
+    columns plus ``split``."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    _check_safe(salt, key_sql)
+    from top_produce_etl_spark.functions.portable_hash import (
+        composite_hash_sql,
+    )
+
+    g = ", ".join(strata_sql)
+    h = composite_hash_sql(
+        f"concat('{salt}', CAST({key_sql} AS VARCHAR))"
+    )
+    names = list(fractions)
+    cum, cases = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        cases.append(
+            f"WHEN rk <= floor({cum!r} * n) THEN '{name}'"
+        )
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+    WITH ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY {g}
+                   ORDER BY ({h}), {key_sql}
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY {g}) AS n
+        FROM {from_sql}
+    )
+    SELECT * EXCLUDE (rk, n), {case} AS split FROM ranked
+    """

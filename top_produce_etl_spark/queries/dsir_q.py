@@ -103,3 +103,35 @@ def dsir_selection_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
     ).limit(100)
+
+
+@query(
+    "stratified_exact_split_docs", extended=True,
+    oracle=__import__(
+        "top_produce_etl_spark.operators.splits",
+        fromlist=["stratified_exact_split_oracle_sql"],
+    ).stratified_exact_split_oracle_sql(
+        "(SELECT doc_id, lang FROM documents)",
+        ["lang"],
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ),
+)
+def stratified_exact_split_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-count stratified split (r7 —
+    operators/splits.py::stratified_exact_split): every language
+    stratum lands 80/10/10 exactly (floor cut points over the
+    salted-hash rank), where the per-row hash threshold only hits
+    proportions in expectation — the eval-set construction tool for
+    small strata. Fully oracle-checked per row."""
+    from top_produce_etl_spark.operators.splits import (
+        stratified_exact_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_exact_split(
+        docs, ["lang"], "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
