@@ -872,3 +872,28 @@ def test_containment_catches_subset_jaccard_misses(spark):
     ).collect()
     unpersist_all()
     assert jac == []  # resemblance misses the quote entirely
+
+
+def test_mean_pool_vectors_exact_and_shapes(spark):
+    """Hand-checkable pooling: two groups, known means; dims stay
+    ordered; n_vectors counts group members."""
+    from top_produce_etl_spark.operators.similarity import (
+        mean_pool_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 2.0, 3.0]),
+            ("a", [3.0, 2.0, 1.0]),
+            ("b", [10.0, 0.0, -10.0]),
+        ],
+        "grp string, v array<double>",
+    )
+    got = {
+        r["grp"]: (r["n_vectors"], r["pooled"])
+        for r in mean_pool_vectors(df, ["grp"], "v").collect()
+    }
+    assert got == {
+        "a": (2, [2.0, 2.0, 2.0]),
+        "b": (1, [10.0, 0.0, -10.0]),
+    }

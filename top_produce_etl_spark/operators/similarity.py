@@ -960,3 +960,51 @@ def projection_quality_report(
         ).alias("cos_mae"),
         F.round(F.max("__err"), 6).alias("cos_max_err"),
     )
+
+
+def mean_pool_vectors(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    out: str = "pooled",
+) -> DataFrame:
+    """Element-wise MEAN of an embedding column per group — the
+    chunk→document pooling step every retrieval pipeline runs after
+    chunk-level embedding (a doc's vector = mean of its chunks'; the
+    same primitive builds per-label/per-source centroid tables for
+    drift monitors and IVF seed models).
+
+    Plan shape: one posexplode to (group, dim, value) + one
+    (group, dim) hash-agg + one in-row reassembly (``array_sort`` of
+    (dim, v) structs — no second shuffle, no collect_list of whole
+    vectors). Shuffle carries |groups|·dim rows regardless of corpus
+    size. Determinism: the kmeans centroid contract — per-dim
+    ``round(avg(double), 6)`` — so the pooled table is bit-identical
+    cross-engine.
+
+    Output: (group_cols…, n_vectors, ``out`` array<double>).
+    """
+    exploded = df.select(
+        *group_cols,
+        F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+    )
+    per_dim = exploded.groupBy(*group_cols, "__dim").agg(
+        F.round(F.avg(F.col("__v").cast("double")), 6).alias("__m"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_dim.groupBy(*group_cols)
+        .agg(
+            F.max("__n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct("__dim", "__m"))
+            ).alias("__dm"),
+        )
+        .select(
+            *group_cols,
+            "n_vectors",
+            F.transform(
+                F.col("__dm"), lambda s: s.getField("__m")
+            ).alias(out),
+        )
+    )

@@ -1182,3 +1182,36 @@ def semantic_contamination_check(
             "contaminated", F.col("max_test_cosine") >= F.lit(0.5)
         )
     )
+
+
+@query(
+    "label_centroids_mean_pool", extended=True,
+    oracle="""
+    WITH ex AS (
+        SELECT label, r.i AS dim,
+               CAST(embedding[r.i] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, 65)) r(i)
+    ),
+    per_dim AS (
+        SELECT label, dim, ROUND(AVG(v), 6) AS m, COUNT(*) AS n
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT label, MAX(n) AS n_vectors,
+           list(m ORDER BY dim) AS pooled
+    FROM per_dim GROUP BY label
+    """,
+)
+def label_centroids_mean_pool(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Element-wise mean pooling per label (r7 —
+    operators/similarity.py::mean_pool_vectors): the chunk→document
+    embedding aggregation / centroid-table primitive. One
+    posexplode + (group, dim) hash-agg + in-row reassembly; 6dp
+    kmeans-centroid determinism → fully oracle-checked."""
+    from top_produce_etl_spark.operators.similarity import (
+        mean_pool_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mean_pool_vectors(emb, ["label"], "embedding")
