@@ -91,3 +91,30 @@ def test_fast_twin_selection_overlap(spark, sf_dir):
 
     overlap = len(top100(a) & top100(b))
     assert overlap >= 60
+
+
+def test_effective_sample_size_bounds(spark):
+    """Uniform weights -> ESS == n (ratio 1000); one dominant weight
+    -> ESS near 1; zero/NULL weights excluded."""
+    from top_produce_etl_spark.operators.importance import (
+        effective_sample_size,
+    )
+
+    uni = spark.createDataFrame(
+        [(i, 2.0) for i in range(100)], "id long, w double"
+    )
+    r = effective_sample_size(uni, "w").collect()[0]
+    assert (r["n"], r["ess_milli"], r["ess_ratio_milli"]) == (
+        100, 100_000, 1000,
+    )
+    skew = spark.createDataFrame(
+        [(0, 1000.0)] + [(i, 0.001) for i in range(1, 100)],
+        "id long, w double",
+    )
+    r = effective_sample_size(skew, "w").collect()[0]
+    assert r["ess_milli"] < 1_100  # ~1 effective row
+    mixed = spark.createDataFrame(
+        [(0, None), (1, 1.0), (2, 1.0)], "id long, w double"
+    )
+    r = effective_sample_size(mixed, "w").collect()[0]
+    assert r["n"] == 2 and r["ess_ratio_milli"] == 1000

@@ -259,3 +259,49 @@ def dsir_scores_oracle_sql(
         FROM tb2 JOIN lam USING (bucket)
         GROUP BY tb2.id
     """
+
+
+def effective_sample_size(
+    df: DataFrame,
+    weight_sql: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kish effective sample size of an importance-weighted slice —
+    the one-number diagnostic every reweighted corpus needs BEFORE
+    training on it: ``ESS = (Σw)² / Σw²`` collapses toward 1 when a
+    few rows carry all the mass (the mixture is really that handful
+    of documents resampled) and equals n under uniform weights. Run
+    it on DSIR/mixture weights to catch a degenerate reweighting at
+    plan time instead of as a training-loss mystery.
+
+    Determinism contract: weights pass through DECIMAL(28,6) for
+    both moments, the ratio divides once in double and rounds to 1e3
+    fixed point — bit-identical cross-engine. One hash-agg (or one
+    global agg) — nothing data-sized moves.
+
+    Output: (group_cols…, n, ess_milli, ess_ratio_milli) — ratio =
+    ESS/n in 1e3 fixed point (1000 = uniform, →0 = degenerate).
+    """
+    group_cols = group_cols or []
+    w = F.expr(weight_sql).cast("decimal(28,6)")
+    base = df.select(*group_cols, w.alias("__w")).where(
+        F.col("__w").isNotNull() & (F.col("__w") >= 0)
+    )
+    agg = (
+        base.groupBy(*group_cols)
+        if group_cols
+        else base.groupBy()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__w").cast("double").alias("__s1"),
+        F.sum(F.col("__w") * F.col("__w")).cast("double").alias("__s2"),
+    )
+    ess = (F.col("__s1") * F.col("__s1")) / F.col("__s2")
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(ess * 1000.0).cast("bigint").alias("ess_milli"),
+        F.round(ess / F.col("n") * 1000.0)
+        .cast("bigint")
+        .alias("ess_ratio_milli"),
+    )

@@ -135,3 +135,35 @@ def stratified_exact_split_docs(
         docs, ["lang"], "doc_id",
         {"train": 0.8, "val": 0.1, "test": 0.1},
     )
+
+
+@query(
+    "ess_doc_weights_by_lang", extended=True,
+    oracle="""
+    WITH base AS (
+        SELECT lang, CAST(n_chars AS DECIMAL(28,6)) AS w
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+    )
+    SELECT lang, COUNT(*) AS n,
+           CAST(round(CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+                      / CAST(SUM(w * w) AS DOUBLE) * 1000.0)
+                AS BIGINT) AS ess_milli,
+           CAST(round(CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE)
+                      / CAST(SUM(w * w) AS DOUBLE) / COUNT(*) * 1000.0)
+                AS BIGINT) AS ess_ratio_milli
+    FROM base GROUP BY lang
+    """,
+)
+def ess_doc_weights_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per language with document length
+    as the importance weight (r7 —
+    operators/importance.py::effective_sample_size): the degenerate-
+    reweighting alarm for any weighted mixture — ESS/n → 0 means the
+    'corpus' is really a handful of heavy documents resampled.
+    Decimal moments, one hash-agg, fully oracle-checked."""
+    from top_produce_etl_spark.operators.importance import (
+        effective_sample_size,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return effective_sample_size(docs, "n_chars", ["lang"])
