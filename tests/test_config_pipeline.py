@@ -742,3 +742,63 @@ def test_yaml_ann_topk_shares_pq_oracle(spark, sf_dir, tmp_path):
         for r in build_pipeline(spark, spec2, tables).collect()
     }
     assert again == got
+
+
+def test_privacy_gate_drop_and_fail(spark, sf_dir):
+    """The declarative release gate (r7): action=drop suppresses
+    every violating quasi-identifier group (the post-drop frame
+    passes its own gate); action=fail raises with the gate names."""
+    import pytest
+
+    from top_produce_etl_spark.operators.quality import (
+        k_anonymity_violations,
+    )
+    from top_produce_etl_spark.plans.builder import build_pipeline
+
+    # planted frame: group g_big passes k=8 and l=5; g_small (2
+    # rows) violates k; g_homog (20 rows, one sensitive value)
+    # violates l — drop must suppress exactly the last two
+    rows = [("g_big", i % 7, i) for i in range(40)]
+    rows += [("g_small", i, 100 + i) for i in range(2)]
+    rows += [("g_homog", 1, 200 + i) for i in range(20)]
+    tables = {"people": spark.createDataFrame(
+        rows, "segment string, sensitive int, pid long"
+    )}
+    spec = {
+        "source": "people",
+        "ops": [
+            {
+                "op": "privacy_gate",
+                "quasi_cols": ["segment"],
+                "k": 8,
+                "l": {"sensitive": "sensitive", "min": 5},
+                "action": "drop",
+            },
+        ],
+    }
+    out = build_pipeline(spark, spec, tables)
+    kept = {r["segment"] for r in out.collect()}
+    assert kept == {"g_big"} and out.count() == 40
+    # the suppressed frame passes its own k-gate
+    assert k_anonymity_violations(out, ["segment"], 8).count() == 0
+    tables["customer"] = load_table(spark, sf_dir, "customer")
+    spec_fail = {
+        "source": "customer",
+        "ops": [
+            {
+                "op": "privacy_gate",
+                "quasi_cols": ["c_nationkey", "c_mktsegment"],
+                "k": 8,
+                "action": "fail",
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="privacy gate failed"):
+        build_pipeline(spark, spec_fail, tables)
+    with pytest.raises(ValueError, match="at least one"):
+        build_pipeline(
+            spark,
+            {"source": "customer",
+             "ops": [{"op": "privacy_gate", "quasi_cols": ["c_nationkey"]}]},
+            tables,
+        )

@@ -556,6 +556,66 @@ def build_pipeline(
                 .select(op["id_col"])
             )
             df = df.join(keep, op["id_col"], "left_semi")
+        elif kind == "privacy_gate":
+            # Declarative release gate (r7): run any subset of the
+            # privacy trio over the current frame and either FAIL
+            # the build (the assert_quality precedent — a release
+            # pipeline must not silently publish) or DROP the
+            # violating quasi-identifier groups (suppression, the
+            # standard k-anonymization remedy). The gates are the
+            # verified operators behind the oracle-checked
+            # k_anonymity/l_diversity/t_closeness battery entries.
+            from top_produce_etl_spark.operators.quality import (
+                k_anonymity_violations,
+                l_diversity_violations,
+                t_closeness_violations,
+            )
+
+            quasi = list(op["quasi_cols"])
+            viols = []
+            if "k" in op:
+                viols.append(
+                    ("k_anonymity",
+                     k_anonymity_violations(df, quasi, int(op["k"])))
+                )
+            if "l" in op:
+                viols.append(
+                    ("l_diversity",
+                     l_diversity_violations(
+                         df, quasi, op["l"]["sensitive"],
+                         int(op["l"]["min"]),
+                     ))
+                )
+            if "t" in op:
+                viols.append(
+                    ("t_closeness",
+                     t_closeness_violations(
+                         df, quasi, op["t"]["sensitive"],
+                         int(op["t"]["t_micro"]),
+                     ))
+                )
+            if not viols:
+                raise ValueError(
+                    "privacy_gate needs at least one of k/l/t"
+                )
+            action = op.get("action", "fail")
+            if action == "fail":
+                bad = [
+                    f"{name}: {v.count()} violating groups"
+                    for name, v in viols
+                    if v.limit(1).count() > 0
+                ]
+                if bad:
+                    raise ValueError(
+                        "privacy gate failed: " + "; ".join(bad)
+                    )
+            elif action == "drop":
+                for _, v in viols:
+                    df = df.join(
+                        v.select(*quasi), quasi, "left_anti"
+                    )
+            else:
+                raise ValueError(f"unknown privacy_gate action: {action}")
         elif kind == "ann_topk":
             # ANN retrieval from config (r6 verdict #6): the current
             # frame is the QUERY relation; neighbors come from a
