@@ -637,13 +637,20 @@ def pq_topk_oracle_sql(
     codes: int = CODES,
     k: int = 3,
     query_pred: str = "vec_id < 10",
+    cand_ctes: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`pq_topk` over the embeddings table:
     per-subspace unrolled 1-iteration Lloyd (the kmeans oracle
     scheme — init = C lowest-id subvectors at 6 dp, argmin tie-break
     on codeword id, update means at 6 dp, empty codewords drop),
     positional encode, codeword reconstruction, and the exact
-    DECIMAL cosine of the ADC oracle."""
+    DECIMAL cosine of the ADC oracle.
+
+    ``cand_ctes`` (r7, the IVF×PQ composition): extra CTE bodies
+    ending in a relation ``cand(query_id, neighbor_id)``; when
+    given, scoring restricts to those pairs — exactly ivfpq_topk's
+    cell pruning, with the coarse-quantizer CTEs supplied by the
+    caller (queries/similarity_q.py::_ivfpq_oracle)."""
     d = dim // subspaces
     parts = []
     enc_parts = []
@@ -697,6 +704,8 @@ enc{s} AS (
             f" UNNEST(generate_series(1, {d})) AS t(i)"
         )
     body = ",".join(parts) + "," + ",".join(enc_parts)
+    if cand_ctes:
+        body = cand_ctes + "," + body
     recon = " UNION ALL ".join(rec_parts)
     return f"""WITH {body},
 recon AS ({recon}),
@@ -719,6 +728,8 @@ dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
   FROM exq q JOIN recon c ON q.dim = c.dim
+  {"JOIN cand ON q.vec_id = cand.query_id AND c.vec_id = cand.neighbor_id"
+   if cand_ctes else ""}
   WHERE q.vec_id <> c.vec_id
   GROUP BY 1, 2
 )

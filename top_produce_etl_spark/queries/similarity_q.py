@@ -1065,19 +1065,61 @@ def pq_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
-# ROWS-ONLY justification (r7): approximate twice over — IVF cell
-# pruning changes WHICH pairs score and PQ changes the scores, and
-# (measured r7) its neighbor sets differ from both the pq and ivf
-# oracles at sf0.01, so no exact twin exists to hash against. Its
-# two factor operators ARE fully oracle-checked (pq_topk decimal,
-# _ivf_oracle); recall gated at 1.0 on synthembs in bench+tests.
-@query("ivfpq_topk_embeddings", extended=True)
+def _ivfpq_oracle(
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    k: int = 3,
+) -> str:
+    """Full DuckDB twin of operators/pq.py::ivfpq_topk (r7 — closing
+    the last ANN rows-only entry): the coarse-quantizer CTEs (the
+    unrolled-Lloyd cell model, inverted file, fixed-n_probe probe
+    list — ivfpq probes without margin) feed pq_topk_oracle_sql's
+    ``cand_ctes`` hook, which restricts the PQ-reconstruction decimal
+    scoring to exactly the probed (query, candidate) pairs. Sets
+    projection: LUT scores are FP-divergent, sets and ranks are
+    not."""
+    from top_produce_etl_spark.operators.pq import pq_topk_oracle_sql
+
+    cand = f"""{_kmeans_chain(n_cells, 1)},
+distF AS ({_km_dist('cents1')}
+),
+inv AS (
+  SELECT vec_id AS neighbor_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM distF
+  ) WHERE rn = 1
+),
+qd AS (
+  SELECT vec_id AS query_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM distF WHERE vec_id < 10
+),
+probes AS (
+  SELECT query_id, cid AS cell FROM qd WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, i.neighbor_id
+  FROM probes p JOIN inv i ON p.cell = i.cell
+  WHERE p.query_id <> i.neighbor_id
+)"""
+    return _sets_oracle(
+        pq_topk_oracle_sql(dim=dim, k=k, cand_ctes=cand)
+    )
+
+
+@query("ivfpq_topk_embeddings", extended=True, oracle=_ivfpq_oracle())
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF×PQ ANN (operators/pq.py::ivfpq_topk): coarse cells bound
     the candidate set, 8-byte PQ codes bound the stored/shuffled
     bytes — the faiss architecture end-to-end in DataFrame ops.
-    Recall tracked in bench beside the ivf and pq tiers, pruning
-    property pinned in tests/test_pq.py."""
+    FULLY oracle-checked since r7: the composed DuckDB twin unrolls
+    the coarse cell model AND the PQ codebooks, restricts decimal
+    scoring to the probed pairs, and hash-checks the (query,
+    neighbor, rank) sets (LUT scores projected away — the
+    pq_topk_fast precedent). Recall tracked in bench beside the ivf
+    and pq tiers; pruning property pinned in tests/test_pq.py."""
     from top_produce_etl_spark.operators.pq import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1085,7 +1127,7 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, "vec_id", "embedding", dim=64, k=3,
         scoring="lut", cache_key=sf_dir,
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
 _SEM_FRACTIONS = {"train": 0.96, "test": 0.04}
