@@ -854,3 +854,50 @@ def test_cusum_rejects_bad_params(spark):
     df = spark.createDataFrame([("a", 1, 1.0)], "g string, t int, v double")
     with pytest.raises(ValueError, match="k_milli"):
         cusum_changepoints(df, ["g"], "t", "v", k_milli=-1)
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """The property that kills the moment z-score: 5 wild rows in a
+    tight group inflate stddev so badly the classic 3-sigma screen
+    misses them — MAD flags all 5 and nothing else."""
+    from top_produce_etl_spark.operators.anomaly import (
+        mad_outlier_rows,
+    )
+
+    # 20% contamination: the masking regime (mean ~20k, stddev ~40k
+    # -> the wild rows' classic z is ~2, under any 3.5 screen)
+    rows = [("g", i, 100.0 + (i % 7) * 0.5) for i in range(80)]
+    rows += [("g", 100 + i, 100000.0 + i) for i in range(20)]  # wild
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = {
+        r["id"]
+        for r in mad_outlier_rows(
+            df, ["grp"], "v", keep_cols=["grp", "id"]
+        ).collect()
+    }
+    assert got == {100 + i for i in range(20)}
+    # contrast: classic z at 3.5 sigma misses ALL of them
+    from pyspark.sql import functions as F
+
+    stats = df.groupBy("grp").agg(
+        F.avg("v").alias("m"), F.stddev("v").alias("s")
+    )
+    z_flagged = (
+        df.join(stats, "grp")
+        .where((F.col("v") - F.col("m")) / F.col("s") > 3.5)
+        .count()
+    )
+    assert z_flagged == 0
+
+
+def test_mad_outliers_zero_mad_guard(spark):
+    """A constant group (MAD 0) must flag nothing, not divide by
+    zero."""
+    from top_produce_etl_spark.operators.anomaly import (
+        mad_outlier_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, 5.0) for i in range(10)], "grp string, id long, v double"
+    )
+    assert mad_outlier_rows(df, ["grp"], "v").count() == 0

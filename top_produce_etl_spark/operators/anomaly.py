@@ -516,3 +516,80 @@ def cusum_oracle_sql(
            cn - least(CAST(0 AS BIGINT), mn) > thr AS alarm_down
     FROM runmin
     """
+
+
+def mad_outlier_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    value_sql: str,
+    keep_cols: list[str] | None = None,
+    k_milli: int = 3500,
+) -> DataFrame:
+    """MAD-based robust outliers per group (r7): flag rows with
+    ``|x − median| > (k/1000) · 1.4826 · MAD`` where MAD = the
+    median absolute deviation — the robust-statistics gold standard
+    (Hampel; Leys et al. 2013): mean/stddev z-scores mask outliers
+    because the outliers INFLATE the stddev (a 49%-contaminated
+    group still flags under MAD; one wild row can zero out a z-score
+    screen), and Tukey fences still lean on moments of the middle.
+    1.4826 makes MAD a consistent σ estimate under normality, so
+    k ≈ 3.5 matches the classic "3.5 robust z" rule.
+
+    Determinism contract: both medians are ORDER STATISTICS — the
+    ceil(n/2)-th smallest picked by row_number (lower median; no
+    interpolation convention in play — the bootstrap/conformal
+    house rule) with value-then-row ordering so ties break
+    identically cross-engine. Two ordered windows over the same
+    group partitioning + one broadcast of the |groups|-row stats.
+
+    Output: keep_cols + (med6, mad6, robust_z6) for flagged rows.
+    """
+    if k_milli <= 0:
+        raise ValueError(f"k_milli must be > 0, got {k_milli}")
+    from pyspark.sql import Window
+
+    keep = keep_cols if keep_cols is not None else df.columns
+    x = F.expr(value_sql).cast("double")
+    base = df.withColumn("__x", x).where(F.col("__x").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__x").asc(), *[F.col(c) for c in keep]
+    )
+    wn = Window.partitionBy(*group_cols)
+    r1 = base.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    med = (
+        r1.where(F.col("__rk") == F.ceil(F.col("__n") / 2))
+        .groupBy(*group_cols)
+        .agg(F.max("__x").alias("__med"))
+    )
+    dev = base.join(F.broadcast(med), group_cols).withColumn(
+        "__d", F.abs(F.col("__x") - F.col("__med"))
+    )
+    wd = Window.partitionBy(*group_cols).orderBy(
+        F.col("__d").asc(), *[F.col(c) for c in keep]
+    )
+    r2 = dev.withColumn("__rk", F.row_number().over(wd)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    mad = (
+        r2.where(F.col("__rk") == F.ceil(F.col("__n") / 2))
+        .groupBy(*group_cols)
+        .agg(F.max("__d").alias("__mad"))
+    )
+    scored = dev.join(F.broadcast(mad), group_cols).withColumn(
+        "__rz",
+        F.col("__d") / (F.lit(1.4826) * F.col("__mad")),
+    )
+    return (
+        scored.filter(
+            (F.col("__mad") > 0)
+            & (F.col("__rz") > F.lit(k_milli / 1000.0))
+        )
+        .select(
+            *keep,
+            F.round(F.col("__med"), 6).alias("med6"),
+            F.round(F.col("__mad"), 6).alias("mad6"),
+            F.round(F.col("__rz"), 6).alias("robust_z6"),
+        )
+    )

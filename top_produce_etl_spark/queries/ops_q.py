@@ -663,3 +663,70 @@ def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(
         daily, ["o_orderpriority"], "day", "rev"
     )
+
+
+@query(
+    "mad_outliers_event_value", extended=True,
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(value AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    r1 AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY x, event_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT event_type, MAX(x) AS med
+        FROM r1 WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+        GROUP BY 1
+    ),
+    dev AS (
+        SELECT b.*, m.med, abs(b.x - m.med) AS d
+        FROM base b JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY d, event_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, MAX(d) AS mad
+        FROM r2 WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+        GROUP BY 1
+    )
+    SELECT dv.event_id, dv.event_type,
+           round(dv.med, 6) AS med6,
+           round(md.mad, 6) AS mad6,
+           round(dv.d / (1.4826 * md.mad), 6) AS robust_z6
+    FROM dev dv JOIN mad md USING (event_type)
+    WHERE md.mad > 0 AND dv.d / (1.4826 * md.mad) > 3.5
+    """,
+)
+def mad_outliers_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outliers per event type over the heavy-tailed
+    event value (r7 — operators/anomaly.py::mad_outlier_rows):
+    |x − median| > 3.5·1.4826·MAD, the robust-z screen whose
+    thresholds the outliers themselves cannot inflate (the failure
+    mode of the moment-based z beside it, pinned in tests). Both
+    medians are deterministic ceil(n/2) order statistics — fully
+    oracle-checked."""
+    from top_produce_etl_spark.operators.anomaly import mad_outlier_rows
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    return mad_outlier_rows(
+        events, ["event_type"], "value",
+        keep_cols=["event_id", "event_type"],
+    )
