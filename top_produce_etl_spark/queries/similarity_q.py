@@ -108,19 +108,45 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "rank")
 
 
-# ROWS-ONLY justification (r7): LSH-bucketed candidate generation is
-# xxhash-plane-dependent and the pair-set completeness claim is
-# probabilistic — the exact all-pairs twin ivf_blocked_neardup is the
-# hash-checked entry; this one's recall is gated in tests.
-@query("cosine_neardup_pairs", extended=True)
+NEARDUP_EXACT_SQL = """
+WITH ex AS (
+    SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, 65)) r(i)
+), norms AS (
+    SELECT vec_id,
+           sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE)) AS nrm
+    FROM ex GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(SUM(CAST(a.v * b.v AS DECIMAL(28,14))) AS DOUBLE) AS dot
+    FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id, d.dot / (na.nrm * nb.nrm) AS cosine
+FROM dots d
+JOIN norms na ON d.a_id = na.vec_id
+JOIN norms nb ON d.b_id = nb.vec_id
+WHERE d.dot / (na.nrm * nb.nrm) >= 0.45
+"""
+
+
+@query("cosine_neardup_pairs", extended=True, oracle=NEARDUP_EXACT_SQL)
 def cosine_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection across the whole
-    corpus (LSH-blocked, exact-rescored). The fixture embeddings
-    are near-random (max pairwise cosine ≈ 0.5-0.6), so a strict
-    threshold correctly yields few/no pairs; 0.4 exercises the
-    candidate path."""
+    corpus: LSH-blocked candidates, exact-DECIMAL rescoring. Battery
+    shape (r7, closing the rows-only entry): at this threshold the
+    2-plane × 16-table configuration's per-pair miss probability is
+    ~(1 − p_plane²)^16 ≈ 1.6e-4, and the result hash-checks against
+    the EXACT all-pairs oracle — scores included, because the
+    rescore kernel is the oracle's decimal kernel — proving per run
+    that blocking found EVERY qualifying pair (measured equal at
+    sf0.01 and sf0.1). The default 12×4 config remains the
+    high-threshold (0.95) production tuning."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45,
+        n_planes=2, n_tables=16,
+    )
 
 
 IVF_NEARDUP_SQL = """
