@@ -173,6 +173,22 @@ EXTENSION = [
     "pq_topk_fast",              # production LUT scoring path (r6)
     "ivfpq_topk_embeddings",     # faiss shape: cells x codes, LUT (r6)
     "ddsketch_price_quantiles",  # relative-error quantile sketch (r5w6)
+    # round-7 additions (privacy, drift, dedup, sketch, split tiers)
+    "t_closeness_customer",      # ordered-EMD privacy gate (r7)
+    "dp_counts_by_priority",     # seeded Laplace DP release (r7)
+    "token_js_divergence_docs",  # smoothed KL/JS corpus divergence (r7)
+    "cusum_daily_revenue",       # prefix-sum CUSUM changepoints (r7)
+    "ngram_containment_pairs",   # directed containment join (r7)
+    "cdc_chunks_docs",           # content-defined chunking (r7)
+    "cms_join_size_view_click",  # sketch join-cardinality est. (r7)
+    "stratified_exact_split_docs",  # exact-count eval split (r7)
+    "label_centroids_mean_pool",  # chunk->doc embedding pooling (r7)
+    "ess_doc_weights_by_lang",   # effective sample size (r7)
+    "mad_outliers_event_value",  # robust MAD outlier screen (r7)
+    "cosine_neardup_pairs",      # completeness-tuned LSH neardup (r7)
+    # stream_restart_recovery_parity is battery-gated, not timed: it
+    # runs a full stop/restart streaming cycle with filesystem
+    # side effects — wall time measures the harness, not an operator.
     # masked_decontamination_proof is battery-gated, not timed: it
     # re-runs the contamination detection AND the post-mask overlap
     # join (~2x contaminated_span_report's cost) purely to prove
