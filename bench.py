@@ -185,7 +185,12 @@ EXTENSION = [
     "label_centroids_mean_pool",  # chunk->doc embedding pooling (r7)
     "ess_doc_weights_by_lang",   # effective sample size (r7)
     "mad_outliers_event_value",  # robust MAD outlier screen (r7)
-    "cosine_neardup_pairs",      # completeness-tuned LSH neardup (r7)
+    # cosine_neardup_pairs is battery-gated, not timed (r7): its
+    # battery config deliberately trades blocking away for PROVABLE
+    # completeness (2 planes = 4 buckets/table -> near-all-pairs
+    # decimal rescore at the 0.45 threshold) so the exact oracle can
+    # hash-check it; the production 0.95-threshold 12x4 config is
+    # the timed-shape representative via cosine_topk_lsh.
     # stream_restart_recovery_parity is battery-gated, not timed: it
     # runs a full stop/restart streaming cycle with filesystem
     # side effects — wall time measures the harness, not an operator.
