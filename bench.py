@@ -441,7 +441,13 @@ def main() -> None:
     # its r6 median by >20% regressed for real (host noise can slow a
     # median, it cannot slow the min of 5 spaced runs); anything whose
     # r6 value sits inside [min, max] is measurement variance.
-    deltas = {}
+    # load factor: how much slower this host reads than the quiet
+    # reference on BOTH calibration flavors — sustained co-load lifts
+    # the min of 5 runs too (observed r7: a 29-60% loaded host lifted
+    # two sub-0.5 s queries past the naive 1.2x gate while every plan
+    # was untouched), so the regression gate scales by it
+    load = max(cal / CAL_REF_SEC, cal_shuf / CAL_SHUF_REF_SEC, 1.0)
+    deltas = {"__load_factor": round(load, 3)}
     for name, r6 in R06_DRIVER_QUERIES.items():
         if name in timings:
             lo, med, hi = spread[name]
@@ -450,12 +456,13 @@ def main() -> None:
                 "med": med,
                 "delta": round(med - r6, 3),
                 "verdict": (
-                    "REGRESSED" if lo > r6 * 1.2
+                    "REGRESSED" if lo > r6 * 1.2 * load
                     else ("IMPROVED" if hi < r6 * 0.8 else "noise-band")
                 ),
             }
             print(f"# delta {name}: r6={r6} now={med} "
-                  f"[{lo},{hi}] -> {deltas[name]['verdict']}",
+                  f"[{lo},{hi}] load={load:.2f} -> "
+                  f"{deltas[name]['verdict']}",
                   file=sys.stderr)
     recalls = {
         f"ivf_recall_at_{RECALL_K}": recall_at_k(
