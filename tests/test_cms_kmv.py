@@ -225,3 +225,35 @@ def test_cms_join_size_one_sided_and_tight(spark, sf_dir):
     # collision mass ~ Na*Nb/width; 3x headroom on the fixture
     na, nb = view.count(), click.count()
     assert est <= exact + 3 * na * nb / 512
+
+
+def test_cms_join_size_disjoint_returns_zero(spark):
+    """Round-8 advisor fix: sketches of disjoint key sets (with small
+    enough mass that some depth has zero bucket overlap) must return
+    0 — never NULL — and a zero-overlap depth must be allowed to win
+    the min (the sparse-cell inner join used to drop it). Checked on
+    both engines (Spark operator + DuckDB oracle twin)."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.countmin import (
+        cms_build,
+        cms_cells_oracle_sql,
+        cms_join_size,
+        cms_join_size_oracle_sql,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(3)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(3)], "k string")
+    got = cms_join_size(cms_build(a, "k"), cms_build(b, "k")).collect()
+    assert got[0]["est_join_size"] == 0
+
+    con = duckdb.connect()
+    con.register("ta", a.toPandas())
+    con.register("tb", b.toPandas())
+    want = con.execute(
+        cms_join_size_oracle_sql(
+            cms_cells_oracle_sql("ta", "k"),
+            cms_cells_oracle_sql("tb", "k"),
+        )
+    ).fetchone()[0]
+    assert want == 0

@@ -154,3 +154,28 @@ def test_t_closeness_rejects_bad_params(spark):
         t_closeness_violations(df, [], "s", 1000)
     with pytest.raises(ValueError, match="t_micro"):
         t_closeness_violations(df, ["grp"], "s", 2_000_000)
+
+
+def test_t_closeness_single_value_domain_trivially_close(spark):
+    """Round-8 advisor fix: m = 1 (one global sensitive value) is
+    trivially t-close — both engines must return ZERO violations
+    rather than Spark silently NULL-passing while DuckDB raises a
+    division-by-zero on the degenerate EMD denominator."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.quality import (
+        t_closeness_oracle_sql,
+        t_closeness_violations,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "only"), ("g1", "only"), ("g2", "only")],
+        "grp string, s string",
+    )
+    assert t_closeness_violations(df, ["grp"], "s", 0).count() == 0
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got = con.execute(
+        t_closeness_oracle_sql("t", ["grp"], "s", t_micro=0)
+    ).fetchall()
+    assert got == []

@@ -128,3 +128,68 @@ def composite_hash_sql(col_sql: str) -> str:
     return (
         f"({h31} % {_HALF_MOD}) + ({h37} % {_HALF_MOD}) * {_HALF_MOD}"
     )
+
+
+# --- full-length variant (round-8 advisor fix) ------------------------
+#
+# composite_hash reads only the first MAX_TOKEN_LEN (40) characters —
+# fine for TOKENS (its design target), but a correctness hole when the
+# input is a composite KEY that can exceed 40 chars (the DP noise key
+# in operators/privacy.py: two keys sharing a 40-char prefix drew
+# IDENTICAL noise). The full variant folds the string in 40-char
+# chunks: each chunk is hashed by the same mixed polynomial pair, the
+# chunk index is baked in via an odd-constant offset before the
+# avalanche (so chunk permutations change the hash), and the mixed
+# chunk hashes are summed per half. Every intermediate fits int64:
+# per-chunk mixed value < 2^31, so the running sum stays exact up to
+# ~2^32 chunks. Inputs must be NON-EMPTY (every call site prefixes a
+# salt; the underlying polynomial's empty-string behavior diverges
+# across engines, so we keep that contract rather than widen the SQL).
+
+_CHUNK_PC = 1013904223  # odd constant (Numerical Recipes LCG increment)
+
+
+def _full_half_spark(name: str, base: int) -> str:
+    chunk = f"substring({name}, 1 + __j * {MAX_TOKEN_LEN}, {MAX_TOKEN_LEN})"
+    mixed = _spark_mix31(
+        f"((({portable_hash_spark_sql(chunk, base)})"
+        f" + CAST(__j AS BIGINT) * {_CHUNK_PC}L) % {PORTABLE_MOD})"
+    )
+    return f"""aggregate(
+        sequence(0, CAST((greatest(length({name}), 1) - 1)
+                         DIV {MAX_TOKEN_LEN} AS INT)),
+        0L, (__acc, __j) -> __acc + {mixed}) % {_HALF_MOD}"""
+
+
+def _full_half_duck(col_sql: str, base: int) -> str:
+    chunk = (
+        f"substr({col_sql}, CAST(1 + __j * {MAX_TOKEN_LEN} AS INT),"
+        f" {MAX_TOKEN_LEN})"
+    )
+    mixed = _duck_mix31(
+        f"((({portable_hash_sql(chunk, base)})"
+        f" + __j * {_CHUNK_PC}) % {PORTABLE_MOD})"
+    )
+    return (
+        f"list_sum(list_transform(range(0, CAST((greatest(length("
+        f"{col_sql}), 1) - 1) // {MAX_TOKEN_LEN} AS INT) + 1), "
+        f"__j -> {mixed})) % {_HALF_MOD}"
+    )
+
+
+def composite_hash_full_col(col: str) -> Column:
+    """56-bit composite hash of the FULL string (Spark side): 40-char
+    chunk folding over the mixed polynomial pair — no prefix
+    truncation. Input expression must be non-empty."""
+    return F.expr(
+        f"({_full_half_spark(col, 31)})"
+        f" + ({_full_half_spark(col, 37)}) * {_HALF_MOD}"
+    )
+
+
+def composite_hash_full_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`composite_hash_full_col` (bit-identical)."""
+    return (
+        f"({_full_half_duck(col_sql, 31)})"
+        f" + ({_full_half_duck(col_sql, 37)}) * {_HALF_MOD}"
+    )

@@ -242,6 +242,15 @@ def cms_join_size(
     relations + a depth-row agg + a 1-row min — everything after the
     (already stored) sketches is sketch-sized. Output: one row,
     ``est_join_size``.
+
+    Sketch cells are SPARSE (zero buckets are never stored), so a
+    depth whose two rows share no bucket has inner product 0 — the
+    TIGHTEST estimate. The inner bucket join alone would drop that
+    depth (and return NULL when every depth is disjoint); generating
+    depths 0..depth-1 explicitly and coalescing missing products to 0
+    lets the min reach 0 and makes disjoint inputs return 0, not NULL
+    (round-8 advisor fix — which also gives the ``depth`` parameter
+    its job).
     """
     a = sketch_a.select("depth", "bucket", F.col("cnt").alias("__ca"))
     b = sketch_b.select("depth", "bucket", F.col("cnt").alias("__cb"))
@@ -250,16 +259,26 @@ def cms_join_size(
         .groupBy("depth")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
-    return per_depth.agg(F.min("__ip").alias("est_join_size"))
+    depths = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    return (
+        depths.join(F.broadcast(per_depth), "depth", "left")
+        .select(F.coalesce(F.col("__ip"), F.lit(0)).alias("__ip"))
+        .agg(F.min("__ip").alias("est_join_size"))
+    )
 
 
 def cms_join_size_oracle_sql(
     cells_a_sql: str,
     cells_b_sql: str,
+    depth: int = DEPTH,
 ) -> str:
     """DuckDB twin of :func:`cms_join_size` over two
     :func:`cms_cells_oracle_sql` bodies (bit-identical with the
-    portable hasher)."""
+    portable hasher). Mirrors the explicit depth generation: a depth
+    with zero bucket overlap contributes inner product 0 (the exact
+    estimate), and fully disjoint sketches return 0, not NULL."""
     return f"""
     WITH ca AS ({cells_a_sql}),
     cb AS ({cells_b_sql}),
@@ -267,6 +286,10 @@ def cms_join_size_oracle_sql(
         SELECT ca.depth, SUM(ca.cnt * cb.cnt) AS ip
         FROM ca JOIN cb ON ca.depth = cb.depth AND ca.bucket = cb.bucket
         GROUP BY ca.depth
+    ),
+    depths AS (
+        SELECT CAST(range AS INT) AS depth FROM range({depth})
     )
-    SELECT MIN(ip) AS est_join_size FROM per_depth
+    SELECT MIN(COALESCE(p.ip, 0)) AS est_join_size
+    FROM depths d LEFT JOIN per_depth p ON d.depth = p.depth
     """

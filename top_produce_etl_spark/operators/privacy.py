@@ -16,13 +16,29 @@ track that; these functions implement one release.
 Determinism contract (the house seeded-randomization pattern —
 operators/bootstrap.py's hash-Poisson precedent): the noise is a
 DETERMINISTIC function of (salt, group key) through the 56-bit
-engine-portable composite hash (functions/portable_hash.py), mapped
-to a uniform in (0,1) and through the Laplace inverse CDF
+engine-portable FULL-LENGTH composite hash
+(functions/portable_hash.py::composite_hash_full_col — chunk-folded,
+no 40-char prefix truncation; round-8 advisor fix), mapped to a
+uniform in (0,1) and through the Laplace inverse CDF
 ``-b·sign(u−½)·ln(1−2|u−½|)``. Re-running a release reproduces it
 bit-for-bit (re-releasing with FRESH noise would leak by averaging
 — re-release determinism is itself a privacy property here), and
 the whole mechanism is SQL-expressible, so the battery hash-checks
 the released numbers against DuckDB exactly.
+
+**What the ε actually protects (read before publishing):** the
+noise is pseudorandom in the SALT. Against an adversary who does
+NOT know the salt, the release is ε-DP in the standard
+computational sense; against one who DOES (anyone with the code, if
+you ship the default), the noise is recomputable and the mechanism
+protects nothing. Therefore a real release REQUIRES a secret,
+high-entropy, per-release salt — and these functions ENFORCE a
+minimum salt length of 16 characters unless the caller passes
+``allow_insecure_salt=True``, which relabels the run as what it
+then is: seeded reproducible noise for benchmarking / oracle
+verification, not a privacy guarantee. The repo's own battery
+entries pass that flag explicitly (they publish synthetic TPC-H
+fixtures and exist to hash-check the mechanism cross-engine).
 
 Scale shape: one hash-aggregate per release (|groups| rows out),
 noise applied as a narrow map over the aggregate — the same cost
@@ -40,11 +56,32 @@ from pyspark.sql import functions as F
 
 from top_produce_etl_spark.functions.portable_hash import (
     COMPOSITE_BITS,
-    composite_hash_col,
-    composite_hash_sql,
+    composite_hash_full_col,
+    composite_hash_full_sql,
 )
 
 _U_DENOM = 1 << COMPOSITE_BITS  # 2^56
+
+_MIN_SALT_LEN = 16
+
+
+def _check_salt(salt: str, allow_insecure_salt: bool) -> None:
+    """Reject short (low-entropy / code-visible-default) salts unless
+    the caller explicitly opts into reproducible-noise mode. The
+    check is a length floor, not an entropy measure — it exists to
+    make 'I shipped the default salt' impossible by accident, which
+    is the failure mode the round-7 advisor flagged."""
+    if allow_insecure_salt:
+        return
+    if len(salt) < _MIN_SALT_LEN:
+        raise ValueError(
+            f"salt {salt!r} is shorter than {_MIN_SALT_LEN} chars: a "
+            "real ε-DP release needs a secret, high-entropy, "
+            "per-release salt (the noise is recomputable by anyone "
+            "who knows it). Pass allow_insecure_salt=True only for "
+            "benchmarking/verification runs, which are then seeded "
+            "reproducible noise, not a privacy guarantee."
+        )
 
 
 def _key_expr_spark(salt: str, group_cols: list[str]) -> str:
@@ -62,9 +99,11 @@ def _key_expr_duck(salt: str, group_sql: list[str]) -> str:
 
 
 def _laplace_noise_col(salt: str, group_cols: list[str], b: float) -> Column:
-    """Deterministic Laplace(b) draw per group key (Spark side)."""
+    """Deterministic Laplace(b) draw per group key (Spark side).
+    Hashes the FULL salted key — keys sharing a 40-char prefix draw
+    independent noise (round-8 fix)."""
     u = (
-        composite_hash_col(_key_expr_spark(salt, group_cols))
+        composite_hash_full_col(_key_expr_spark(salt, group_cols))
         .cast("double")
         + F.lit(0.5)
     ) / F.lit(float(_U_DENOM))
@@ -78,7 +117,7 @@ def _laplace_noise_col(salt: str, group_cols: list[str], b: float) -> Column:
 
 def _laplace_noise_sql(salt: str, group_sql: list[str], b: float) -> str:
     """Bit-identical DuckDB twin of :func:`_laplace_noise_col`."""
-    h = composite_hash_sql(_key_expr_duck(salt, group_sql))
+    h = composite_hash_full_sql(_key_expr_duck(salt, group_sql))
     u = f"((CAST(({h}) AS DOUBLE) + 0.5) / {float(_U_DENOM)!r})"
     c = f"({u} - 0.5)"
     return (
@@ -91,6 +130,7 @@ def dp_noisy_counts(
     group_cols: list[str],
     epsilon: float,
     salt: str = "dp-v1",
+    allow_insecure_salt: bool = False,
 ) -> DataFrame:
     """ε-DP group counts: ``noisy_count = count + round(Lap(1/ε))``
     (count sensitivity = 1). Output: (group_cols…, noisy_count) —
@@ -100,6 +140,7 @@ def dp_noisy_counts(
     don't."""
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    _check_salt(salt, allow_insecure_salt)
     noise = _laplace_noise_col(salt, group_cols, 1.0 / epsilon)
     return (
         df.groupBy(*group_cols)
@@ -121,6 +162,7 @@ def dp_noisy_sum(
     clip_hi: float,
     epsilon: float,
     salt: str = "dp-v1",
+    allow_insecure_salt: bool = False,
 ) -> DataFrame:
     """ε-DP group sums: values are CLIPPED into [clip_lo, clip_hi]
     first (that clip — not the data — is what bounds the
@@ -129,6 +171,7 @@ def dp_noisy_sum(
     (group_cols…, noisy_sum_milli bigint)."""
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    _check_salt(salt, allow_insecure_salt)
     if clip_lo >= clip_hi:
         raise ValueError(f"clip_lo {clip_lo} must be < clip_hi {clip_hi}")
     sens = max(abs(clip_lo), abs(clip_hi))
@@ -160,8 +203,10 @@ def dp_noisy_counts_oracle_sql(
     group_sql: list[str],
     epsilon: float,
     salt: str = "dp-v1",
+    allow_insecure_salt: bool = False,
 ) -> str:
     """DuckDB twin of :func:`dp_noisy_counts` (bit-identical)."""
+    _check_salt(salt, allow_insecure_salt)
     g = ", ".join(group_sql)
     noise = _laplace_noise_sql(salt, group_sql, 1.0 / epsilon)
     return f"""
@@ -180,8 +225,10 @@ def dp_noisy_sum_oracle_sql(
     clip_hi: float,
     epsilon: float,
     salt: str = "dp-v1",
+    allow_insecure_salt: bool = False,
 ) -> str:
     """DuckDB twin of :func:`dp_noisy_sum` (bit-identical)."""
+    _check_salt(salt, allow_insecure_salt)
     g = ", ".join(group_sql)
     sens = max(abs(clip_lo), abs(clip_hi))
     noise = _laplace_noise_sql(salt, group_sql, sens / epsilon)

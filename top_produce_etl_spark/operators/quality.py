@@ -328,6 +328,13 @@ def t_closeness_violations(
             F.max("__n").alias("__n"),
             F.max("__m").alias("__m"),
         )
+        # m = 1 (single-value sensitive domain) is trivially t-close
+        # — every group's distribution IS the global one — and the
+        # EMD denominator is 0 there: Spark div would yield NULL
+        # (silent pass) while DuckDB // raises, a cross-engine
+        # divergence. Guard BEFORE dividing, on both engines
+        # (round-8 advisor fix).
+        .filter(F.col("__m") >= 2)
         .withColumn(
             "emd_micro",
             F.expr(
@@ -385,10 +392,13 @@ def t_closeness_oracle_sql(
                SUM(ABS(cd)) AS sa, MAX(n) AS n, MAX(m) AS m
         FROM cum GROUP BY ALL
     )
-    SELECT {q}, group_size,
-           (sa * 1000000) // (group_size * n * (m - 1)) AS emd_micro
-    FROM agg
-    WHERE (sa * 1000000) // (group_size * n * (m - 1)) > {t_micro}
+    SELECT {q}, group_size, emd_micro FROM (
+        SELECT {q}, group_size,
+               (sa * 1000000) // (group_size * n * (m - 1)) AS emd_micro
+        FROM agg
+        WHERE m >= 2
+    )
+    WHERE emd_micro > {t_micro}
     """
 
 

@@ -600,11 +600,15 @@ def build_pipeline(
                 )
             action = op.get("action", "fail")
             if action == "fail":
-                bad = [
-                    f"{name}: {v.count()} violating groups"
-                    for name, v in viols
-                    if v.limit(1).count() > 0
-                ]
+                # one eager count per gate serves both the emptiness
+                # test and the message — the fail path is already
+                # eager, and a second full aggregation per violated
+                # gate bought nothing (round-8 advisor fix)
+                bad = []
+                for name, v in viols:
+                    n = v.count()
+                    if n > 0:
+                        bad.append(f"{name}: {n} violating groups")
                 if bad:
                     raise ValueError(
                         "privacy gate failed: " + "; ".join(bad)

@@ -477,7 +477,8 @@ def incremental_revenue_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_produce_etl_spark.operators.privacy",
         fromlist=["dp_noisy_counts_oracle_sql"],
     ).dp_noisy_counts_oracle_sql(
-        "orders", ["o_orderpriority"], epsilon=0.5
+        "orders", ["o_orderpriority"], epsilon=0.5,
+        allow_insecure_salt=True,
     ),
 )
 def dp_counts_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +491,11 @@ def dp_counts_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top_produce_etl_spark.operators.privacy import dp_noisy_counts
 
     orders = load_table(spark, sf_dir, "orders")
-    return dp_noisy_counts(orders, ["o_orderpriority"], epsilon=0.5)
+    return dp_noisy_counts(
+        orders, ["o_orderpriority"], epsilon=0.5,
+        # battery run: published noise is reproducible by design
+        allow_insecure_salt=True,
+    )
 
 
 @query(
@@ -501,6 +506,7 @@ def dp_counts_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dp_noisy_sum_oracle_sql(
         "customer", ["c_mktsegment"], "c_acctbal",
         clip_lo=-1000.0, clip_hi=10000.0, epsilon=1.0,
+        allow_insecure_salt=True,
     ),
 )
 def dp_sum_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +521,7 @@ def dp_sum_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_noisy_sum(
         customer, ["c_mktsegment"], "c_acctbal",
         clip_lo=-1000.0, clip_hi=10000.0, epsilon=1.0,
+        allow_insecure_salt=True,
     )
 
 
