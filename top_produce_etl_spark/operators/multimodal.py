@@ -2,12 +2,27 @@
 star): image/audio/video as opaque ``binary`` columns with typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode/resize/frame-extract kernels need media libraries that
-are NOT in this container — those steps are STUBBED behind
-``NotImplementedError`` (real path) and a clearly-marked
-deterministic fake (test path). Everything Spark-side — schemas,
-partitioning, UDF signatures, batch iteration, frame-index
-planning — is real and tested.
+Decode tiers (round 8 — the real branch now RUNS):
+
+- **Real image decode, dependency-free** — PPM (P6) and uncompressed
+  24-bit BMP are header+pixel formats a few dozen lines of stdlib
+  ``struct`` + numpy decode exactly; :func:`decode_image_bytes` does,
+  and :func:`decode_image_stats` runs it Arrow-batched over a binary
+  column. The battery query ``multimodal_real_decode`` plants a
+  closed-form pixel formula, ENCODES it into real PPM/BMP files
+  (bottom-up rows, BGR order, 4-byte row padding and all), and
+  hash-checks the DECODED per-channel sums + a positional checksum
+  against DuckDB's re-derivation of the formula — header parse,
+  row flip, channel swap and pad stripping are all load-bearing.
+- **Library-bound formats** (JPEG/PNG/audio/video) still need
+  PIL/ffmpeg/torchaudio, which are NOT in this container — that seam
+  stays an honest ``NotImplementedError`` raised inside the worker
+  batch for unrecognized magics.
+- A clearly-marked deterministic fake kernel (byte histogram)
+  remains the format-agnostic test path.
+
+Everything Spark-side — schemas, partitioning, UDF signatures,
+batch iteration, frame-index planning — is real and tested.
 
 Scale notes: binary payloads make row sizes large and skewed; the
 processing pattern is ``mapInPandas`` with bounded Arrow batches
@@ -90,23 +105,53 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
 def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``real_decode=True`` is the seam where PIL/ffmpeg/torchaudio
-    would run — unavailable in this container, so it raises
-    ``NotImplementedError`` *inside the workers' first batch*
-    (the plan itself builds fine). The fake path computes
-    deterministic features from raw bytes (length, additive
-    checksum, 8 byte-histogram buckets normalized) — same schema,
-    same batching, same partitioning as the real thing.
+    ``real_decode=True`` decodes payloads :func:`decode_image_bytes`
+    recognizes (PPM P6, uncompressed 24-bit BMP — no media library
+    needed) and emits pixel-space features ``[w, h, mean_r, mean_g,
+    mean_b]``; any other payload raises ``NotImplementedError``
+    inside the worker batch — the honest seam where PIL / ffmpeg /
+    torchaudio would run, unavailable in this container. The fake
+    path computes deterministic features from raw bytes (length,
+    additive checksum, 8 byte-histogram buckets normalized) — same
+    schema, same batching, same partitioning as the real thing.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "media decode requires image/audio libraries not present "
-                    "in this environment; run with real_decode=False for the "
-                    "deterministic fake kernel"
+                import numpy as np
+
+                out = []
+                for mid, mtype, content in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["content"]
+                ):
+                    b = bytes(content)
+                    w, h, rgb = decode_image_bytes(b)  # raises on non-image
+                    v = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+                    n = max(w * h, 1)
+                    out.append(
+                        (
+                            int(mid),
+                            str(mtype),
+                            len(b),
+                            int(v.sum()) % (1 << 31),
+                            [
+                                float(w),
+                                float(h),
+                                float(v[0::3].sum() / n),
+                                float(v[1::3].sum() / n),
+                                float(v[2::3].sum() / n),
+                            ],
+                        )
+                    )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "media_id", "media_type", "byte_len",
+                        "checksum", "features",
+                    ],
                 )
+                continue
             out = []
             for mid, mtype, content in zip(
                 pdf["media_id"], pdf["media_type"], pdf["content"]
@@ -132,6 +177,209 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
 
     return media.select("media_id", "media_type", "content").mapInPandas(
         fn, FEATURES_SCHEMA
+    )
+
+
+# --- real image decode (round 8) --------------------------------------
+#
+# PPM P6: ASCII header "P6 <w> <h> <maxval>" (whitespace/#-comments),
+# one whitespace byte, then w·h·3 raw RGB bytes row-major top-down.
+# BMP 24-bit uncompressed: 14-byte file header + 40-byte info header;
+# pixel rows padded to 4 bytes, stored BOTTOM-UP (positive height),
+# BGR byte order. Both decode with stdlib struct + numpy — no media
+# library — which is what lets the REAL decode branch run (and be
+# oracle-checked) in this container.
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("first_px_r", IntegerType()),
+        StructField("last_px_b", IntegerType()),
+        StructField("pos_checksum", LongType()),
+    ]
+)
+
+
+def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    """Canonical P6 encoding of row-major top-down RGB bytes."""
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"need {w * h * 3} RGB bytes, got {len(rgb)}")
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def encode_bmp24(w: int, h: int, rgb: bytes) -> bytes:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) of row-major
+    top-down RGB bytes — rows are written bottom-up, BGR, padded to
+    4 bytes, exactly as the format demands (the decoder must undo
+    all three; the planted-truth oracle catches it if it doesn't)."""
+    import struct
+
+    import numpy as np
+
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"need {w * h * 3} RGB bytes, got {len(rgb)}")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    bgr_bottom_up = arr[::-1, :, ::-1]
+    row = w * 3
+    pad = (-row) % 4
+    stride = row + pad
+    data = np.zeros((h, stride), dtype=np.uint8)
+    data[:, :row] = bgr_bottom_up.reshape(h, row)
+    payload = data.tobytes()
+    offset = 14 + 40
+    fh = struct.pack("<2sIHHI", b"BM", offset + len(payload), 0, 0, offset)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(payload), 2835, 2835, 0, 0
+    )
+    return fh + ih + payload
+
+
+def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
+    """REAL image decode, dependency-free: (width, height, row-major
+    top-down RGB bytes) from PPM P6 or uncompressed 24-bit BMP.
+    Unrecognized magics raise ``NotImplementedError`` — the honest
+    seam where PIL/ffmpeg would take over for compressed formats."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] == b"P6":
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # comment to end of line
+                while b[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(b[start:pos]))
+        pos += 1  # exactly ONE whitespace byte separates maxval from data
+        w, h, maxval = vals
+        if maxval != 255:
+            raise NotImplementedError(
+                f"PPM maxval {maxval}: only 8-bit-per-channel supported"
+            )
+        rgb = b[pos : pos + w * h * 3]
+        if len(rgb) != w * h * 3:
+            raise ValueError(
+                f"PPM truncated: need {w * h * 3} bytes, got {len(rgb)}"
+            )
+        return w, h, bytes(rgb)
+    if b[:2] == b"BM":
+        offset = struct.unpack_from("<I", b, 10)[0]
+        w, h_signed = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={compression}: only "
+                "uncompressed 24-bit supported without a media library"
+            )
+        top_down = h_signed < 0
+        h = abs(h_signed)
+        row = w * 3
+        stride = (row + 3) & ~3
+        need = offset + h * stride
+        if len(b) < need:
+            raise ValueError(f"BMP truncated: need {need}, got {len(b)}")
+        data = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=offset)
+        rows = data.reshape(h, stride)[:, :row].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return w, h, rows[:, :, ::-1].tobytes()  # BGR -> RGB
+    raise NotImplementedError(
+        "unrecognized image magic %r: compressed formats (JPEG/PNG/...) "
+        "require media libraries not present in this environment"
+        % bytes(b[:2])
+    )
+
+
+def synthesize_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic image fixture ENCODER: one real PPM (even ids)
+    or BMP (odd ids) per input row, pixel value
+    ``v(i) = (id·31 + i·7) mod 256`` over row-major RGB positions
+    ``i ∈ [0, w·h·3)`` with ``w = id%13+4``, ``h = id%7+3`` — a
+    closed form DuckDB re-derives without parsing any bytes, which
+    is what makes the decode round-trip oracle-checkable."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 13 + 4, mid % 7 + 3
+                i = np.arange(w * h * 3, dtype=np.int64)
+                rgb = ((mid * 31 + i * 7) % 256).astype(np.uint8).tobytes()
+                if mid % 2 == 0:
+                    fmt, payload = "ppm", encode_ppm(w, h, rgb)
+                else:
+                    fmt, payload = "bmp", encode_bmp24(w, h, rgb)
+                out.append((mid, fmt, payload))
+            yield pd.DataFrame(out, columns=["media_id", "fmt", "content"])
+
+    return ids.select(id_col).mapInPandas(
+        fn,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("fmt", StringType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL decode path over a binary image column: Arrow-batched
+    :func:`decode_image_bytes` (magic dispatch, header parse, BMP
+    row-flip/BGR-swap/pad-strip), emitting exact-integer pixel stats
+    — per-channel sums, the first/last planted probe pixels, and a
+    position-weighted checksum ``Σ i·v(i)`` that pins EVERY pixel to
+    its row-major position (a decoder that misorders rows or
+    channels cannot pass it). All integers, so the battery
+    hash-check is exact cross-engine."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, fmt, content in zip(
+                pdf["media_id"], pdf["fmt"], pdf["content"]
+            ):
+                w, h, rgb = decode_image_bytes(bytes(content))
+                v = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        str(fmt),
+                        w,
+                        h,
+                        w * h,
+                        int(v[0::3].sum()),
+                        int(v[1::3].sum()),
+                        int(v[2::3].sum()),
+                        int(v[0]),
+                        int(v[-1]),
+                        int((np.arange(v.size) * v).sum()),
+                    )
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_STATS_SCHEMA])
+
+    return media.select("media_id", "fmt", "content").mapInPandas(
+        fn, IMAGE_STATS_SCHEMA
     )
 
 

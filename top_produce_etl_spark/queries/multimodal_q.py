@@ -91,6 +91,59 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted-truth re-derivation of the image fixture: pixel value
+# v(i) = (id·31 + i·7) mod 256 over row-major RGB positions — the
+# oracle never parses a byte; the Spark side must ENCODE real
+# PPM/BMP files and DECODE them back (header parse, BMP row flip,
+# BGR swap, pad strip) to reproduce these exact integers. The
+# position-weighted checksum Σ i·v(i) pins every pixel to its
+# position, so a decoder that misorders rows/channels cannot pass.
+_REAL_DECODE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(doc_id % 13 + 4 AS INT) AS width,
+           CAST(doc_id % 7 + 3 AS INT) AS height
+    FROM documents
+),
+px AS (
+    SELECT media_id, i, (media_id * 31 + i * 7) % 256 AS v,
+           width * height * 3 AS n3
+    FROM dims, unnest(generate_series(0, width * height * 3 - 1)) t(i)
+)
+SELECT d.media_id, d.fmt, d.width, d.height,
+       CAST(d.width * d.height AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN p.i % 3 = 0 THEN p.v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN p.i % 3 = 1 THEN p.v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN p.i % 3 = 2 THEN p.v ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(MAX(CASE WHEN p.i = 0 THEN p.v END) AS INT) AS first_px_r,
+       CAST(MAX(CASE WHEN p.i = p.n3 - 1 THEN p.v END) AS INT) AS last_px_b,
+       CAST(SUM(p.i * p.v) AS BIGINT) AS pos_checksum
+FROM dims d JOIN px p USING (media_id)
+GROUP BY ALL
+"""
+
+
+@query("multimodal_real_decode", extended=True, oracle=_REAL_DECODE_ORACLE)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip (round 8 — closes the one §2
+    row whose production branch had never run): a closed-form pixel
+    formula is encoded into genuine PPM P6 / 24-bit BMP payloads
+    (operators/multimodal.py::synthesize_images), then DECODED back
+    by the dependency-free header+pixel parser
+    (::decode_image_bytes via ::decode_image_stats, Arrow-batched
+    mapInPandas), and the decoded per-channel sums, probe pixels
+    and position-weighted checksum hash-check against DuckDB's
+    re-derivation of the formula. Exact integers end to end."""
+    from top_produce_etl_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_stats(synthesize_images(docs))
+
+
 @query(
     "frame_sampling_plan", extended=True,
     oracle="""
