@@ -80,6 +80,17 @@ def main():
         queries = get_all_queries()
         oracles = get_all_oracles()
     targets = names or sorted(queries)
+    # Rows-only entries must carry a justification AND a pointer to
+    # the hash-checked proof that covers them; anything else is a
+    # battery bug (the r7 verdict drove this to exactly one entry).
+    rows_only_covered = {
+        "dsir_selection_fast": (
+            "xxhash64 structurally inexpressible in DuckDB (wrapping "
+            "mod-2^64 multiplies vs overflow-checked arithmetic); "
+            "selection set invariant-proven by the hash-checked "
+            "dsir_fast_selection_proof entry"
+        ),
+    }
     failures = 0
     for name in targets:
         if name not in oracles:
@@ -87,7 +98,12 @@ def main():
             from top_produce_etl_spark.operators.dedup import unpersist_all
 
             unpersist_all()
-            print(f"{name:35s} ROWS-ONLY ({n} rows)")
+            note = rows_only_covered.get(name)
+            if note is None:
+                print(f"{name:35s} FAIL unjustified rows-only ({n} rows)")
+                failures += 1
+            else:
+                print(f"{name:35s} ROWS-ONLY ({n} rows) — {note}")
             continue
         try:
             ok, msg = compare(name, sf_dir, spark, con)
