@@ -237,24 +237,83 @@ EXTENSION_CORE = [
 
 RECALL_K = 3
 
-# The round-6 DRIVER-measured headline medians (BENCH_r06.json) —
+# The round-7 DRIVER-measured headline medians (BENCH_r07.json) —
 # the regression-decidability anchor (r6 verdict #1c). Update each
 # round from the new BENCH_r{N}.json.
-R06_DRIVER_QUERIES = {
-    "flagship_top3_region": 2.024,
-    "q1_pricing_summary": 0.643,
-    "left_join_order_counts": 0.409,
-    "asof_join_purchase_click": 0.455,
-    "running_customer_spend": 0.456,
-    "top_orders_global": 0.171,
-    "union_all_segments": 0.149,
-    "json_pack_events": 0.447,
-    "session_windows_30m": 0.437,
-    "ngram_jaccard_pairs": 0.843,
-    "minhash_lsh_pairs": 1.508,
-    "cosine_topk_bruteforce": 1.994,
-    "text_stats": 0.374,
+R07_DRIVER_QUERIES = {
+    "flagship_top3_region": 1.614,
+    "q1_pricing_summary": 0.636,
+    "left_join_order_counts": 0.437,
+    "asof_join_purchase_click": 0.465,
+    "running_customer_spend": 0.516,
+    "top_orders_global": 0.147,
+    "union_all_segments": 0.151,
+    "json_pack_events": 0.494,
+    "session_windows_30m": 0.446,
+    "ngram_jaccard_pairs": 0.794,
+    "minhash_lsh_pairs": 1.271,
+    "cosine_topk_bruteforce": 1.279,
+    "text_stats": 0.289,
 }
+
+# Extension-tier regression anchors (r7 verdict #2): the round-7
+# BUILDER closing-run medians (BENCH_r07_builder.json — the quietest
+# r7 measurement, the CAL_REF "re-baseline from the quietest run"
+# protocol applied to query anchors). Covers the PINNED core (25)
+# plus the 12 round-7 query families — 36 per-query verdicts, so
+# extension_core_total_sec stops being the only extension-tier
+# regression signal.
+R07_EXT_QUERIES = {
+    # pinned EXTENSION_CORE
+    "simhash_neardup_pairs": 1.622,
+    "dedup_components": 1.594,
+    "kmeans_assignments": 2.587,
+    "ivf_topk_embeddings": 2.913,
+    "ivf_topk_fast": 2.499,
+    "cosine_topk_fast": 0.521,
+    "multimodal_fake_features": 0.402,
+    "training_data_ops_pack": 1.359,
+    "dedup_survivors": 1.68,
+    "cosine_topk_quantized": 0.882,
+    "cosine_topk_adc": 1.383,
+    "trade_pagerank": 2.415,
+    "curation_funnel": 1.388,
+    "bpe_segmented_vocab": 0.73,
+    "packed_training_layout": 0.336,
+    "semdedup_fast": 3.104,
+    "bpe_encoded_docs": 1.863,
+    "countmin_user_fast": 0.6,
+    "kmv_userdays_fast": 0.662,
+    "dsir_selection_fast": 0.82,
+    "kcenter_diverse_selection": 4.663,
+    "pq_topk_embeddings": 1.664,
+    "pq_topk_fast": 0.719,
+    "ivfpq_topk_embeddings": 1.532,
+    "ddsketch_price_quantiles": 0.653,
+    # round-7 query families (from extension_other)
+    "t_closeness_customer": 0.521,
+    "dp_counts_by_priority": 0.461,
+    "token_js_divergence_docs": 0.573,
+    "cusum_daily_revenue": 0.873,
+    "ngram_containment_pairs": 0.874,
+    "cdc_chunks_docs": 0.557,
+    "cms_join_size_view_click": 7.863,
+    "stratified_exact_split_docs": 0.283,
+    "label_centroids_mean_pool": 0.201,
+    "ess_doc_weights_by_lang": 0.193,
+    "mad_outliers_event_value": 0.85,
+}
+
+# CPU-second anchors (r7 verdict #5). EMPTY this round — round 8 is
+# the first to MEASURE per-query CPU seconds, so BENCH_r08 records
+# the baseline and the round-9 gate can prefer the load-independent
+# CPU delta over the wall delta (populate from BENCH_r08, same
+# quietest-run protocol). When a query has a CPU anchor, the verdict
+# below uses CPU (no load scaling needed — co-load cannot inflate
+# this process tree's CPU time beyond minor cache contention);
+# otherwise it falls back to the load-scaled wall gate.
+R07_DRIVER_CPU: dict[str, float] = {}
+R07_EXT_CPU: dict[str, float] = {}
 
 # Calibration: a fixed, data-independent, CPU-bound workload (800M
 # longs through 8 chained xxhash64 rounds, single stage, 1-row
@@ -290,6 +349,51 @@ CAL_SHUF_KEYS = 2_000_000
 # read 2.2-7.6 — exactly the sensitivity the CPU fold lacks).
 # Re-baseline only downward, like CAL_REF_SEC.
 CAL_SHUF_REF_SEC = 1.812
+
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def cpu_snapshot() -> float:
+    """CPU seconds consumed so far by this PROCESS TREE — the python
+    driver, the local-mode JVM it launched, and every pyspark.daemon
+    / Arrow worker under the JVM — read from /proc (r7 verdict #5:
+    wall medians on a shared host cost r3/r6/r7 verdict space on
+    host-noise adjudication; this number cannot be inflated by
+    co-load, only by the benchmark itself doing more work).
+
+    Accounting: for every live process in the subtree, utime+stime
+    (its own CPU) plus cutime+cstime (its REAPED children) — a
+    worker that exits between two snapshots stays counted because
+    its lifetime CPU rolls into its parent's cutime at reap, and a
+    live child's CPU is never in its parent's cutime, so nothing is
+    double-counted. Cost: one /proc scan, ~2 ms."""
+    me = os.getpid()
+    info: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced a process exit
+        # comm (field 2) may contain spaces/parens — split after the
+        # LAST ')'; rest[1]=ppid, rest[11..14]=utime stime cutime cstime
+        rest = raw[raw.rindex(")") + 2:].split()
+        info[int(d)] = (
+            int(rest[1]),
+            sum(int(rest[i]) for i in (11, 12, 13, 14)),
+        )
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        pid = stack.pop()
+        total += info.get(pid, (0, 0))[1]
+        stack.extend(kids.get(pid, []))
+    return total / _CLK_TCK
 
 
 def _timed_noop(df, runs: int) -> list[float]:
@@ -399,18 +503,21 @@ def main() -> None:
     from top_produce_etl_spark.operators.dedup import unpersist_all
 
     spread: dict[str, list[float]] = {}
+    cpu_med: dict[str, float] = {}
 
     def time_set(names: list[str], runs: int = RUNS) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
-            times = []
+            times, cpus = [], []
             for i in range(runs + 1):
+                c0 = cpu_snapshot()
                 t0 = time.monotonic()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0
                 if i > 0:  # discard warmup
                     times.append(dt)
+                    cpus.append(cpu_snapshot() - c0)
             # release persisted frames BETWEEN queries, not between
             # runs: the warmup run materializes each query's
             # persisted shingle/signature tables and the timed runs
@@ -424,45 +531,78 @@ def main() -> None:
             spread[name] = [
                 round(min(times), 3), out[name], round(max(times), 3)
             ]
+            cpu_med[name] = round(statistics.median(cpus), 3)
             print(f"# {name}: {out[name]}s "
-                  f"(min {spread[name][0]} max {spread[name][2]})",
+                  f"(min {spread[name][0]} max {spread[name][2]} "
+                  f"cpu {cpu_med[name]})",
                   file=sys.stderr)
         return out
 
+    c0 = cpu_snapshot()
     cal = calibration_sec(spark)
+    cal_cpu = round((cpu_snapshot() - c0) / (RUNS + 1), 3)
+    c0 = cpu_snapshot()
     cal_shuf = calibration_shuffle_sec(spark)
-    print(f"# calibration: {cal}s (ref {CAL_REF_SEC}s) | "
-          f"shuffle: {cal_shuf}s (ref {CAL_SHUF_REF_SEC}s)",
+    cal_shuf_cpu = round((cpu_snapshot() - c0) / (RUNS + 1), 3)
+    print(f"# calibration: {cal}s (ref {CAL_REF_SEC}s, cpu/run "
+          f"{cal_cpu}) | shuffle: {cal_shuf}s (ref {CAL_SHUF_REF_SEC}s, "
+          f"cpu/run {cal_shuf_cpu})",
           file=sys.stderr)
     timings = time_set(HEADLINE, runs=HEADLINE_RUNS)
     extension = time_set(EXTENSION)
-    # Per-query delta vs the ROUND-6 DRIVER measurement (verdict #1c)
-    # — the regression-decidability table: a query whose MIN exceeds
-    # its r6 median by >20% regressed for real (host noise can slow a
-    # median, it cannot slow the min of 5 spaced runs); anything whose
-    # r6 value sits inside [min, max] is measurement variance.
+    # Per-query delta vs the previous round's anchors — the
+    # regression-decidability table: a query whose MIN exceeds its
+    # anchor by >20% regressed for real (host noise can slow a
+    # median, it cannot slow the min of 5 spaced runs); anything
+    # whose anchor sits inside [min, max] is measurement variance.
     # load factor: how much slower this host reads than the quiet
     # reference on BOTH calibration flavors — sustained co-load lifts
     # the min of 5 runs too (observed r7: a 29-60% loaded host lifted
     # two sub-0.5 s queries past the naive 1.2x gate while every plan
-    # was untouched), so the regression gate scales by it
+    # was untouched), so the wall-based gate scales by it. When a
+    # CPU anchor exists (r9+), the verdict PREFERS the CPU delta —
+    # process-tree CPU seconds are load-independent, so no scaling.
     load = max(cal / CAL_REF_SEC, cal_shuf / CAL_SHUF_REF_SEC, 1.0)
+
+    def delta_entry(name: str, ref: float, cpu_ref: float | None) -> dict:
+        lo, med, hi = spread[name]
+        cpu = cpu_med[name]
+        if cpu_ref is not None:
+            verdict = (
+                "REGRESSED" if cpu > cpu_ref * 1.2
+                else ("IMPROVED" if cpu < cpu_ref * 0.8 else "noise-band")
+            )
+        else:
+            verdict = (
+                "REGRESSED" if lo > ref * 1.2 * load
+                else ("IMPROVED" if hi < ref * 0.8 else "noise-band")
+            )
+        return {
+            "prev": ref,
+            "med": med,
+            "delta": round(med - ref, 3),
+            "cpu": cpu,
+            "verdict": verdict,
+        }
+
     deltas = {"__load_factor": round(load, 3)}
-    for name, r6 in R06_DRIVER_QUERIES.items():
+    for name, r7 in R07_DRIVER_QUERIES.items():
         if name in timings:
-            lo, med, hi = spread[name]
-            deltas[name] = {
-                "r6": r6,
-                "med": med,
-                "delta": round(med - r6, 3),
-                "verdict": (
-                    "REGRESSED" if lo > r6 * 1.2 * load
-                    else ("IMPROVED" if hi < r6 * 0.8 else "noise-band")
-                ),
-            }
-            print(f"# delta {name}: r6={r6} now={med} "
-                  f"[{lo},{hi}] load={load:.2f} -> "
+            deltas[name] = delta_entry(name, r7, R07_DRIVER_CPU.get(name))
+            print(f"# delta {name}: r7={r7} now={deltas[name]['med']} "
+                  f"cpu={deltas[name]['cpu']} load={load:.2f} -> "
                   f"{deltas[name]['verdict']}",
+                  file=sys.stderr)
+    # extension-tier delta table (r7 verdict #2): 36 per-query
+    # verdicts vs the r7 builder quiet-run anchors, min-of-3 gate
+    ext_deltas = {"__load_factor": round(load, 3)}
+    for name, r7 in R07_EXT_QUERIES.items():
+        if name in extension:
+            ext_deltas[name] = delta_entry(name, r7, R07_EXT_CPU.get(name))
+            print(f"# ext delta {name}: r7={r7} "
+                  f"now={ext_deltas[name]['med']} "
+                  f"cpu={ext_deltas[name]['cpu']} -> "
+                  f"{ext_deltas[name]['verdict']}",
                   file=sys.stderr)
     recalls = {
         f"ivf_recall_at_{RECALL_K}": recall_at_k(
@@ -1073,6 +1213,17 @@ def main() -> None:
         "calibration_ref_sec": CAL_REF_SEC,
         "calibration_shuffle_sec": cal_shuf,
         "calibration_shuffle_ref_sec": CAL_SHUF_REF_SEC,
+        # per-run CPU seconds of the calibration workloads: a quiet
+        # vs loaded host moves their WALL but barely their CPU — the
+        # cross-check that validates the per-query CPU columns
+        "calibration_cpu_sec": cal_cpu,
+        "calibration_shuffle_cpu_sec": cal_shuf_cpu,
+        # per-query process-tree CPU seconds (median over the timed
+        # runs) — the load-independent regression metric (r7 verdict
+        # #5); r8 establishes the anchors, the r9 gate prefers them
+        "queries_cpu": {n: cpu_med[n] for n in HEADLINE},
+        "extension_cpu": {n: cpu_med[n] for n in EXTENSION},
+        "value_cpu_sec": round(sum(cpu_med[n] for n in HEADLINE), 3),
         "value_normalized": round(
             sum(timings.values()) * CAL_REF_SEC / cal, 3
         ),
@@ -1086,7 +1237,8 @@ def main() -> None:
             3,
         ),
         "queries_spread": {n: spread[n] for n in HEADLINE},
-        "delta_vs_r06": deltas,
+        "delta_vs_r07": deltas,
+        "delta_vs_r07_ext": ext_deltas,
         **recalls,
         **probe,
         **text_probe,
@@ -1127,6 +1279,26 @@ def main() -> None:
         ),
         "extension_core_total_sec": out["extension_core_total_sec"],
         "extension_other_total_sec": out["extension_other_total_sec"],
+        # headline CPU seconds + the extension delta-table verdict
+        # summary (full tables in the long line above): the compact
+        # line stays bounded while still carrying the r8 CPU anchors
+        # and any extension-tier regression names
+        "queries_cpu": out["queries_cpu"],
+        "value_cpu_sec": out["value_cpu_sec"],
+        "calibration_cpu_sec": cal_cpu,
+        "calibration_shuffle_cpu_sec": cal_shuf_cpu,
+        "ext_delta_regressed": sorted(
+            n for n, v in ext_deltas.items()
+            if isinstance(v, dict) and v["verdict"] == "REGRESSED"
+        ),
+        "ext_delta_improved": sum(
+            1 for v in ext_deltas.values()
+            if isinstance(v, dict) and v["verdict"] == "IMPROVED"
+        ),
+        "ext_delta_noise": sum(
+            1 for v in ext_deltas.values()
+            if isinstance(v, dict) and v["verdict"] == "noise-band"
+        ),
         "compact_twin_of_previous_line": True,
     }
     print(json.dumps(compact))
