@@ -490,6 +490,249 @@ def pq_recall_on_synth(spark, ivf: bool) -> float:
     return round(len(exact & approx) / max(len(exact), 1), 4)
 
 
+# Size knobs for the two round-8 composition probes — env-overridable
+# so the probes can be rehearsed at reduced scale without editing
+# code; the driver runs the defaults.
+FUNNEL_DOCS = int(os.environ.get("SPARK_GRAFT_FUNNEL_DOCS", 2_000_000))
+PQ_BIG_ROWS = int(os.environ.get("SPARK_GRAFT_PQ_BIG_ROWS", 5_000_000))
+
+
+def funnel_probe(spark) -> dict:
+    """COMPOSE-AND-SCALE probe (r7 verdict #1): the full YAML
+    training-data funnel (configs/pipeline_mix_curate_pack.yaml —
+    mixture cap → duplicate-span strip → curation funnel →
+    token-budget selection → packed layout) at ~2M generated docs.
+    Every stage has an individual 200k-500k probe; this measures the
+    COMPOSED pipeline a real corpus build runs.
+
+    Protocol: (a) STAGED pass — each op applied to the persisted
+    output of the previous op, materialized per stage, recording
+    per-stage wall + output partition skew (max/median rows per
+    partition); (b) COMPOSED pass — the unmodified spec end-to-end
+    as ONE lazy plan into the noop sink. Gate:
+    composed ≤ 1.3 × staged_sum — a composed plan recomputing an
+    unpersisted branch (the super-linear composition failure the
+    staged pass can't see) blows straight past that.
+
+    Size-proportional knobs are scaled to the corpus (cap and token
+    budget are per-corpus quantities; the OP CHAIN and all quality
+    thresholds are the YAML's). Planted truths riding the timing:
+    the 1000-doc hot cluster is byte-identical, so every hot doc
+    surviving the cap must come out of the strip stage FULLY
+    emptied; the packed layout must respect the 512-token bin
+    budget exactly."""
+    from top_produce_etl_spark.io.synth_source import register_synth_source
+    from top_produce_etl_spark.operators._cache import (
+        persist_tracked,
+        unpersist_all,
+    )
+    from top_produce_etl_spark.plans.builder import (
+        build_pipeline,
+        load_pipeline_spec,
+    )
+
+    from pyspark.sql import functions as F
+
+    import shutil
+    import tempfile
+
+    register_synth_source(spark)
+    rows, hot = FUNNEL_DOCS, 1_000
+    spec = load_pipeline_spec(
+        "/root/repo/configs/pipeline_mix_curate_pack.yaml"
+    )
+    for op in spec["ops"]:
+        if op["op"] == "cap_per_category":
+            # 10 synthetic sources × ~rows/10 docs each; cap at 95%
+            # so the stage genuinely drops rows at full cost
+            op["cap"] = int(rows / 10 * 0.95)
+        elif op["op"] == "budget_select":
+            # ~54 tokens/doc → keep roughly a fifth of the corpus
+            op["budget"] = rows * 11
+        elif op["op"] == "pack_sequences":
+            op["n_shards"] = 32
+    tmp = tempfile.mkdtemp(prefix="funnel_probe_")
+    out: dict = {"funnel_probe_docs": rows}
+    try:
+        # materialize the corpus FIRST (untimed): the pipeline reads
+        # a stored table; timing the Python row generator would
+        # measure the fixture (the pq_probe lesson)
+        (
+            spark.read.format("synthdocs")
+            .option("rows", rows).option("partitions", CPUS)
+            .option("tokens", 54).option("dup_every", 100)
+            .option("hot_cluster", hot).load()
+            .withColumn(
+                "source",
+                F.concat(
+                    F.lit("s"),
+                    F.pmod(F.xxhash64("doc_id"), F.lit(10)),
+                ),
+            )
+            .write.mode("overwrite").parquet(f"{tmp}/documents")
+        )
+        raw = spark.read.parquet(f"{tmp}/documents")
+
+        # STAGED pass
+        stage_sec: dict[str, float] = {}
+        stage_skew: dict[str, float] = {}
+        cur = raw
+        prev_handle = None
+        strip_out = None
+        for op in spec["ops"]:
+            name = op["op"]
+            t0 = time.monotonic()
+            nxt = persist_tracked(
+                build_pipeline(
+                    spark,
+                    {"source": "documents", "ops": [op]},
+                    {"documents": cur},
+                )
+            )
+            nxt.count()  # materialize this stage
+            stage_sec[name] = round(time.monotonic() - t0, 3)
+            parts = sorted(
+                r["n"]
+                for r in nxt.groupBy(
+                    F.spark_partition_id().alias("pid")
+                ).agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            stage_skew[name] = round(
+                parts[-1] / max(parts[len(parts) // 2], 1), 2
+            ) if parts else 0.0
+            if name == "strip_duplicate_spans":
+                strip_out = nxt
+            if prev_handle is not None and prev_handle is not strip_out:
+                prev_handle.unpersist()
+            prev_handle = nxt
+            cur = nxt
+        staged_sum = round(sum(stage_sec.values()), 3)
+
+        # planted truth: hot docs that survived the cap left the
+        # strip stage fully emptied
+        hot_rows = (
+            strip_out.filter(F.col("doc_id") >= rows - hot)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("text_clean") == "").cast("int")
+                ).alias("empty"),
+            )
+            .collect()[0]
+        )
+        # packed-layout invariant on the staged final output
+        packed_rows = cur.count()
+        over_budget = (
+            cur.groupBy("shard", "bin")
+            .agg(F.sum("n_tokens").alias("t"))
+            .filter(F.col("t") > 512)
+            .count()
+        )
+        unpersist_all()
+
+        # COMPOSED pass — the unmodified spec as one lazy plan
+        t0 = time.monotonic()
+        build_pipeline(
+            spark, spec, {"documents": raw}
+        ).write.format("noop").mode("overwrite").save()
+        composed_sec = round(time.monotonic() - t0, 3)
+        unpersist_all()
+
+        out.update({
+            "funnel_probe_stage_sec": stage_sec,
+            "funnel_probe_stage_skew": stage_skew,
+            "funnel_probe_staged_sum_sec": staged_sum,
+            "funnel_probe_composed_sec": composed_sec,
+            "funnel_probe_compose_ratio": round(
+                composed_sec / max(staged_sum, 1e-9), 3
+            ),
+            "funnel_probe_compose_ok": bool(
+                composed_sec <= 1.3 * staged_sum
+            ),
+            "funnel_probe_docs_per_sec": round(rows / composed_sec, 1),
+            "funnel_probe_hot_capped_survivors": int(hot_rows["n"]),
+            "funnel_probe_hot_stripped_frac": round(
+                (hot_rows["empty"] or 0) / max(hot_rows["n"], 1), 4
+            ),
+            "funnel_probe_packed_docs": int(packed_rows),
+            "funnel_probe_bins_over_budget": int(over_budget),
+        })
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def pq_big_probe(spark, ref_index_sec: float, ref_serve_sec: float) -> dict:
+    """5M-VECTOR ANN probe (r7 verdict #6): the STORED IVF×PQ
+    lifecycle at 10× the r6 pq_probe — build (sampled coarse + PQ
+    training, full-corpus encode + cell assignment, cell-partitioned
+    parquet store) and serve (partition-pruned probe scan + LUT
+    scoring). Gates:
+    - build ≤ 12× the 500k pq_probe build (10× data; the small
+      overage allowance covers the cell-assignment pass PQ-only
+      indexing doesn't pay) — proves the sampled build stays linear;
+    - serve within 3× the 500k FULL-SCAN serve even though the
+      corpus is 10× — the partition-pruned probe scan reads
+      n_probe/n_cells of the store, which is the flat-latency
+      property;
+    - planted truth unchanged: every retrieved neighbor shares its
+      query's synthembs group."""
+    import shutil
+    import tempfile
+
+    from top_produce_etl_spark.operators.pq import (
+        ivfpq_index_save,
+        ivfpq_topk_from_index,
+    )
+
+    rows = PQ_BIG_ROWS
+    tmp = tempfile.mkdtemp(prefix="pq_big_probe_")
+    try:
+        (
+            spark.read.format("synthembs")
+            .option("rows", rows).option("groups", 256)
+            .option("partitions", CPUS).load()
+            .write.mode("overwrite").parquet(f"{tmp}/corpus")
+        )
+        emb = spark.read.parquet(f"{tmp}/corpus")
+        t0 = time.monotonic()
+        ivfpq_index_save(
+            emb, "vec_id", "embedding", dim=64, path=f"{tmp}/idx",
+            n_cells=64, train_sample_mod=max(2, rows // 50_000),
+        )
+        index_sec = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        served = ivfpq_topk_from_index(
+            spark, f"{tmp}/idx", emb.filter("vec_id < 10"),
+            "vec_id", "embedding", k=3, n_probe=8,
+        ).collect()
+        serve_sec = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    groupmates = sum(
+        1 for r in served if r["query_id"] % 256 == r["neighbor_id"] % 256
+    )
+    return {
+        "pq_probe_5m_vectors": rows,
+        "pq_probe_5m_index_sec": index_sec,
+        "pq_probe_5m_index_vecs_per_sec": round(rows / index_sec, 1),
+        "pq_probe_5m_build_ratio_vs_500k": round(
+            index_sec / max(ref_index_sec, 1e-9), 2
+        ),
+        "pq_probe_5m_build_linear_ok": bool(
+            index_sec <= 12 * ref_index_sec
+        ),
+        "pq_probe_5m_serve_sec": serve_sec,
+        "pq_probe_5m_serve_flat_ok": bool(
+            serve_sec <= 3 * ref_serve_sec
+        ),
+        "pq_probe_5m_neighbors": len(served),
+        "pq_probe_5m_all_neighbors_in_query_group": bool(
+            len(served) == 30 and groupmates == 30
+        ),
+    }
+
+
 def main() -> None:
     from top_produce_etl_spark.queries import get_all_queries
     from top_produce_etl_spark.session import create_spark_session

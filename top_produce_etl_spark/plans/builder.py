@@ -30,6 +30,33 @@ from top_produce_etl_spark.io.sources import read_table
 from top_produce_etl_spark.operators.joins import maybe_broadcast
 from top_produce_etl_spark.operators.topn import top_n_agg, top_n_window
 
+# Ops whose IMPLEMENTATION scans its input DataFrame more than once
+# (a count/rollup aggregate plus a join/filter back, a multi-signal
+# fan-out, an eager model fit plus the final projection, ...). In a
+# COMPOSED pipeline the input is an arbitrary upstream funnel, and
+# without a boundary each scan re-derives that whole funnel — the
+# super-linear composition cost bench.py's funnel probe gates
+# (observed 2.0× on mixture→strip→curate→budget→pack before this:
+# curation_funnel alone re-ran the span-strip stage three times).
+# build_pipeline persists the stage boundary before such an op —
+# but ONLY when upstream ops have already been applied: a raw
+# source scan stays lazy so Catalyst keeps pushdown/pruning across
+# the op chain, and single-op specs (the battery surface) are
+# byte-identical to calling the operator directly.
+_MULTI_SCAN_OPS = frozenset({
+    "cap_per_category",
+    "strip_duplicate_spans",
+    "mask_contaminated_spans",
+    "curation_funnel",
+    "budget_select",
+    "dsir_select",
+    "rebalance_mixture",
+    "temperature_mix",
+    "upsample_mixture",
+    "resolve_entities",
+    "privacy_gate",
+})
+
 
 def choose_topn_strategy(
     df: DataFrame,
@@ -252,8 +279,16 @@ def build_pipeline(
         )
 
     df = resolve(spec["source"])
+    applied = 0
     for op in spec.get("ops", []):
         kind = op["op"]
+        if kind in _MULTI_SCAN_OPS and applied:
+            from top_produce_etl_spark.operators._cache import (
+                persist_tracked,
+            )
+
+            df = persist_tracked(df)
+        applied += 1
         if kind == "filter":
             df = df.filter(F.expr(op["expr"]))
         elif kind == "select":
