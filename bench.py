@@ -185,6 +185,15 @@ EXTENSION = [
     "label_centroids_mean_pool",  # chunk->doc embedding pooling (r7)
     "ess_doc_weights_by_lang",   # effective sample size (r7)
     "mad_outliers_event_value",  # robust MAD outlier screen (r7)
+    # round-8 additions (curation rules, PII, interpolation, image
+    # perceptual hash)
+    "gopher_document_rules",     # Gopher document-shape rule suite (r8)
+    "c4_clean_lines",            # C4 line-level cleaning (r8)
+    "pii_scan_customer",         # typed PII census (r8)
+    "pii_redact_customer",       # chained typed redaction (r8)
+    "gapfill_daily_value_linear",  # linear-interp gap fill (r8)
+    "image_dhash_dedup",         # perceptual-hash image dedup (r8)
+    "image_dhash_neardup_pairs",  # banded image near-dup pairs (r8)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs

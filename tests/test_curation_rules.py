@@ -1,0 +1,178 @@
+"""Round-8 curation-rule operators: Gopher document-shape rules,
+C4 line cleaning, structured PII scan/redact, linear-interpolation
+gap fill, and the perceptual image dHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_gopher_rules_attribution(spark):
+    docs = spark.createDataFrame(
+        [
+            # passes everything (30 words incl. 2 stopwords)
+            (1, " ".join(["the", "a"] + ["data"] * 28)),
+            # too short
+            (2, "the a small doc"),
+            # no stopwords
+            (3, " ".join(["data"] * 40)),
+            # bullet lines + ellipsis lines
+            (4, "\n".join(["- item one..."] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    from top_produce_etl_spark.operators.textquality import gopher_rules
+
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            docs, "doc_id", "text", min_words=30
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_words"] is False
+    assert out[3]["keep"] is False and out[3]["ok_stopwords"] is False
+    assert out[4]["ok_bullets"] is False  # 100% bullet lines > 0.9
+    assert out[4]["ok_ellipsis"] is False  # 100% ellipsis lines > 0.3
+    assert out[4]["bullet_frac"] == 1.0
+
+
+def test_clean_lines_rules(spark):
+    text = "\n".join(
+        [
+            "this line is long and clean.",  # kept
+            "short.",  # < 3 words
+            "no terminal punctuation here",  # no terminal
+            "try our Lorem Ipsum special today.",  # bad marker (ci)
+            "var x = { a: 1 };",  # curly brace
+            'he said "stop".',  # kept (quote terminal? ends '.')
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from top_produce_etl_spark.operators.textquality import clean_lines
+
+    r = clean_lines(docs, "doc_id", "text").collect()[0]
+    assert r["n_lines"] == 6
+    assert r["n_kept"] == 2
+    assert r["text_clean"] == (
+        'this line is long and clean.\nhe said "stop".'
+    )
+
+
+def test_gapfill_linear_interpolates_interior_only(spark):
+    from top_produce_etl_spark.operators.eventtime import gapfill
+
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", 10.0),
+            ("k", "2024-01-04 00:00:00", 40.0),
+            ("k", "2024-01-06 00:00:00", 20.0),
+        ],
+        "k string, d string, v double",
+    ).select("k", F.col("d").cast("timestamp").alias("d"), "v")
+    rows = {
+        r["d"].day: (r["v"], r["is_gap"])
+        for r in gapfill(df, "k", "d", "v", "1 day", fill="linear").collect()
+    }
+    assert rows[1] == (10.0, False)
+    assert rows[2] == (20.0, True)   # 10 + 30*(1/3)
+    assert rows[3] == (30.0, True)   # 10 + 30*(2/3)
+    assert rows[4] == (40.0, False)
+    assert rows[5] == (30.0, True)   # midpoint of 40 -> 20
+    assert rows[6] == (20.0, False)
+
+
+def test_gapfill_linear_edges_stay_null(spark):
+    from top_produce_etl_spark.operators.eventtime import gapfill
+
+    # one observation only: nothing to bracket — the single grid row
+    # is the observation itself; build a two-key frame where one key
+    # has a leading hole via a null-value row
+    df = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 00:00:00", None),
+            ("k", "2024-01-03 00:00:00", 5.0),
+        ],
+        "k string, d string, v double",
+    ).select("k", F.col("d").cast("timestamp").alias("d"), "v")
+    rows = {
+        r["d"].day: r["v"]
+        for r in gapfill(df, "k", "d", "v", "1 day", fill="linear").collect()
+    }
+    # days 1-2 precede the first observation: no bracket, NULL
+    assert rows[1] is None and rows[2] is None and rows[3] == 5.0
+
+
+def test_pii_scan_and_redact(spark):
+    from top_produce_etl_spark.operators.pii import pii_scan, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@x.io and 25-989-741-2988 from 10.0.0.1"),
+            (2, "ssn 123-45-6789 clean otherwise"),
+            (3, "no pii at all"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in pii_scan(df, "id", "text").collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (
+        1, 1, 1,
+    )
+    assert got[1]["n_ssn"] == 0 and got[1]["n_pii_total"] == 3
+    assert got[2]["n_ssn"] == 1 and got[2]["n_pii_total"] == 1
+    assert got[3]["n_pii_total"] == 0
+
+    red = {r["id"]: r["text_redacted"] for r in
+           redact_pii(df, "id", "text").collect()}
+    assert red[1] == "mail <EMAIL> and <PHONE> from <IPV4>"
+    assert red[2] == "ssn <SSN> clean otherwise"
+    assert red[3] == "no pii at all"
+
+
+def test_pii_rejects_unknown_kind(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.pii import pii_scan
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        pii_scan(df, "id", "text", kinds=("EMAIL", "IBAN"))
+
+
+def test_image_dhash_cross_format_duplicates(spark):
+    """The planted-duplicate property the battery query relies on:
+    with an odd effective_mod, a duplicate class holds BOTH a PPM and
+    a BMP encoding of the same pixels, and image_dhash maps them to
+    identical bands — only true if the decoder normalizes the BMP
+    bottom-up/BGR/padded layout back to the PPM pixel plane."""
+    from top_produce_etl_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_images,
+    )
+
+    ids = spark.range(0, 78).withColumnRenamed("id", "doc_id")
+    media = synthesize_images(ids, effective_mod=39)
+    fmts = {
+        (r["media_id"] % 39, r["fmt"])
+        for r in media.select("media_id", "fmt").collect()
+    }
+    # every class has both encodings (39 odd -> parity alternates)
+    assert all((e, "ppm") in fmts and (e, "bmp") in fmts
+               for e in range(39))
+    d = image_dhash(media)
+    n_groups = (
+        d.groupBy("b0", "b1", "b2", "b3")
+        .agg(F.countDistinct((F.col("media_id") % 39)).alias("cls"))
+        .agg(F.max("cls"), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    # each band-group holds exactly one pixel class (no cross-class
+    # merge at 78 images), and both format variants landed together
+    assert n_groups[0] == 1
+    pair_sizes = {
+        r["n"]
+        for r in d.groupBy("b0", "b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert pair_sizes == {2}

@@ -302,7 +302,16 @@ def gapfill(
     - ``"locf"`` — last observation carried forward (state-like
       metrics: balances, gauges);
     - ``"zero"`` — 0 for missing buckets (count/sum metrics);
-    - ``"null"`` — leave holes NULL (downstream interpolation).
+    - ``"null"`` — leave holes NULL (downstream interpolation);
+    - ``"linear"`` — linear interpolation between the surrounding
+      observations (sensor/gauge series where a straight line is
+      the honest estimate). Interior holes get
+      ``prev + (next−prev)·Δt/ΔT`` on the epoch-second axis
+      (as DOUBLE, fixed operand order so the DuckDB oracle is
+      bit-identical); leading/trailing gaps have no bracket and
+      stay NULL. Two extra per-key ordered windows (forward +
+      backward ignore-nulls) on the same key hash — no new
+      exchange beyond locf's.
 
     Scale shape: per-key grid generated from a (key, min, max)
     aggregate — ONE groupBy shuffle, grid rows ≈ series length ×
@@ -315,8 +324,10 @@ def gapfill(
     failure mode, so validate time bounds upstream (the data-quality
     tier's in_range check).
     """
-    if fill not in ("locf", "zero", "null"):
-        raise ValueError(f"fill must be locf|zero|null, got {fill!r}")
+    if fill not in ("locf", "zero", "null", "linear"):
+        raise ValueError(
+            f"fill must be locf|zero|null|linear, got {fill!r}"
+        )
     grid = (
         df.groupBy(key_col)
         .agg(F.min(ts_col).alias("__lo"), F.max(ts_col).alias("__hi"))
@@ -344,6 +355,37 @@ def gapfill(
             value_col,
             F.coalesce(
                 F.col(value_col), F.lit(0).cast(joined.schema[value_col].dataType)
+            ),
+        )
+    elif fill == "linear":
+        back = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fwd = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        v = F.col(value_col).cast("double")
+        obs_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))
+        pv = F.last(v, ignorenulls=True).over(back)
+        pt = F.last(obs_ts, ignorenulls=True).over(back)
+        nv = F.first(v, ignorenulls=True).over(fwd)
+        nt = F.first(obs_ts, ignorenulls=True).over(fwd)
+        dt = (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(pt)
+        ).cast("double")
+        span = (
+            F.unix_timestamp(nt) - F.unix_timestamp(pt)
+        ).cast("double")
+        joined = joined.withColumn(
+            value_col,
+            F.when(F.col(value_col).isNotNull(), v)
+            .when(
+                pv.isNotNull() & nv.isNotNull(),
+                pv + (nv - pv) * dt / span,
             ),
         )
     return joined.select(key_col, ts_col, value_col, "is_gap")

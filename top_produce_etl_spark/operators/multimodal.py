@@ -304,13 +304,22 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
     )
 
 
-def synthesize_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_images(
+    ids: DataFrame, id_col: str = "doc_id", effective_mod: int | None = None
+) -> DataFrame:
     """Deterministic image fixture ENCODER: one real PPM (even ids)
     or BMP (odd ids) per input row, pixel value
     ``v(i) = (id·31 + i·7) mod 256`` over row-major RGB positions
     ``i ∈ [0, w·h·3)`` with ``w = id%13+4``, ``h = id%7+3`` — a
     closed form DuckDB re-derives without parsing any bytes, which
-    is what makes the decode round-trip oracle-checkable."""
+    is what makes the decode round-trip oracle-checkable.
+
+    ``effective_mod`` plants DUPLICATE CLASSES: pixel content and
+    dimensions derive from ``id % effective_mod`` while the media id
+    and the FORMAT choice keep the real id — with an odd modulus,
+    every class contains both PPM and BMP encodings of the same
+    pixels, so cross-format duplicate detection (image_dhash) has a
+    planted ground truth."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -319,9 +328,10 @@ def synthesize_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = []
             for mid in pdf[id_col]:
                 mid = int(mid)
-                w, h = mid % 13 + 4, mid % 7 + 3
+                eid = mid % effective_mod if effective_mod else mid
+                w, h = eid % 13 + 4, eid % 7 + 3
                 i = np.arange(w * h * 3, dtype=np.int64)
-                rgb = ((mid * 31 + i * 7) % 256).astype(np.uint8).tobytes()
+                rgb = ((eid * 31 + i * 7) % 256).astype(np.uint8).tobytes()
                 if mid % 2 == 0:
                     fmt, payload = "ppm", encode_ppm(w, h, rgb)
                 else:
@@ -399,4 +409,79 @@ def plan_frame_samples(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms).cast("long"),
             )
         ).alias("frame_ms"),
+    )
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over a binary image column — the
+    multimodal twin of the text tier's SimHash: DECODE the real
+    bytes (:func:`decode_image_bytes` — format dispatch, BMP
+    row-flip/BGR-swap/pad-strip), nearest-neighbor resample to a
+    fixed 8×9 grid, and emit one bit per horizontal brightness
+    comparison, packed into FOUR 16-bit bands.
+
+    Integer-exact by construction (the oracle requirement): the
+    "brightness" of a grid cell is the raw ``r+g+b`` sum of its
+    nearest source pixel — no grayscale weights, no box averaging,
+    no division — and nearest-neighbor indices are pure integer
+    ``(t·src)//dst`` arithmetic, so DuckDB re-derives every bit from
+    the fixture's closed-form pixel formula without parsing a byte.
+
+    The band layout IS the near-dup index: band b packs grid rows
+    2b..2b+1 (16 comparisons), so Hamming-close images collide on
+    ≥1 band with the banded-LSH guarantee the text tier uses
+    (operators/dedup.py::band_buckets), and exact duplicates —
+    including CROSS-FORMAT re-encodes of the same pixels — agree on
+    all four. Non-negative 16-bit ints keep every engine's BIGINT
+    arithmetic overflow-free.
+
+    Scale shape: decode + hash are one Arrow-batched map over the
+    binary column (scan speed, no shuffle); grouping/banding
+    downstream are ordinary hash-aggs on 4 small ints per image —
+    8 bytes of index state per image, the SimHash contract."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows, cols = 8, 9
+        ty = np.arange(rows)
+        tx = np.arange(cols)
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, rgb = decode_image_bytes(bytes(content))
+                v = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+                sy = (ty * h) // rows
+                sx = (tx * w) // cols
+                base = 3 * (sy[:, None] * w + sx[None, :])
+                g = v[base] + v[base + 1] + v[base + 2]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                bands = [
+                    int(
+                        sum(
+                            int(bits[2 * b + r, c]) << (r * 8 + c)
+                            for r in range(2)
+                            for c in range(cols - 1)
+                        )
+                    )
+                    for b in range(rows // 2)
+                ]
+                out.append((int(mid), *bands))
+            yield pd.DataFrame(
+                out, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, IMAGE_DHASH_SCHEMA
     )

@@ -313,3 +313,160 @@ def strip_boilerplate(
             ),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """The Gopher DOCUMENT-SHAPE rule suite (Rae et al. 2021 §A1.1;
+    the thresholds are the paper's defaults) — the companion of
+    :func:`repetition_stats`, which covers the paper's
+    repetition-based rules. Eight rules, each a per-document array/
+    string expression (zero shuffle, zero Python — the filter runs
+    at scan speed, the 100 TB contract of this module):
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (``#`` and ``...``/``…``) ≤ max_symbol_ratio;
+    - fraction of LINES starting with a bullet ≤ max_bullet_frac;
+    - fraction of lines ending with an ellipsis ≤ max_ellipsis_frac;
+    - fraction of words with ≥1 alphabetic character ≥
+      min_alpha_word_frac;
+    - ≥ min_stopwords stopword hits (the "the/a/..." existence
+      check that kills keyword-stuffing pages).
+
+    Output: per-doc measurements, one boolean per rule, and the
+    conjunction ``keep`` — per-rule attribution, like
+    :func:`curation_funnel`'s fail_reasons.
+    """
+    from top_produce_etl_spark.functions.text import LANG_MARKERS, tokens
+
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    mean_wl = (
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
+        / nw
+    )
+    n_sym = (
+        F.size(F.split(F.col(text_col), "#", -1)) - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+        + F.size(F.split(F.col(text_col), "…", -1)) - 1
+    )
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("-")
+                | ln.startswith("*")
+                | ln.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines, lambda ln: ln.endswith("...") | ln.endswith("…")
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        (n_sym.cast("double") / nw).alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    r_wl = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    r_sym = F.col("symbol_ratio") <= max_symbol_ratio
+    r_bullet = F.col("bullet_frac") <= max_bullet_frac
+    r_ell = F.col("ellipsis_frac") <= max_ellipsis_frac
+    r_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
+    r_stop = F.col("n_stopwords") >= min_stopwords
+    return out.select(
+        "*",
+        r_words.alias("ok_words"),
+        r_wl.alias("ok_word_len"),
+        r_sym.alias("ok_symbols"),
+        r_bullet.alias("ok_bullets"),
+        r_ell.alias("ok_ellipsis"),
+        r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stopwords"),
+        (
+            r_words & r_wl & r_sym & r_bullet & r_ell & r_alpha & r_stop
+        ).alias("keep"),
+    )
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    bad_markers: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+    terminals: str = ".!?\"",
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2) — the
+    rewrite that operates INSIDE a document where
+    :func:`strip_boilerplate` operates across the corpus: keep only
+    lines that (a) have ≥ ``min_words`` words, (b) end in a terminal
+    punctuation mark, and (c) contain no bad marker
+    (case-insensitive) — the lorem-ipsum / javascript / curly-brace
+    filters of the paper.
+
+    Pure per-document array expressions (split → filter lambda →
+    array_join): zero shuffle, zero Python — line cleaning runs at
+    scan speed, which is the only acceptable cost for a rule applied
+    to every document of a 100 TB crawl.
+
+    Output: (id, text_clean, n_lines, n_kept).
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+
+    def _keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        ok = (F.size(F.split(t, " ", -1)) >= min_words) & (
+            F.substring(t, -1, 1).isin(*list(terminals))
+        )
+        low = F.lower(t)
+        for m in bad_markers:
+            ok = ok & ~low.contains(m.lower())
+        return ok
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+    )

@@ -552,3 +552,71 @@ def conversion_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag_hours")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "gapfill_daily_value_linear", extended=True,
+    oracle="""
+    WITH b AS (
+        SELECT user_id, date_trunc('day', ts) AS day_ts,
+               MAX(value) AS peak_value
+        FROM events GROUP BY 1, 2
+    ), obs AS (
+        SELECT * FROM b WHERE date_part('day', day_ts) % 3 = 0
+    ), r AS (
+        SELECT user_id, MIN(day_ts) AS lo, MAX(day_ts) AS hi
+        FROM obs GROUP BY 1
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day_ts
+        FROM r
+    ), holes AS (
+        SELECT g.user_id, g.day_ts, o.peak_value AS v,
+               o.peak_value IS NULL AS is_gap
+        FROM grid g LEFT JOIN obs o USING (user_id, day_ts)
+    ), br AS (
+        SELECT user_id, day_ts, v, is_gap,
+            last_value(v IGNORE NULLS) OVER w  AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN day_ts END
+                       IGNORE NULLS) OVER w    AS pt,
+            first_value(v IGNORE NULLS) OVER w2 AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN day_ts END
+                        IGNORE NULLS) OVER w2  AS nt
+        FROM holes
+        WINDOW w AS (PARTITION BY user_id ORDER BY day_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (PARTITION BY user_id ORDER BY day_ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day_ts,
+        CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 pv + (nv - pv)
+                      * CAST(date_diff('second', pt, day_ts) AS DOUBLE)
+                      / CAST(date_diff('second', pt, nt) AS DOUBLE)
+        END AS peak_value,
+        is_gap
+    FROM br
+    """,
+)
+def gapfill_daily_value_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with LINEAR interpolation (round 8 — the
+    sensor/gauge variant completing the fill family: zero, locf,
+    null, linear). Observations are thinned to every-third calendar
+    day so the fixture genuinely has interior holes; interior gaps
+    interpolate on the epoch-second axis with a fixed operand order
+    (so DuckDB's IEEE doubles are bit-identical), leading/trailing
+    gaps stay NULL (no bracket — extrapolation is a modeling
+    decision, not a fill)."""
+    from top_produce_etl_spark.operators.eventtime import gapfill
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(F.max("value").alias("peak_value"))
+        .filter(F.dayofmonth("day_ts") % 3 == 0)
+    )
+    return gapfill(
+        daily, "user_id", "day_ts", "peak_value",
+        step="1 day", fill="linear",
+    )

@@ -181,3 +181,156 @@ def cosine_topk_numpy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_numpy(
         emb, queries, "vec_id", "embedding", k=3
     ).select("query_id", "neighbor_id", "rank")
+
+
+# --- perceptual-hash image dedup (round 8) ----------------------------
+#
+# Closed-form re-derivation of the dHash: the fixture pixel formula
+# v(i) = (e·31 + i·7) mod 256 (e = doc_id mod 39 — planted duplicate
+# classes; 39 is odd so every class holds BOTH a PPM and a BMP
+# encoding of the same pixels) lets DuckDB compute each 8×9
+# nearest-neighbor grid cell (raw r+g+b sum, integer index math) and
+# every comparison bit without parsing a byte. The Spark side must
+# DECODE the real files to reproduce the same four 16-bit bands.
+_DHASH_BANDS_CTE = """
+WITH ids AS (
+    SELECT doc_id AS media_id, doc_id % 39 AS e FROM documents
+), dims AS (
+    SELECT media_id, e,
+           CAST(e % 13 + 4 AS BIGINT) AS w,
+           CAST(e % 7 + 3 AS BIGINT) AS h
+    FROM ids
+), cells AS (
+    SELECT media_id, ty.t AS ty, tx.t AS tx,
+        (e*31 + (3*(((ty.t*h)//8)*w + ((tx.t*w)//9)) + 0)*7) % 256
+      + (e*31 + (3*(((ty.t*h)//8)*w + ((tx.t*w)//9)) + 1)*7) % 256
+      + (e*31 + (3*(((ty.t*h)//8)*w + ((tx.t*w)//9)) + 2)*7) % 256
+          AS gsum
+    FROM dims,
+         unnest(generate_series(0, 7)) ty(t),
+         unnest(generate_series(0, 8)) tx(t)
+), bits AS (
+    SELECT a.media_id, a.ty, a.tx,
+           CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+    FROM cells a JOIN cells b
+      ON a.media_id = b.media_id AND a.ty = b.ty AND b.tx = a.tx + 1
+), bands AS (
+    SELECT media_id,
+        CAST(SUM(CASE WHEN ty // 2 = 0
+            THEN bit * (1 << ((ty % 2) * 8 + tx)) ELSE 0 END) AS INT) AS b0,
+        CAST(SUM(CASE WHEN ty // 2 = 1
+            THEN bit * (1 << ((ty % 2) * 8 + tx)) ELSE 0 END) AS INT) AS b1,
+        CAST(SUM(CASE WHEN ty // 2 = 2
+            THEN bit * (1 << ((ty % 2) * 8 + tx)) ELSE 0 END) AS INT) AS b2,
+        CAST(SUM(CASE WHEN ty // 2 = 3
+            THEN bit * (1 << ((ty % 2) * 8 + tx)) ELSE 0 END) AS INT) AS b3
+    FROM bits GROUP BY 1
+)
+"""
+
+_DHASH_DEDUP_ORACLE = _DHASH_BANDS_CTE + """
+SELECT b0, b1, b2, b3,
+       MIN(media_id) AS rep_media_id,
+       COUNT(*) AS n_images
+FROM bands GROUP BY 1, 2, 3, 4
+"""
+
+_DHASH_NEARDUP_ORACLE = _DHASH_BANDS_CTE + """
+, longf AS (
+    SELECT media_id, 0 AS band, b0 AS val FROM bands
+    UNION ALL SELECT media_id, 1, b1 FROM bands
+    UNION ALL SELECT media_id, 2, b2 FROM bands
+    UNION ALL SELECT media_id, 3, b3 FROM bands
+), cand AS (
+    SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+    FROM longf x JOIN longf y
+      ON x.band = y.band AND x.val = y.val AND x.media_id < y.media_id
+), scored AS (
+    SELECT c.a_id, c.b_id,
+        CAST(bit_count(xor(xa.b0, xb.b0)) + bit_count(xor(xa.b1, xb.b1))
+           + bit_count(xor(xa.b2, xb.b2)) + bit_count(xor(xa.b3, xb.b3))
+           AS INT) AS hamming
+    FROM cand c
+    JOIN bands xa ON xa.media_id = c.a_id
+    JOIN bands xb ON xb.media_id = c.b_id
+)
+SELECT a_id, b_id, hamming FROM scored WHERE hamming <= 6
+"""
+
+
+def _dhash_media(spark: SparkSession, sf_dir: str):
+    from top_produce_etl_spark.operators.multimodal import synthesize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    return synthesize_images(docs, effective_mod=39)
+
+
+@query("image_dhash_dedup", extended=True, oracle=_DHASH_DEDUP_ORACLE)
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash EXACT-duplicate grouping over real image
+    bytes: decode PPM/BMP → 8×9 nearest-neighbor dHash → group by
+    the four 16-bit bands (operators/multimodal.py::image_dhash).
+    Planted truth: pixels derive from doc_id mod 39 with the FORMAT
+    chosen by the real id, so every duplicate class mixes PPM and
+    BMP encodings of identical pixels — the grouping only works if
+    the decoder normalizes both formats to the same pixel plane."""
+    from top_produce_etl_spark.operators.multimodal import image_dhash
+
+    d = image_dhash(_dhash_media(spark, sf_dir))
+    return d.groupBy("b0", "b1", "b2", "b3").agg(
+        F.min("media_id").alias("rep_media_id"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
+
+
+@query(
+    "image_dhash_neardup_pairs", extended=True,
+    oracle=_DHASH_NEARDUP_ORACLE,
+)
+def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-duplicate IMAGE pairs — the SimHash/LSH recipe on
+    the perceptual hash: candidates must share ≥1 of the four
+    16-bit bands (never all-pairs — the 100 TB shape), then the
+    exact 64-bit Hamming distance gates at ≤6 via xor+bit_count.
+    Fully oracle-checked: DuckDB re-derives every band from the
+    closed-form pixel formula and replays the same band join."""
+    from top_produce_etl_spark.operators._cache import persist_tracked
+    from top_produce_etl_spark.operators.multimodal import image_dhash
+
+    # three consumers (two candidate sides + two score lookups) —
+    # persist the |docs|-row × 4-int hash table, the model-sized
+    # index state every near-dup tier stores
+    d = persist_tracked(image_dhash(_dhash_media(spark, sf_dir)))
+    longf = d.selectExpr(
+        "media_id",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band, val)",
+    )
+    cand = (
+        longf.select(F.col("media_id").alias("a_id"), "band", "val")
+        .join(
+            longf.select(F.col("media_id").alias("b_id"), "band", "val"),
+            ["band", "val"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    xa = d.select(
+        F.col("media_id").alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    xb = d.select(
+        F.col("media_id").alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_b{i}").bitwiseXOR(F.col(f"b_b{i}")))
+        for i in range(1, 4)
+    ) + F.bit_count(F.col("a_b0").bitwiseXOR(F.col("b_b0")))
+    return (
+        cand.join(xa, "a_id")
+        .join(xb, "b_id")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 6)
+        .select("a_id", "b_id", "hamming")
+    )

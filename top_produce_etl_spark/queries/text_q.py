@@ -1279,3 +1279,250 @@ def token_js_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.where(F.col("lang") != "en"),
         "tok",
     )
+
+
+# --- Gopher document-shape rules (round 8) ---------------------------
+
+_GOPHER_RULES_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           string_split(text, ' ')    AS toks,
+           string_split(text, chr(10)) AS lines,
+           text
+    FROM documents
+), m AS (
+    SELECT doc_id,
+        len(toks) AS n_words,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+            AS mean_word_len,
+        CAST(len(string_split(text, '#')) - 1
+             + len(string_split(text, '...')) - 1
+             + len(string_split(text, '…')) - 1 AS DOUBLE) / len(toks)
+            AS symbol_ratio,
+        CAST(len(list_filter(lines,
+            l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'
+        )) AS DOUBLE) / len(lines) AS bullet_frac,
+        CAST(len(list_filter(lines,
+            l -> l LIKE '%...' OR l LIKE '%…'
+        )) AS DOUBLE) / len(lines) AS ellipsis_frac,
+        CAST(len(list_filter(toks,
+            w -> regexp_matches(w, '[A-Za-z]')
+        )) AS DOUBLE) / len(toks) AS alpha_word_frac,
+        len(list_filter(toks,
+            w -> w IN ('the', 'a', 'fast', 'slow')
+        )) AS n_stopwords
+    FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_word_frac, n_stopwords,
+       (n_words >= 30 AND n_words <= 100000) AS ok_words,
+       (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+       symbol_ratio <= 0.1   AS ok_symbols,
+       bullet_frac <= 0.9    AS ok_bullets,
+       ellipsis_frac <= 0.3  AS ok_ellipsis,
+       alpha_word_frac >= 0.8 AS ok_alpha,
+       n_stopwords >= 2      AS ok_stopwords,
+       ((n_words >= 30 AND n_words <= 100000)
+        AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND n_stopwords >= 2) AS keep
+FROM m
+"""
+
+
+@query("gopher_document_rules", extended=True, oracle=_GOPHER_RULES_ORACLE)
+def gopher_document_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-SHAPE rule suite (Rae et al. 2021 §A1.1)
+    over the documents corpus — word-count bounds, mean word length,
+    symbol/bullet/ellipsis ratios, alphabetic-word fraction and the
+    stopword-existence check, each as a per-document scan-speed
+    expression with per-rule attribution
+    (operators/textquality.py::gopher_rules; min_words raised to 30
+    so the fixture corpus genuinely splits on the rule)."""
+    from top_produce_etl_spark.operators.textquality import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text", min_words=30)
+
+
+# --- C4 line-level cleaning (round 8) --------------------------------
+
+_C4_TEXT_SQL = (
+    "'order ' || CAST(o_orderkey AS VARCHAR) || ' placed on ' || "
+    "CAST(o_orderdate AS VARCHAR) || ' closed.' || chr(10) || "
+    "'lorem ipsum filler line.' || chr(10) || o_orderpriority || "
+    "chr(10) || 'stream the batch with javascript now.' || chr(10) || "
+    "'this clean line has five words.'"
+)
+
+_C4_CLEAN_ORACLE = f"""
+WITH t AS (
+    SELECT o_orderkey, {_C4_TEXT_SQL} AS text FROM orders
+), s AS (
+    SELECT o_orderkey, string_split(text, chr(10)) AS lines FROM t
+), k AS (
+    SELECT o_orderkey, lines,
+        list_filter(lines, l ->
+            len(string_split(trim(l), ' ')) >= 3
+            AND right(trim(l), 1) IN ('.', '!', '?', '"')
+            AND NOT contains(lower(trim(l)), 'lorem ipsum')
+            AND NOT contains(lower(trim(l)), 'javascript')
+            AND NOT contains(lower(trim(l)), '{{')
+        ) AS kept
+    FROM s
+)
+SELECT o_orderkey, array_to_string(kept, chr(10)) AS text_clean,
+       len(lines) AS n_lines, len(kept) AS n_kept
+FROM k
+"""
+
+
+@query("c4_clean_lines", extended=True, oracle=_C4_CLEAN_ORACLE)
+def c4_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2:
+    terminal punctuation, ≥3 words, lorem-ipsum / javascript /
+    curly-brace filters) over a constructed multi-line corpus — the
+    fixture documents are single-line, so each orders row becomes a
+    5-line document with one planted line per failure mode and one
+    clean varying line (operators/textquality.py::clean_lines, pure
+    array expressions — zero shuffle)."""
+    from top_produce_etl_spark.operators.textquality import clean_lines
+
+    orders = load_table(spark, sf_dir, "orders")
+    txt = F.concat(
+        F.lit("order "), F.col("o_orderkey").cast("string"),
+        F.lit(" placed on "), F.col("o_orderdate").cast("string"),
+        F.lit(" closed."), F.lit("\n"),
+        F.lit("lorem ipsum filler line."), F.lit("\n"),
+        F.col("o_orderpriority"), F.lit("\n"),
+        F.lit("stream the batch with javascript now."), F.lit("\n"),
+        F.lit("this clean line has five words."),
+    )
+    docs = orders.select("o_orderkey", txt.alias("text"))
+    return clean_lines(docs, "o_orderkey", "text")
+
+
+# --- structured PII scan + redaction (round 8) ------------------------
+
+# Constructed PII corpus: the fixture tables carry no PII, so each
+# customer row synthesizes a document with a derived email, the real
+# TPC-H phone, a derived dotted-quad — with per-row VARIATION in
+# which kinds appear (custkey mod 3 / mod 5), so the counts aren't a
+# constant column.
+_PII_PHONE_SQL = (
+    "CAST(10 + c_custkey % 89 AS VARCHAR) || '-' || "
+    "CAST(100 + c_custkey % 900 AS VARCHAR) || '-' || "
+    "CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' || "
+    "CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR)"
+)
+_PII_SSN_SQL = (
+    "CAST(100 + c_custkey % 900 AS VARCHAR) || '-' || "
+    "CAST(10 + c_custkey % 90 AS VARCHAR) || '-' || "
+    "CAST(1000 + c_custkey % 9000 AS VARCHAR)"
+)
+_PII_TEXT_SQL = (
+    "c_name || ' reachable at ' || lower(replace(c_name, '#', '')) || "
+    "'@example.com' || "
+    f"CASE WHEN c_custkey % 3 = 0 THEN ' or ' || {_PII_PHONE_SQL} "
+    "ELSE ' (phone unlisted)' END || "
+    "CASE WHEN c_custkey % 5 = 0 THEN ' backup ' || "
+    "lower(replace(c_name, '#', '')) || '@backup.example.org' "
+    "ELSE '' END || "
+    f"CASE WHEN c_custkey % 7 = 0 THEN ' id ' || {_PII_SSN_SQL} "
+    "ELSE '' END || "
+    "' last seen from 10.' || CAST(c_custkey % 250 AS VARCHAR) || "
+    "'.0.' || CAST(c_custkey % 200 AS VARCHAR) || "
+    "' segment ' || c_mktsegment"
+)
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{2,3}-\d{3,4}-\d{3,4}-\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_PII_SCAN_ORACLE = f"""
+WITH t AS (SELECT c_custkey, {_PII_TEXT_SQL} AS text FROM customer)
+SELECT c_custkey,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(text, '{_PII_IPV4}'))  AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_SSN}'))   AS n_ssn,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))
+       + len(regexp_extract_all(text, '{_PII_PHONE}'))
+       + len(regexp_extract_all(text, '{_PII_IPV4}'))
+       + len(regexp_extract_all(text, '{_PII_SSN}')) AS n_pii_total
+FROM t
+"""
+
+_PII_REDACT_ORACLE = f"""
+WITH t AS (SELECT c_custkey, {_PII_TEXT_SQL} AS text FROM customer)
+SELECT c_custkey,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IPV4>', 'g'),
+           '{_PII_SSN}', '<SSN>', 'g') AS text_redacted
+FROM t
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    local = F.lower(F.regexp_replace(F.col("c_name"), "#", ""))
+    k = F.col("c_custkey")
+    phone = F.concat(
+        (k % 89 + 10).cast("string"), F.lit("-"),
+        (k % 900 + 100).cast("string"), F.lit("-"),
+        ((k * 7) % 900 + 100).cast("string"), F.lit("-"),
+        ((k * 13) % 9000 + 1000).cast("string"),
+    )
+    ssn = F.concat(
+        (k % 900 + 100).cast("string"), F.lit("-"),
+        (k % 90 + 10).cast("string"), F.lit("-"),
+        (k % 9000 + 1000).cast("string"),
+    )
+    txt = F.concat(
+        F.col("c_name"), F.lit(" reachable at "), local,
+        F.lit("@example.com"),
+        F.when(k % 3 == 0, F.concat(F.lit(" or "), phone))
+        .otherwise(F.lit(" (phone unlisted)")),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit(" backup "), local,
+                     F.lit("@backup.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.concat(F.lit(" id "), ssn))
+        .otherwise(F.lit("")),
+        F.lit(" last seen from 10."),
+        (k % 250).cast("string"),
+        F.lit(".0."),
+        (k % 200).cast("string"),
+        F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    return cust.select("c_custkey", txt.alias("text"))
+
+
+@query("pii_scan_customer", extended=True, oracle=_PII_SCAN_ORACLE)
+def pii_scan_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII census (operators/pii.py::pii_scan): typed
+    regexp counts — email / dashed phone / dotted-quad / SSN — over
+    a constructed corpus with per-row kind variation. Patterns are
+    RE2-safe so Spark's Java regex and DuckDB's RE2 agree
+    match-for-match; counts are leftmost non-overlapping in both."""
+    from top_produce_etl_spark.operators.pii import pii_scan
+
+    return pii_scan(_pii_corpus(spark, sf_dir), "c_custkey", "text")
+
+
+@query("pii_redact_customer", extended=True, oracle=_PII_REDACT_ORACLE)
+def pii_redact_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed PII redaction (operators/pii.py::redact_pii): chained
+    global regexp_replace to <KIND> sentinels in fixed kind order —
+    the whole rewritten string hash-checks cross-engine, so sentinel
+    placement, match extents and ordering are all pinned."""
+    from top_produce_etl_spark.operators.pii import redact_pii
+
+    return redact_pii(_pii_corpus(spark, sf_dir), "c_custkey", "text")
