@@ -180,7 +180,12 @@ EXTENSION = [
     "cusum_daily_revenue",       # prefix-sum CUSUM changepoints (r7)
     "ngram_containment_pairs",   # directed containment join (r7)
     "cdc_chunks_docs",           # content-defined chunking (r7)
-    "cms_join_size_view_click",  # sketch join-cardinality est. (r7)
+    # cms_join_size_view_click is battery-gated, not timed (r8): the
+    # portable polynomial hash pays its 3-30x tax per depth across
+    # TWO sketch builds (7.9 s of hash interpretation at sf0.1) —
+    # cms_join_size_fast below times the identical plan on xxhash64
+    # (the countmin/kmv/dsir precedent).
+    "cms_join_size_fast",        # sketch join-cardinality, xxhash64 (r8)
     "stratified_exact_split_docs",  # exact-count eval split (r7)
     "label_centroids_mean_pool",  # chunk->doc embedding pooling (r7)
     "ess_doc_weights_by_lang",   # effective sample size (r7)
@@ -306,7 +311,9 @@ R07_EXT_QUERIES = {
     "cusum_daily_revenue": 0.873,
     "ngram_containment_pairs": 0.874,
     "cdc_chunks_docs": 0.557,
-    "cms_join_size_view_click": 7.863,
+    # cms_join_size_view_click (7.863 in r7) battery-gated in r8 —
+    # replaced by the xxhash64 fast twin, which starts its own anchor
+    # series this round.
     "stratified_exact_split_docs": 0.283,
     "label_centroids_mean_pool": 0.201,
     "ess_doc_weights_by_lang": 0.193,

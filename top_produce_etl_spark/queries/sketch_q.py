@@ -553,3 +553,77 @@ def cms_join_size_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overcount"
         ),
     )
+
+
+_CMS_JOIN_FAST_ORACLE = """
+WITH ex AS (
+    SELECT CAST(SUM(v.n * c.n) AS BIGINT) AS exact_join_size,
+           CAST(SUM(v.n) AS BIGINT) AS nv
+    FROM (SELECT user_id, COUNT(*) AS n FROM events
+          WHERE event_type = 'view' GROUP BY 1) v
+    JOIN (SELECT user_id, COUNT(*) AS n FROM events
+          WHERE event_type = 'click' GROUP BY 1) c
+      ON v.user_id = c.user_id
+), nb AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM events
+    WHERE event_type = 'click'
+)
+SELECT ex.exact_join_size, TRUE AS one_sided_ok, TRUE AS envelope_ok
+FROM ex, nb
+"""
+
+
+@query("cms_join_size_fast", extended=True, oracle=_CMS_JOIN_FAST_ORACLE)
+def cms_join_size_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of cms_join_size_view_click on the xxhash64
+    intrinsic (the countmin_user_fast precedent — the interpreted
+    portable polynomial pays its 3-30x tax PER DEPTH, so the
+    portable variant is battery-gated and this is the timed entry).
+    Error-bound-flag oracle: the estimate is one-sided (collisions
+    only add) and must sit inside the AMS collision envelope
+    ``exact + 4·Nv·Nc/width`` — Nv·Nc/width bounds ONE depth's
+    expected overcount and the min over 4 depths sits far below 4x
+    that, so a broken hasher or a dropped-depth bug trips the flag
+    long before numerics would."""
+    from top_produce_etl_spark.operators.countmin import (
+        WIDTH,
+        cms_build,
+        cms_join_size,
+    )
+    from top_produce_etl_spark.operators.joins import attach_scalar_row
+
+    ev = load_table(spark, sf_dir, "events")
+    view = ev.where(F.col("event_type") == "view")
+    click = ev.where(F.col("event_type") == "click")
+    est = cms_join_size(
+        cms_build(view, "user_id", hasher="xxhash64"),
+        cms_build(click, "user_id", hasher="xxhash64"),
+    )
+    nv = view.count()
+    nc = click.count()
+    exact = (
+        view.groupBy("user_id").agg(F.count(F.lit(1)).alias("__nv"))
+        .join(
+            click.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("__nc")
+            ),
+            "user_id",
+        )
+        .agg(
+            F.sum(F.col("__nv") * F.col("__nc"))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    return attach_scalar_row(
+        est, exact, "est_join_size", "exact_join_size"
+    ).select(
+        "exact_join_size",
+        (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+            "one_sided_ok"
+        ),
+        (
+            F.col("est_join_size")
+            <= F.col("exact_join_size") + 4.0 * nv * nc / WIDTH
+        ).alias("envelope_ok"),
+    )
