@@ -863,6 +863,25 @@ def main() -> None:
                   f"cpu={ext_deltas[name]['cpu']} -> "
                   f"{ext_deltas[name]['verdict']}",
                   file=sys.stderr)
+    # EARLY safety line (r8): the composition probes below add ~18
+    # minutes; if the harness ever kills the run mid-probe, the tail
+    # still carries the comparison-critical headline + extension
+    # numbers. The final compact line (printed LAST, superset of
+    # this) remains the one to read when the run completes.
+    print(json.dumps({
+        "metric": "sum_median_sec_headline_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_cpu": {n: cpu_med[n] for n in HEADLINE},
+        "sf": float(
+            os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0
+        ),
+        "calibration_sec": cal,
+        "calibration_shuffle_sec": cal_shuf,
+        "partial_probes_pending": True,
+    }))
+    sys.stdout.flush()
     recalls = {
         f"ivf_recall_at_{RECALL_K}": recall_at_k(
             spark, queries, SF_DIR, "ivf_topk_embeddings"
@@ -1449,6 +1468,16 @@ def main() -> None:
     }
     print(f"# pq_probe: {pq_probe}", file=sys.stderr)
 
+    # round-8 composition probes (r7 verdict #1 / #6)
+    fprobe = funnel_probe(spark)
+    print(f"# funnel_probe: {fprobe}", file=sys.stderr)
+    pq5m = pq_big_probe(
+        spark,
+        ref_index_sec=pq_index_sec,
+        ref_serve_sec=pq_serve_sec,
+    )
+    print(f"# pq_big_probe: {pq5m}", file=sys.stderr)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     ext_core = {k: v for k, v in extension.items() if k in EXTENSION_CORE}
     ext_other = {
@@ -1508,6 +1537,8 @@ def main() -> None:
         **sketch_probe,
         **kcenter_probe,
         **pq_probe,
+        **fprobe,
+        **pq5m,
     }
     print(json.dumps(out))
     # Compact headline-only line printed LAST (r5 verdict #4): the

@@ -802,3 +802,44 @@ def test_privacy_gate_drop_and_fail(spark, sf_dir):
              "ops": [{"op": "privacy_gate", "quasi_cols": ["c_nationkey"]}]},
             tables,
         )
+
+
+def test_builder_persists_boundary_before_multi_scan_ops(spark, sf_dir):
+    """The composed-pipeline boundary persist (round 8 — found by
+    bench's funnel probe, where the composed YAML funnel ran 2.0x
+    the sum of its stages): a multi-scan op with UPSTREAM lineage
+    gets its input persisted; the same op as the FIRST op (raw
+    source input) does not — raw scans stay lazy so Catalyst keeps
+    pushdown across the chain."""
+    from top_produce_etl_spark.operators import _cache
+    from top_produce_etl_spark.operators._cache import unpersist_all
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap_op = {
+        "op": "cap_per_category",
+        "category_col": "source",
+        "key_col": "doc_id",
+        "cap": 100,
+    }
+
+    unpersist_all()
+    before = len(_cache._PERSISTED)
+    build_pipeline(
+        spark, {"source": "documents", "ops": [cap_op]},
+        {"documents": docs},
+    ).count()
+    assert len(_cache._PERSISTED) == before  # first op: no boundary
+
+    build_pipeline(
+        spark,
+        {
+            "source": "documents",
+            "ops": [
+                {"op": "filter", "expr": "n_chars > 0"},
+                cap_op,
+            ],
+        },
+        {"documents": docs},
+    ).count()
+    assert len(_cache._PERSISTED) == before + 1  # boundary persisted
+    unpersist_all()
