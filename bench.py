@@ -753,8 +753,28 @@ def main() -> None:
     from top_produce_etl_spark.queries import get_all_queries
     from top_produce_etl_spark.session import create_spark_session
 
+    # The bench session lives for the WHOLE run (~115 queries × 4
+    # runs ≈ 7000 stages, then five generated-corpus probes) in one
+    # JVM. At the default 8g driver heap the r8 run died mid-probe:
+    # GCLocker allocation retries (Arrow JNI critical sections from
+    # the python-data-source probes pinning regions while 32 threads
+    # allocate) escalated until the context shut down. 16g is ~12%
+    # of the 128 GiB host and removes the death spiral; the retry
+    # bump gives the allocator room to wait out a pinned region
+    # instead of failing the task. Both remain env-overridable.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = create_spark_session(
-        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={
+            # route JVM unified logging to STDERR: the r8 crash
+            # interleaved [gc,alloc] warnings into stdout, which is
+            # the one-JSON-line-per-run protocol the driver parses
+            "spark.driver.extraJavaOptions":
+                "-XX:GCLockerRetryAllocationCount=64 "
+                "-Xlog:all=warning:stderr",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = get_all_queries()
