@@ -772,6 +772,7 @@ def main() -> None:
             # interleaved [gc,alloc] warnings into stdout, which is
             # the one-JSON-line-per-run protocol the driver parses
             "spark.driver.extraJavaOptions":
+                "-XX:+UnlockDiagnosticVMOptions "
                 "-XX:GCLockerRetryAllocationCount=64 "
                 "-Xlog:all=warning:stderr",
         },
