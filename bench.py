@@ -363,8 +363,10 @@ CAL_SHUF_KEYS = 2_000_000
 # min over the round-7 introduction series on a quiet host (medians
 # 1.996/1.876/1.846/1.812; under heavy co-load the same workload
 # read 2.2-7.6 — exactly the sensitivity the CPU fold lacks).
-# Re-baseline only downward, like CAL_REF_SEC.
-CAL_SHUF_REF_SEC = 1.812
+# Re-baseline only downward, like CAL_REF_SEC. Round-8 lowering:
+# both r8 builder runs read below the old 1.812 (1.798, then 1.758
+# on the completed run) — new minimum 1.758.
+CAL_SHUF_REF_SEC = 1.758
 
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK")
