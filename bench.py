@@ -251,10 +251,10 @@ EXTENSION_CORE = [
 
 RECALL_K = 3
 
-# The round-7 DRIVER-measured headline medians (BENCH_r07.json) —
-# the regression-decidability anchor (r6 verdict #1c). Update each
-# round from the new BENCH_r{N}.json.
-R07_DRIVER_QUERIES = {
+# Previous-round headline anchors — the regression-decidability
+# anchor (r6 verdict #1c). Values: the round-7 DRIVER medians
+# (BENCH_r07.json). Update each round from the newest record.
+PREV_DRIVER_QUERIES = {
     "flagship_top3_region": 1.614,
     "q1_pricing_summary": 0.636,
     "left_join_order_counts": 0.437,
@@ -277,7 +277,7 @@ R07_DRIVER_QUERIES = {
 # plus the 12 round-7 query families — 36 per-query verdicts, so
 # extension_core_total_sec stops being the only extension-tier
 # regression signal.
-R07_EXT_QUERIES = {
+PREV_EXT_QUERIES = {
     # pinned EXTENSION_CORE
     "simhash_neardup_pairs": 1.622,
     "dedup_components": 1.594,
@@ -318,18 +318,89 @@ R07_EXT_QUERIES = {
     "label_centroids_mean_pool": 0.201,
     "ess_doc_weights_by_lang": 0.193,
     "mad_outliers_event_value": 0.85,
+    # round-8 families — anchored from the r8 BUILDER closing run
+    # (BENCH_r08_builder.json), their first measured round
+    "cms_join_size_fast": 0.666,
+    "gopher_document_rules": 0.384,
+    "c4_clean_lines": 1.155,
+    "pii_scan_customer": 0.409,
+    "pii_redact_customer": 0.382,
+    "gapfill_daily_value_linear": 0.415,
+    "image_dhash_dedup": 0.507,
+    "image_dhash_neardup_pairs": 0.851,
 }
 
-# CPU-second anchors (r7 verdict #5). EMPTY this round — round 8 is
-# the first to MEASURE per-query CPU seconds, so BENCH_r08 records
-# the baseline and the round-9 gate can prefer the load-independent
-# CPU delta over the wall delta (populate from BENCH_r08, same
-# quietest-run protocol). When a query has a CPU anchor, the verdict
-# below uses CPU (no load scaling needed — co-load cannot inflate
-# this process tree's CPU time beyond minor cache contention);
-# otherwise it falls back to the load-scaled wall gate.
-R07_DRIVER_CPU: dict[str, float] = {}
-R07_EXT_CPU: dict[str, float] = {}
+# CPU-second anchors (r7 verdict #5), measured by the round-8
+# builder closing run (BENCH_r08_builder.json) — the first round
+# with the process-tree CPU metric. When a query has a CPU anchor,
+# the verdict below PREFERS it: co-load cannot inflate this process
+# tree's CPU time (validated in r8 — a memory-starved JVM burned
+# 4.22 CPU-s on bpe_segmented_vocab vs 2.86 healthy, while wall
+# medians needed a calibration argument), so no load scaling is
+# applied; a +0.3 s absolute slack absorbs scheduler jitter on
+# sub-second queries. Queries without a CPU anchor fall back to the
+# load-scaled wall gate. Re-baseline downward from each round's
+# quietest record.
+PREV_CPU: dict[str, float] = {
+    # headline (r8 builder)
+    "flagship_top3_region": 3.15,
+    "q1_pricing_summary": 1.0,
+    "left_join_order_counts": 0.7,
+    "asof_join_purchase_click": 0.96,
+    "running_customer_spend": 0.68,
+    "top_orders_global": 0.25,
+    "union_all_segments": 0.23,
+    "json_pack_events": 0.45,
+    "session_windows_30m": 0.59,
+    "ngram_jaccard_pairs": 2.2,
+    "minhash_lsh_pairs": 4.44,
+    "cosine_topk_bruteforce": 1.55,
+    "text_stats": 0.34,
+    # extension (r8 builder)
+    "simhash_neardup_pairs": 5.28,
+    "dedup_components": 5.04,
+    "kmeans_assignments": 28.57,
+    "ivf_topk_embeddings": 23.42,
+    "ivf_topk_fast": 19.78,
+    "cosine_topk_fast": 0.58,
+    "multimodal_fake_features": 0.57,
+    "training_data_ops_pack": 2.3,
+    "dedup_survivors": 3.6,
+    "cosine_topk_quantized": 1.1,
+    "cosine_topk_adc": 1.51,
+    "trade_pagerank": 14.56,
+    "curation_funnel": 2.54,
+    "bpe_segmented_vocab": 2.86,
+    "packed_training_layout": 0.42,
+    "semdedup_fast": 15.51,
+    "bpe_encoded_docs": 5.99,
+    "countmin_user_fast": 0.78,
+    "kmv_userdays_fast": 1.27,
+    "dsir_selection_fast": 1.29,
+    "kcenter_diverse_selection": 41.96,
+    "pq_topk_embeddings": 1.43,
+    "pq_topk_fast": 6.49,
+    "ivfpq_topk_embeddings": 12.21,
+    "ddsketch_price_quantiles": 0.62,
+    "t_closeness_customer": 0.58,
+    "dp_counts_by_priority": 0.48,
+    "token_js_divergence_docs": 0.54,
+    "cusum_daily_revenue": 0.86,
+    "ngram_containment_pairs": 1.66,
+    "cdc_chunks_docs": 0.51,
+    "stratified_exact_split_docs": 0.58,
+    "label_centroids_mean_pool": 0.26,
+    "ess_doc_weights_by_lang": 0.23,
+    "mad_outliers_event_value": 1.02,
+    "cms_join_size_fast": 1.92,
+    "gopher_document_rules": 0.61,
+    "c4_clean_lines": 1.31,
+    "pii_scan_customer": 0.7,
+    "pii_redact_customer": 0.83,
+    "gapfill_daily_value_linear": 0.63,
+    "image_dhash_dedup": 0.71,
+    "image_dhash_neardup_pairs": 1.43,
+}
 
 # Calibration: a fixed, data-independent, CPU-bound workload (800M
 # longs through 8 chained xxhash64 rounds, single stage, 1-row
@@ -851,7 +922,7 @@ def main() -> None:
         cpu = cpu_med[name]
         if cpu_ref is not None:
             verdict = (
-                "REGRESSED" if cpu > cpu_ref * 1.2
+                "REGRESSED" if cpu > cpu_ref * 1.2 + 0.3
                 else ("IMPROVED" if cpu < cpu_ref * 0.8 else "noise-band")
             )
         else:
@@ -868,20 +939,20 @@ def main() -> None:
         }
 
     deltas = {"__load_factor": round(load, 3)}
-    for name, r7 in R07_DRIVER_QUERIES.items():
+    for name, ref in PREV_DRIVER_QUERIES.items():
         if name in timings:
-            deltas[name] = delta_entry(name, r7, R07_DRIVER_CPU.get(name))
-            print(f"# delta {name}: r7={r7} now={deltas[name]['med']} "
+            deltas[name] = delta_entry(name, ref, PREV_CPU.get(name))
+            print(f"# delta {name}: prev={ref} now={deltas[name]['med']} "
                   f"cpu={deltas[name]['cpu']} load={load:.2f} -> "
                   f"{deltas[name]['verdict']}",
                   file=sys.stderr)
-    # extension-tier delta table (r7 verdict #2): 36 per-query
-    # verdicts vs the r7 builder quiet-run anchors, min-of-3 gate
+    # extension-tier delta table (r7 verdict #2): 43 per-query
+    # verdicts vs the previous quiet-run anchors, CPU-preferred
     ext_deltas = {"__load_factor": round(load, 3)}
-    for name, r7 in R07_EXT_QUERIES.items():
+    for name, ref in PREV_EXT_QUERIES.items():
         if name in extension:
-            ext_deltas[name] = delta_entry(name, r7, R07_EXT_CPU.get(name))
-            print(f"# ext delta {name}: r7={r7} "
+            ext_deltas[name] = delta_entry(name, ref, PREV_CPU.get(name))
+            print(f"# ext delta {name}: prev={ref} "
                   f"now={ext_deltas[name]['med']} "
                   f"cpu={ext_deltas[name]['cpu']} -> "
                   f"{ext_deltas[name]['verdict']}",
@@ -1548,8 +1619,8 @@ def main() -> None:
             3,
         ),
         "queries_spread": {n: spread[n] for n in HEADLINE},
-        "delta_vs_r07": deltas,
-        "delta_vs_r07_ext": ext_deltas,
+        "delta_vs_prev": deltas,
+        "delta_vs_prev_ext": ext_deltas,
         **recalls,
         **probe,
         **text_probe,
