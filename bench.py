@@ -199,6 +199,8 @@ EXTENSION = [
     "gapfill_daily_value_linear",  # linear-interp gap fill (r8)
     "image_dhash_dedup",         # perceptual-hash image dedup (r8)
     "image_dhash_neardup_pairs",  # banded image near-dup pairs (r8)
+    "hybrid_rrf_retrieval",      # reciprocal-rank fusion ensemble (r8)
+    "weighted_quantiles_lineitem",  # exact weighted order stats (r8)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs

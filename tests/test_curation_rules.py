@@ -176,3 +176,65 @@ def test_image_dhash_cross_format_duplicates(spark):
         .collect()
     }
     assert pair_sizes == {2}
+
+
+def test_rrf_fuse_hand_checked(spark):
+    from top_produce_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    rows = {
+        r["neighbor_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b]).collect()
+    }
+    # doc 11: 1/62 + 1/61; doc 10: 1/61 + 1/63; doc 12/13 single-list
+    assert rows[11][0] == 1 / 62 + 1 / 61
+    assert rows[10][0] == 1 / 61 + 1 / 63
+    assert rows[12][0] == 1 / 63 and rows[13][0] == 1 / 62
+    # fused order: 11 (both high) > 10 > 13 > 12
+    assert [rows[d][1] for d in (11, 10, 13, 12)] == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_requires_input(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_weighted_quantiles_hand_checked(spark):
+    from top_produce_etl_spark.operators.stats import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 8),
+         ("h", 5, 3), ("h", 7, 1)],
+        "g string, v int, w int",
+    )
+    out = {
+        r["g"]: r
+        for r in weighted_quantiles(
+            df, ["g"], "v", "w", qs=[(1, 2), (1, 1)]
+        ).collect()
+    }
+    # g: W=10, cum(1)=1, cum(2)=2, cum(3)=10 -> p50 = 3; max = 3
+    assert out["g"]["wq_1_2"] == 3 and out["g"]["wq_1_1"] == 3
+    # h: W=4, cum(5)=3 >= 2 -> p50 = 5; max = 7
+    assert out["h"]["wq_1_2"] == 5 and out["h"]["wq_1_1"] == 7
+
+
+def test_weighted_quantiles_rejects_bad_q(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.stats import weighted_quantiles
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, v int, w int")
+    with pytest.raises(ValueError, match="outside"):
+        weighted_quantiles(df, ["g"], "v", "w", qs=[(3, 2)])

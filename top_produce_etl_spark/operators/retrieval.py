@@ -550,3 +550,60 @@ def hashed_bow_oracle_sql(
     LEFT JOIN cnt c ON c.id = g.id AND c.bucket = g.i
     GROUP BY g.id
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Büttcher 2009) — the
+    standard hybrid-retrieval ensemble: each input ranking
+    contributes ``1/(k + rank)`` for a (query, doc) it retrieved and
+    0 otherwise, and documents re-rank by the summed score. This is
+    how production search fuses a keyword ranker with an ANN ranker
+    without score calibration (ranks are comparable, raw scores are
+    not).
+
+    Scale shape: every input is already a top-N list (|Q|·N rows —
+    the OUTPUT of the retrieval tiers, never the corpus), so the
+    fusion is |rankings| small joins on (query, doc) plus one
+    per-query window — driver- and shuffle-trivial at any corpus
+    size. Determinism: the score terms are added in declaration
+    order of ``rankings`` (IEEE addition order fixed, so the DuckDB
+    oracle is bit-identical), ties break on doc id.
+
+    Output: (query_col, doc_col, rrf_score, rank).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    pairs = None
+    for r in rankings:
+        p = r.select(query_col, doc_col)
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    score = None
+    out = pairs
+    for i, r in enumerate(rankings):
+        rr = r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            F.col(rank_col).alias(f"__r{i}"),
+        )
+        out = out.join(rr, [query_col, doc_col], "left")
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(doc_col).asc()
+    )
+    out = out.withColumn("rrf_score", score).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    if topn is not None:
+        out = out.filter(F.col("rank") <= topn)
+    return out.select(query_col, doc_col, "rrf_score", "rank")

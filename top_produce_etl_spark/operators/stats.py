@@ -823,3 +823,60 @@ def distribution_divergence_oracle_sql(
                           * 1000000.0) AS BIGINT)) AS js_micro
     FROM terms
     """
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    qs: list[tuple[int, int]] = [(1, 2)],
+    prefix: str = "wq",
+) -> DataFrame:
+    """Exact per-group WEIGHTED quantiles — the importance-weighted
+    corpus statistic (token-weighted median document quality,
+    sample-weight-aware fences) the unweighted quantile table can't
+    give. Quantile q is the lower weighted quantile: the smallest
+    value whose cumulative weight reaches q of the group total.
+
+    Exactness contract: ``qs`` are RATIONALS (num, den), and the
+    reach test is the cross-multiplied integer comparison
+    ``den·cum ≥ num·W`` — no floating point anywhere, so the DuckDB
+    oracle is trivially bit-identical and the returned quantile is
+    an actual data value (decimal/int preserved, the house
+    order-statistic convention from MAD/trimmed-mean).
+
+    Scale shape: ONE (group, value) hash-agg collapses duplicate
+    values (map-side partial), one per-group ordered window for the
+    cumulative weight, one conditional min per quantile — group
+    cardinality bounds everything after the first agg; no
+    percentile_approx convention in play."""
+    from pyspark.sql.window import Window as W
+
+    for num, den in qs:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    byv = (
+        df.groupBy(*group_cols, F.col(value_col).alias("__v"))
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))
+    )
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy(*group_cols)
+    cum = (
+        byv.withColumn("__cum", F.sum("__w").over(w))
+        .withColumn("__tot", F.sum("__w").over(tot))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") * den >= F.col("__tot") * num,
+                F.col("__v"),
+            )
+        ).alias(f"{prefix}_{num}_{den}")
+        for num, den in qs
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -2053,3 +2053,40 @@ def conformal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ["o_orderpriority"], "o_orderkey", "o_totalprice",
         alpha=0.1,
     )
+
+
+@query(
+    "weighted_quantiles_lineitem", extended=True,
+    oracle="""
+    WITH byv AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, v, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS c,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS t
+        FROM byv
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN c * 2 >= t * 1 THEN v END) AS wq_1_2,
+           MIN(CASE WHEN c * 10 >= t * 9 THEN v END) AS wq_9_10
+    FROM cum GROUP BY 1
+    """,
+)
+def weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-weighted price quantiles per return flag
+    (round 8 — operators/stats.py::weighted_quantiles): the
+    importance-weighted order statistic (each price weighted by the
+    units shipped at it). Quantile reach is the cross-multiplied
+    integer test den·cum ≥ num·W — no floats, the returned quantile
+    is an actual decimal data value, bit-exact cross-engine."""
+    from top_produce_etl_spark.operators.stats import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        qs=[(1, 2), (9, 10)],
+    )

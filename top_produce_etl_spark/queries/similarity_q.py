@@ -1283,3 +1283,62 @@ def label_centroids_mean_pool(
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mean_pool_vectors(emb, ["label"], "embedding")
+
+
+def _RRF_ORACLE() -> str:
+    from top_produce_etl_spark.queries.analytics_q import QUANT_TOPK_SQL
+
+    return f"""
+    WITH a AS ({COSINE_TOPK_SQL}),
+    b AS ({QUANT_TOPK_SQL}),
+    pairs AS (
+        SELECT DISTINCT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id FROM a
+            UNION ALL SELECT query_id, neighbor_id FROM b
+        )
+    ),
+    sc AS (
+        SELECT p.query_id, p.neighbor_id,
+               COALESCE(1.0 / (60 + a."rank"), 0.0)
+               + COALESCE(1.0 / (60 + b."rank"), 0.0) AS rrf_score
+        FROM pairs p
+        LEFT JOIN a ON a.query_id = p.query_id
+                   AND a.neighbor_id = p.neighbor_id
+        LEFT JOIN b ON b.query_id = p.query_id
+                   AND b.neighbor_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_score, "rank"
+    FROM (
+        SELECT query_id, neighbor_id, rrf_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, neighbor_id ASC
+               ) AS "rank"
+        FROM sc
+    )
+    WHERE "rank" <= 3
+    """
+
+
+@query("hybrid_rrf_retrieval", extended=True, oracle=_RRF_ORACLE())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval tiers (round 8 —
+    operators/retrieval.py::rrf_fuse): the exact-decimal cosine
+    top-3 fused with the int8-quantized top-3, the
+    calibration-free hybrid-search ensemble. Both input rank lists
+    are themselves oracle-checked battery entries; the fusion
+    re-ranks by 1/(60+rank) sums with a fixed addition order, so
+    the whole fused table — scores included — hash-checks
+    cross-engine."""
+    from top_produce_etl_spark.operators.retrieval import rrf_fuse
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=3
+    )
+    quant = cosine_topk_quantized(emb, queries, "vec_id", "embedding", k=3)
+    return rrf_fuse([exact, quant], topn=3)
