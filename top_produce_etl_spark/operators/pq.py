@@ -1128,3 +1128,34 @@ def ivfpq_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "pq_cosine", "rank")
     )
+
+
+def ivfpq_index_append(
+    batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Incremental IVF×PQ maintenance: encode a NEW batch with the
+    STORED codebooks, assign cells with the STORED coarse centroids,
+    and append into the cell-partitioned codes store — no
+    retraining, existing codes and partition layout untouched
+    (codes and cells depend only on the stored models, so appends
+    are stable). Same retry-idempotence caveat as
+    :func:`pq_index_append`: route production re-runs through the
+    batch-id-fenced sink."""
+    from top_produce_etl_spark.operators.clustering import (
+        with_nearest_cell,
+    )
+
+    cents, books, _ = ivfpq_index_load(batch.sparkSession, path)
+    enc = pq_encode(batch, id_col, vec_col, books, keep_vec=True)
+    (
+        with_nearest_cell(
+            enc.withColumnRenamed(id_col, "neighbor_id"),
+            vec_col,
+            cents,
+            out="cell",
+        )
+        .select("neighbor_id", "codes", "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
