@@ -55,6 +55,8 @@ def pii_scan(
     requested kind plus the total — the audit table a release
     review reads (and the triage key for routing documents to
     redaction vs drop)."""
+    if not kinds:
+        raise ValueError("pii_scan needs at least one kind")
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
         raise ValueError(f"unknown PII kinds: {unknown}")

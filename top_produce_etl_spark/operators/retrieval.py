@@ -580,6 +580,16 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    # best (min) rank per (query, doc) per ranking FIRST: a ranking
+    # that lists a pair twice must not fan the join out into
+    # duplicate fused rows (and RRF's convention for a duplicated
+    # doc is its best rank)
+    rankings = [
+        r.groupBy(query_col, doc_col).agg(
+            F.min(rank_col).alias(rank_col)
+        )
+        for r in rankings
+    ]
     pairs = None
     for r in rankings:
         p = r.select(query_col, doc_col)
