@@ -201,6 +201,7 @@ EXTENSION = [
     "image_dhash_neardup_pairs",  # banded image near-dup pairs (r8)
     "hybrid_rrf_retrieval",      # reciprocal-rank fusion ensemble (r8)
     "weighted_quantiles_lineitem",  # exact weighted order stats (r8)
+    "ann_rerank_exact",          # retrieve-then-rerank serving (r8)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs
@@ -666,12 +667,14 @@ def funnel_probe(spark) -> dict:
 
         # STAGED pass
         stage_sec: dict[str, float] = {}
+        stage_cpu: dict[str, float] = {}
         stage_skew: dict[str, float] = {}
         cur = raw
         prev_handle = None
         strip_out = None
         for op in spec["ops"]:
             name = op["op"]
+            c0 = cpu_snapshot()
             t0 = time.monotonic()
             nxt = persist_tracked(
                 build_pipeline(
@@ -682,6 +685,7 @@ def funnel_probe(spark) -> dict:
             )
             nxt.count()  # materialize this stage
             stage_sec[name] = round(time.monotonic() - t0, 3)
+            stage_cpu[name] = round(cpu_snapshot() - c0, 3)
             parts = sorted(
                 r["n"]
                 for r in nxt.groupBy(
@@ -731,6 +735,10 @@ def funnel_probe(spark) -> dict:
 
         out.update({
             "funnel_probe_stage_sec": stage_sec,
+            # load-independent per-stage cost (the cpu_snapshot
+            # metric): a co-loaded host moves stage walls but not
+            # these
+            "funnel_probe_stage_cpu": stage_cpu,
             "funnel_probe_stage_skew": stage_skew,
             "funnel_probe_staged_sum_sec": staged_sum,
             "funnel_probe_composed_sec": composed_sec,

@@ -238,3 +238,42 @@ def test_weighted_quantiles_rejects_bad_q(spark):
     df = spark.createDataFrame([("g", 1, 1)], "g string, v int, w int")
     with pytest.raises(ValueError, match="outside"):
         weighted_quantiles(df, ["g"], "v", "w", qs=[(3, 2)])
+
+
+def test_rerank_exact_subset_and_full_equivalence(spark, sf_dir):
+    """Stage-2 rerank invariants: the reranked top-k is always a
+    subset of its shortlist, and reranking over the FULL pair space
+    reproduces cosine_topk_bruteforce exactly (same kernel)."""
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        rerank_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=3
+    )
+    # full pair space as the shortlist -> identical result
+    all_pairs = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    rr = rerank_exact(emb, all_pairs, "vec_id", "embedding", k=3)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(rr.collect(), key=key) == sorted(
+        exact.collect(), key=key
+    )
+    # subset property on a narrow shortlist
+    short = exact.select("query_id", "neighbor_id")
+    rr2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in rerank_exact(
+            emb, short, "vec_id", "embedding", k=2
+        ).collect()
+    }
+    shortset = {
+        (r["query_id"], r["neighbor_id"]) for r in short.collect()
+    }
+    assert rr2 <= shortset and len(rr2) == 10

@@ -1008,3 +1008,55 @@ def mean_pool_vectors(
             ).alias(out),
         )
     )
+
+
+def rerank_exact(
+    corpus: DataFrame,
+    shortlist: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    scoring: str = "decimal",
+) -> DataFrame:
+    """Stage 2 of retrieve-then-rerank — THE production ANN serving
+    composition: a cheap index (IVF×PQ / LSH / quantized) proposes a
+    per-query shortlist, and only those |Q|·N pairs are rescored
+    against the FULL-PRECISION vectors. The expensive exact kernel
+    never sees the corpus-sized pair space; the approximate index
+    never decides the final order.
+
+    ``shortlist`` carries (query_id, neighbor_id) — any retrieval
+    tier's output. Scale shape: the shortlist is broadcast into two
+    id-keyed joins against the corpus (vector fetch by key — at
+    100 TB this is the point-lookup the stored-index tier serves),
+    then one per-query window. Scoring mirrors
+    :func:`cosine_topk_bruteforce`'s hoisted-norm kernel exactly, so
+    the decimal path is oracle-exact over the candidate pairs.
+
+    Output: query_id, neighbor_id, cosine, rank (1..k).
+    """
+    dot = dot_fn(scoring)
+    cand = shortlist.select("query_id", "neighbor_id")
+    q = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
+    scored = (
+        q.join(F.broadcast(cand), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1342,3 +1342,69 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quant = cosine_topk_quantized(emb, queries, "vec_id", "embedding", k=3)
     return rrf_fuse([exact, quant], topn=3)
+
+
+def _RERANK_ORACLE() -> str:
+    from top_produce_etl_spark.operators.pq import pq_topk_oracle_sql
+
+    inner = pq_topk_oracle_sql(dim=64, k=10)
+    return f"""
+    WITH cand AS (
+        SELECT query_id, neighbor_id FROM ({inner})
+    ),
+    ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, 65)) r(i)
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE))
+                   AS nrm
+        FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(SUM(CAST(q.v * n.v AS DECIMAL(28,14))) AS DOUBLE)
+                   AS dot
+        FROM cand c
+        JOIN ex q ON q.vec_id = c.query_id
+        JOIN ex n ON n.vec_id = c.neighbor_id AND n.i = q.i
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM (
+        SELECT d.query_id, d.neighbor_id,
+               d.dot / (nq.nrm * nc.nrm) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.dot / (nq.nrm * nc.nrm) DESC,
+                            d.neighbor_id ASC
+               ) AS "rank"
+        FROM dots d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.neighbor_id = nc.vec_id
+    )
+    WHERE "rank" <= 3
+    """
+
+
+@query("ann_rerank_exact", extended=True, oracle=_RERANK_ORACLE())
+def ann_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank (round 8 — the production ANN serving
+    composition): the 32×-compressed PQ index proposes a top-10
+    shortlist per query, and ONLY those pairs are rescored against
+    the full-precision vectors with the exact-decimal kernel
+    (operators/similarity.py::rerank_exact). FULLY oracle-checked
+    end to end: the DuckDB twin re-derives the PQ shortlist via the
+    unrolled-Lloyd CTEs and replays the exact rescore over the same
+    candidate pairs — approximate WHICH, exact WHAT."""
+    from top_produce_etl_spark.operators.pq import pq_topk
+    from top_produce_etl_spark.operators.similarity import rerank_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    shortlist = pq_topk(
+        emb, queries, "vec_id", "embedding", dim=64, k=10,
+        cache_key=sf_dir,
+    )
+    return rerank_exact(emb, shortlist, "vec_id", "embedding", k=3)
