@@ -76,6 +76,11 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         "quantized_recall_report",  # composes bruteforce + quantized —
         # the cross is the SAME broadcast-small-queries attach those
         # two entries exempt; the evaluation itself is equi-join + agg
+        "ann_rerank_exact",  # stage 1 IS pq_topk (the exempt
+        # broadcast-queries cross above); the rerank stage itself is
+        # broadcast-shortlist + id-keyed equi-joins
+        "hybrid_rrf_retrieval",  # fuses the two exempt cosine rank
+        # lists; the fusion itself is |Q|·k equi-joins + one window
         "mmr_diverse_topk",  # stage 1 IS the bruteforce baseline; the
         # greedy stages are equi-joins on |Q|·pool² relations
         "event_audience_overlap_hll",  # pair enumeration over the
