@@ -331,6 +331,12 @@ PREV_EXT_QUERIES = {
     "gapfill_daily_value_linear": 0.415,
     "image_dhash_dedup": 0.507,
     "image_dhash_neardup_pairs": 0.851,
+    # first measured by the second r8 builder run (1.12×-loaded
+    # host — conservative anchors; re-base downward when a quieter
+    # run records them)
+    "hybrid_rrf_retrieval": 2.615,
+    "weighted_quantiles_lineitem": 1.569,
+    "ann_rerank_exact": 2.215,
 }
 
 # CPU-second anchors (r7 verdict #5), measured by the round-8
@@ -403,6 +409,10 @@ PREV_CPU: dict[str, float] = {
     "gapfill_daily_value_linear": 0.63,
     "image_dhash_dedup": 0.71,
     "image_dhash_neardup_pairs": 1.43,
+    # from the second r8 builder run (see wall-anchor note)
+    "hybrid_rrf_retrieval": 4.18,
+    "weighted_quantiles_lineitem": 3.01,
+    "ann_rerank_exact": 2.8,
 }
 
 # Calibration: a fixed, data-independent, CPU-bound workload (800M
@@ -928,16 +938,35 @@ def main() -> None:
     load = max(cal / CAL_REF_SEC, cal_shuf / CAL_SHUF_REF_SEC, 1.0)
 
     def delta_entry(name: str, ref: float, cpu_ref: float | None) -> dict:
+        """REGRESSED requires BOTH signals when a CPU anchor exists
+        (refined after this round's closing run): a real plan or
+        operator regression burns more CPU cycles AND more wall; the
+        two single-signal failure modes are each innocent on their
+        own — a GC cycle collecting EARLIER queries' garbage lands
+        its CPU in whichever query is timing when it fires (whole-
+        tree attribution; observed: an 0.23-anchor query reading
+        1.93 CPU-s with its plan untouched), and host co-load lifts
+        wall without CPU (the r7 story). A single-signal breach
+        reports as suspect-cpu / suspect-wall — visible, not
+        verdict-carrying."""
         lo, med, hi = spread[name]
         cpu = cpu_med[name]
+        wall_reg = lo > ref * 1.2 * load
         if cpu_ref is not None:
-            verdict = (
-                "REGRESSED" if cpu > cpu_ref * 1.2 + 0.3
-                else ("IMPROVED" if cpu < cpu_ref * 0.8 else "noise-band")
-            )
+            cpu_reg = cpu > cpu_ref * 1.2 + 0.3
+            if wall_reg and cpu_reg:
+                verdict = "REGRESSED"
+            elif cpu_reg:
+                verdict = "suspect-cpu"
+            elif wall_reg:
+                verdict = "suspect-wall"
+            elif hi < ref * 0.8 and cpu < cpu_ref:
+                verdict = "IMPROVED"
+            else:
+                verdict = "noise-band"
         else:
             verdict = (
-                "REGRESSED" if lo > ref * 1.2 * load
+                "REGRESSED" if wall_reg
                 else ("IMPROVED" if hi < ref * 0.8 else "noise-band")
             )
         return {
