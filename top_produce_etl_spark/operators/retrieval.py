@@ -194,6 +194,12 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(_tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tfreq"))
+    # same two-subtree shape as unigram_surprisal (df rollup + the
+    # scoring join both consume tf): persist once instead of
+    # re-running the corpus explode+agg per subtree
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    tf = persist_tracked(tf)
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("dfreq"))
