@@ -648,7 +648,10 @@ def funnel_probe(spark) -> dict:
     register_synth_source(spark)
     rows, hot = FUNNEL_DOCS, 1_000
     spec = load_pipeline_spec(
-        "/root/repo/configs/pipeline_mix_curate_pack.yaml"
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs", "pipeline_mix_curate_pack.yaml",
+        )
     )
     for op in spec["ops"]:
         if op["op"] == "cap_per_category":

@@ -843,3 +843,138 @@ def test_builder_persists_boundary_before_multi_scan_ops(spark, sf_dir):
     ).count()
     assert len(_cache._PERSISTED) == before + 1  # boundary persisted
     unpersist_all()
+
+
+def test_yaml_rrf_fuse_shares_hybrid_oracle(spark, sf_dir):
+    """rrf_fuse from config (r9): fusing two registered rank lists
+    through the YAML surface reproduces the oracle-checked
+    hybrid_rrf_retrieval battery entry bit-exactly, scores included —
+    the declarative op inherits the fusion oracle."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+    )
+    from top_produce_etl_spark.queries import get_all_oracles
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=3)
+    quant = cosine_topk_quantized(emb, queries, "vec_id", "embedding", k=3)
+    spec = {
+        "source": "exact_tier",
+        "ops": [{"op": "rrf_fuse", "tables": ["quant_tier"], "topn": 3}],
+    }
+    out = build_pipeline(
+        spark, spec, {"exact_tier": exact, "quant_tier": quant}
+    )
+    assert out.columns == ["query_id", "neighbor_id", "rrf_score", "rank"]
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rrf_score"], r["rank"])
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            get_all_oracles()["hybrid_rrf_retrieval"]
+        ).fetchall()
+    }
+    assert got == oracle and len(got) == 30
+
+
+def test_yaml_hybrid_serve_full_composition(spark, sf_dir, tmp_path):
+    """configs/pipeline_hybrid_serve.yaml (r9 verdict #6): the FULL
+    retrieve (stored PQ index) → fuse (RRF with a registered second
+    tier) → rerank (exact decimal kernel) serving composition from
+    one config, checked against the composed DuckDB oracle that
+    re-derives every stage (the hybrid_serve_pipeline battery
+    oracle). Also asserts the stored-index artifacts landed — the
+    YAML path exercised the index lifecycle, not the in-memory
+    cache."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+    from top_produce_etl_spark.plans.builder import load_pipeline_spec
+    from top_produce_etl_spark.queries import get_all_oracles
+
+    spec = load_pipeline_spec(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs",
+            "pipeline_hybrid_serve.yaml",
+        )
+    )
+    idx = str(tmp_path / "hybrid_index")
+    for op in spec["ops"]:
+        if op["op"] == "ann_topk":
+            op["index_path"] = idx
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    second = cosine_topk_quantized(emb, queries, "vec_id", "embedding", k=3)
+    out = build_pipeline(
+        spark, spec, {"embeddings": emb, "second_tier": second}
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    got = {
+        # pico projection (×1e12 BIGINT): engines' double→decimal
+        # conversions diverge by 1 ulp at the 14th decimal on some
+        # pairs; the battery oracle uses the same integer convention
+        (r["query_id"], r["neighbor_id"], round(r["cosine"] * 1e12),
+         r["rank"])
+        for r in out.collect()
+    }
+    assert os.path.isdir(f"{idx}/codebooks") and os.path.isdir(f"{idx}/codes")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    oracle = {
+        tuple(r)
+        for r in con.execute(
+            get_all_oracles()["hybrid_serve_pipeline"]
+        ).fetchall()
+    }
+    assert got == oracle and len(got) == 30
+
+
+def test_pipeline_session_releases_boundary_persists(spark, sf_dir):
+    """pipeline_session (r9, round-8 advisor): a library caller who
+    composes multi-scan ops inside the context manager leaks nothing
+    — boundary persists registered during the block are released on
+    exit, including on error."""
+    from top_produce_etl_spark.operators import _cache
+    from top_produce_etl_spark.plans.builder import pipeline_session
+
+    docs = load_table(spark, sf_dir, "documents")
+    spec = {
+        "source": "documents",
+        "ops": [
+            {"op": "filter", "expr": "n_chars > 0"},
+            {
+                "op": "cap_per_category",
+                "category_col": "source",
+                "key_col": "doc_id",
+                "cap": 100,
+            },
+        ],
+    }
+    before = len(_cache._PERSISTED)
+    with pipeline_session():
+        out = build_pipeline(spark, spec, {"documents": docs})
+        assert out.count() > 0
+        assert len(_cache._PERSISTED) == before + 1
+    assert len(_cache._PERSISTED) == before
+
+    with pytest.raises(ValueError):
+        with pipeline_session():
+            build_pipeline(spark, spec, {"documents": docs}).count()
+            raise ValueError("caller error")
+    assert len(_cache._PERSISTED) == before

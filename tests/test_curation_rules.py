@@ -277,3 +277,40 @@ def test_rerank_exact_subset_and_full_equivalence(spark, sf_dir):
         (r["query_id"], r["neighbor_id"]) for r in short.collect()
     }
     assert rr2 <= shortset and len(rr2) == 10
+
+
+def test_weighted_quantiles_rejects_fractional_weights(spark):
+    """r9 advisor fix: fractional weight columns are rejected up
+    front instead of silently truncated (Spark cast truncates,
+    DuckDB rounds — a silent cast would break the bit-exact oracle
+    contract data-dependently)."""
+    import pytest
+
+    from top_produce_etl_spark.operators.stats import weighted_quantiles
+
+    df = spark.createDataFrame([("g", 1, 1.5)], "g string, v int, w double")
+    with pytest.raises(TypeError, match="integral weight column"):
+        weighted_quantiles(df, ["g"], "v", "w")
+
+
+def test_rerank_exact_dedups_shortlist_pairs(spark):
+    """r9 advisor fix: a duplicated (query, neighbor) shortlist pair
+    must not occupy two of the k ranks — rerank_exact collapses
+    duplicates before scoring (rrf_fuse already defended against
+    this input shape; rerank accepts any tier's output too)."""
+    from top_produce_etl_spark.operators.similarity import rerank_exact
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]),
+         (3, [0.9, 0.2])],
+        "vec_id int, embedding array<float>",
+    )
+    shortlist = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 1), (0, 2), (0, 3)], ["query_id", "neighbor_id"]
+    )
+    out = rerank_exact(corpus, shortlist, "vec_id", "embedding", k=3)
+    rows = {(r["neighbor_id"], r["rank"]) for r in out.collect()}
+    # neighbor 1 appears exactly once despite three shortlist copies;
+    # all three distinct candidates make the top-3
+    assert len(rows) == 3
+    assert {n for n, _ in rows} == {1, 2, 3}

@@ -1036,7 +1036,11 @@ def rerank_exact(
     Output: query_id, neighbor_id, cosine, rank (1..k).
     """
     dot = dot_fn(scoring)
-    cand = shortlist.select("query_id", "neighbor_id")
+    # distinct: any retrieval tier may emit the same (query, neighbor)
+    # pair twice (e.g. two LSH bands, pre-fusion rank lists); a dup
+    # here would occupy two of the k ranks. Cheap — the shortlist is
+    # |Q|·N and already broadcast-sized.
+    cand = shortlist.select("query_id", "neighbor_id").distinct()
     q = corpus.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))

@@ -830,7 +830,7 @@ def weighted_quantiles(
     group_cols: list[str],
     value_col: str,
     weight_col: str,
-    qs: list[tuple[int, int]] = [(1, 2)],
+    qs: tuple[tuple[int, int], ...] = ((1, 2),),
     prefix: str = "wq",
 ) -> DataFrame:
     """Exact per-group WEIGHTED quantiles — the importance-weighted
@@ -850,12 +850,28 @@ def weighted_quantiles(
     values (map-side partial), one per-group ordered window for the
     cumulative weight, one conditional min per quantile — group
     cardinality bounds everything after the first agg; no
-    percentile_approx convention in play."""
+    percentile_approx convention in play.
+
+    Weights must be an INTEGRAL column (the cross-multiplied reach
+    test is exact only over integers; Spark's cast to bigint
+    truncates while DuckDB's rounds, so a silent cast of fractional
+    weights would break the bit-exact oracle contract in a
+    data-dependent way). Fractional weights are rejected up front —
+    pre-scale to integers (e.g. micro-units) at the call site."""
     from pyspark.sql.window import Window as W
+    from pyspark.sql.types import ByteType, ShortType, IntegerType, LongType
 
     for num, den in qs:
         if not (0 < num <= den):
             raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"weighted_quantiles requires an integral weight column; "
+            f"{weight_col!r} is {wtype.simpleString()} — pre-scale "
+            "fractional weights to integer units (engines disagree on "
+            "cast rounding, which would break the exact oracle contract)"
+        )
     byv = (
         df.groupBy(*group_cols, F.col(value_col).alias("__v"))
         .agg(F.sum(F.col(weight_col).cast("bigint")).alias("__w"))

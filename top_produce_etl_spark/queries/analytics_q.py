@@ -2086,7 +2086,12 @@ def weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top_produce_etl_spark.operators.stats import weighted_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
+    # explicit integral cast at the CALL SITE (r9 advisor fix): the
+    # operator now rejects fractional weight columns instead of
+    # silently truncating; l_quantity is integral-valued by TPC-H
+    # construction, so this cast is lossless in both engines
+    li = li.withColumn("__qty", F.col("l_quantity").cast("bigint"))
     return weighted_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
-        qs=[(1, 2), (9, 10)],
+        li, ["l_returnflag"], "l_extendedprice", "__qty",
+        qs=((1, 2), (9, 10)),
     )
