@@ -251,3 +251,137 @@ def test_multimodal_ascii_precondition_all_sf():
         )
         checked += 1
     assert checked >= 1  # the fixture dirs must exist
+
+
+def test_png_roundtrip_and_all_filters():
+    """PNG codec (r9): (a) our encoder round-trips exact pixels for
+    every fixture size; (b) the decoder is not just our encoder's
+    inverse — scanlines FORWARD-filtered with every spec filter type
+    (Sub/Up/Average/Paeth, which our filter-0 encoder never emits)
+    and an RGBA color type decode to the same pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from top_produce_etl_spark.operators.multimodal import (
+        decode_image_bytes,
+        encode_png,
+    )
+
+    for mid in range(16):
+        w, h = mid % 13 + 4, mid % 7 + 3
+        i = np.arange(w * h * 3, dtype=np.int64)
+        rgb = ((mid * 31 + i * 7) % 256).astype(np.uint8).tobytes()
+        assert decode_image_bytes(encode_png(w, h, rgb)) == (w, h, rgb)
+
+    def png_with_filters(w, h, px, ch, color_type, filters):
+        # forward-filter per the spec, one filter type per row
+        stride = w * ch
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, stride)
+        prev = np.zeros(stride, dtype=np.int32)
+        raw = bytearray()
+        for y in range(h):
+            line = arr[y].astype(np.int32)
+            f = filters[y % len(filters)]
+            flt = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 0:
+                    rec = 0
+                elif f == 1:
+                    rec = a
+                elif f == 2:
+                    rec = b
+                elif f == 3:
+                    rec = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    rec = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                flt[x] = (int(line[x]) - rec) & 0xFF
+            raw += bytes([f]) + flt.astype(np.uint8).tobytes()
+            prev = line
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    w, h = 7, 6
+    i = np.arange(w * h * 3, dtype=np.int64)
+    rgb = ((i * 11 + 5) % 256).astype(np.uint8).tobytes()
+    got = decode_image_bytes(png_with_filters(w, h, rgb, 3, 2, [1, 2, 3, 4, 0]))
+    assert got == (w, h, rgb)
+
+    # RGBA (color type 6): alpha plane dropped, RGB preserved
+    rgba = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    rgba = np.concatenate(
+        [rgba, np.full((h, w, 1), 200, dtype=np.uint8)], axis=2
+    ).tobytes()
+    got = decode_image_bytes(png_with_filters(w, h, rgba, 4, 6, [4, 3, 2, 1]))
+    assert got == (w, h, rgb)
+
+    with pytest.raises(NotImplementedError, match="interlace"):
+        bad = png_with_filters(w, h, rgb, 3, 2, [0])
+        # flip the interlace byte inside IHDR (offset 8+8+12)
+        bad = bad[:28] + b"\x01" + bad[29:]
+        # CRC now wrong but IHDR parses first; rebuild CRC properly
+        import zlib as z
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        bad = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+               + struct.pack(">I", z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+        decode_image_bytes(bad + b"\x00\x00\x00\x00IEND\xae B`\x82")
+
+
+def test_jpeg_decode_pil_gated():
+    """The JPEG seam (r9 verdict #4, the protobuf-gate pattern):
+    skipped where PIL is absent, a full encode->decode round-trip
+    wherever PIL exists — the branch is live code, not a stub."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from top_produce_etl_spark.operators.multimodal import (
+        decode_image_bytes,
+    )
+
+    w, h = 16, 12
+    i = np.arange(w * h * 3, dtype=np.int64)
+    rgb = ((i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+    buf = io.BytesIO()
+    Image.fromarray(rgb, "RGB").save(buf, "JPEG", quality=95)
+    gw, gh, grgb = decode_image_bytes(buf.getvalue())
+    assert (gw, gh) == (w, h)
+    # JPEG is lossy: require close pixels, exact shape
+    diff = np.abs(
+        np.frombuffer(grgb, dtype=np.uint8).astype(np.int32)
+        - rgb.reshape(-1).astype(np.int32)
+    )
+    assert diff.mean() < 16
+
+
+def test_jpeg_magic_raises_documented_error_without_pil():
+    """Without PIL the JPEG magic hits the documented capability
+    seam, not a parse crash."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: the gated branch is live instead")
+    except ImportError:
+        pass
+
+    from top_produce_etl_spark.operators.multimodal import (
+        decode_image_bytes,
+    )
+
+    with pytest.raises(NotImplementedError, match="PIL-gated"):
+        decode_image_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)

@@ -241,11 +241,129 @@ def encode_bmp24(w: int, h: int, rgb: bytes) -> bytes:
     return fh + ih + payload
 
 
+def encode_png(w: int, h: int, rgb: bytes) -> bytes:
+    """Real PNG encoder, stdlib-only (zlib DEFLATE + CRC32): 8-bit
+    truecolor, non-interlaced, filter-0 scanlines. PNG is the one
+    compressed image format whose codec needs nothing beyond the
+    standard library — so unlike JPEG (PIL-gated), the PNG path runs
+    and is oracle-checked HERE, in this environment."""
+    import struct
+    import zlib
+
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"need {w * h * 3} RGB bytes, got {len(rgb)}")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    row = w * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * row : (y + 1) * row] for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes) -> tuple[int, int, bytes]:
+    """PNG decode, stdlib+numpy only: chunk walk, zlib inflate, and
+    ALL FIVE scanline filters (None/Sub/Up/Average/Paeth) undone per
+    the spec — so PNGs from any well-behaved encoder decode here, not
+    just our filter-0 ones (tests forward-filter every type and
+    round-trip). 8-bit RGB (color type 2) and RGBA (6, alpha
+    dropped), non-interlaced; anything else raises the documented
+    NotImplementedError seam."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, idat = 8, []
+    w = h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR chunk")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit non-interlaced "
+            "RGB/RGBA supported"
+        )
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG inflate size mismatch: need {h * (stride + 1)}, "
+            f"got {len(raw)}"
+        )
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=p + 1
+        ).copy()
+        p += 1 + stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up: no intra-row dependency, vectorized
+            line += prev  # uint8 add wraps mod 256, as the spec asks
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-neighbor chain
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                if f == 1:
+                    rec = a
+                elif f == 3:
+                    rec = (a + int(prev[x])) >> 1
+                else:
+                    bb = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    pp = a + bb - c
+                    pa, pb, pc = abs(pp - a), abs(pp - bb), abs(pp - c)
+                    rec = a if pa <= pb and pa <= pc else (
+                        bb if pb <= pc else c
+                    )
+                line[x] = (int(line[x]) + rec) & 0xFF
+        else:
+            raise ValueError(f"PNG bad filter byte {f} on row {y}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, ch)
+    if ch == 4:
+        px = px[:, :, :3]
+    return w, h, px.tobytes()
+
+
 def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
-    """REAL image decode, dependency-free: (width, height, row-major
-    top-down RGB bytes) from PPM P6 or uncompressed 24-bit BMP.
-    Unrecognized magics raise ``NotImplementedError`` — the honest
-    seam where PIL/ffmpeg would take over for compressed formats."""
+    """REAL image decode: (width, height, row-major top-down RGB
+    bytes) from PPM P6, uncompressed 24-bit BMP, or PNG (stdlib-zlib
+    codec, all five scanline filters). Other magics (JPEG/GIF/...)
+    fall through to a CAPABILITY-GATED PIL branch — live on any
+    machine with PIL installed, a documented ``NotImplementedError``
+    here (the protobuf-gate pattern from tests/test_streaming.py)."""
     import struct
 
     import numpy as np
@@ -297,18 +415,38 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
         if not top_down:
             rows = rows[::-1]
         return w, h, rows[:, :, ::-1].tobytes()  # BGR -> RGB
-    raise NotImplementedError(
-        "unrecognized image magic %r: compressed formats (JPEG/PNG/...) "
-        "require media libraries not present in this environment"
-        % bytes(b[:2])
-    )
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(bytes(b))
+    # capability gate (r9 verdict #4): PIL takes over for the
+    # formats a real multimodal corpus contains (JPEG/GIF/WebP) —
+    # this branch goes LIVE wherever PIL exists and carries a
+    # skipped-here test (tests/test_multimodal.py), mirroring the
+    # protobuf gate for transformWithStateInPandas
+    try:
+        from PIL import Image  # noqa: F401 — optional dependency
+    except ImportError:
+        raise NotImplementedError(
+            "unrecognized image magic %r: JPEG/GIF/WebP decode is "
+            "PIL-gated and PIL is not installed in this environment "
+            "(PPM/BMP/PNG decode dependency-free above)"
+            % bytes(b[:2])
+        ) from None
+    import io
+
+    img = Image.open(io.BytesIO(bytes(b))).convert("RGB")
+    return img.width, img.height, img.tobytes()
 
 
 def synthesize_images(
-    ids: DataFrame, id_col: str = "doc_id", effective_mod: int | None = None
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    effective_mod: int | None = None,
+    formats: tuple[str, ...] = ("ppm", "bmp"),
 ) -> DataFrame:
-    """Deterministic image fixture ENCODER: one real PPM (even ids)
-    or BMP (odd ids) per input row, pixel value
+    """Deterministic image fixture ENCODER: one real image per input
+    row in ``formats[id % len(formats)]`` (default PPM for even ids,
+    BMP for odd; add ``"png"`` for the zlib-compressed tier), pixel
+    value
     ``v(i) = (id·31 + i·7) mod 256`` over row-major RGB positions
     ``i ∈ [0, w·h·3)`` with ``w = id%13+4``, ``h = id%7+3`` — a
     closed form DuckDB re-derives without parsing any bytes, which
@@ -332,10 +470,15 @@ def synthesize_images(
                 w, h = eid % 13 + 4, eid % 7 + 3
                 i = np.arange(w * h * 3, dtype=np.int64)
                 rgb = ((eid * 31 + i * 7) % 256).astype(np.uint8).tobytes()
-                if mid % 2 == 0:
-                    fmt, payload = "ppm", encode_ppm(w, h, rgb)
+                fmt = formats[mid % len(formats)]
+                if fmt == "ppm":
+                    payload = encode_ppm(w, h, rgb)
+                elif fmt == "bmp":
+                    payload = encode_bmp24(w, h, rgb)
+                elif fmt == "png":
+                    payload = encode_png(w, h, rgb)
                 else:
-                    fmt, payload = "bmp", encode_bmp24(w, h, rgb)
+                    raise ValueError(f"unknown fixture format {fmt!r}")
                 out.append((mid, fmt, payload))
             yield pd.DataFrame(out, columns=["media_id", "fmt", "content"])
 
