@@ -67,7 +67,15 @@ def main():
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = [a for a in args if not os.path.isdir(a)] or None
 
-    spark = create_spark_session("oracle-check", shuffle_partitions=8)
+    # console progress bars write \r-frames that clobber result lines
+    # when stdout is persisted to a file (r8 verdict nit #3: the
+    # ROWS-ONLY line vanished from CORRECTNESS_ext_r08.txt under a
+    # carriage return) — keep the battery's stdout line-clean
+    spark = create_spark_session(
+        "oracle-check",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
