@@ -197,6 +197,7 @@ def _load_all() -> None:
         tpch2_q,
         tpch3_q,
         tpch_q,
+        urls_q,
         windows,
     )
     _LOADED = True

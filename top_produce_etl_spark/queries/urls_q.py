@@ -1,0 +1,122 @@
+"""URL curation queries (round 9 — operators/urls.py): parsing,
+registered-domain extraction, canonical-URL normalization and dedup.
+Every query is pure column expressions on both engines, so all three
+are FULLY hash-checked — components, canonical strings, and counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.urls import (
+    normalize_urls,
+    normalize_urls_oracle,
+    parse_urls,
+    parse_urls_oracle_cols,
+    registered_domain_oracle,
+    synthesize_urls,
+    synthesize_urls_oracle,
+    with_registered_domain,
+)
+from top_produce_etl_spark.queries import query
+
+
+def _PARSE_ORACLE() -> str:
+    cols = parse_urls_oracle_cols("url")
+    dom = registered_domain_oracle(cols["host"])
+    sel = ",\n           ".join(
+        f"{expr} AS {name}" for name, expr in cols.items()
+    )
+    return f"""
+    WITH urls AS ({synthesize_urls_oracle()})
+    SELECT doc_id, url,
+           {sel},
+           {dom} AS domain
+    FROM urls
+    """
+
+
+@query("url_parse_components", extended=True, oracle=_PARSE_ORACLE())
+def url_parse_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → scheme/host/port/path/query/fragment + registered
+    domain (eTLD+1, multi-label suffixes honored) over a
+    deterministic raw-URL fixture that exercises mixed scheme case,
+    www prefixes, explicit default ports, shuffled parameter order,
+    tracking noise, and fragments. One RE2-safe regex + array ops,
+    scan-speed, zero shuffle; every derived string hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = synthesize_urls(docs)
+    return with_registered_domain(parse_urls(urls, "url"))
+
+
+def _NORM_DEDUP_ORACLE() -> str:
+    canon = normalize_urls_oracle("url")
+    return f"""
+    WITH urls AS ({synthesize_urls_oracle(effective_mod=100)}),
+    canon AS (
+        SELECT doc_id, url, {canon} AS canonical_url FROM urls
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon
+    GROUP BY 1
+    """
+
+
+@query("url_normalize_dedup", extended=True, oracle=_NORM_DEDUP_ORACLE())
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (round 9): raw URLs with planted duplicate
+    classes (content parts keyed on doc_id % 100, cosmetic parts —
+    scheme case, www, default ports, tracking params, parameter
+    order, fragments, trailing slash — on the raw id) normalize to
+    one canonical form per class; the dedup is a single hash-agg on
+    the canonical string with min-id keeper election (the exact-dedup
+    convention). n_raw_variants > 1 everywhere proves the
+    normalizations each collapsed real string differences."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = synthesize_urls(docs, effective_mod=100)
+    canon = normalize_urls(urls, "url")
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+    )
+
+
+def _DOMAIN_STATS_ORACLE() -> str:
+    cols = parse_urls_oracle_cols("url")
+    dom = registered_domain_oracle(cols["host"])
+    return f"""
+    WITH urls AS ({synthesize_urls_oracle()}),
+    parsed AS (
+        SELECT doc_id, {dom} AS domain, {cols["path"]} AS path
+        FROM urls
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM parsed
+    GROUP BY 1
+    """
+
+
+@query("url_domain_stats", extended=True, oracle=_DOMAIN_STATS_ORACLE())
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain census — the grain per-domain caps and
+    domain mixing operate on (operators/mixture.py composes with the
+    ``domain`` column directly). Hash-agg on the derived domain;
+    nothing wider than |domains| crosses the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = with_registered_domain(
+        parse_urls(synthesize_urls(docs), "url")
+    )
+    return parsed.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("path").cast("bigint").alias("n_paths"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+    )
