@@ -1,0 +1,76 @@
+"""In-engine quasi-logistic classifier (round 9 —
+operators/classifier.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators._cache import unpersist_all
+from top_produce_etl_spark.operators.classifier import (
+    score_quasi_logreg,
+    train_quasi_logreg,
+)
+
+
+@pytest.fixture()
+def toy(spark):
+    # perfectly separable: label = contains 'good'; vocabulary is
+    # tiny so hash collisions can't merge the deciding buckets
+    rows = []
+    for i in range(40):
+        y = i % 2
+        text = ("good " * (2 + i % 3) + "pad filler") if y else (
+            "bad " * (2 + i % 3) + "pad filler"
+        )
+        rows.append((i, text.strip(), y))
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+def test_training_separates_separable_data(spark, toy):
+    model = train_quasi_logreg(
+        toy, "doc_id", "text", "y", n_buckets=16, iters=12, lr=(1, 10)
+    )
+    scored = score_quasi_logreg(toy, model, "doc_id", "text", n_buckets=16)
+    acc = (
+        scored.join(toy.select(F.col("doc_id").alias("id"), "y"), "id")
+        .filter(F.col("pred") == F.col("y"))
+        .count()
+    )
+    unpersist_all()
+    assert acc == 40  # linearly separable -> perfect train accuracy
+
+
+def test_training_partitioning_invariance(spark, toy):
+    """Integer aggregation makes the trained weights independent of
+    partitioning — the distributed-training determinism claim."""
+    w1 = train_quasi_logreg(
+        toy.repartition(1), "doc_id", "text", "y",
+        n_buckets=16, iters=5, lr=(1, 10),
+    ).collect()
+    w17 = train_quasi_logreg(
+        toy.repartition(17), "doc_id", "text", "y",
+        n_buckets=16, iters=5, lr=(1, 10),
+    ).collect()
+    unpersist_all()
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w17))
+
+
+def test_scores_bounded_and_monotone(spark, toy):
+    model = train_quasi_logreg(
+        toy, "doc_id", "text", "y", n_buckets=16, iters=8, lr=(1, 10)
+    )
+    rows = score_quasi_logreg(
+        toy, model, "doc_id", "text", n_buckets=16
+    ).collect()
+    unpersist_all()
+    assert all(0 <= r["score_micro"] <= 1_000_000 for r in rows)
+    assert all(
+        r["pred"] == (1 if r["score_micro"] >= 500_000 else 0)
+        for r in rows
+    )
+
+
+def test_train_rejects_bad_iters(spark, toy):
+    with pytest.raises(ValueError, match="iters"):
+        train_quasi_logreg(toy, "doc_id", "text", "y", iters=0)

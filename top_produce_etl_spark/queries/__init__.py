@@ -177,6 +177,7 @@ def _load_all() -> None:
         advanced,
         aggregates,
         analytics_q,
+        classifier_q,
         dedup_q,
         dsir_q,
         etl_q,
