@@ -202,6 +202,13 @@ EXTENSION = [
     "hybrid_rrf_retrieval",      # reciprocal-rank fusion ensemble (r8)
     "weighted_quantiles_lineitem",  # exact weighted order stats (r8)
     "ann_rerank_exact",          # retrieve-then-rerank serving (r8)
+    # round-9 additions (URL curation, compressed-image decode,
+    # in-engine classifier training, declarative hybrid serving)
+    "url_normalize_dedup",       # canonical-URL dedup, pure exprs (r9)
+    "url_domain_stats",          # eTLD+1 census (r9)
+    "multimodal_png_decode",     # PNG inflate+unfilter round-trip (r9)
+    "quality_classifier_train",  # 12-iter integer GD training loop (r9)
+    "hybrid_serve_pipeline",     # YAML retrieve->fuse->rerank (r9)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs

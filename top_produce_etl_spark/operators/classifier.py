@@ -111,35 +111,58 @@ def train_quasi_logreg(
     if iters < 1:
         raise ValueError("iters must be >= 1")
     lr_num, lr_den = lr
-    feats = persist_tracked(_features(docs, id_col, text_col, n_buckets))
-    labels = docs.select(
-        F.col(id_col).alias("id"),
-        (F.col(label_col).cast("bigint") * MICRO).alias("y_micro"),
+    # Persisted ONCE as per-doc feature ARRAYS with the label inline:
+    # each iteration then scans this relation exactly once, computes
+    # z and the error map-side from a literal weight map, and pays a
+    # single |buckets|-wide shuffle for the gradient — the minimal
+    # per-iteration plan (an earlier (doc,bucket)-rows formulation
+    # paid an id-keyed join per iteration; at the 5k-doc bench
+    # fixture that was ~2x this loop's wall).
+    feats = persist_tracked(
+        _features(docs, id_col, text_col, n_buckets)
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("bucket", "c")).alias("fx"))
+        .join(
+            docs.select(
+                F.col(id_col).alias("id"),
+                (F.col(label_col).cast("bigint") * MICRO).alias(
+                    "y_micro"
+                ),
+            ),
+            "id",
+        )
     )
-    n_docs = labels.count()
+    n_docs = docs.count()
     w = {b: 0 for b in range(-1, n_buckets)}  # w_micro, driver-side
     for _ in range(iters):
-        w_df = F.broadcast(
-            spark.createDataFrame(
-                [(b, wm) for b, wm in sorted(w.items())],
-                "bucket int, w_micro bigint",
-            )
+        # weights enter as a LITERAL MAP folded into the expression
+        # tree — no broadcast relation, no extra job per iteration
+        w_map = F.create_map(
+            *[
+                lit
+                for b, wm in sorted(w.items())
+                for lit in (F.lit(b), F.lit(wm))
+            ]
         )
-        z = (
-            feats.join(w_df, "bucket")
-            .groupBy("id")
-            .agg(F.sum(F.col("c") * F.col("w_micro")).alias("z_micro"))
+        z = F.aggregate(
+            F.col("fx"),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc
+            + s.getField("c")
+            * F.element_at(w_map, s.getField("bucket")),
         )
-        err = z.join(labels, "id").select(
-            "id",
-            (
-                F.expr(_sigma_micro_expr("z_micro")) - F.col("y_micro")
-            ).alias("err_micro"),
+        per_doc = feats.withColumn("z_micro", z).withColumn(
+            "err_micro",
+            F.expr(_sigma_micro_expr("z_micro")) - F.col("y_micro"),
         )
         grad = (
-            feats.join(err, "id")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("c") * F.col("err_micro")).alias("g"))
+            per_doc.select(
+                F.explode("fx").alias("s"), "err_micro"
+            )
+            .groupBy(F.col("s.bucket").alias("bucket"))
+            .agg(
+                F.sum(F.col("s.c") * F.col("err_micro")).alias("g")
+            )
             .collect()
         )
         for row in grad:  # |buckets|+1 rows — model-sized
