@@ -74,3 +74,82 @@ def test_scores_bounded_and_monotone(spark, toy):
 def test_train_rejects_bad_iters(spark, toy):
     with pytest.raises(ValueError, match="iters"):
         train_quasi_logreg(toy, "doc_id", "text", "y", iters=0)
+
+
+def test_xxhash64_production_path(spark, toy):
+    """The production bucket hash (xxhash64 intrinsic) trains a model
+    with the same separation power and the same partitioning
+    invariance as the portable twin — the countmin/kmv/dsir
+    fast-twin convention, pinned here since no serial engine can
+    replay xxhash64."""
+    model = train_quasi_logreg(
+        toy, "doc_id", "text", "y",
+        n_buckets=16, iters=12, lr=(1, 10), hash_mode="xxhash64",
+    )
+    scored = score_quasi_logreg(
+        toy, model, "doc_id", "text", n_buckets=16,
+        hash_mode="xxhash64",
+    )
+    acc = (
+        scored.join(toy.select(F.col("doc_id").alias("id"), "y"), "id")
+        .filter(F.col("pred") == F.col("y"))
+        .count()
+    )
+    w1 = train_quasi_logreg(
+        toy.repartition(1), "doc_id", "text", "y",
+        n_buckets=16, iters=4, lr=(1, 10), hash_mode="xxhash64",
+    ).collect()
+    w9 = train_quasi_logreg(
+        toy.repartition(9), "doc_id", "text", "y",
+        n_buckets=16, iters=4, lr=(1, 10), hash_mode="xxhash64",
+    ).collect()
+    unpersist_all()
+    assert acc == 40
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w9))
+
+
+def test_bad_hash_mode_rejected(spark, toy):
+    with pytest.raises(ValueError, match="hash_mode"):
+        train_quasi_logreg(
+            toy, "doc_id", "text", "y", hash_mode="md5"
+        )
+
+
+def test_yaml_quality_classifier_filter_matches_direct(spark, toy):
+    """The declarative learned-quality-gate op reproduces the direct
+    train→score→filter composition row for row, and the kept slice
+    actually discriminates (only label-1 docs survive on separable
+    data with a 0.5 threshold)."""
+    from top_produce_etl_spark.plans.builder import build_pipeline
+
+    spec = {
+        "source": "docs",
+        "ops": [
+            {
+                "op": "quality_classifier_filter",
+                "id_col": "doc_id",
+                "text_col": "text",
+                "label_expr": "y",
+                "n_buckets": 16,
+                "iters": 12,
+                "lr": [1, 10],
+            }
+        ],
+    }
+    kept = build_pipeline(spark, spec, {"docs": toy}).collect()
+    model = train_quasi_logreg(
+        toy, "doc_id", "text", "y", n_buckets=16, iters=12, lr=(1, 10)
+    )
+    scored = score_quasi_logreg(toy, model, "doc_id", "text", n_buckets=16)
+    direct = (
+        toy.join(
+            scored.filter(F.col("score_micro") >= 500_000)
+            .select(F.col("id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        ).collect()
+    )
+    unpersist_all()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(kept, key=key) == sorted(direct, key=key)
+    assert len(kept) == 20 and all(r["y"] == 1 for r in kept)

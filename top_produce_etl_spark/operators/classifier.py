@@ -54,16 +54,31 @@ BIAS_BUCKET = -1
 
 
 def _features(
-    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    hash_mode: str = "portable",
 ) -> DataFrame:
-    """(id, bucket, c) hashed term counts + one bias row per doc."""
+    """(id, bucket, c) hashed term counts + one bias row per doc.
+    ``hash_mode="xxhash64"`` is the production bucket hash (one JVM
+    intrinsic per token — the countmin/kmv/dsir fast-twin
+    convention); "portable" is the polynomial hash the DuckDB
+    training oracle can replay."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    bucket = (
-        F.expr(portable_hash_spark_sql("tok")) % F.lit(n_buckets)
-    ).cast("int")
+    if hash_mode == "xxhash64":
+        bucket = (
+            F.pmod(F.xxhash64(F.col("tok")), F.lit(n_buckets))
+        ).cast("int")
+    elif hash_mode == "portable":
+        bucket = (
+            F.expr(portable_hash_spark_sql("tok")) % F.lit(n_buckets)
+        ).cast("int")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     counts = (
         toks.select("id", bucket.alias("bucket"))
         .groupBy("id", "bucket")
@@ -95,6 +110,7 @@ def train_quasi_logreg(
     n_buckets: int = 32,
     iters: int = 3,
     lr: tuple[int, int] = (1, 2),
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Train the hashed-feature quasi-logistic classifier; returns
     the model relation (bucket, w_micro) with ``bucket = -1`` the
@@ -119,7 +135,7 @@ def train_quasi_logreg(
     # paid an id-keyed join per iteration; at the 5k-doc bench
     # fixture that was ~2x this loop's wall).
     feats = persist_tracked(
-        _features(docs, id_col, text_col, n_buckets)
+        _features(docs, id_col, text_col, n_buckets, hash_mode)
         .groupBy("id")
         .agg(F.collect_list(F.struct("bucket", "c")).alias("fx"))
         .join(
@@ -182,13 +198,14 @@ def score_quasi_logreg(
     id_col: str,
     text_col: str,
     n_buckets: int = 32,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Score documents with a trained model: (id, score_micro, pred)
     where score is the fast-sigmoid probability in micro-units and
     pred = 1 iff score_micro >= 500000. One broadcast join + one
     per-doc sum — scan-speed inference, the shape a 100 TB quality
     sweep needs."""
-    feats = _features(docs, id_col, text_col, n_buckets)
+    feats = _features(docs, id_col, text_col, n_buckets, hash_mode)
     z = (
         feats.join(F.broadcast(model), "bucket")
         .groupBy("id")

@@ -56,6 +56,7 @@ _MULTI_SCAN_OPS = frozenset({
     "upsample_mixture",
     "resolve_entities",
     "privacy_gate",
+    "quality_classifier_filter",
 })
 
 
@@ -664,6 +665,45 @@ def build_pipeline(
                     )
             else:
                 raise ValueError(f"unknown privacy_gate action: {action}")
+        elif kind == "quality_classifier_filter":
+            # Learned quality gate from config (r9): train the
+            # in-engine quasi-logistic classifier on the CURRENT
+            # frame against a declarative 0/1 label expression, score
+            # every row, and keep rows whose fast-sigmoid probability
+            # clears the threshold — the fasttext-shaped "train a
+            # filter on weak labels, keep the top slice" curation
+            # stage, fully inside the plan. Training is iterative
+            # (model-sized collects only); inference is one broadcast
+            # model join.
+            from top_produce_etl_spark.operators.classifier import (
+                score_quasi_logreg,
+                train_quasi_logreg,
+            )
+
+            nb = int(op.get("n_buckets", 32))
+            labeled = df.withColumn(
+                "__y", F.expr(op["label_expr"]).cast("int")
+            )
+            model = train_quasi_logreg(
+                labeled,
+                op["id_col"],
+                op["text_col"],
+                "__y",
+                n_buckets=nb,
+                iters=int(op.get("iters", 12)),
+                lr=tuple(op.get("lr", (1, 50))),
+            )
+            scored = score_quasi_logreg(
+                df, model, op["id_col"], op["text_col"], n_buckets=nb
+            ).filter(
+                F.col("score_micro")
+                >= int(op.get("threshold_micro", 500_000))
+            )
+            df = df.join(
+                scored.select(F.col("id").alias(op["id_col"])),
+                op["id_col"],
+                "left_semi",
+            )
         elif kind == "rrf_fuse":
             # Hybrid-retrieval fusion from config (r9 — the verdict's
             # declarative-serving completion): the current frame is
