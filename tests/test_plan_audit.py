@@ -81,6 +81,9 @@ def test_registry_wide_scale_audit(spark, sf_dir):
         # broadcast-shortlist + id-keyed equi-joins
         "hybrid_rrf_retrieval",  # fuses the two exempt cosine rank
         # lists; the fusion itself is |Q|·k equi-joins + one window
+        "hybrid_serve_pipeline",  # the YAML composition of the two
+        # rows above (r9): stage 1 is the exempt PQ/quantized
+        # broadcast-queries cross; fuse + rerank are |Q|·k equi-joins
         "mmr_diverse_topk",  # stage 1 IS the bruteforce baseline; the
         # greedy stages are equi-joins on |Q|·pool² relations
         "event_audience_overlap_hll",  # pair enumeration over the
