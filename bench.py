@@ -262,22 +262,23 @@ EXTENSION_CORE = [
 RECALL_K = 3
 
 # Previous-round headline anchors — the regression-decidability
-# anchor (r6 verdict #1c). Values: the round-7 DRIVER medians
-# (BENCH_r07.json). Update each round from the newest record.
+# anchor (r6 verdict #1c). Values: the round-8 DRIVER medians
+# (BENCH_r08.json, 1.03x host). Update each round from the newest
+# record.
 PREV_DRIVER_QUERIES = {
-    "flagship_top3_region": 1.614,
-    "q1_pricing_summary": 0.636,
-    "left_join_order_counts": 0.437,
-    "asof_join_purchase_click": 0.465,
-    "running_customer_spend": 0.516,
-    "top_orders_global": 0.147,
-    "union_all_segments": 0.151,
-    "json_pack_events": 0.494,
-    "session_windows_30m": 0.446,
-    "ngram_jaccard_pairs": 0.794,
-    "minhash_lsh_pairs": 1.271,
-    "cosine_topk_bruteforce": 1.279,
-    "text_stats": 0.289,
+    "flagship_top3_region": 1.397,
+    "q1_pricing_summary": 0.522,
+    "left_join_order_counts": 0.452,
+    "asof_join_purchase_click": 0.433,
+    "running_customer_spend": 0.358,
+    "top_orders_global": 0.146,
+    "union_all_segments": 0.136,
+    "json_pack_events": 0.331,
+    "session_windows_30m": 0.342,
+    "ngram_jaccard_pairs": 0.708,
+    "minhash_lsh_pairs": 1.454,
+    "cosine_topk_bruteforce": 1.36,
+    "text_stats": 0.315,
 }
 
 # Extension-tier regression anchors (r7 verdict #2): the round-7
