@@ -1343,6 +1343,122 @@ def main() -> None:
     }
     print(f"# bpe_probe: {bpe_probe}", file=sys.stderr)
 
+    # Classifier-training leg of the text probe (r9): train the
+    # quasi-logistic quality classifier on the SAME 200k-doc corpus —
+    # 40x the battery fixture. The per-iteration plan is one scan of
+    # the persisted per-doc feature arrays + one |buckets|-wide
+    # shuffle, so per-round wall must stay FLAT like BPE's (the same
+    # 1.2x last-vs-first gate would hold; here we gate the planted
+    # truth + total instead: the label is a token-count rule, and the
+    # trained model must beat the majority class on its own training
+    # corpus — a trainer that diverges or saturates fails this).
+    from pyspark.sql import functions as _F
+
+    from top_produce_etl_spark.operators._cache import (
+        unpersist_all as _unp,
+    )
+    from top_produce_etl_spark.operators.classifier import (
+        score_quasi_logreg,
+        train_quasi_logreg,
+    )
+
+    nw = lambda w: _F.size(  # noqa: E731
+        _F.filter(_F.split(_F.col("text"), " "), lambda t: t == w)
+    )
+    # label: strictly more t2 than t3 occurrences — on this zipf
+    # corpus that splits 53/47 (a >= variant of the head token reads
+    # ~74/26 and the majority class already matches the Bayes rate)
+    cls_docs = tp_df.withColumn(
+        "__y", (nw("t2") > nw("t3")).cast("int")
+    )
+    t0 = time.monotonic()
+    cls_model = train_quasi_logreg(
+        cls_docs, "doc_id", "text", "__y",
+        n_buckets=32, iters=12, lr=(1, 50),
+    )
+    cls_train_sec = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    cls_eval = (
+        score_quasi_logreg(cls_docs, cls_model, "doc_id", "text", 32)
+        .join(
+            cls_docs.select(_F.col("doc_id").alias("id"), "__y"), "id"
+        )
+        .agg(
+            _F.count("*").alias("n"),
+            _F.sum(
+                (_F.col("pred") == _F.col("__y")).cast("long")
+            ).alias("correct"),
+            _F.sum("__y").alias("pos"),
+        )
+        .collect()[0]
+    )
+    cls_score_sec = round(time.monotonic() - t0, 3)
+    _unp()
+    cls_acc = cls_eval["correct"] / cls_eval["n"]
+    cls_major = max(cls_eval["pos"], cls_eval["n"] - cls_eval["pos"]) / cls_eval["n"]
+    classifier_probe = {
+        "classifier_probe_docs": tp_rows,
+        "classifier_probe_train_sec": cls_train_sec,
+        "classifier_probe_score_sec": cls_score_sec,
+        "classifier_probe_docs_per_sec": round(
+            tp_rows / cls_train_sec, 1
+        ),
+        "classifier_probe_accuracy": round(cls_acc, 4),
+        "classifier_probe_majority": round(cls_major, 4),
+        "classifier_probe_beats_majority": bool(cls_acc > cls_major),
+    }
+    print(f"# classifier_probe: {classifier_probe}", file=sys.stderr)
+
+    # URL-curation leg (r9): 2M synthetic raw URLs (range frame —
+    # zero storage) with 200k planted duplicate classes; canonicalize
+    # + dedup is pure expressions + ONE hash-agg, so this measures
+    # the family at 400x the battery fixture. Planted truths: exactly
+    # n_classes canonical forms survive, and no class cross-merges
+    # (distinct eids per canonical == 1 everywhere).
+    from top_produce_etl_spark.operators.urls import (
+        normalize_urls,
+        synthesize_urls,
+    )
+
+    url_rows, url_classes = 2_000_000, 200_000
+    ids = spark.range(url_rows).select(_F.col("id").alias("doc_id"))
+    t0 = time.monotonic()
+    url_agg = (
+        normalize_urls(
+            synthesize_urls(ids, effective_mod=url_classes), "url"
+        )
+        .groupBy("canonical_url")
+        .agg(
+            _F.countDistinct(_F.col("doc_id") % url_classes).alias(
+                "classes"
+            ),
+            _F.countDistinct("url").alias("variants"),
+        )
+        .agg(
+            _F.count("*").alias("n_canonical"),
+            _F.max("classes").alias("max_classes"),
+            _F.sum(
+                (_F.col("variants") > 1).cast("long")
+            ).alias("multi_variant"),
+        )
+        .collect()[0]
+    )
+    url_sec = round(time.monotonic() - t0, 3)
+    url_probe = {
+        "url_probe_rows": url_rows,
+        "url_probe_sec": url_sec,
+        "url_probe_rows_per_sec": round(url_rows / url_sec, 1),
+        "url_probe_canonical": url_agg["n_canonical"],
+        "url_probe_exact_classes": bool(
+            url_agg["n_canonical"] == url_classes
+        ),
+        "url_probe_no_cross_merge": bool(url_agg["max_classes"] == 1),
+        "url_probe_multi_variant_frac": round(
+            url_agg["multi_variant"] / url_agg["n_canonical"], 4
+        ),
+    }
+    print(f"# url_probe: {url_probe}", file=sys.stderr)
+
     # THIRD probe — the FLAGSHIP relational path at 10x data (round 5
     # wave 2): lineitem/orders unioned as 10 key-shifted copies of the
     # sf fixture (6M lineitem rows at sf0.1), same join+agg+window
@@ -1734,6 +1850,8 @@ def main() -> None:
         **text_probe,
         **span_probe,
         **bpe_probe,
+        **classifier_probe,
+        **url_probe,
         **rel_probe,
         **graph_probe,
         **sketch_probe,
