@@ -100,3 +100,30 @@ def test_url_dedup_planted_truth(spark, sf_dir):
     assert all(r["classes"] == 1 for r in rows)  # no cross-class merge
     # cosmetic variance is real: most classes carry >1 raw string
     assert sum(r["variants"] > 1 for r in rows) >= 45
+
+
+def test_normalize_for_dedup_planted_classes(spark):
+    """The CCNet-style key collapses case/digit/punct/whitespace
+    variants and nothing else (r9 — operators/dedup.py)."""
+    from top_produce_etl_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "  The QUICK,   brown fox!! (2024)"),
+            (2, "the quick brown fox 99"),
+            (3, "the quick brown wolf"),  # real difference survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["norm_key"]: r
+        for r in normalized_exact_dedup(rows, "text", "doc_id").collect()
+    }
+    assert set(out) == {"the quick brown fox", "the quick brown wolf"}
+    fox = out["the quick brown fox"]
+    assert fox["doc_id"] == 0 and fox["n_dups"] == 3
+    assert fox["n_variants"] == 3
+    assert out["the quick brown wolf"]["n_dups"] == 1

@@ -70,6 +70,56 @@ def exact_dedup(
     ).select(id_col, text_col, "n_dups")
 
 
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet-style dedup-key normalization (Wenzek et al. 2020 §4.1:
+    lowercase, drop digits and punctuation, squash whitespace before
+    hashing paragraphs): exact dedup over the RAW string misses
+    re-encodes that differ only in case, numbers ("updated 2023" vs
+    "updated 2024"), punctuation style, or spacing — the largest
+    duplicate classes in real web corpora after literal copies.
+
+    Pure column expressions (two RE2-safe regexp passes + trim), so
+    the key computes at scan speed and the DuckDB twin
+    (:func:`normalize_for_dedup_sql`) is character-identical. ASCII
+    classes only — engines disagree on Unicode case folding, and the
+    cross-engine contract outranks locale coverage here (a production
+    deployment would swap in ICU folding on the Spark side only)."""
+    out = F.lower(text)
+    out = F.regexp_replace(out, "[0-9]+|[^a-z ]+", " ")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
+def normalize_for_dedup_sql(text_sql: str) -> str:
+    """DuckDB twin of :func:`normalize_for_dedup`."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({text_sql}), "
+        f"'[0-9]+|[^a-z ]+', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def normalized_exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup on the NORMALIZED key: one hash-agg on the derived
+    key (same shuffle as exact_dedup — the normalization is free at
+    scan time). Keeps min(id) per class and reports both the class
+    size and how many DISTINCT raw strings it collapsed (n_variants
+    > 1 rows are exactly the duplicates raw exact dedup misses).
+    Output: id_col, norm_key, n_dups, n_variants."""
+    key = normalize_for_dedup(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.col(text_col), key.alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.countDistinct(text_col).alias("n_variants"),
+        )
+        .select(id_col, "norm_key", "n_dups", "n_variants")
+    )
+
+
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:

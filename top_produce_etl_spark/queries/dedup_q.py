@@ -985,3 +985,69 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, "doc_id", "text", k=5, threshold=0.6)
+
+
+def _NORM_DEDUP_ORACLE() -> str:
+    from top_produce_etl_spark.operators.dedup import (
+        normalize_for_dedup_sql,
+    )
+
+    key = normalize_for_dedup_sql("text")
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    variants AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1 AS doc_id,
+               '  ' || upper(text) || ' -- 2024, !!! (99)   ' AS text
+        FROM base
+    )
+    SELECT doc_id, norm_key,
+           CAST(n_dups AS BIGINT) AS n_dups,
+           CAST(n_variants AS BIGINT) AS n_variants
+    FROM (
+        SELECT MIN(doc_id) AS doc_id, {key} AS norm_key,
+               COUNT(*) AS n_dups, COUNT(DISTINCT text) AS n_variants
+        FROM variants GROUP BY 2
+    )
+    """
+
+
+@query(
+    "normalized_dedup_documents", extended=True,
+    oracle=_NORM_DEDUP_ORACLE(),
+)
+def normalized_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalized exact dedup (round 9 —
+    operators/dedup.py::normalized_exact_dedup): every even doc gets
+    a planted cosmetic twin (uppercased, decorated with digits and
+    punctuation) that RAW exact dedup can never pair; the normalized
+    key (lowercase, digits/punct stripped, whitespace squashed)
+    collapses each pair into one class with n_variants = 2. The key
+    derivation is two scan-speed regexp passes; the dedup is the same
+    one hash-agg as exact_dedup."""
+    from top_produce_etl_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    variants = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.concat(
+                F.lit("  "), F.upper("text"),
+                F.lit(" -- 2024, !!! (99)   ")
+            ).alias("text"),
+        )
+    )
+    out = normalized_exact_dedup(variants, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "norm_key",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        F.col("n_variants").cast("bigint").alias("n_variants"),
+    )
