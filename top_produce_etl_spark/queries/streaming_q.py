@@ -348,3 +348,44 @@ def stream_restart_recovery_parity(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+def _STREAM_NORM_DEDUP_ORACLE() -> str:
+    from top_produce_etl_spark.operators.dedup import (
+        normalize_for_dedup_sql,
+    )
+
+    key = normalize_for_dedup_sql("text")
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    variants AS (
+        SELECT text FROM base
+        UNION ALL
+        SELECT '  ' || upper(text) || ' -- 2024, !!! (99)   ' FROM base
+    )
+    SELECT DISTINCT {key} AS norm_key FROM variants
+    """
+
+
+@query(
+    "stream_normalized_dedup_parity", extended=True,
+    oracle=_STREAM_NORM_DEDUP_ORACLE(),
+)
+def stream_normalized_dedup_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-normalized dedup through the REAL streaming runtime
+    (round 9 — streaming/jobs.py:normalized_dedup_stream): cosmetic
+    twins are planted inside the streaming plan, the normalized key
+    derives at line rate, and streaming ``dropDuplicates`` emits each
+    key once. availableNow consumes the bounded fixture, so the sink
+    must equal batch DISTINCT over the identical normalization —
+    which DuckDB re-derives character-for-character. Extends the r9
+    normalization family to §2.9."""
+    from top_produce_etl_spark.streaming.jobs import (
+        normalized_dedup_stream,
+    )
+
+    return normalized_dedup_stream(
+        spark, sf_dir, sink_table="oracle_stream_norm_dedup"
+    )

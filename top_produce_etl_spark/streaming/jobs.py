@@ -562,6 +562,60 @@ def distinct_event_keys_stream(
     return spark.table(sink_table)
 
 
+def normalized_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_norm_dedup",
+) -> DataFrame:
+    """CCNet-normalized streaming dedup (r9): stream the documents
+    fixture, plant the cosmetic twin INSIDE the streaming plan (even
+    docs re-emitted uppercased + digit/punct-decorated — a streaming
+    union of two projections of the same source), derive the
+    normalized dedup key at line rate (two scan-speed regexp passes,
+    operators/dedup.py::normalize_for_dedup), and ``dropDuplicates``
+    on the key.
+
+    State note, explicit: documents carry no event time, so this is
+    the UNBOUNDED-state dedup (one state row per distinct normalized
+    key — the key store a streaming ingest pipeline would back with
+    RocksDB and TTL at 100 TB); the watermark-evicted variant lives
+    in :func:`distinct_event_keys_stream`. Output is the distinct
+    normalized-key set — keeper identity under streaming arrival
+    order is nondeterministic by design, so the key set is the parity
+    surface (queries/streaming_q.py:stream_normalized_dedup_parity
+    checks it against the batch-derived DuckDB oracle)."""
+    from top_produce_etl_spark.operators.dedup import normalize_for_dedup
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = sdf.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    twin = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat(
+            F.lit("  "), F.upper("text"), F.lit(" -- 2024, !!! (99)   ")
+        ).alias("text"),
+    )
+    keys = (
+        base.unionByName(twin)
+        .select(normalize_for_dedup(F.col("text")).alias("norm_key"))
+        .dropDuplicates(["norm_key"])
+    )
+    q = (
+        keys.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def tws_available() -> bool:
     """Spark 4's transformWithStateInPandas needs ``google.protobuf``
     in the Python env (its state-server protocol is protobuf-framed;
