@@ -215,6 +215,113 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. 2007, Xiao et al. 2008):
+    the third dedup-join strategy beside the inverted-index full join
+    (:func:`jaccard_pairs`) and approximate MinHash+LSH. Lossless by
+    the prefix-filtering principle: order every doc's shingles by a
+    GLOBAL rarity order (document frequency asc, shingle asc); for
+    J(x,y) ≥ t the overlap is ≥ ⌈t·|x|⌉ on both sides, so the first
+    ``|x| − ⌈t·|x|⌉ + 1`` shingles of x and of y must intersect —
+    docs only meet in the join if they share a RARE shingle, instead
+    of any shingle.
+
+    Scale shape vs jaccard_pairs: the candidate join runs on the
+    prefix relation (≈(1−t) of the shingle rows) and collision cost
+    concentrates on LOW-df shingles by construction — the hot
+    boilerplate shingles that dominate the full self-join's skew sit
+    at the END of the rarity order and never enter a prefix.
+    Verification is per-candidate ``array_intersect`` on the per-doc
+    shingle sets (id-keyed equi-joins, map-side set math) — no second
+    corpus-wide shuffle.
+
+    ``threshold`` is RATIONAL (num, den): the prefix length and the
+    acceptance test are integer arithmetic (cross-multiplied), so no
+    float boundary can silently drop a qualifying pair. Output:
+    (a_id, b_id, jaccard) — identical contract to jaccard_pairs, and
+    verified against the same exact oracle.
+
+    Small-scale honesty: at the 5k-doc bench fixture this reads
+    SLOWER than the full join (4.4 vs 3.2 s isolated) — the df-rank
+    window and candidate distinct are fixed extra stages that only
+    pay off when hot-shingle collision pairs dominate the full
+    self-join, i.e. at web-corpus scale with real boilerplate (the
+    skew-immunity test plants exactly that shape)."""
+    from pyspark.sql import Window
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"threshold {num}/{den} outside (0, 1]")
+    ssets = _persist(shingle_sets(df, id_col, text_col, k))
+    sh = ssets.select(F.col(id_col), F.explode("sset").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    sizes = ssets.select(
+        F.col(id_col), F.size("sset").alias("__n")
+    )
+    # integer ceil(num*n/den) = (num*n + den - 1) div den
+    prefix_len = (
+        F.col("__n")
+        - F.expr(f"(({num}L * __n + {den} - 1) div {den})")
+        + F.lit(1)
+    )
+    prefix = (
+        ranked.join(sizes, id_col)
+        .filter(F.col("__rn") <= prefix_len)
+        .select(F.col(id_col), "shingle")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "shingle")
+        .select(
+            F.col(f"pa.{id_col}").alias("a_id"),
+            F.col(f"pb.{id_col}").alias("b_id"),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .distinct()
+    )
+    sa = ssets.select(
+        F.col(id_col).alias("a_id"), F.col("sset").alias("__sa")
+    )
+    sb = ssets.select(
+        F.col(id_col).alias("b_id"), F.col("sset").alias("__sb")
+    )
+    scored = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "common", F.size(F.array_intersect("__sa", "__sb"))
+        )
+        .withColumn("na", F.size("__sa"))
+        .withColumn("nb", F.size("__sb"))
+        # cross-multiplied integer acceptance: den·c ≥ num·(na+nb−c)
+        .filter(
+            F.col("common") * den
+            >= (F.col("na") + F.col("nb") - F.col("common")) * num
+        )
+    )
+    return scored.select(
+        "a_id",
+        "b_id",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 5, num_perm: int = 64
 ) -> DataFrame:

@@ -1051,3 +1051,23 @@ def normalized_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dups").cast("bigint").alias("n_dups"),
         F.col("n_variants").cast("bigint").alias("n_variants"),
     )
+
+
+@query("prefix_jaccard_pairs", extended=True, oracle=JACCARD_SQL)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (round 9 —
+    operators/dedup.py::prefix_filter_jaccard_pairs, the
+    AllPairs/PPJoin strategy): candidates only where docs share a
+    shingle inside their rarity-ordered prefixes — lossless by the
+    prefix-filtering principle, so it hash-matches the SAME exact
+    oracle as the full inverted-index join and MinHash+LSH. The third
+    point in the dedup-join design space: exact + skew-immune
+    (boilerplate hot shingles never enter a prefix)."""
+    from top_produce_etl_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", k=5, threshold=(1, 2)
+    )
