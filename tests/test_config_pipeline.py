@@ -978,3 +978,49 @@ def test_pipeline_session_releases_boundary_persists(spark, sf_dir):
             build_pipeline(spark, spec, {"documents": docs}).count()
             raise ValueError("caller error")
     assert len(_cache._PERSISTED) == before
+
+
+def test_yaml_normalize_dedup_matches_direct(spark, sf_dir):
+    """normalize_dedup from config (r9): keep='rows' retains exactly
+    the min-id keeper per normalized class (planted cosmetic twins
+    drop); keep='report' reproduces the oracle-checked
+    normalized_exact_dedup relation."""
+    from top_produce_etl_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    variants = base.unionByName(
+        base.select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.concat(
+                F.lit("  "), F.upper("text"), F.lit(" -- 2024, !!! (99)   ")
+            ).alias("text"),
+        )
+    )
+    n_base = base.count()
+    spec_rows = {
+        "source": "docs",
+        "ops": [
+            {"op": "filter", "expr": "doc_id >= 0"},
+            {"op": "normalize_dedup", "id_col": "doc_id",
+             "text_col": "text"},
+        ],
+    }
+    kept = build_pipeline(spark, spec_rows, {"docs": variants}).collect()
+    assert len(kept) == n_base  # one survivor per planted class
+    assert all(r["doc_id"] % 2 == 0 for r in kept)  # min-id keeper
+
+    spec_rep = {
+        "source": "docs",
+        "ops": [{"op": "normalize_dedup", "id_col": "doc_id",
+                 "text_col": "text", "keep": "report"}],
+    }
+    rep = build_pipeline(spark, spec_rep, {"docs": variants}).collect()
+    direct = normalized_exact_dedup(variants, "text", "doc_id").collect()
+    key = lambda r: r["norm_key"]  # noqa: E731
+    assert sorted(rep, key=key) == sorted(direct, key=key)

@@ -57,6 +57,7 @@ _MULTI_SCAN_OPS = frozenset({
     "resolve_entities",
     "privacy_gate",
     "quality_classifier_filter",
+    "normalize_dedup",
 })
 
 
@@ -665,6 +666,27 @@ def build_pipeline(
                     )
             else:
                 raise ValueError(f"unknown privacy_gate action: {action}")
+        elif kind == "normalize_dedup":
+            # CCNet-normalized exact dedup from config (r9): derive
+            # the case/digit/punct/whitespace-invariant key at scan
+            # speed and keep ONE row per class (min-id keeper) — the
+            # standard web-corpus dedup stage between URL dedup and
+            # near-dup MinHash. keep="rows" returns the surviving
+            # original rows (a left-semi on the keeper ids);
+            # keep="report" returns the per-class dedup report.
+            from top_produce_etl_spark.operators.dedup import (
+                normalized_exact_dedup,
+            )
+
+            rep = normalized_exact_dedup(
+                df, op["text_col"], op["id_col"]
+            )
+            if op.get("keep", "rows") == "rows":
+                df = df.join(
+                    rep.select(op["id_col"]), op["id_col"], "left_semi"
+                )
+            else:
+                df = rep
         elif kind == "quality_classifier_filter":
             # Learned quality gate from config (r9): train the
             # in-engine quasi-logistic classifier on the CURRENT
