@@ -211,6 +211,7 @@ EXTENSION = [
     "hybrid_serve_pipeline",     # YAML retrieve->fuse->rerank (r9)
     "normalized_dedup_documents",  # CCNet-normalized exact dedup (r9)
     "prefix_jaccard_pairs",      # AllPairs/PPJoin exact join (r9)
+    "labeler_agreement_kappa",   # chance-corrected label audit (r9)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs

@@ -63,3 +63,31 @@ def test_prefix_join_rejects_bad_threshold(spark):
     docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="outside"):
         prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold=(3, 2))
+
+
+def test_cohens_kappa_hand_checked(spark):
+    """Known 2x2 table (Cohen 1960 structure): n=100, agree=70,
+    marginals A: 60/40, B: 50/50 -> pe = 0.5, kappa = 0.4."""
+    from top_produce_etl_spark.operators.stats import cohens_kappa
+
+    rows = (
+        [("g", 1, 1)] * 40 + [("g", 1, 0)] * 20
+        + [("g", 0, 1)] * 10 + [("g", 0, 0)] * 30
+    )
+    df = spark.createDataFrame(rows, ["g", "a", "b"])
+    out = cohens_kappa(df, "a", "b", group_cols=("g",)).collect()[0]
+    assert out["n_rows"] == 100 and out["n_agree"] == 70
+    # S = 60*50 + 40*50 = 5000; kappa = (100*70 - 5000)/(10000-5000) = 0.4
+    assert out["kappa_micro"] == 400_000
+
+
+def test_cohens_kappa_degenerate_marginals_null(spark):
+    """Constant raters: n^2 == S, kappa undefined -> NULL (both
+    engines guard before dividing)."""
+    from top_produce_etl_spark.operators.stats import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("g", 1, 1)] * 5, ["g", "a", "b"]
+    )
+    out = cohens_kappa(df, "a", "b", group_cols=("g",)).collect()[0]
+    assert out["kappa_micro"] is None and out["n_agree"] == 5

@@ -896,3 +896,125 @@ def weighted_quantiles(
         for num, den in qs
     ]
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Chance-corrected inter-rater agreement (Cohen 1960) between
+    two categorical label columns — the label-QUALITY audit of a
+    training-data pipeline: two weak labelers / two model versions /
+    annotator-vs-heuristic, per group. Raw agreement flatters
+    imbalanced labels (two raters who always say "keep" agree 100%
+    by chance); kappa subtracts the marginal-product chance rate.
+
+    Exact integer contract: with n rows, ``agree`` matching rows and
+    S = Σ_k n_ak·n_bk the chance mass,
+
+        kappa = (n·agree − S) / (n² − S)
+
+    is computed as ``kappa_micro = (1e6·(n·agree − S)) div (n² − S)``
+    in DECIMAL(38,0) arithmetic (n² and the 1e6 scaling overflow
+    int64 around n ≈ 3e6 per group; decimal keeps the contract exact
+    to 100 TB group sizes). Truncated division matches DuckDB's
+    HUGEINT ``//``, so the oracle is bit-identical. Degenerate groups
+    (n² = S — a constant-marginal rater, kappa undefined) return
+    NULL on both engines.
+
+    Scale shape: two hash-aggs over (group, label) marginals + one
+    over the (group) totals — never wider than |groups × labels|.
+    Output: *group_cols, n_rows, n_agree, kappa_micro."""
+    g = list(group_cols)
+    a, b = F.col(rater_a), F.col(rater_b)
+    base = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((a == b).cast("long")).alias("__agree"),
+    )
+    ma = df.groupBy(*g, a.alias("__k")).agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    mb = df.groupBy(*g, b.alias("__k")).agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    on = g + ["__k"]
+    s = (
+        ma.join(mb, on, "inner")
+        .groupBy(*g)
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__s"))
+    )
+    joined = base.join(s, g) if g else base.crossJoin(s)
+    dec = "decimal(38,0)"
+    num = (
+        F.lit(1_000_000).cast(dec)
+        * (
+            F.col("__n").cast(dec) * F.col("__agree").cast(dec)
+            - F.col("__s").cast(dec)
+        )
+    )
+    den = (
+        F.col("__n").cast(dec) * F.col("__n").cast(dec)
+        - F.col("__s").cast(dec)
+    )
+    return joined.select(
+        *g,
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.col("__agree").cast("bigint").alias("n_agree"),
+        F.when(den != 0, F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * "
+            "(CAST(__n AS DECIMAL(38,0)) * CAST(__agree AS DECIMAL(38,0))"
+            " - CAST(__s AS DECIMAL(38,0)))) div "
+            "(CAST(__n AS DECIMAL(38,0)) * CAST(__n AS DECIMAL(38,0))"
+            " - CAST(__s AS DECIMAL(38,0))) AS BIGINT)"
+        )).alias("kappa_micro"),
+    )
+
+
+def cohens_kappa_oracle_sql(
+    from_sql: str,
+    rater_a_sql: str,
+    rater_b_sql: str,
+    group_sql: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`cohens_kappa` (HUGEINT arithmetic,
+    ``//`` truncation — identical integers)."""
+    g = ", ".join(group_sql)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    on = " AND ".join(f"ma.{c} = mb.{c}" for c in group_sql)
+    on = (on + " AND " if on else "") + "ma.__k = mb.__k"
+    sjoin = " AND ".join(f"base.{c} = s.{c}" for c in group_sql) or "TRUE"
+    maga = f"{g}, __k" if g else "__k"
+    return f"""
+    WITH rows_ AS (
+        SELECT {gsel}{rater_a_sql} AS __a, {rater_b_sql} AS __b
+        FROM {from_sql}
+    ),
+    base AS (
+        SELECT {gsel}COUNT(*) AS __n,
+               SUM(CASE WHEN __a = __b THEN 1 ELSE 0 END) AS __agree
+        FROM rows_ {gby}
+    ),
+    ma AS (SELECT {gsel}__a AS __k, COUNT(*) AS __na FROM rows_
+           GROUP BY {maga.replace('__k', '__a')}),
+    mb AS (SELECT {gsel}__b AS __k, COUNT(*) AS __nb FROM rows_
+           GROUP BY {maga.replace('__k', '__b')}),
+    s AS (
+        SELECT {("ma." + ", ma.".join(group_sql) + ", ") if group_sql else ""}
+               SUM(ma.__na * mb.__nb) AS __s
+        FROM ma JOIN mb ON {on}
+        {("GROUP BY " + ", ".join("ma." + c for c in group_sql)) if group_sql else ""}
+    )
+    SELECT {("base." + ", base.".join(group_sql) + ", ") if group_sql else ""}
+           CAST(base.__n AS BIGINT) AS n_rows,
+           CAST(base.__agree AS BIGINT) AS n_agree,
+           CASE WHEN CAST(base.__n AS HUGEINT) * base.__n - s.__s <> 0
+                THEN CAST((CAST(1000000 AS HUGEINT) *
+                     (CAST(base.__n AS HUGEINT) * base.__agree - s.__s))
+                     // (CAST(base.__n AS HUGEINT) * base.__n - s.__s)
+                     AS BIGINT)
+                ELSE NULL END AS kappa_micro
+    FROM base JOIN s ON {sjoin}
+    """

@@ -2095,3 +2095,39 @@ def weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag"], "l_extendedprice", "__qty",
         qs=((1, 2), (9, 10)),
     )
+
+
+def _KAPPA_ORACLE() -> str:
+    from top_produce_etl_spark.operators.stats import (
+        cohens_kappa_oracle_sql,
+    )
+
+    return cohens_kappa_oracle_sql(
+        "documents",
+        "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END",
+        "CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END",
+        group_sql=("source",),
+    )
+
+
+@query("labeler_agreement_kappa", extended=True, oracle=_KAPPA_ORACLE())
+def labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two weak quality labelers per source
+    (round 9 — operators/stats.py::cohens_kappa): a char-length rule
+    vs a token-count rule. The labelers agree far above chance
+    (length and token count correlate) but kappa corrects for the
+    imbalanced marginals raw agreement flatters — the label-quality
+    audit a weak-supervision pipeline gates on. Exact DECIMAL(38,0)
+    integer arithmetic end to end (truncated division = DuckDB
+    HUGEINT //), NULL on degenerate marginals."""
+    from top_produce_etl_spark.operators.stats import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "source",
+        F.when(F.col("n_chars") > 300, 1).otherwise(0).alias("la"),
+        F.when(F.size(F.split("text", " ")) >= 55, 1)
+        .otherwise(0)
+        .alias("lb"),
+    )
+    return cohens_kappa(labeled, "la", "lb", group_cols=("source",))
