@@ -295,3 +295,64 @@ def test_cdc_chunks_single_doc_window(spark, sf_dir):
     assert not audit["global_window"] and not audit["python_row_udf"]
     p = plan(df)
     assert "WindowGroupLimit" in p or "Window" in p
+
+
+def test_url_parse_zero_shuffle(spark, sf_dir):
+    """URL synth + parse + registered domain is pure expressions —
+    the whole derivation runs at scan speed with NO exchange (the r9
+    family's scale claim)."""
+    p = plan(get_all_queries()["url_parse_components"](spark, sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_url_normalize_dedup_two_exchanges_max(spark, sf_dir):
+    """Canonicalization is scan-side; the dedup pays exactly the TWO
+    exchanges exact count-distinct costs (the (key, url) expand phase
+    then the key rollup) — nothing beyond the aggregation itself, and
+    partial aggregation runs before each exchange."""
+    p = plan(get_all_queries()["url_normalize_dedup"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p
+    assert "HashAggregate" in p
+
+
+def test_pii_scan_zero_shuffle_until_rollup(spark, sf_dir):
+    """The r9 normalized dedup KEY derivation is scan-side: deriving
+    norm_key adds no exchange over the raw-text dedup plan."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.dedup import (
+        exact_dedup,
+        normalized_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = plan(exact_dedup(docs, "text", "doc_id"))
+    norm = plan(normalized_exact_dedup(docs, "text", "doc_id"))
+    n_raw = len(re.findall(r"\(\d+\) Exchange", raw))
+    n_norm = len(re.findall(r"\(\d+\) Exchange", norm))
+    # raw: one dedup exchange; normalized: +1 ONLY for its
+    # n_variants count-distinct expand — the key DERIVATION itself
+    # adds no exchange (it folds into the scan-side projection)
+    assert n_raw == 1 and n_norm == 2, (n_raw, n_norm)
+
+
+def test_classifier_scoring_single_model_join(spark, sf_dir):
+    """Inference = one BROADCAST model join + one per-doc agg — the
+    corpus never shuffles against the model."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.classifier import (
+        score_quasi_logreg,
+        train_quasi_logreg,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("doc_id") % 2).cast("int")
+    )
+    model = train_quasi_logreg(
+        docs, "doc_id", "text", "y", n_buckets=8, iters=1
+    )
+    p = plan(score_quasi_logreg(docs, model, "doc_id", "text", 8))
+    unpersist_all()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
