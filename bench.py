@@ -1882,45 +1882,34 @@ def main() -> None:
     except OSError as e:  # read-only checkout: stdout still has it
         print(f"# full record not written: {e}", file=sys.stderr)
     # Compact headline-only line printed LAST (r5 verdict #4): the
-    # driver captures a bounded output tail, and round 5's full line
-    # outgrew it — this line repeats the 13 comparison-critical
-    # per-query numbers so they survive any front-truncation of the
-    # full line above.
+    # driver captures a bounded output TAIL (~2000 chars), so this
+    # line must (a) stay slim in the healthy case and (b) order its
+    # fields EXPENDABLE-FIRST — if it ever outgrows the tail, the
+    # truncation eats calibration context, never the verdicts (the
+    # within-line generalization of the compact-line-last
+    # discipline; r9 — the flags dict pushed a 6-suspect line to
+    # 2.7k chars). Spreads are reduced to per-query MINs (the only
+    # spread statistic the wall gate reads); full spreads live in
+    # the long line and BENCH_LATEST_full.json.
     compact = {
+        # -- expendable context first --
         "metric": "sum_median_sec_headline_queries",
-        "value": out["value"],
         "unit": "sec",
-        "queries": timings,
-        # [min, median, max] over HEADLINE_RUNS timed runs (r6
-        # verdict #1a) — the regression-decidability data: a real
-        # regression lifts the MIN, host noise only lifts median/max
-        "queries_spread": out["queries_spread"],
         "sf": out["sf"],
         "calibration_sec": cal,
-        "calibration_ref_sec": CAL_REF_SEC,
         "calibration_shuffle_sec": cal_shuf,
-        "calibration_shuffle_ref_sec": CAL_SHUF_REF_SEC,
+        "calibration_cpu_sec": cal_cpu,
+        "calibration_shuffle_cpu_sec": cal_shuf_cpu,
         "value_normalized": out["value_normalized"],
         "value_normalized_conservative": out[
             "value_normalized_conservative"
         ],
-        "headline_min_total_sec": round(
-            sum(spread[n][0] for n in HEADLINE), 3
-        ),
         "extension_core_total_sec": out["extension_core_total_sec"],
         "extension_other_total_sec": out["extension_other_total_sec"],
-        # headline CPU seconds + the extension delta-table verdict
-        # summary (full tables in the long line above): the compact
-        # line stays bounded while still carrying the r8 CPU anchors
-        # and any extension-tier regression names
+        # -- comparison-critical, nearest the end --
         "queries_cpu": out["queries_cpu"],
-        "value_cpu_sec": out["value_cpu_sec"],
-        "calibration_cpu_sec": cal_cpu,
-        "calibration_shuffle_cpu_sec": cal_shuf_cpu,
-        "ext_delta_regressed": sorted(
-            n for n, v in ext_deltas.items()
-            if isinstance(v, dict) and v["verdict"] == "REGRESSED"
-        ),
+        "queries": timings,
+        "queries_min": {n: spread[n][0] for n in HEADLINE},
         "ext_delta_improved": sum(
             1 for v in ext_deltas.values()
             if isinstance(v, dict) and v["verdict"] == "IMPROVED"
@@ -1929,21 +1918,26 @@ def main() -> None:
             1 for v in ext_deltas.values()
             if isinstance(v, dict) and v["verdict"] == "noise-band"
         ),
-        # FULL delta entries (prev/med/cpu/verdict) for every
-        # non-noise verdict, headline AND extension (r9 verdict #2):
-        # r8's truncated tail left four REGRESSED names with no
-        # numbers to adjudicate against. Noise-band entries stay
-        # count-only, so this block is small exactly when the round
-        # is healthy.
+        # FULL numbers for every non-noise verdict, headline AND
+        # extension (r9 verdict #2), as compact 5-tuples
+        # [prev, med, cpu, cpu_prev, verdict]: flagged names must
+        # never again arrive without numbers
         "flags": {
-            n: {
-                k: v[k]
-                for k in ("prev", "med", "cpu", "cpu_prev", "verdict")
-            }
+            n: [v["prev"], v["med"], v["cpu"], v["cpu_prev"],
+                v["verdict"]]
             for table in (deltas, ext_deltas)
             for n, v in table.items()
             if isinstance(v, dict) and v["verdict"] != "noise-band"
         },
+        "ext_delta_regressed": sorted(
+            n for n, v in ext_deltas.items()
+            if isinstance(v, dict) and v["verdict"] == "REGRESSED"
+        ),
+        "headline_min_total_sec": round(
+            sum(spread[n][0] for n in HEADLINE), 3
+        ),
+        "value_cpu_sec": out["value_cpu_sec"],
+        "value": out["value"],
         "compact_twin_of_previous_line": True,
     }
     print(json.dumps(compact))
