@@ -153,3 +153,51 @@ def test_yaml_quality_classifier_filter_matches_direct(spark, toy):
     key = lambda r: r["doc_id"]  # noqa: E731
     assert sorted(kept, key=key) == sorted(direct, key=key)
     assert len(kept) == 20 and all(r["y"] == 1 for r in kept)
+
+
+def test_training_oracle_bit_exact_with_empty_tokens(spark):
+    """Round-10 ADVICE regression: doubled/leading/trailing spaces
+    produce empty tokens from split(); both engines must DROP them
+    (Spark would hash '' to bucket 0, DuckDB's polynomial hash of ''
+    is NULL and the row would silently vanish from the training
+    joins) — the trained model must still hash-match bit for bit."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.classifier import (
+        train_quasi_logreg_oracle_sql,
+    )
+
+    rows = [
+        (0, "good  good pad", 1),
+        (1, " bad bad  pad ", 0),
+        (2, "good pad   pad", 1),
+        (3, "bad   pad", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model = sorted(
+        map(
+            tuple,
+            train_quasi_logreg(
+                docs, "doc_id", "text", "y",
+                n_buckets=8, iters=3, lr=(1, 4),
+            ).collect(),
+        )
+    )
+    unpersist_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {t!r}, {y})" for i, t, y in rows)
+        + ") t(doc_id, text, y)"
+    )
+    duck = sorted(
+        map(
+            tuple,
+            con.execute(
+                train_quasi_logreg_oracle_sql(
+                    label_sql="y", n_buckets=8, iters=3, lr=(1, 4)
+                )
+            ).fetchall(),
+        )
+    )
+    assert model == duck

@@ -127,3 +127,21 @@ def test_normalize_for_dedup_planted_classes(spark):
     assert fox["doc_id"] == 0 and fox["n_dups"] == 3
     assert fox["n_variants"] == 3
     assert out["the quick brown wolf"]["n_dups"] == 1
+
+
+def test_normalize_oracle_underscore_prefix_not_like_wildcard(spark):
+    """Round-10 ADVICE regression: 'utm_' is a PREFIX, and '_' must
+    not act as a LIKE single-char wildcard in the DuckDB oracle — a
+    param named 'utmz' is NOT tracking noise and must survive
+    normalization identically on both engines."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.urls import normalize_urls_oracle
+
+    url = "https://example.com/a?utmz=1&utm_source=tw&id=7"
+    got = _one(spark, url)["canonical_url"]
+    assert got == "https://example.com/a?id=7&utmz=1"
+    duck = duckdb.connect().execute(
+        f"SELECT {normalize_urls_oracle(repr(url))} AS c"
+    ).fetchone()[0]
+    assert duck == got

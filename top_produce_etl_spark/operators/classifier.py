@@ -65,10 +65,14 @@ def _features(
     intrinsic per token — the countmin/kmv/dsir fast-twin
     convention); "portable" is the polynomial hash the DuckDB
     training oracle can replay."""
+    # Drop empty tokens (doubled/leading/trailing spaces): Spark would
+    # hash '' to bucket 0 while DuckDB's list_sum over an empty range
+    # is NULL, silently diverging the bit-exact training oracle on
+    # such corpora (round-10 ADVICE fix — filtered on BOTH engines).
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    )
+    ).where(F.col("tok") != "")
     if hash_mode == "xxhash64":
         bucket = (
             F.pmod(F.xxhash64(F.col("tok")), F.lit(n_buckets))
@@ -257,6 +261,7 @@ feats AS MATERIALIZED (
         FROM (SELECT {id_col},
                      unnest(string_split({text_col}, ' ')) AS tok
               FROM {table})
+        WHERE tok <> ''
     ) GROUP BY 1, 2
     UNION ALL
     SELECT {id_col} AS id, {BIAS_BUCKET} AS bucket, 1 AS c

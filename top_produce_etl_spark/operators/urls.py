@@ -200,9 +200,12 @@ def normalize_urls_oracle(url_sql: str) -> str:
           OR ({scheme} = 'https' AND {port0} = '443')
           OR {port0} = '' THEN ''
         ELSE ':' || {port0} END"""
+    # starts_with, not LIKE: '_' is a single-char LIKE wildcard, so
+    # "p LIKE 'utm_%'" would also strip 'utmz=1' etc. while the Spark
+    # side (startswith) keeps it (round-10 ADVICE fix).
     track = " OR ".join(
-        f"p LIKE '{pref}%'" if pref.endswith("_")
-        else f"(p = '{pref}' OR p LIKE '{pref}=%')"
+        f"starts_with(p, '{pref}')" if pref.endswith("_")
+        else f"(p = '{pref}' OR starts_with(p, '{pref}='))"
         for pref in TRACKING_PARAM_PREFIXES
     )
     kept = (
