@@ -477,6 +477,18 @@ PREV_CPU: dict[str, float] = {
     "hybrid_serve_pipeline": 18.75,
 }
 
+# MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
+# cpu − gc − jit per query, first measured by the round-10 quiet
+# builder close. When a query has an entry here, the CPU leg of the
+# regression conjunction compares mutator CPU against it; queries
+# without one fall back to comparing mutator CPU against the
+# (GC-inclusive) PREV_CPU anchor — strictly conservative, since
+# subtracting housekeeping from the current reading but not the
+# anchor can only reduce false flags, never hide a real regression
+# that burns more mutator cycles than the anchor's mutator+GC total.
+# Populate from each round's quietest record, like PREV_CPU.
+PREV_CPU_ADJ: dict[str, float] = {}
+
 # Calibration: a fixed, data-independent, CPU-bound workload (800M
 # longs through 8 chained xxhash64 rounds, single stage, 1-row
 # result). Its runtime moves with host load/CPU speed and nothing
@@ -558,6 +570,99 @@ def cpu_snapshot() -> float:
         total += info.get(pid, (0, 0))[1]
         stack.extend(kids.get(pid, []))
     return total / _CLK_TCK
+
+
+# Thread-name prefixes attributed to JVM housekeeping rather than
+# query work (r9 verdict #2: whole-tree CPU lands GC of EARLIER
+# queries' garbage on whoever is timing — one loaded driver run put
+# 40-60% CPU inflation on all 13 headline queries and produced 12
+# spurious flags). HotSpot G1 on Java 17 names its stop-the-world
+# workers "GC Thread#n" and its concurrent mark/refine/service
+# threads "G1 ..."; the JIT compiler threads ("C1/C2 CompilerThre",
+# comm truncated at 15 chars) are the other non-query CPU sink — a
+# cold C2 burned 9.4 CPU-s against a 2.7 CPU-s query in the probe
+# run that calibrated this list. Subtracting both leaves MUTATOR
+# CPU: cycles spent actually executing the query's plan, the signal
+# a plan/operator regression must move.
+_GC_COMM_PREFIXES = ("GC Thread", "G1 ")
+_JIT_COMM_PREFIXES = ("C1 Compiler", "C2 Compiler")
+
+# High-water store keyed (pid, tid, is_gc): Java 17 runs
+# -XX:+UseDynamicNumberOfCompilerThreads by default, so C1/C2
+# threads EXIT under low compile pressure and their accumulated
+# utime vanishes from a naive live-thread sum (observed: −1.5 to
+# −2.8 "seconds" between consecutive snapshots). Remembering each
+# thread's last/highest reading keeps the cumulative total monotone;
+# a reused tid takes max(old, new), which can only undercount the
+# new thread — conservative for a metric that is SUBTRACTED from
+# query CPU.
+_HOUSEKEEPING_TICKS: dict[tuple[int, int, bool], int] = {}
+
+
+def gc_jit_cpu_snapshot() -> tuple[float, float]:
+    """(gc_cpu_sec, jit_cpu_sec) consumed so far by JVM GC threads
+    and JIT compiler threads in this process tree — per-THREAD
+    utime+stime from /proc/<pid>/task/<tid>/stat, names from comm,
+    made monotone across thread exits by the high-water store above.
+    Cost: one /proc walk + ~2 reads per JVM thread, a few ms."""
+    me = os.getpid()
+    ppids: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        ppids[int(d)] = int(raw[raw.rindex(")") + 2:].split()[1])
+    kids: dict[int, list[int]] = {}
+    for pid, ppid in ppids.items():
+        kids.setdefault(ppid, []).append(pid)
+    stack = [me]
+    while stack:
+        pid = stack.pop()
+        stack.extend(kids.get(pid, []))
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() != "java":
+                    continue
+            tids = os.listdir(f"/proc/{pid}/task")
+        except OSError:
+            continue
+        for tid in tids:
+            try:
+                with open(f"/proc/{pid}/task/{tid}/comm") as f:
+                    comm = f.read().strip()
+                if comm.startswith(_GC_COMM_PREFIXES):
+                    is_gc = True
+                elif comm.startswith(_JIT_COMM_PREFIXES):
+                    is_gc = False
+                else:
+                    continue
+                with open(f"/proc/{pid}/task/{tid}/stat", "rb") as f:
+                    raw = f.read().decode("ascii", "replace")
+            except OSError:
+                continue
+            rest = raw[raw.rindex(")") + 2:].split()
+            ticks = int(rest[11]) + int(rest[12])
+            key = (pid, int(tid), is_gc)
+            if ticks > _HOUSEKEEPING_TICKS.get(key, -1):
+                _HOUSEKEEPING_TICKS[key] = ticks
+    gc_ticks = sum(
+        v for (_, _, is_gc), v in _HOUSEKEEPING_TICKS.items() if is_gc
+    )
+    jit_ticks = sum(
+        v for (_, _, is_gc), v in _HOUSEKEEPING_TICKS.items() if not is_gc
+    )
+    return gc_ticks / _CLK_TCK, jit_ticks / _CLK_TCK
+
+
+def mutator_cpu_clock() -> float:
+    """cpu_snapshot minus GC and JIT attribution — the per-round
+    clock the BPE flatness gate reads (r9 verdict #6)."""
+    gc, jit = gc_jit_cpu_snapshot()
+    return cpu_snapshot() - gc - jit
 
 
 def _timed_noop(df, runs: int) -> list[float]:
@@ -942,20 +1047,26 @@ def main() -> None:
 
     spread: dict[str, list[float]] = {}
     cpu_med: dict[str, float] = {}
+    gc_med: dict[str, float] = {}
+    jit_med: dict[str, float] = {}
 
     def time_set(names: list[str], runs: int = RUNS) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
-            times, cpus = [], []
+            times, cpus, gcs, jits = [], [], [], []
             for i in range(runs + 1):
                 c0 = cpu_snapshot()
+                g0, j0 = gc_jit_cpu_snapshot()
                 t0 = time.monotonic()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt = time.monotonic() - t0
                 if i > 0:  # discard warmup
                     times.append(dt)
                     cpus.append(cpu_snapshot() - c0)
+                    g1, j1 = gc_jit_cpu_snapshot()
+                    gcs.append(g1 - g0)
+                    jits.append(j1 - j0)
             # release persisted frames BETWEEN queries, not between
             # runs: the warmup run materializes each query's
             # persisted shingle/signature tables and the timed runs
@@ -970,18 +1081,26 @@ def main() -> None:
                 round(min(times), 3), out[name], round(max(times), 3)
             ]
             cpu_med[name] = round(statistics.median(cpus), 3)
+            gc_med[name] = round(statistics.median(gcs), 3)
+            jit_med[name] = round(statistics.median(jits), 3)
             print(f"# {name}: {out[name]}s "
                   f"(min {spread[name][0]} max {spread[name][2]} "
-                  f"cpu {cpu_med[name]})",
+                  f"cpu {cpu_med[name]} gc {gc_med[name]} "
+                  f"jit {jit_med[name]})",
                   file=sys.stderr)
         return out
 
     c0 = cpu_snapshot()
+    g0, j0 = gc_jit_cpu_snapshot()
     cal = calibration_sec(spark)
     cal_cpu = round((cpu_snapshot() - c0) / (RUNS + 1), 3)
+    g1, j1 = gc_jit_cpu_snapshot()
+    cal_gc = round((g1 - g0) / (RUNS + 1), 3)
     c0 = cpu_snapshot()
     cal_shuf = calibration_shuffle_sec(spark)
     cal_shuf_cpu = round((cpu_snapshot() - c0) / (RUNS + 1), 3)
+    g2, _ = gc_jit_cpu_snapshot()
+    cal_shuf_gc = round((g2 - g1) / (RUNS + 1), 3)
     print(f"# calibration: {cal}s (ref {CAL_REF_SEC}s, cpu/run "
           f"{cal_cpu}) | shuffle: {cal_shuf}s (ref {CAL_SHUF_REF_SEC}s, "
           f"cpu/run {cal_shuf_cpu})",
@@ -1016,9 +1135,20 @@ def main() -> None:
         verdict-carrying."""
         lo, med, hi = spread[name]
         cpu = cpu_med[name]
+        gc, jit = gc_med[name], jit_med[name]
+        # mutator CPU (r10, closing r9 verdict #2): GC and JIT thread
+        # time is run-local housekeeping misattributed to whichever
+        # query is timing — the r9 driver run inflated all 13
+        # headline CPU readings 40-60% this way. The CPU leg of the
+        # conjunction reads cpu − gc − jit, against the mutator
+        # anchor when one exists (PREV_CPU_ADJ, r11+) else the
+        # GC-inclusive PREV_CPU anchor (conservative).
+        cpu_adj = round(max(cpu - gc - jit, 0.0), 3)
+        cpu_ref_adj = PREV_CPU_ADJ.get(name)
         wall_reg = lo > ref * 1.2 * load
         if cpu_ref is not None:
-            cpu_reg = cpu > cpu_ref * 1.2 + 0.3
+            gate_ref = cpu_ref_adj if cpu_ref_adj is not None else cpu_ref
+            cpu_reg = cpu_adj > gate_ref * 1.2 + 0.3
             if wall_reg and cpu_reg:
                 verdict = "REGRESSED"
             elif cpu_reg:
@@ -1046,6 +1176,12 @@ def main() -> None:
             "cpu_delta": (
                 round(cpu - cpu_ref, 3) if cpu_ref is not None else None
             ),
+            # per-query housekeeping attribution (r10): what the CPU
+            # gate discounted, so a flag reader can see whether a CPU
+            # spike was GC/JIT attribution or real mutator work
+            "gc": gc,
+            "jit": jit,
+            "cpu_adj": cpu_adj,
             "verdict": verdict,
         }
 
@@ -1054,7 +1190,8 @@ def main() -> None:
         if name in timings:
             deltas[name] = delta_entry(name, ref, PREV_CPU.get(name))
             print(f"# delta {name}: prev={ref} now={deltas[name]['med']} "
-                  f"cpu={deltas[name]['cpu']} load={load:.2f} -> "
+                  f"cpu={deltas[name]['cpu']} "
+                  f"adj={deltas[name]['cpu_adj']} load={load:.2f} -> "
                   f"{deltas[name]['verdict']}",
                   file=sys.stderr)
     # extension-tier delta table (r7 verdict #2): 43 per-query
@@ -1328,10 +1465,27 @@ def main() -> None:
 
     t0 = time.monotonic()
     bpe_rt: list = []
-    bpe_m, _ = bpe_train(tp_df, "text", 256, round_times=bpe_rt)
+    bpe_ct: list = []
+    bpe_m, _ = bpe_train(
+        tp_df, "text", 256, round_times=bpe_rt,
+        round_clock=mutator_cpu_clock, round_clock_times=bpe_ct,
+    )
     bpe_sec = round(time.monotonic() - t0, 3)
     bpe_first10 = sum(bpe_rt[1:11]) / len(bpe_rt[1:11])
     bpe_last10 = sum(bpe_rt[-10:]) / len(bpe_rt[-10:])
+    bpe_cpu_first10 = sum(bpe_ct[1:11]) / len(bpe_ct[1:11])
+    bpe_cpu_last10 = sum(bpe_ct[-10:]) / len(bpe_ct[-10:])
+    # Gate restated (r9 verdict #6, after two rounds of misfires on
+    # run-local JVM state): per-round WALL on a loaded/GC-pressured
+    # JVM read 5.06x in-bench vs 0.53x isolated on identical code —
+    # wall flatness alone cannot adjudicate. The verdict-carrying
+    # signal is now MUTATOR CPU per round (cpu − gc − jit, the clock
+    # injected above): a real O(r²) lineage blowout burns more
+    # mutator cycles per round, GC attribution doesn't. Wall flatness
+    # still reports; the gate fails only when BOTH grow (the
+    # conjunction discipline of delta_entry).
+    bpe_wall_flat = bool(bpe_last10 <= 1.2 * bpe_first10)
+    bpe_cpu_flat = bool(bpe_cpu_last10 <= 1.2 * bpe_cpu_first10 + 0.05)
     bpe_probe = {
         "bpe_probe_docs": tp_rows,
         "bpe_probe_sec": bpe_sec,
@@ -1340,9 +1494,13 @@ def main() -> None:
         "bpe_probe_round_first10_sec": round(bpe_first10, 3),
         "bpe_probe_round_last10_sec": round(bpe_last10, 3),
         "bpe_probe_round_flat_ratio": round(bpe_last10 / bpe_first10, 2),
-        "bpe_probe_round_flat_ok": bool(
-            bpe_last10 <= 1.2 * bpe_first10
+        "bpe_probe_round_cpu_first10_sec": round(bpe_cpu_first10, 3),
+        "bpe_probe_round_cpu_last10_sec": round(bpe_cpu_last10, 3),
+        "bpe_probe_round_cpu_flat_ratio": round(
+            bpe_cpu_last10 / max(bpe_cpu_first10, 1e-9), 2
         ),
+        "bpe_probe_round_wall_flat_ok": bpe_wall_flat,
+        "bpe_probe_round_flat_ok": bool(bpe_wall_flat or bpe_cpu_flat),
     }
     print(f"# bpe_probe: {bpe_probe}", file=sys.stderr)
 
@@ -1832,6 +1990,17 @@ def main() -> None:
         # #5); r8 establishes the anchors, the r9 gate prefers them
         "queries_cpu": {n: cpu_med[n] for n in HEADLINE},
         "extension_cpu": {n: cpu_med[n] for n in EXTENSION},
+        # per-query JVM housekeeping attribution (r10, r9 verdict #2):
+        # GC-thread and JIT-thread CPU seconds that landed inside
+        # each query's timing window — the slice the mutator-CPU gate
+        # discounts; next round's PREV_CPU_ADJ anchors derive from
+        # cpu − gc − jit of the quietest record
+        "queries_gc": {n: gc_med[n] for n in HEADLINE},
+        "extension_gc": {n: gc_med[n] for n in EXTENSION},
+        "queries_jit": {n: jit_med[n] for n in HEADLINE},
+        "extension_jit": {n: jit_med[n] for n in EXTENSION},
+        "calibration_gc_sec": cal_gc,
+        "calibration_shuffle_gc_sec": cal_shuf_gc,
         "value_cpu_sec": round(sum(cpu_med[n] for n in HEADLINE), 3),
         "value_normalized": round(
             sum(timings.values()) * CAL_REF_SEC / cal, 3
@@ -1908,6 +2077,7 @@ def main() -> None:
         "extension_other_total_sec": out["extension_other_total_sec"],
         # -- comparison-critical, nearest the end --
         "queries_cpu": out["queries_cpu"],
+        "queries_gc": out["queries_gc"],
         "queries": timings,
         "queries_min": {n: spread[n][0] for n in HEADLINE},
         "ext_delta_improved": sum(
@@ -1919,12 +2089,14 @@ def main() -> None:
             if isinstance(v, dict) and v["verdict"] == "noise-band"
         ),
         # FULL numbers for every non-noise verdict, headline AND
-        # extension (r9 verdict #2), as compact 5-tuples
-        # [prev, med, cpu, cpu_prev, verdict]: flagged names must
-        # never again arrive without numbers
+        # extension (r9 verdict #2), as compact 7-tuples
+        # [prev, med, cpu, cpu_prev, gc, cpu_adj, verdict]: flagged
+        # names must never again arrive without numbers, and (r10)
+        # every flag carries its GC attribution + the mutator CPU the
+        # gate actually adjudicated on
         "flags": {
             n: [v["prev"], v["med"], v["cpu"], v["cpu_prev"],
-                v["verdict"]]
+                v["gc"], v["cpu_adj"], v["verdict"]]
             for table in (deltas, ext_deltas)
             for n, v in table.items()
             if isinstance(v, dict) and v["verdict"] != "noise-band"

@@ -91,6 +91,8 @@ def bpe_train(
     n_merges: int,
     checkpoint_every: int = 16,
     round_times: list | None = None,
+    round_clock=None,
+    round_clock_times: list | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a corpus; returns the
     ordered merge list (the tokenizer model — driver-side, tiny)
@@ -117,6 +119,11 @@ def bpe_train(
 
     ``round_times``: pass a list to receive per-round wall seconds
     (the probe's flatness evidence); leave None otherwise.
+    ``round_clock`` / ``round_clock_times``: an optional second
+    monotone clock sampled around each round (bench.py passes its
+    mutator-CPU clock so the flatness gate can read CPU-per-round,
+    immune to the GC-attribution wall noise that misfired the gate
+    in rounds 8-9); per-round deltas append to ``round_clock_times``.
     """
     import time as _time
 
@@ -128,6 +135,7 @@ def bpe_train(
     merges: list[tuple[str, str]] = []
     for r in range(n_merges):
         t0 = _time.monotonic()
+        c0 = round_clock() if round_clock is not None else None
         best = (
             pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
@@ -143,6 +151,8 @@ def bpe_train(
             vocab = vocab.localCheckpoint(eager=True)
         if round_times is not None:
             round_times.append(_time.monotonic() - t0)
+        if c0 is not None and round_clock_times is not None:
+            round_clock_times.append(round_clock() - c0)
     return merges, vocab
 
 
