@@ -1,0 +1,149 @@
+"""Public-suffix-list registered domains (round 10 —
+operators/psl.py): rule expansion, PSL algorithm semantics
+(wildcards, exceptions, fall-through), Spark/DuckDB parity, the
+broadcast-only plan shape, and the full-list loader seam."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.operators.psl import (
+    PSL_SNAPSHOT_RULES,
+    expand_rules,
+    psl_rules_df,
+    registered_domain_psl_oracle_ctes,
+    with_registered_domain_psl,
+)
+
+# The structurally distinct host shapes, with expected
+# (registered domain, public suffix) under the snapshot rules:
+CASES = [
+    ("example.com", "example.com", "com"),  # implicit * rule
+    ("www.example.co.uk", "example.co.uk", "co.uk"),  # ccTLD 2nd lvl
+    ("foo.github.io", "foo.github.io", "github.io"),  # private sect.
+    ("deep.foo.github.io", "foo.github.io", "github.io"),
+    ("example.com.mx", "example.com.mx", "com.mx"),
+    ("shop.example.co.nz", "example.co.nz", "co.nz"),
+    ("foo.ck", None, "foo.ck"),  # wildcard *.ck: foo.ck IS a suffix
+    ("bar.foo.ck", "bar.foo.ck", "foo.ck"),
+    ("www.ck", "www.ck", "ck"),  # exception !www.ck
+    ("sub.www.ck", "www.ck", "ck"),
+    # *.kawasaki.jp does NOT match the bare host kawasaki.jp —
+    # falls through to the implicit last-label rule
+    ("kawasaki.jp", "kawasaki.jp", "jp"),
+    ("foo.kawasaki.jp", None, "foo.kawasaki.jp"),
+    ("sub.foo.kawasaki.jp", "sub.foo.kawasaki.jp", "foo.kawasaki.jp"),
+    ("city.kawasaki.jp", "city.kawasaki.jp", "kawasaki.jp"),  # !rule
+    ("ward.city.kawasaki.jp", "city.kawasaki.jp", "kawasaki.jp"),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com",
+     "s3.amazonaws.com"),
+    ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com",
+     "s3.amazonaws.com"),
+    ("github.io", None, "github.io"),  # a suffix is not registrable
+    ("com", None, "com"),
+    ("localhost", None, "localhost"),
+]
+
+
+def test_expand_rules_families():
+    d = {k: (kl, ps) for k, kl, ps in expand_rules()}
+    assert d["co.uk"] == (2, 2)  # normal
+    assert d["ck"] == (1, 2)  # wildcard: parent key, +1 label suffix
+    assert d["www.ck"] == (2, 1)  # exception: key-1 labels suffix
+    assert d["kawasaki.jp"] == (2, 3)
+    assert d["city.kawasaki.jp"] == (3, 2)
+    assert d["github.io"] == (2, 2)
+    assert d["s3.amazonaws.com"] == (3, 3)
+    # keys are unique (join fan-out safety) and within probe depth
+    keys = [k for k, _, _ in expand_rules()]
+    assert len(keys) == len(set(keys))
+    assert max(kl for _, kl, _ in expand_rules()) <= 4
+
+
+def _resolve_spark(spark, hosts):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "id int, host string"
+    )
+    out = with_registered_domain_psl(
+        df, "host", "domain", suffix_out="public_suffix"
+    )
+    return {r["host"]: (r["domain"], r["public_suffix"])
+            for r in out.collect()}
+
+
+def test_psl_semantics(spark):
+    got = _resolve_spark(spark, [h for h, _, _ in CASES])
+    for host, dom, suf in CASES:
+        assert got[host] == (dom, suf), (host, got[host], (dom, suf))
+
+
+def test_psl_oracle_parity(spark):
+    """The DuckDB CTE chain replays the Spark join byte for byte on
+    every structurally distinct host shape."""
+    hosts = [h for h, _, _ in CASES]
+    got = _resolve_spark(spark, hosts)
+    vals = ", ".join(f"({i}, '{h}')" for i, h in enumerate(hosts))
+    sql = f"""WITH hosts(id, host) AS (VALUES {vals}),
+    {registered_domain_psl_oracle_ctes('hosts')}
+    SELECT host, domain, public_suffix FROM psl_resolved"""
+    duck = {r[0]: (r[1], r[2])
+            for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == duck
+
+
+def test_psl_plan_broadcast_only(spark):
+    """The rule dimension reaches the host scan as broadcast hash
+    joins ONLY — no shuffle exchange, no explode, no sort: the plan
+    that keeps registered-domain extraction scan-speed at 100 TB."""
+    df = spark.range(1000).withColumn(
+        "host", F.concat(F.lit("site"), F.col("id"), F.lit(".github.io"))
+    )
+    out = with_registered_domain_psl(df, "host")
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted explain prints each node in the tree AND the detail
+    # section — count the numbered detail lines
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 4, p
+    assert "Generate" not in p, p  # no explode
+    assert not re.search(r"\(\d+\) Exchange\b", p), p  # broadcasts only
+
+
+def test_psl_loader_seam(spark, tmp_path):
+    """psl_rules_df(path=...) parses a real public_suffix_list.dat
+    shape (comments, blanks, wildcards, exceptions) — the production
+    seam for the full downloaded list."""
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "uk\n"
+        "co.uk\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "// ===END ICANN DOMAINS===\n"
+        "dev.example\n"
+    )
+    rules = psl_rules_df(spark, path=str(dat))
+    rows = {r["match_key"]: (r["key_labels"], r["ps_labels"])
+            for r in rules.collect()}
+    assert rows["co.uk"] == (2, 2)
+    assert rows["ck"] == (1, 2)
+    assert rows["www.ck"] == (2, 1)
+    assert rows["dev.example"] == (2, 2)
+    got = _resolve_spark(spark, ["a.b.co.uk"])
+    assert got["a.b.co.uk"] == ("b.co.uk", "co.uk")
+
+
+def test_snapshot_covers_old_literal(spark):
+    """Every multi-label suffix the retired 10-entry literal knew
+    stays recognized — no regression for existing url queries."""
+    from top_produce_etl_spark.operators.urls import MULTI_LABEL_SUFFIXES
+
+    d = {k for k, _, _ in expand_rules()}
+    assert set(MULTI_LABEL_SUFFIXES) <= d
+    assert len(PSL_SNAPSHOT_RULES) > 100

@@ -10,6 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators.psl import (
+    registered_domain_psl_oracle_ctes,
+    with_registered_domain_psl,
+)
 from top_produce_etl_spark.operators.urls import (
     normalize_urls,
     normalize_urls_oracle,
@@ -118,5 +122,75 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("domain").agg(
         F.count("*").cast("bigint").alias("n_urls"),
         F.countDistinct("path").cast("bigint").alias("n_paths"),
+        F.min("doc_id").cast("bigint").alias("first_doc_id"),
+    )
+
+
+# --- PSL registered domains (round 10 — operators/psl.py) ---
+
+# Host fixture with suffix families the retired 10-entry literal
+# could NOT resolve: private-section hosting domains (github.io,
+# blogspot.com, s3.amazonaws.com), post-literal ccTLD second levels
+# (com.mx, co.nz), a wildcard TLD (*.ck) and its exception (!www.ck),
+# and the *.kawasaki.jp family. One third of hosts get an extra
+# label so every family exercises both the at-suffix-depth and
+# below-suffix-depth paths.
+_PSL_FIXTURE_SUFFIXES = [
+    "com", "github.io", "com.mx", "co.nz", "blogspot.com",
+    "ck", "www.ck", "kawasaki.jp", "s3.amazonaws.com", "co.uk",
+]
+
+
+def _psl_fixture_hosts(docs: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _PSL_FIXTURE_SUFFIXES]),
+        (i % 10).cast("int") + 1,
+    )
+    host = F.concat(
+        F.when(i % 3 == 0, F.lit("sub.")).otherwise(F.lit("")),
+        F.lit("site"), (i % 23).cast("string"), F.lit("."), suffix,
+    )
+    return docs.select("doc_id", host.alias("host"))
+
+
+def _PSL_DOMAIN_ORACLE() -> str:
+    sufs = ", ".join(f"'{s}'" for s in _PSL_FIXTURE_SUFFIXES)
+    return f"""
+    WITH hosts AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END
+                || 'site' || CAST(doc_id % 23 AS VARCHAR) || '.'
+                || ([{sufs}])[CAST(doc_id % 10 AS INT) + 1]) AS host
+        FROM documents
+    ),
+    {registered_domain_psl_oracle_ctes('hosts')}
+    SELECT public_suffix, domain,
+           CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_distinct_hosts,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM psl_resolved
+    GROUP BY 1, 2
+    """
+
+
+@query("url_domain_psl_stats", extended=True, oracle=_PSL_DOMAIN_ORACLE())
+def url_domain_psl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain census under REAL public-suffix-list
+    semantics (round 10, closing the r9 verdict gap: the 10-entry
+    literal resolved foo.github.io to 'github.io' as if one site).
+    The rule snapshot broadcast-joins against the host's last-k label
+    strings — four BroadcastHashJoins, zero shuffles before the final
+    census agg (plan-pinned in tests/test_psl.py); wildcard hosts at
+    suffix depth surface as domain NULL (not registrable), exactly
+    what a per-domain cap must NOT merge with real sites."""
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = _psl_fixture_hosts(docs)
+    resolved = with_registered_domain_psl(
+        hosts, "host", "domain", suffix_out="public_suffix"
+    )
+    return resolved.groupBy("public_suffix", "domain").agg(
+        F.count("*").cast("bigint").alias("n_hosts"),
+        F.countDistinct("host").cast("bigint").alias("n_distinct_hosts"),
         F.min("doc_id").cast("bigint").alias("first_doc_id"),
     )
