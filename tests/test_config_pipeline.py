@@ -1024,3 +1024,82 @@ def test_yaml_normalize_dedup_matches_direct(spark, sf_dir):
     direct = normalized_exact_dedup(variants, "text", "doc_id").collect()
     key = lambda r: r["norm_key"]  # noqa: E731
     assert sorted(rep, key=key) == sorted(direct, key=key)
+
+
+def test_yaml_url_dedup_shares_query_oracle(spark, sf_dir):
+    """Round 10: the shipped URL-curation YAML's normalize→dedup
+    prefix (keep switched to the report mode) must reproduce the
+    oracle-checked url_normalize_dedup query EXACTLY — the YAML path
+    inherits the battery's DuckDB verification."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.urls import synthesize_urls
+    from top_produce_etl_spark.plans.builder import load_pipeline_spec
+    from top_produce_etl_spark.queries import get_all_oracles
+
+    spec = load_pipeline_spec(
+        "/root/repo/configs/pipeline_url_curation.yaml"
+    )
+    prefix = {
+        "source": "urls",
+        "ops": [spec["ops"][0], {**spec["ops"][1], "keep": "report"}],
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    urls = synthesize_urls(docs, effective_mod=100)
+    got = {
+        (r["canonical_url"], r["n_raw"], r["n_raw_variants"],
+         r["keeper_doc_id"])
+        for r in build_pipeline(spark, prefix, {"urls": urls}).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = set(
+        map(tuple,
+            con.execute(get_all_oracles()["url_normalize_dedup"])
+            .fetchall())
+    )
+    assert got == oracle and len(got) > 0
+
+
+def test_yaml_url_curation_full_pipeline(spark, sf_dir):
+    """The full shipped composition (normalize → dedup survivors →
+    PSL domain → per-domain cap): survivors are exactly the oracle's
+    keeper ids, every domain respects the cap, and the domain column
+    resolves via the PSL path."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.urls import synthesize_urls
+    from top_produce_etl_spark.plans.builder import load_pipeline_spec
+    from top_produce_etl_spark.queries import get_all_oracles
+
+    spec = load_pipeline_spec(
+        "/root/repo/configs/pipeline_url_curation.yaml"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    urls = synthesize_urls(docs, effective_mod=100)
+    out = build_pipeline(spark, spec, {"urls": urls}).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    keepers = {
+        r[3] for r in
+        con.execute(get_all_oracles()["url_normalize_dedup"]).fetchall()
+    }
+    got_ids = {r["doc_id"] for r in out}
+    assert got_ids <= keepers and len(got_ids) > 0
+    per_domain: dict = {}
+    for r in out:
+        assert r["domain"] is not None
+        per_domain[r["domain"]] = per_domain.get(r["domain"], 0) + 1
+    assert max(per_domain.values()) <= 5
+    # the capped survivor set is deterministic: re-running the spec
+    # returns the same ids (hash-rank cap, no sampling)
+    again = {
+        r["doc_id"]
+        for r in build_pipeline(spark, spec, {"urls": urls}).collect()
+    }
+    assert again == got_ids
