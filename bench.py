@@ -212,6 +212,10 @@ EXTENSION = [
     "normalized_dedup_documents",  # CCNet-normalized exact dedup (r9)
     "prefix_jaccard_pairs",      # AllPairs/PPJoin exact join (r9)
     "labeler_agreement_kappa",   # chance-corrected label audit (r9)
+    # round-10 additions (PSL registered domains, in-engine langid)
+    "url_domain_psl_stats",      # broadcast public-suffix census (r10)
+    "langid_train",              # 5-head one-vs-rest GD loop (r10)
+    "langid_confusion",          # train-then-score census (r10)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs
@@ -1638,6 +1642,64 @@ def main() -> None:
     }
     print(f"# url_probe: {url_probe}", file=sys.stderr)
 
+    # Language-identification leg (r10): 200k synthesized multi-
+    # language docs (range frame — zero storage) with planted
+    # per-language lexicons; train all 5 one-vs-rest heads with the
+    # production xxhash64 bucket hash, then score the 100k HELD-OUT
+    # docs the model never saw. Planted truths: held-out accuracy
+    # must recover the class structure (gate ≥ 0.99 vs the 0.2
+    # majority baseline), and training throughput is the timed
+    # surface (one scan + one |buckets|-wide shuffle per iteration).
+    from top_produce_etl_spark.operators.langid import (
+        score_langid,
+        synthesize_lang_corpus,
+        train_langid,
+    )
+
+    li_rows = 200_000
+    li_corpus = synthesize_lang_corpus(
+        spark.range(li_rows).select(_F.col("id").alias("doc_id"))
+    )
+    li_train = li_corpus.where(_F.col("doc_id") % 2 == 0)
+    li_held = li_corpus.where(_F.col("doc_id") % 2 == 1)
+    t0 = time.monotonic()
+    li_model = train_langid(li_train, iters=3, hash_mode="xxhash64")
+    li_train_sec = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    li_eval = (
+        score_langid(li_held, li_model, hash_mode="xxhash64")
+        .join(
+            li_held.select(
+                _F.col("doc_id").alias("id"),
+                _F.col("lang").alias("lang_true"),
+            ),
+            "id",
+        )
+        .agg(
+            _F.count("*").alias("n"),
+            _F.sum(
+                (_F.col("pred_lang") == _F.col("lang_true")).cast(
+                    "long"
+                )
+            ).alias("correct"),
+        )
+        .collect()[0]
+    )
+    li_score_sec = round(time.monotonic() - t0, 3)
+    _unp()
+    li_acc = li_eval["correct"] / li_eval["n"]
+    langid_probe = {
+        "langid_probe_docs": li_rows,
+        "langid_probe_train_sec": li_train_sec,
+        "langid_probe_score_sec": li_score_sec,
+        "langid_probe_train_docs_per_sec": round(
+            (li_rows // 2) / li_train_sec, 1
+        ),
+        "langid_probe_heldout_accuracy": round(li_acc, 4),
+        "langid_probe_heldout_ok": bool(li_acc >= 0.99),
+    }
+    print(f"# langid_probe: {langid_probe}", file=sys.stderr)
+
     # THIRD probe — the FLAGSHIP relational path at 10x data (round 5
     # wave 2): lineitem/orders unioned as 10 key-shifted copies of the
     # sf fixture (6M lineitem rows at sf0.1), same join+agg+window
@@ -2042,6 +2104,7 @@ def main() -> None:
         **bpe_probe,
         **classifier_probe,
         **url_probe,
+        **langid_probe,
         **rel_probe,
         **graph_probe,
         **sketch_probe,

@@ -183,6 +183,7 @@ def _load_all() -> None:
         etl_q,
         eventtime,
         joins_q,
+        langid_q,
         linkage_q,
         multimodal_q,
         ops_q,

@@ -1,0 +1,102 @@
+"""In-engine language-identification queries (round 10 —
+operators/langid.py): multi-head one-vs-rest training and the
+train-then-score confusion census, both hash-checked against the
+unrolled DuckDB training oracle on a deterministic multi-language
+corpus with planted lexicons (so the diagonal structure is real,
+not fixture luck)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.operators._cache import unpersist_all
+from top_produce_etl_spark.operators.langid import (
+    langid_confusion_oracle_sql,
+    score_langid,
+    synthesize_lang_corpus,
+    synthesize_lang_corpus_oracle,
+    train_langid,
+    train_langid_oracle_sql,
+)
+from top_produce_etl_spark.queries import query
+
+ITERS = 3
+N_BUCKETS = 64
+LR = (1, 4)
+
+_CORPUS_CTE = (
+    f"lang_corpus AS ({synthesize_lang_corpus_oracle('documents')})"
+)
+
+
+@query(
+    "langid_train",
+    extended=True,
+    oracle=train_langid_oracle_sql(
+        "lang_corpus", iters=ITERS, n_buckets=N_BUCKETS, lr=LR,
+        pre_ctes=_CORPUS_CTE,
+    ),
+)
+def langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN language identification inside the engine (round 10,
+    closing the r9 verdict gap: ``lang`` stops being a given fixture
+    column). All 5 one-vs-rest heads train in ONE loop over hashed
+    char-trigram features: per iteration one scan of the persisted
+    per-doc feature arrays (every head's z map-side from literal
+    weight maps), one |buckets|-wide shuffle carrying 5 gradient
+    columns, one model-sized collect. Integer micro-unit arithmetic
+    end to end — the returned (lang, bucket, w_micro) model
+    hash-matches the unrolled DuckDB gradient-descent oracle bit for
+    bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = synthesize_lang_corpus(docs)
+    model = train_langid(
+        corpus, iters=ITERS, n_buckets=N_BUCKETS, lr=LR
+    )
+    unpersist_all()
+    return model
+
+
+@query(
+    "langid_confusion",
+    extended=True,
+    oracle=langid_confusion_oracle_sql(
+        "lang_corpus", iters=ITERS, n_buckets=N_BUCKETS, lr=LR,
+        pre_ctes=_CORPUS_CTE,
+    ),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score confusion census: every document scored by
+    all 5 trained heads in one broadcast-model join + one per-doc
+    aggregate (5 conditional sums, argmax as an array_min over
+    (−z, lang) structs — deterministic, no second shuffle), rolled
+    up by (true, predicted) with the winning-z mass integers so the
+    scores are hash-checked, not just the argmax. On the planted
+    corpus the matrix is exactly diagonal — recovered language
+    structure, pinned by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = synthesize_lang_corpus(docs)
+    model = train_langid(
+        corpus, iters=ITERS, n_buckets=N_BUCKETS, lr=LR
+    )
+    scored = score_langid(corpus, model, n_buckets=N_BUCKETS)
+    out = (
+        scored.join(
+            corpus.select(
+                F.col("doc_id").alias("id"),
+                F.col("lang").alias("lang_true"),
+            ),
+            "id",
+        )
+        .groupBy("lang_true", "pred_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("z_micro").cast("bigint").alias("sum_z_micro"),
+            F.min("z_micro").cast("bigint").alias("min_z_micro"),
+            F.max("z_micro").cast("bigint").alias("max_z_micro"),
+        )
+    )
+    unpersist_all()
+    return out
