@@ -1103,3 +1103,76 @@ def test_yaml_url_curation_full_pipeline(spark, sf_dir):
         for r in build_pipeline(spark, spec, {"urls": urls}).collect()
     }
     assert again == got_ids
+
+
+def test_yaml_ccnet_chain_matches_handwritten(spark):
+    """Round 10: the shipped CCNet chain (in-engine langid filter →
+    normalized dedup → perplexity-bucket keep) must be row-identical
+    to the handwritten operator composition, and every survivor must
+    actually be the target language (the planted truth the langid
+    stage has to recover on text alone — the corpus frame carries no
+    lang column)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+    from top_produce_etl_spark.operators.langid import (
+        score_langid,
+        synthesize_lang_corpus,
+        train_langid,
+    )
+    from top_produce_etl_spark.operators.textquality import (
+        perplexity_buckets,
+    )
+    from top_produce_etl_spark.plans.builder import load_pipeline_spec
+
+    # corpus: ids 0..299 with the lang TRUTH held aside; reference:
+    # disjoint ids 1000..1299 (same planted lexicons, labeled)
+    corpus_full = synthesize_lang_corpus(
+        spark.range(300).select(F.col("id").alias("doc_id"))
+    )
+    docs = corpus_full.select("doc_id", "text")
+    truth = {r["doc_id"]: r["lang"] for r in corpus_full.collect()}
+    ref = synthesize_lang_corpus(
+        spark.range(1000, 1300).select(F.col("id").alias("doc_id"))
+    )
+
+    spec = load_pipeline_spec("/root/repo/configs/pipeline_ccnet.yaml")
+    got = build_pipeline(
+        spark, spec, {"docs": docs, "lang_reference": ref}
+    ).collect()
+    unpersist_all()
+    got_ids = {r["doc_id"] for r in got}
+    assert len(got_ids) > 0
+    assert all(truth[i] == "en" for i in got_ids)
+
+    # handwritten composition
+    model = train_langid(ref, iters=3, n_buckets=64)
+    en = docs.join(
+        score_langid(docs, model, n_buckets=64)
+        .where(F.col("pred_lang") == "en")
+        .select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = en.join(
+        normalized_exact_dedup(en, "text", "doc_id").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    kept = survivors.join(
+        perplexity_buckets(survivors, "doc_id", "text")
+        .where(F.col("ppl_bucket").isin("head", "middle"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    hand_ids = {r["doc_id"] for r in kept.collect()}
+    unpersist_all()
+    assert got_ids == hand_ids
+    # the tail tercile was actually dropped (ntile(3): the tail gets
+    # floor(n/3) rows)
+    n_surv = survivors.count()
+    assert len(got_ids) == n_surv - n_surv // 3 and n_surv > 0

@@ -470,3 +470,109 @@ def clean_lines(
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality buckets (round 10): rank
+    every document by its unigram LM surprisal (the cheap perplexity
+    proxy — operators/retrieval.py::unigram_surprisal, integer
+    micro-nats end to end) and split the corpus into equal thirds —
+    ``head`` = lowest surprisal (most language-model-like), ``tail``
+    = highest. CCNet buckets per language; pass ``by=("lang",)`` (or
+    any grouping columns carried on ``docs``) to tercile within each
+    group.
+
+    Output: (id, *by, n_tokens, mean_info_micro, ppl_bucket).
+
+    Determinism: ntile(3) over the total order
+    (mean_info_micro, id) — integer keys, no ties left to the
+    engine, so the DuckDB twin (:func:`perplexity_buckets_oracle_
+    ctes`) is row-identical.
+
+    Scale: the surprisal stage is the scan-shaped tf/ct pipeline
+    (one (doc, term) shuffle, |vocab| broadcast back); the tercile
+    is a window over |docs| SCORE rows (id + one bigint — the text
+    never enters it). Ungrouped it is a single-partition sort of
+    that slim relation: exact, the oracle tier. The 100 TB
+    production twin is CCNet's own trick — freeze the two cutoff
+    VALUES from a reference run / sample quantiles and broadcast
+    them as literals, turning bucketing into a pure comparison; the
+    per-lang grouped form here already shards the sort by language.
+    """
+    from pyspark.sql import Window
+
+    from top_produce_etl_spark.operators.retrieval import (
+        unigram_surprisal,
+    )
+
+    scores = unigram_surprisal(docs, id_col, text_col)
+    if by:
+        scores = scores.join(
+            docs.select(id_col, *by), id_col
+        )
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("mean_info_micro"), F.col(id_col)
+    )
+    tercile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tercile == 1, F.lit("head"))
+        .when(tercile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scores.select(
+        id_col, *by, "n_tokens", "mean_info_micro",
+        bucket.alias("ppl_bucket"),
+    )
+
+
+def perplexity_buckets_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: tuple[str, ...] = (),
+) -> str:
+    """DuckDB CTE chain ending in ``ppl_buckets`` with the same
+    columns — identical integer surprisal + the same ntile order."""
+    from top_produce_etl_spark.operators.retrieval import INFO_SCALE
+
+    by_sel = "".join(f"b.{c}, " for c in by)
+    by_join = (
+        f"JOIN (SELECT {id_col}, {', '.join(by)} FROM {table}) b "
+        f"USING ({id_col})" if by else ""
+    )
+    part = f"PARTITION BY {', '.join('b.' + c for c in by)} " if by else ""
+    return f"""
+ppl_toks AS (
+    SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+    FROM {table}
+),
+ppl_tf AS (
+    SELECT {id_col}, term, COUNT(*) AS tfreq FROM ppl_toks GROUP BY 1, 2
+),
+ppl_ct AS (SELECT term, SUM(tfreq) AS ctotal FROM ppl_tf GROUP BY 1),
+ppl_tot AS (SELECT SUM(ctotal) AS ttotal FROM ppl_ct),
+ppl_scores AS (
+    SELECT {id_col},
+           SUM(tfreq) AS n_tokens,
+           SUM(tfreq * (
+               CAST(round(ln(CAST(ttotal AS DOUBLE)) * {INFO_SCALE})
+                    AS BIGINT)
+             - CAST(round(ln(CAST(ctotal AS DOUBLE)) * {INFO_SCALE})
+                    AS BIGINT))) AS info_micro
+    FROM ppl_tf JOIN ppl_ct USING (term), ppl_tot
+    GROUP BY 1
+),
+ppl_buckets AS (
+    SELECT s.{id_col}, {by_sel}s.n_tokens,
+           s.info_micro // s.n_tokens AS mean_info_micro,
+           CASE ntile(3) OVER ({part}ORDER BY
+                    s.info_micro // s.n_tokens, s.{id_col})
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ppl_scores s {by_join}
+)"""

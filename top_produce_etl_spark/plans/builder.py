@@ -59,6 +59,8 @@ _MULTI_SCAN_OPS = frozenset({
     "quality_classifier_filter",
     "normalize_dedup",
     "url_dedup",
+    "langid_filter",
+    "surprisal_bucket",
 })
 
 
@@ -270,7 +272,12 @@ def build_pipeline(
         {"op": "url_dedup", "id_col": "doc_id", "url_col": "url",
          "keep": "rows|report"} |
         {"op": "url_domain", "host_col": "host", "out": "domain",
-         "psl": true, "psl_path": "optional full PSL file"}
+         "psl": true, "psl_path": "optional full PSL file"},
+        {"op": "langid_filter", "id_col": "doc_id", "text_col": "text",
+         "train_table": "lang_reference", "lang_col": "lang",
+         "keep_lang": "en", "iters": 3} |
+        {"op": "surprisal_bucket", "id_col": "doc_id",
+         "text_col": "text", "by": [], "keep": ["head", "middle"]}
       ]
     }
 
@@ -734,6 +741,82 @@ def build_pipeline(
                 op["id_col"],
                 "left_semi",
             )
+        elif kind == "langid_filter":
+            # In-engine language gate (r10): train the multi-head
+            # one-vs-rest langid on a labeled reference table, score
+            # the CURRENT frame at scan speed (one broadcast-model
+            # join + one per-doc aggregate), keep rows predicted as
+            # ``keep_lang`` — the CCNet chain's first content stage,
+            # now producible by the engine instead of consumed as a
+            # given column.
+            from top_produce_etl_spark.operators.langid import (
+                score_langid,
+                train_langid,
+            )
+
+            ref = resolve(op["train_table"])
+            nb = int(op.get("n_buckets", 64))
+            hm = op.get("hash_mode", "portable")
+            langs = tuple(
+                op.get(
+                    "langs",
+                    sorted(
+                        r[0]
+                        for r in ref.select(
+                            op.get("lang_col", "lang")
+                        ).distinct().collect()
+                        # |langs|-sized collect — model-sized
+                    ),
+                )
+            )
+            model = train_langid(
+                ref,
+                id_col=op.get("train_id_col", op["id_col"]),
+                text_col=op.get("train_text_col", op["text_col"]),
+                lang_col=op.get("lang_col", "lang"),
+                langs=langs,
+                iters=int(op.get("iters", 3)),
+                n_buckets=nb,
+                lr=tuple(op.get("lr", (1, 4))),
+                hash_mode=hm,
+            )
+            scored = score_langid(
+                df, model, op["id_col"], op["text_col"],
+                langs=langs, n_buckets=nb, hash_mode=hm,
+            ).filter(F.col("pred_lang") == op["keep_lang"])
+            df = df.join(
+                scored.select(F.col("id").alias(op["id_col"])),
+                op["id_col"],
+                "left_semi",
+            )
+        elif kind == "surprisal_bucket":
+            # CCNet head/middle/tail perplexity buckets (r10):
+            # unigram-LM surprisal terciles over the slim score
+            # relation. ``keep`` filters to the named buckets;
+            # without it the ppl_bucket column is attached.
+            from top_produce_etl_spark.operators.textquality import (
+                perplexity_buckets,
+            )
+
+            b = perplexity_buckets(
+                df,
+                op["id_col"],
+                op["text_col"],
+                by=tuple(op.get("by", ())),
+            )
+            keep = op.get("keep")
+            if keep:
+                df = df.join(
+                    b.where(F.col("ppl_bucket").isin(*keep)).select(
+                        op["id_col"]
+                    ),
+                    op["id_col"],
+                    "left_semi",
+                )
+            else:
+                df = df.join(
+                    b.select(op["id_col"], "ppl_bucket"), op["id_col"]
+                )
         elif kind == "url_parse":
             # URL curation from config (r10, closing the r9 verdict
             # gap #5: web pipelines start at the URL, so the

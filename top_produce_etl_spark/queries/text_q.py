@@ -1526,3 +1526,55 @@ def pii_redact_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from top_produce_etl_spark.operators.pii import redact_pii
 
     return redact_pii(_pii_corpus(spark, sf_dir), "c_custkey", "text")
+
+
+# --- CCNet perplexity buckets (round 10 — operators/textquality.py) ---
+
+def _PPL_BUCKET_ORACLE() -> str:
+    from top_produce_etl_spark.operators.textquality import (
+        perplexity_buckets_oracle_ctes,
+    )
+
+    ctes = perplexity_buckets_oracle_ctes(
+        "documents", "doc_id", "text", by=("lang",)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT lang, ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mean_info_micro) AS BIGINT) AS sum_info_micro,
+           CAST(MIN(mean_info_micro) AS BIGINT) AS min_info_micro,
+           CAST(MAX(mean_info_micro) AS BIGINT) AS max_info_micro
+    FROM ppl_buckets
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "ccnet_perplexity_buckets", extended=True,
+    oracle=_PPL_BUCKET_ORACLE(),
+)
+def ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet head/middle/tail quality buckets per language (round
+    10): unigram-LM surprisal in integer micro-nats ranks every
+    document; ntile(3) over (score, doc_id) within each language
+    splits the corpus into equal thirds — the canonical CCNet
+    curation stage between dedup and the training mix. The tercile
+    window runs on the slim (id, lang, score) relation, sharded by
+    language (the text never enters the sort); the census carries
+    the per-cell surprisal mass so bucket BOUNDARIES are
+    hash-checked, not just counts."""
+    from top_produce_etl_spark.operators.textquality import (
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = perplexity_buckets(docs, "doc_id", "text", by=("lang",))
+    return b.groupBy("lang", "ppl_bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("mean_info_micro").cast("bigint").alias("sum_info_micro"),
+        F.min("mean_info_micro").cast("bigint").alias("min_info_micro"),
+        F.max("mean_info_micro").cast("bigint").alias("max_info_micro"),
+    )
