@@ -216,6 +216,7 @@ EXTENSION = [
     "url_domain_psl_stats",      # broadcast public-suffix census (r10)
     "langid_train",              # 5-head one-vs-rest GD loop (r10)
     "langid_confusion",          # train-then-score census (r10)
+    "ccnet_perplexity_buckets",  # LM-surprisal terciles per lang (r10)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs

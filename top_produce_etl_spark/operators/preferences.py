@@ -1,0 +1,195 @@
+"""Preference-pair rating aggregation (round 10): Bradley-Terry
+ratings by the MM algorithm, integer fixed-point — the RLHF-data
+curation family (rank response/model/annotator variants from
+pairwise preference outcomes, filter or weight training pairs by
+rating gap).
+
+Why MM and not Elo: Elo is an ORDERED fold over the game sequence —
+every input ordering gives different ratings, unusable as a
+distributed aggregate. The Bradley-Terry model's
+minorization-maximization update
+
+    r_i  <-  W_i / SUM_j ( n_ij / (r_i + r_j) )
+
+(W_i = wins of i, n_ij = games between i and j; Hunter 2004, public
+literature) depends only on per-pair COUNTS — order-independent,
+exactly what a shuffle-parallel engine wants.
+
+Fixed-point determinism (the classifier.py/langid.py convention):
+ratings live in micro-units int64; each update divides pico-scaled
+integers with truncation, so Spark and the unrolled DuckDB oracle
+(:func:`bt_ratings_oracle_sql`) agree bit for bit and the result is
+independent of partitioning. The scale of BT ratings is a free
+gauge; the MM loop here skips renormalization (3-4 iterations drift
+the gauge deterministically, ratios still converge), so no division
+chain stacks rounding error.
+
+Scale shape: per iteration the (a, b, n) game-count relation joins
+the current ratings on each side (two hash joins — ratings stay
+DISTRIBUTED; nothing assumes the item universe fits the driver),
+then one |items|-wide aggregate; the pagerank-loop discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+PICO = 1_000_000_000_000  # MICRO^2: one fixed-point divide per term
+
+
+def bt_ratings(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 3,
+) -> DataFrame:
+    """Bradley-Terry ratings after ``iters`` MM updates from the
+    all-equal start (1.0 = MICRO). Returns (item, games, wins,
+    r_micro) for every item appearing in any pair.
+
+    Integer mechanics per update, both engines identical:
+        contrib(i over {i,j}) = (n_ij * PICO) div (r_i + r_j)
+        r_i' = greatest((W_i * PICO) div SUM_j contrib, 1)
+    The greatest(·, 1) floor pins the MM boundary: a zero-win item
+    would otherwise rate to exactly 0 and a later game between two
+    zero-rated items would divide by zero — one micro-unit keeps it
+    deterministically at the bottom of the ranking instead.
+    (W_i · PICO must stay in int64: wins per item ≤ ~9.2e6 — a
+    per-item cap far above any preference fixture; shard by
+    (item, day) first if a real corpus exceeds it.)"""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    w = F.col(winner_col)
+    l = F.col(loser_col)  # noqa: E741
+    # directed game counts collapse to the undirected pair relation
+    # (a < b) carrying each side's win count — ONE pass over pairs
+    games = (
+        pairs.select(
+            F.least(w, l).alias("a"),
+            F.greatest(w, l).alias("b"),
+            (w < l).cast("bigint").alias("a_won"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a_won").alias("wins_a"),
+        )
+    )
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    games = persist_tracked(games)
+    totals = persist_tracked(
+        games.select(
+            F.col("a").alias("item"),
+            F.col("n"),
+            F.col("wins_a").alias("wins"),
+        )
+        .unionByName(
+            games.select(
+                F.col("b").alias("item"),
+                F.col("n"),
+                (F.col("n") - F.col("wins_a")).alias("wins"),
+            )
+        )
+        .groupBy("item")
+        .agg(
+            F.sum("n").alias("games"),
+            F.sum("wins").alias("wins"),
+        )
+    )
+    ratings = totals.select(
+        "item", F.lit(MICRO).cast("bigint").alias("r_micro")
+    )
+    for _ in range(iters):
+        ra = ratings.select(
+            F.col("item").alias("a"), F.col("r_micro").alias("ra")
+        )
+        rb = ratings.select(
+            F.col("item").alias("b"), F.col("r_micro").alias("rb")
+        )
+        joined = games.join(ra, "a").join(rb, "b").withColumn(
+            "contrib", F.expr(f"(n * {PICO}L) div (ra + rb)")
+        )
+        denom = (
+            joined.select(F.col("a").alias("item"), "contrib")
+            .unionByName(
+                joined.select(F.col("b").alias("item"), "contrib")
+            )
+            .groupBy("item")
+            .agg(F.sum("contrib").alias("denom"))
+        )
+        ratings = (
+            totals.join(denom, "item")
+            .select(
+                "item",
+                F.greatest(
+                    F.expr(f"(wins * {PICO}L) div denom"), F.lit(1)
+                ).cast("bigint").alias("r_micro"),
+            )
+        )
+    out = totals.join(ratings, "item").select(
+        "item", "games", "wins", "r_micro"
+    )
+    return out
+
+
+def bt_ratings_oracle_sql(
+    pairs_sql: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of the WHOLE MM loop, iterations unrolled as
+    MATERIALIZED CTEs (r_t is referenced twice per step) — identical
+    integer arithmetic, bit-for-bit the Spark ratings.
+    ``pairs_sql`` is a SELECT yielding the pair relation."""
+    parts = [f"""
+bt_pairs AS MATERIALIZED ({pairs_sql}),
+bt_games AS MATERIALIZED (
+    SELECT LEAST({winner_col}, {loser_col}) AS a,
+           GREATEST({winner_col}, {loser_col}) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {winner_col} < {loser_col}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+    FROM bt_pairs
+    GROUP BY 1, 2
+),
+bt_totals AS MATERIALIZED (
+    SELECT item, SUM(n) AS games, SUM(wins) AS wins FROM (
+        SELECT a AS item, n, wins_a AS wins FROM bt_games
+        UNION ALL
+        SELECT b AS item, n, n - wins_a AS wins FROM bt_games
+    ) GROUP BY 1
+),
+bt_r0 AS (SELECT item, CAST({MICRO} AS BIGINT) AS r_micro
+          FROM bt_totals)"""]
+    for t in range(1, iters + 1):
+        prev, cur = f"bt_r{t - 1}", f"bt_r{t}"
+        parts.append(f"""
+bt_d{t} AS MATERIALIZED (
+    SELECT item, SUM(contrib) AS denom FROM (
+        SELECT g.a AS item,
+               (g.n * {PICO}) // (ra.r_micro + rb.r_micro) AS contrib
+        FROM bt_games g
+        JOIN {prev} ra ON g.a = ra.item
+        JOIN {prev} rb ON g.b = rb.item
+        UNION ALL
+        SELECT g.b AS item,
+               (g.n * {PICO}) // (ra.r_micro + rb.r_micro) AS contrib
+        FROM bt_games g
+        JOIN {prev} ra ON g.a = ra.item
+        JOIN {prev} rb ON g.b = rb.item
+    ) GROUP BY 1
+),
+{cur} AS MATERIALIZED (
+    SELECT t.item,
+           GREATEST((t.wins * {PICO}) // d.denom,
+                    CAST(1 AS BIGINT)) AS r_micro
+    FROM bt_totals t JOIN bt_d{t} d USING (item)
+)""")
+    body = ",".join(parts)
+    return f"""WITH {body}
+SELECT t.item, t.games, t.wins, r.r_micro
+FROM bt_totals t JOIN bt_r{iters} r USING (item)"""

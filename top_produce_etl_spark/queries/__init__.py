@@ -188,6 +188,7 @@ def _load_all() -> None:
         multimodal_q,
         ops_q,
         packs,
+        prefs_q,
         relational,
         scalars,
         scalars2,
