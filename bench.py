@@ -217,6 +217,7 @@ EXTENSION = [
     "langid_train",              # 5-head one-vs-rest GD loop (r10)
     "langid_confusion",          # train-then-score census (r10)
     "ccnet_perplexity_buckets",  # LM-surprisal terciles per lang (r10)
+    "bt_preference_ratings",     # Bradley-Terry MM preference loop (r10)
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs

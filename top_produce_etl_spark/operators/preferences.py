@@ -128,6 +128,10 @@ def bt_ratings(
                     F.expr(f"(wins * {PICO}L) div denom"), F.lit(1)
                 ).cast("bigint").alias("r_micro"),
             )
+            # pagerank-loop discipline: truncate the lineage each
+            # update or iteration t re-executes a t-deep join tree
+            # (measured 9.7 s → ~2 s at the sf0.1 fixture)
+            .localCheckpoint(eager=True)
         )
     out = totals.join(ratings, "item").select(
         "item", "games", "wins", "r_micro"
