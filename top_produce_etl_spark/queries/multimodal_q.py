@@ -386,3 +386,110 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --- WAV audio codec tier (round 10 — operators/audio.py) ---
+
+def _WAV_DECODE_ORACLE() -> str:
+    from top_produce_etl_spark.operators.audio import (
+        audio_stats_oracle_ctes,
+    )
+
+    return f"""
+    WITH {audio_stats_oracle_ctes('documents')}
+    SELECT * FROM audio_stats
+    """
+
+
+@query("multimodal_wav_decode", extended=True, oracle=_WAV_DECODE_ORACLE())
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode round-trip (round 10 — the r9 PNG move on the
+    audio modality): the fixture ENCODES a closed-form PCM16
+    waveform into honest RIFF containers (fmt/LIST/data chunks, word
+    alignment), the Arrow-batched decoder walks the chunks back, and
+    every decoded stat — sums, exact-integer energy, zero crossings,
+    a positional checksum pinning each sample to its index, the
+    container byte length — hash-checks against DuckDB's
+    re-derivation of the formula WITHOUT parsing a byte. A decoder
+    that misreads a chunk size, skips word padding, or misaligns the
+    data offset cannot pass."""
+    from top_produce_etl_spark.operators.audio import (
+        decode_audio_stats,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_stats(synthesize_audio(docs))
+
+
+def _WAV_FRAMES_ORACLE() -> str:
+    from top_produce_etl_spark.operators.audio import (
+        audio_frames_oracle_ctes,
+    )
+
+    return f"""
+    WITH {audio_frames_oracle_ctes('documents', frame_samples=256)}
+    SELECT * FROM audio_frames
+    """
+
+
+@query("audio_frame_energy", extended=True, oracle=_WAV_FRAMES_ORACLE())
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over decoded waveforms: fixed
+    256-sample windows (ragged tail kept), per frame the exact
+    integer energy and strict zero-crossing count — the classic
+    cheap VAD/segmentation signals, emitted at (media, frame) grain
+    inside the Arrow worker and fully hash-checked against the
+    closed-form re-derivation."""
+    from top_produce_etl_spark.operators.audio import (
+        audio_frame_features,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_features(synthesize_audio(docs), 256)
+
+
+def _WAV_DEDUP_ORACLE() -> str:
+    from top_produce_etl_spark.operators.audio import (
+        audio_stats_oracle_ctes,
+    )
+
+    return f"""
+    WITH {audio_stats_oracle_ctes('documents', effective_mod=50)}
+    SELECT n_samples, sum_s, energy, pos_checksum,
+           CAST(COUNT(*) AS BIGINT) AS n_encodings,
+           CAST(COUNT(DISTINCT byte_len) AS BIGINT) AS n_byte_variants,
+           CAST(MIN(media_id) AS BIGINT) AS keeper_media_id
+    FROM audio_stats
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("audio_content_dedup", extended=True, oracle=_WAV_DEDUP_ORACLE())
+def audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-content audio dedup (round 10): duplicate classes are
+    planted at the CONTENT level (samples keyed on id % 50) while a
+    cosmetic LIST metadata chunk varies the BYTES within each class
+    — byte-level dedup misses these re-encodes; grouping on the
+    decoded fingerprint (n_samples, sum, energy, positional
+    checksum) collapses them, and n_byte_variants = 2 proves the
+    collapse crossed real byte-level differences. One hash-agg after
+    the Arrow decode, min-id keeper election — the exact-dedup
+    convention on the audio modality."""
+    from top_produce_etl_spark.operators.audio import (
+        decode_audio_stats,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = decode_audio_stats(synthesize_audio(docs, effective_mod=50))
+    return stats.groupBy(
+        "n_samples", "sum_s", "energy", "pos_checksum"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_encodings"),
+        F.countDistinct("byte_len").cast("bigint").alias(
+            "n_byte_variants"
+        ),
+        F.min("media_id").cast("bigint").alias("keeper_media_id"),
+    )
