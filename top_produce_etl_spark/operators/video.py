@@ -1,0 +1,421 @@
+"""Video column plumbing (round 10): REAL AVI encode + frame decode
+with zero media libraries — completing the modality triple (image:
+PPM/BMP/PNG, audio: WAV/PCM16, video: AVI/DIB).
+
+An AVI file is a RIFF container (the same chunk grammar as WAV,
+operators/audio.py) holding a header list and a ``movi`` list of
+per-frame chunks. With the uncompressed ``DIB`` codec each frame's
+payload follows the BMP pixel rules (bottom-up rows, BGR order,
+4-byte row padding) — so this module writes honest AVI files
+(``avih`` main header, ``strl``/``strh``/``strf`` stream headers
+with a real BITMAPINFOHEADER, ``00db`` frame chunks, ``idx1``
+index) and the decoder walks them back: compressed fourCCs
+(MJPG/H264/...) and non-24-bit frames raise precise
+``NotImplementedError`` — the documented capability gate, exactly
+the WAV/PNG convention.
+
+The fixture plants a closed-form pixel function over (frame, pos)
+that DuckDB re-derives without parsing a byte, so frame extraction
+is fully hash-checkable: per-frame channel sums and a GLOBAL
+positional checksum ``Σ (f·w·h·3 + i) · v(f, i)`` pin every byte of
+every frame to its (frame, row, column, channel) slot — a decoder
+that flips rows wrong, mis-skips padding, drops the idx1 chunk
+tail, or swaps frames cannot pass.
+
+Scale shape: ``mapInPandas`` over bounded Arrow batches; frame
+explosion happens inside the worker at (media, frame) grain — the
+multimodal.py contract.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("video_checksum", LongType()),
+    ]
+)
+
+
+def _dib_frame(w: int, h: int, rgb: bytes) -> bytes:
+    """Row-major RGB → DIB pixel payload: bottom-up rows, BGR
+    order, rows padded to 4 bytes (the BMP rules)."""
+    row_out = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_out - w * 3)
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = rgb[y * w * 3:(y + 1) * w * 3]
+        # BGR swap per pixel
+        bgr = bytearray(len(row))
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        out += bgr + pad
+    return bytes(out)
+
+
+def _undib_frame(w: int, h: int, payload: bytes) -> bytes:
+    row_out = (w * 3 + 3) & ~3
+    if len(payload) != row_out * h:
+        raise ValueError(
+            f"frame payload {len(payload)} != expected {row_out * h}"
+        )
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src = payload[(h - 1 - y) * row_out:(h - 1 - y) * row_out + w * 3]
+        row = bytearray(len(src))
+        row[0::3] = src[2::3]
+        row[1::3] = src[1::3]
+        row[2::3] = src[0::3]
+        out[y * w * 3:(y + 1) * w * 3] = row
+    return bytes(out)
+
+
+def _list(four: bytes, body: bytes) -> bytes:
+    if len(body) % 2:
+        body += b"\x00"
+    return struct.pack("<4sI4s", b"LIST", 4 + len(body), four) + body
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return struct.pack("<4sI", cid, len(body)) + body + pad
+
+
+def encode_avi_rgb(
+    w: int, h: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Honest AVI/DIB file from row-major RGB frame buffers."""
+    frame_bytes = ((w * 3 + 3) & ~3) * h
+    avih = _chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // fps,  # microseconds per frame
+            frame_bytes * fps,  # max bytes/sec
+            0,  # padding granularity
+            0x10,  # AVIF_HASINDEX
+            len(frames),
+            0,  # initial frames
+            1,  # streams
+            frame_bytes,  # suggested buffer
+            w, h,
+            0, 0, 0, 0,  # reserved
+        ),
+    )
+    strh = _chunk(
+        b"strh",
+        struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh",
+            b"vids", b"DIB ",
+            0, 0, 0, 0,
+            1, fps,  # scale, rate -> fps
+            0, len(frames),
+            frame_bytes, 0xFFFFFFFF, 0,
+            0, 0, w, h,
+        ),
+    )
+    strf = _chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, 24,
+            0,  # BI_RGB, uncompressed
+            frame_bytes, 0, 0, 0, 0,
+        ),
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+    movi_body = b""
+    offsets = []
+    for rgb in frames:
+        offsets.append(4 + len(movi_body))  # offset from 'movi' tag
+        movi_body += _chunk(b"00db", _dib_frame(w, h, rgb))
+    movi = _list(b"movi", movi_body)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+            for off in offsets
+        ),
+    )
+    body = hdrl + movi + idx1
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"AVI ") + body
+
+
+def decode_avi_frames(b: bytes) -> tuple[int, int, int, list[bytes]]:
+    """(width, height, fps, row-major RGB frames) from AVI bytes.
+    Walks the RIFF tree, validates the uncompressed 24-bit DIB
+    stream, un-DIBs each ``00db``/``00dc`` chunk; skips junk and
+    ``idx1`` like a real player. NotImplementedError on compressed
+    fourCCs or non-24-bit frames."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = fps = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            pos += 8
+            body = buf[pos:pos + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"avih":
+                w, h = struct.unpack_from("<II", body, 32)
+            elif cid == b"strh":
+                fcc_type, handler = struct.unpack_from("<4s4s", body, 0)
+                if fcc_type == b"vids":
+                    scale, rate = struct.unpack_from("<II", body, 20)
+                    fps = rate // max(scale, 1)
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise NotImplementedError(
+                            f"AVI codec {handler!r} unsupported: only "
+                            "uncompressed DIB decodes here; MJPG/H264 "
+                            "need a media library (capability gate)"
+                        )
+            elif cid == b"strf":
+                bits, compression = struct.unpack_from("<HI", body, 14)
+                if compression != 0:
+                    raise NotImplementedError(
+                        f"BI compression {compression} unsupported: "
+                        "BI_RGB only"
+                    )
+                if bits != 24:
+                    raise NotImplementedError(
+                        f"{bits}-bit frames unsupported: 24-bit only"
+                    )
+            elif cid in (b"00db", b"00dc"):
+                frames.append(body)
+            pos += size + (size % 2)
+
+    walk(b[12:])
+    if w is None or fps is None:
+        raise ValueError("missing avih or strh header")
+    return w, h, fps, [_undib_frame(w, h, f) for f in frames]
+
+
+def synthesize_videos(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    effective_mod: int | None = None,
+) -> DataFrame:
+    """Deterministic AVI fixture ENCODER: frame f, row-major RGB
+    position i has value ``v = (eid·31 + f·11 + i·7) mod 256`` with
+    ``w = eid%5+2``, ``h = eid%3+2``, ``n_frames = eid%4+2``,
+    ``fps = 10 + eid%2`` — closed forms DuckDB re-derives without
+    parsing a byte."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                eid = mid % effective_mod if effective_mod else mid
+                w, h = eid % 5 + 2, eid % 3 + 2
+                nf, fps = eid % 4 + 2, 10 + eid % 2
+                i = np.arange(w * h * 3, dtype=np.int64)
+                frames = [
+                    ((eid * 31 + f * 11 + i * 7) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for f in range(nf)
+                ]
+                out.append((mid, encode_avi_rgb(w, h, frames, fps)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.select(id_col).mapInPandas(
+        fn,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_video_stats(media: DataFrame) -> DataFrame:
+    """REAL frame extraction over a binary AVI column: per media the
+    header dims/fps, per-channel sums over ALL frames, and the
+    global positional checksum Σ (f·w·h·3 + i)·v."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, frames = decode_avi_frames(bytes(content))
+                sr = sg = sb = chk = 0
+                for f, rgb in enumerate(frames):
+                    v = np.frombuffer(rgb, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    sr += int(v[0::3].sum())
+                    sg += int(v[1::3].sum())
+                    sb += int(v[2::3].sum())
+                    chk += int(
+                        ((f * v.size + np.arange(v.size)) * v).sum()
+                    )
+                out.append(
+                    (int(mid), w, h, len(frames), fps, sr, sg, sb, chk)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, VIDEO_STATS_SCHEMA
+    )
+
+
+def video_frame_stats(media: DataFrame, every: int = 1) -> DataFrame:
+    """Frame-grain extraction (the real counterpart of the
+    metadata-only frame-sampling plan): every ``every``-th frame's
+    channel sums + per-frame positional checksum, emitted at
+    (media, frame) grain inside the Arrow worker."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _fps, frames = decode_avi_frames(bytes(content))
+                for f in range(0, len(frames), every):
+                    v = np.frombuffer(
+                        frames[f], dtype=np.uint8
+                    ).astype(np.int64)
+                    out.append(
+                        (
+                            int(mid), f, w, h,
+                            int(v[0::3].sum()),
+                            int(v[1::3].sum()),
+                            int(v[2::3].sum()),
+                            int((np.arange(v.size) * v).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FRAME_SCHEMA]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, VIDEO_FRAME_SCHEMA
+    )
+
+
+def video_stats_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    effective_mod: int | None = None,
+) -> str:
+    """DuckDB twin re-deriving the per-media stats from the closed
+    form; ends in ``video_stats``."""
+    eid = f"({id_col} % {effective_mod})" if effective_mod else id_col
+    return f"""
+video_px AS (
+    SELECT {id_col} AS media_id,
+           CAST({eid} % 5 + 2 AS INT) AS width,
+           CAST({eid} % 3 + 2 AS INT) AS height,
+           CAST({eid} % 4 + 2 AS INT) AS n_frames,
+           CAST(10 + {eid} % 2 AS INT) AS fps,
+           f, i,
+           ({eid} * 31 + f * 11 + i * 7) % 256 AS v
+    FROM {table},
+         UNNEST(range({eid} % 4 + 2)) tf(f),
+         UNNEST(range(({eid} % 5 + 2) * ({eid} % 3 + 2) * 3)) ti(i)
+),
+video_stats AS (
+    SELECT media_id,
+           ANY_VALUE(width) AS width,
+           ANY_VALUE(height) AS height,
+           ANY_VALUE(n_frames) AS n_frames,
+           ANY_VALUE(fps) AS fps,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM((f * width * height * 3 + i) * v) AS BIGINT)
+               AS video_checksum
+    FROM video_px
+    GROUP BY media_id
+)"""
+
+
+def video_frames_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    every: int = 1,
+    effective_mod: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`video_frame_stats`; ends in
+    ``video_frames``."""
+    eid = f"({id_col} % {effective_mod})" if effective_mod else id_col
+    return f"""
+video_px AS (
+    SELECT {id_col} AS media_id,
+           CAST({eid} % 5 + 2 AS INT) AS width,
+           CAST({eid} % 3 + 2 AS INT) AS height,
+           CAST(f AS INT) AS frame_idx, i,
+           ({eid} * 31 + f * 11 + i * 7) % 256 AS v
+    FROM {table},
+         UNNEST(range({eid} % 4 + 2)) tf(f),
+         UNNEST(range(({eid} % 5 + 2) * ({eid} % 3 + 2) * 3)) ti(i)
+    WHERE f % {every} = 0
+),
+video_frames AS (
+    SELECT media_id, frame_idx,
+           ANY_VALUE(width) AS width,
+           ANY_VALUE(height) AS height,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM(i * v) AS BIGINT) AS frame_checksum
+    FROM video_px
+    GROUP BY 1, 2
+)"""

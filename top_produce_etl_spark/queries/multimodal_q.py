@@ -493,3 +493,63 @@ def audio_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("media_id").cast("bigint").alias("keeper_media_id"),
     )
+
+
+# --- AVI video codec tier (round 10 — operators/video.py) ---
+
+def _AVI_DECODE_ORACLE() -> str:
+    from top_produce_etl_spark.operators.video import (
+        video_stats_oracle_ctes,
+    )
+
+    return f"""
+    WITH {video_stats_oracle_ctes('documents')}
+    SELECT * FROM video_stats
+    """
+
+
+@query("multimodal_avi_decode", extended=True, oracle=_AVI_DECODE_ORACLE())
+def multimodal_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI frame extraction (round 10 — the modality triple's
+    video leg): the fixture ENCODES closed-form frames into honest
+    AVI containers (avih/strh/strf headers, DIB frame chunks with
+    BMP row rules, idx1 index), the Arrow-batched decoder walks the
+    RIFF tree back, and per-media channel sums plus a GLOBAL
+    positional checksum Σ (f·w·h·3 + i)·v(f,i) pin every byte of
+    every frame to its (frame, row, column, channel) slot — wrong
+    row flips, mis-skipped padding, or swapped frames cannot pass.
+    Fully hash-checked vs DuckDB's byte-free re-derivation."""
+    from top_produce_etl_spark.operators.video import (
+        decode_video_stats,
+        synthesize_videos,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_stats(synthesize_videos(docs))
+
+
+def _AVI_FRAMES_ORACLE() -> str:
+    from top_produce_etl_spark.operators.video import (
+        video_frames_oracle_ctes,
+    )
+
+    return f"""
+    WITH {video_frames_oracle_ctes('documents', every=2)}
+    SELECT * FROM video_frames
+    """
+
+
+@query("video_frame_stats", extended=True, oracle=_AVI_FRAMES_ORACLE())
+def video_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame extraction at (media, frame) grain — the REAL
+    counterpart of the metadata-only frame-sampling plan
+    (multimodal_frame_plan): per sampled frame the channel sums and
+    a per-frame positional checksum, hash-checked against the
+    closed form."""
+    from top_produce_etl_spark.operators.video import (
+        synthesize_videos,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_stats(synthesize_videos(docs), every=2)
