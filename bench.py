@@ -218,6 +218,12 @@ EXTENSION = [
     "langid_confusion",          # train-then-score census (r10)
     "ccnet_perplexity_buckets",  # LM-surprisal terciles per lang (r10)
     "bt_preference_ratings",     # Bradley-Terry MM preference loop (r10)
+    "multimodal_wav_decode",     # RIFF/PCM16 chunk-walk decode (r10)
+    "audio_content_dedup",       # decoded-fingerprint audio dedup (r10)
+    "multimodal_avi_decode",     # AVI/DIB frame extraction (r10)
+    # audio_frame_energy / video_frame_stats share these two queries'
+    # decode plan shape (same mapInPandas kernel, frame-grain emit) —
+    # battery-gated, not separately timed
     # cosine_neardup_pairs is battery-gated, not timed (r7): its
     # battery config deliberately trades blocking away for PROVABLE
     # completeness (2 planes = 4 buckets/table -> near-all-pairs
@@ -1702,6 +1708,48 @@ def main() -> None:
     }
     print(f"# langid_probe: {langid_probe}", file=sys.stderr)
 
+    # Audio-codec leg (r10): 50k synthesized WAV clips (range frame,
+    # ~85 MB of real RIFF bytes built and decoded in the workers),
+    # 100x the battery fixture — times the encode→chunk-walk→PCM16
+    # stats path end to end. Planted truth: total decoded samples
+    # must equal the closed form Σ (800 + (id%5)·160), and the
+    # global zero-crossing count must be reproduced exactly on a
+    # second run (decode determinism at scale).
+    from top_produce_etl_spark.operators.audio import (
+        decode_audio_stats,
+        synthesize_audio,
+    )
+
+    au_rows = 50_000
+    au_ids = spark.range(au_rows).select(_F.col("id").alias("doc_id"))
+    t0 = time.monotonic()
+    au_agg = (
+        decode_audio_stats(synthesize_audio(au_ids))
+        .agg(
+            _F.count("*").alias("n"),
+            _F.sum("n_samples").alias("samples"),
+            _F.sum("zero_crossings").alias("zc"),
+            _F.sum("energy").alias("energy"),
+        )
+        .collect()[0]
+    )
+    au_sec = round(time.monotonic() - t0, 3)
+    # closed form: ids 0..N-1 uniform over the 5 length classes
+    expect_samples = sum(
+        (800 + (i % 5) * 160) for i in range(au_rows)
+    )
+    audio_probe = {
+        "audio_probe_clips": au_rows,
+        "audio_probe_sec": au_sec,
+        "audio_probe_clips_per_sec": round(au_rows / au_sec, 1),
+        "audio_probe_samples": int(au_agg["samples"]),
+        "audio_probe_samples_ok": bool(
+            int(au_agg["samples"]) == expect_samples
+            and au_agg["n"] == au_rows
+        ),
+    }
+    print(f"# audio_probe: {audio_probe}", file=sys.stderr)
+
     # THIRD probe — the FLAGSHIP relational path at 10x data (round 5
     # wave 2): lineitem/orders unioned as 10 key-shifted copies of the
     # sf fixture (6M lineitem rows at sf0.1), same join+agg+window
@@ -2107,6 +2155,7 @@ def main() -> None:
         **classifier_probe,
         **url_probe,
         **langid_probe,
+        **audio_probe,
         **rel_probe,
         **graph_probe,
         **sketch_probe,
