@@ -155,3 +155,25 @@ def test_inference_plan_scan_speed(spark, corpus):
     # (explode + partial count) is map-side before it
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) <= 2, p
     assert "Sort" not in p or "SortAggregate" not in p
+
+
+def test_expr_scorer_matches_aggregate_scorer(spark, corpus):
+    """The zero-shuffle expression scorer (streaming-legal) is
+    bit-identical to the broadcast-join scorer, with NO exchange and
+    NO join in its plan."""
+    model = train_langid(corpus, iters=2, n_buckets=32)
+    rows = model.collect()
+    from top_produce_etl_spark.operators.langid import score_langid_expr
+
+    a = sorted(map(tuple, score_langid(
+        corpus, model, n_buckets=32).collect()))
+    b = sorted(map(tuple, score_langid_expr(
+        corpus, rows, n_buckets=32).collect()))
+    unpersist_all()
+    assert a == b
+    out = score_langid_expr(corpus, rows, n_buckets=32)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert not re.search(r"\(\d+\) Exchange\b", p), p
+    assert "Join" not in p, p

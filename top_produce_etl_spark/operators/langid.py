@@ -459,3 +459,68 @@ def langid_confusion_oracle_sql(
         table, id_col, text_col, lang_sql, langs, n, n_buckets,
         iters, lr, final_select=final, pre_ctes=pre_ctes,
     )
+
+
+def score_langid_expr(
+    docs: DataFrame,
+    model_rows,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = _LANGS,
+    n: int = 3,
+    n_buckets: int = 64,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ZERO-SHUFFLE langid scoring: every head's z folds over the
+    char-n-gram array as one pure column expression — the hash, the
+    bucket lookup in a literal weight map, and the accumulation all
+    happen inside nested higher-order lambdas, so there is no
+    explode, no aggregation, no exchange. Stateless, which makes it
+    the STREAMING-legal scorer (Structured Streaming forbids the
+    chained aggregations :func:`score_langid` uses) and the cheapest
+    batch sweep (scan-speed, plan-pinned).
+
+    ``model_rows``: the trained model relation collected driver-side
+    (|langs|·(buckets+1) rows — model-sized, the house rule), e.g.
+    ``train_langid(...).collect()``."""
+    w = {(r["lang"], r["bucket"]): r["w_micro"] for r in model_rows}
+    grams = (
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n} + 1), "
+        f"p -> substring({text_col}, p, {n})) "
+        f"ELSE array() END"
+    )
+    hash_g = portable_hash_spark_sql("g")
+    zs = []
+    for s in langs:
+        pairs = ", ".join(
+            f"{b}, {w.get((s, b), 0)}L" for b in range(-1, n_buckets)
+        )
+        z = (
+            f"{w.get((s, BIAS_BUCKET), 0)}L + aggregate({grams}, 0L, "
+            f"(acc, g) -> acc + element_at(map({pairs}), "
+            f"CAST(({hash_g}) % {n_buckets} AS INT)))"
+        )
+        zs.append(F.expr(z).alias(f"__z_{s}"))
+    scored = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        *zs,
+    )
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"__z_{s}")).alias("nz"),
+                    F.lit(s).alias("lang"),
+                )
+                for s in langs
+            ]
+        )
+    )
+    return scored.select(
+        "id",
+        *[F.col(c) for c in extra_cols],
+        best.getField("lang").alias("pred_lang"),
+        (-best.getField("nz")).alias("z_micro"),
+    )

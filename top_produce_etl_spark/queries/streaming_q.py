@@ -389,3 +389,53 @@ def stream_normalized_dedup_parity(
     return normalized_dedup_stream(
         spark, sf_dir, sink_table="oracle_stream_norm_dedup"
     )
+
+
+def _STREAM_LANGID_ORACLE() -> str:
+    from top_produce_etl_spark.operators.langid import (
+        synthesize_lang_corpus_oracle,
+        train_langid_oracle_sql,
+    )
+
+    final = """SELECT s.id, l.lang_true AS lang_true,
+           s.lang AS pred_lang, s.z_micro
+    FROM (
+        SELECT f.id, w.lang, SUM(f.c * w.w_micro) AS z_micro,
+               ROW_NUMBER() OVER (PARTITION BY f.id
+                   ORDER BY SUM(f.c * w.w_micro) DESC, w.lang) AS rn
+        FROM feats f JOIN w3 w USING (bucket)
+        GROUP BY f.id, w.lang
+    ) s JOIN labels l USING (id)
+    WHERE s.rn = 1"""
+    return train_langid_oracle_sql(
+        "lang_corpus", iters=3, final_select=final,
+        pre_ctes=(
+            "lang_corpus AS "
+            f"({synthesize_lang_corpus_oracle('documents')})"
+        ),
+    )
+
+
+@query(
+    "stream_langid_scoring_parity", extended=True,
+    oracle=_STREAM_LANGID_ORACLE(),
+)
+def stream_langid_scoring_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language identification through the REAL streaming runtime
+    (round 10): model trained batch-side, scoring as the ZERO-SHUFFLE
+    expression fold (stateless, hence streaming-legal — the
+    aggregate scorer's chained groupBys are not), availableNow over
+    the bounded fixture. Every (doc, true lang, prediction, winning
+    z) row hash-matches the DuckDB derivation that re-trains the
+    model in unrolled CTEs and replays the argmax — train + serve
+    proven equivalent across batch, stream, and oracle. Extends the
+    r10 langid family to §2.9."""
+    from top_produce_etl_spark.streaming.jobs import (
+        langid_scoring_stream,
+    )
+
+    return langid_scoring_stream(
+        spark, sf_dir, sink_table="oracle_stream_langid"
+    )

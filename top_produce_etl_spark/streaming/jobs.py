@@ -1063,3 +1063,54 @@ def restart_recovery_windowed_counts(
         spark.read.parquet(sink)
         .filter(F.col("event_type") != "__sentinel__")
     )
+
+
+def langid_scoring_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "stream_langid_scores",
+) -> DataFrame:
+    """Language identification through the REAL streaming runtime
+    (round 10): the model is TRAINED batch-side (the realistic
+    serving split — training is a bounded job, scoring is the
+    stream) on the planted-lexicon corpus, then its weights fold
+    into the zero-shuffle expression scorer
+    (operators/langid.py::score_langid_expr) — pure column
+    expressions, therefore stateless and streaming-legal where the
+    aggregate scorer's chained groupBys are not. availableNow
+    consumes the bounded fixture; every (doc, prediction, z) row in
+    the sink must hash-match the batch/DuckDB derivation, which
+    queries/streaming_q.py::stream_langid_scoring_parity checks."""
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.langid import (
+        score_langid_expr,
+        synthesize_lang_corpus,
+        train_langid,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    batch_corpus = synthesize_lang_corpus(spark.read.parquet(path))
+    model_rows = train_langid(batch_corpus, iters=3).collect()
+    unpersist_all()
+
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    stream_corpus = synthesize_lang_corpus(sdf).withColumnRenamed(
+        "lang", "lang_true"
+    )
+    scored = score_langid_expr(
+        stream_corpus, model_rows, extra_cols=("lang_true",)
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
