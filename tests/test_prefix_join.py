@@ -91,3 +91,77 @@ def test_cohens_kappa_degenerate_marginals_null(spark):
     )
     out = cohens_kappa(df, "a", "b", group_cols=("g",)).collect()[0]
     assert out["kappa_micro"] is None and out["n_agree"] == 5
+
+
+def test_krippendorff_alpha_hand_checked(spark):
+    """Classic nominal case A:(1,1) B:(1,2) C:(2,2) -> alpha = 4/9;
+    a single-rating item is unpairable and must drop out entirely
+    (including from the marginals)."""
+    from top_produce_etl_spark.operators.stats import (
+        krippendorff_alpha,
+    )
+
+    rows = [("A", 1), ("A", 1), ("B", 1), ("B", 2), ("C", 2), ("C", 2),
+            ("D", 1)]
+    df = spark.createDataFrame(rows, "item string, label int")
+    out = krippendorff_alpha(df, "item", "label").collect()[0]
+    assert out["n_items"] == 3 and out["n_ratings"] == 6
+    # 4/9 in micro-units under the documented per-item + final
+    # truncations: do=2e6, N=6, De-mass=36-18=18 ->
+    # 1e6 - (2e6*5)//18 = 444445
+    assert out["alpha_micro"] == 444445
+
+
+def test_krippendorff_alpha_edges(spark):
+    """Perfect agreement -> exactly 1e6; constant labels -> NULL
+    (De = 0); missing third rater handled as absent rows."""
+    from top_produce_etl_spark.operators.stats import (
+        krippendorff_alpha,
+    )
+
+    perfect = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 2), ("B", 2)],
+        "item string, label int",
+    )
+    assert krippendorff_alpha(perfect, "item", "label").collect()[0][
+        "alpha_micro"
+    ] == 1_000_000
+    const = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 1), ("B", 1)],
+        "item string, label int",
+    )
+    assert krippendorff_alpha(const, "item", "label").collect()[0][
+        "alpha_micro"
+    ] is None
+    # three raters, one missing on item B: B still pairs on two
+    three = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("A", 2), ("B", 1), ("B", 1)],
+        "item string, label int",
+    )
+    out = krippendorff_alpha(three, "item", "label").collect()[0]
+    assert out["n_items"] == 2 and out["n_ratings"] == 5
+
+
+def test_krippendorff_alpha_oracle_bit_exact(spark):
+    import duckdb
+
+    from top_produce_etl_spark.operators.stats import (
+        krippendorff_alpha,
+        krippendorff_alpha_oracle_sql,
+    )
+
+    rows = [("g1", "A", 1), ("g1", "A", 2), ("g1", "B", 1),
+            ("g1", "B", 1), ("g1", "B", 2), ("g2", "A", 3),
+            ("g2", "A", 3), ("g2", "C", 3), ("g2", "C", 4)]
+    df = spark.createDataFrame(rows, "g string, item string, label int")
+    got = sorted(
+        map(tuple, krippendorff_alpha(
+            df, "item", "label", group_cols=("g",)).collect())
+    )
+    vals = ", ".join(f"('{g}', '{i}', {l})" for g, i, l in rows)
+    sql = krippendorff_alpha_oracle_sql(
+        f"(SELECT * FROM (VALUES {vals}) t(g, item, label))",
+        "item", "label", group_sql=("g",),
+    )
+    duck = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == duck

@@ -1018,3 +1018,153 @@ def cohens_kappa_oracle_sql(
                 ELSE NULL END AS kappa_micro
     FROM base JOIN s ON {sjoin}
     """
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Krippendorff's alpha, nominal metric (Krippendorff 2004) —
+    the label-audit statistic Cohen's kappa cannot be: ANY number of
+    raters per item and MISSING ratings (absent rows), the shape
+    real multi-annotator training-data audits have. Input is long
+    format: one row per (item, rating); items with a single rating
+    are unpairable and drop out, per the definition.
+
+    Integer contract (deterministic on both engines): with
+    ``disag_i = n_i² − Σ_c n_ic²`` (ordered differing pairs inside
+    item i), ``N = Σ n_i`` over pairable items and label marginals
+    ``n_c`` over the same items,
+
+        do_micro    = Σ_i (1e6 · disag_i) div (n_i − 1)
+        alpha_micro = 1e6 − (do_micro · (N−1)) div (N² − Σ_c n_c²)
+
+    — the exact nominal alpha up to one truncated division per item
+    plus the final one (each loses < 1 micro-unit; both engines
+    truncate identically). The final products run in DECIMAL(38,0)
+    (N² overflows int64 near N ≈ 3e6, the kappa precedent); the
+    per-item step stays int64 (1e6·n_i² needs n_i ≤ 3e6 raters per
+    item — far beyond any annotation reality). Degenerate groups
+    (every rating the same label → De = 0) return NULL.
+
+    Scale shape: two hash-aggs over (group, item, label) then
+    (group, item), a marginal agg over (group, label) — never wider
+    than items × labels; nothing driver-sized.
+    Output: *group_cols, n_items, n_ratings, alpha_micro."""
+    g = list(group_cols)
+    it, lab = F.col(item_col), F.col(label_col)
+    per_il = df.groupBy(*g, it.alias("__it"), lab.alias("__l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nil")
+    )
+    per_item = (
+        per_il.groupBy(*g, "__it")
+        .agg(
+            F.sum("__nil").alias("__ni"),
+            F.sum(F.col("__nil") * F.col("__nil")).alias("__sq"),
+        )
+        .where(F.col("__ni") >= 2)
+        .withColumn(
+            "__do",
+            F.expr(
+                "(1000000L * (__ni * __ni - __sq)) div (__ni - 1)"
+            ),
+        )
+    )
+    dog = per_item.groupBy(*g).agg(
+        F.sum("__do").alias("__do_micro"),
+        F.sum("__ni").alias("__N"),
+        F.count(F.lit(1)).alias("__items"),
+    )
+    pairable = per_item.select(*g, "__it")
+    marg = (
+        per_il.join(pairable, g + ["__it"], "left_semi")
+        .groupBy(*g, "__l")
+        .agg(F.sum("__nil").alias("__nc"))
+        .groupBy(*g)
+        .agg(
+            F.sum(
+                F.col("__nc").cast("decimal(38,0)")
+                * F.col("__nc").cast("decimal(38,0)")
+            ).alias("__sumsq")
+        )
+    )
+    joined = dog.join(marg, g) if g else dog.crossJoin(marg)
+    dec = "CAST({} AS DECIMAL(38,0))"
+    de = (
+        f"({dec.format('__N')} * {dec.format('__N')} "
+        f"- CAST(__sumsq AS DECIMAL(38,0)))"
+    )
+    alpha = (
+        f"CAST(CAST(1000000 AS DECIMAL(38,0)) - "
+        f"({dec.format('__do_micro')} * ({dec.format('__N')} - 1)) "
+        f"div {de} AS BIGINT)"
+    )
+    return joined.select(
+        *g,
+        F.col("__items").cast("bigint").alias("n_items"),
+        F.col("__N").cast("bigint").alias("n_ratings"),
+        F.when(
+            F.expr(de) != F.lit(0).cast("decimal(38,0)"),
+            F.expr(alpha),
+        ).alias("alpha_micro"),
+    )
+
+
+def krippendorff_alpha_oracle_sql(
+    from_sql: str,
+    item_sql: str,
+    label_sql: str,
+    group_sql: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha` (HUGEINT products,
+    ``//`` truncation — identical integers)."""
+    g = ", ".join(group_sql)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    semi = " AND ".join(f"m.{c} = p.{c}" for c in group_sql)
+    semi = (semi + " AND " if semi else "") + "m.__it = p.__it"
+    dj = " AND ".join(f"d.{c} = mm.{c}" for c in group_sql) or "TRUE"
+    return f"""
+    WITH rows_ AS (
+        SELECT {gsel}{item_sql} AS __it, {label_sql} AS __l
+        FROM {from_sql}
+    ),
+    per_il AS (
+        SELECT {gsel}__it, __l, COUNT(*) AS __nil
+        FROM rows_ GROUP BY {gsel.rstrip(', ') + ', ' if g else ''}__it, __l
+    ),
+    per_item AS (
+        SELECT {gsel}__it, SUM(__nil) AS __ni,
+               SUM(__nil * __nil) AS __sq
+        FROM per_il GROUP BY {gsel.rstrip(', ') + ', ' if g else ''}__it
+        HAVING SUM(__nil) >= 2
+    ),
+    dog AS (
+        SELECT {gsel}SUM((1000000 * (__ni * __ni - __sq))
+                         // (__ni - 1)) AS __do_micro,
+               SUM(__ni) AS __N, COUNT(*) AS __items
+        FROM per_item {gby}
+    ),
+    marg AS (
+        SELECT {gsel}SUM(CAST(__nc AS HUGEINT) * CAST(__nc AS HUGEINT))
+               AS __sumsq FROM (
+            SELECT {('m.' + ', m.'.join(group_sql) + ', ') if g else ''}
+                   m.__l, SUM(m.__nil) AS __nc
+            FROM per_il m
+            WHERE EXISTS (SELECT 1 FROM per_item p WHERE {semi})
+            GROUP BY {('m.' + ', m.'.join(group_sql) + ', ') if g else ''}m.__l
+        ) {gby}
+    )
+    SELECT {('d.' + ', d.'.join(group_sql) + ', ') if g else ''}
+           CAST(d.__items AS BIGINT) AS n_items,
+           CAST(d.__N AS BIGINT) AS n_ratings,
+           CASE WHEN CAST(d.__N AS HUGEINT) * d.__N - mm.__sumsq <> 0
+                THEN CAST(1000000 - (CAST(d.__do_micro AS HUGEINT)
+                          * (d.__N - 1))
+                     // (CAST(d.__N AS HUGEINT) * d.__N - mm.__sumsq)
+                     AS BIGINT)
+           END AS alpha_micro
+    FROM dog d JOIN marg mm ON {dj}
+    """

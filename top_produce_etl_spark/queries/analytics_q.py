@@ -2131,3 +2131,63 @@ def labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lb"),
     )
     return cohens_kappa(labeled, "la", "lb", group_cols=("source",))
+
+
+def _ALPHA_ORACLE() -> str:
+    from top_produce_etl_spark.operators.stats import (
+        krippendorff_alpha_oracle_sql,
+    )
+
+    ratings = """(
+        SELECT source, doc_id AS item,
+               CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS label
+        FROM documents
+        UNION ALL
+        SELECT source, doc_id,
+               CASE WHEN len(string_split(text, ' ')) >= 55
+                    THEN 1 ELSE 0 END
+        FROM documents
+        UNION ALL
+        SELECT source, doc_id,
+               CASE WHEN n_chars + doc_id % 37 > 310 THEN 1 ELSE 0 END
+        FROM documents WHERE doc_id % 4 <> 0
+    )"""
+    return krippendorff_alpha_oracle_sql(
+        ratings, "item", "label", group_sql=("source",)
+    )
+
+
+@query("labeler_agreement_alpha", extended=True, oracle=_ALPHA_ORACLE())
+def labeler_agreement_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha per source (round 10 —
+    operators/stats.py::krippendorff_alpha): the label audit kappa
+    cannot run — THREE weak labelers with MISSING ratings (the third
+    annotator skips every 4th document), long-format input, nominal
+    metric. Two length-derived raters plus a jittered third give
+    above-chance but imperfect agreement; items the third rater
+    skipped still pair on the remaining two. Exact integer contract
+    (one truncated division per item + the final DECIMAL(38,0) one),
+    bit-identical to the DuckDB HUGEINT twin; degenerate groups NULL."""
+    from top_produce_etl_spark.operators.stats import (
+        krippendorff_alpha,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    la = docs.select(
+        "source", F.col("doc_id").alias("item"),
+        F.when(F.col("n_chars") > 300, 1).otherwise(0).alias("label"),
+    )
+    lb = docs.select(
+        "source", F.col("doc_id").alias("item"),
+        F.when(F.size(F.split("text", " ")) >= 55, 1)
+        .otherwise(0).alias("label"),
+    )
+    lc = docs.where(F.col("doc_id") % 4 != 0).select(
+        "source", F.col("doc_id").alias("item"),
+        F.when(F.col("n_chars") + F.col("doc_id") % 37 > 310, 1)
+        .otherwise(0).alias("label"),
+    )
+    ratings = la.unionByName(lb).unionByName(lc)
+    return krippendorff_alpha(
+        ratings, "item", "label", group_cols=("source",)
+    )
