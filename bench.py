@@ -221,6 +221,7 @@ EXTENSION = [
     "multimodal_wav_decode",     # RIFF/PCM16 chunk-walk decode (r10)
     "audio_content_dedup",       # decoded-fingerprint audio dedup (r10)
     "multimodal_avi_decode",     # AVI/DIB frame extraction (r10)
+    "labeler_agreement_alpha",   # Krippendorff multi-rater audit (r10)
     # audio_frame_energy / video_frame_stats share these two queries'
     # decode plan shape (same mapInPandas kernel, frame-grain emit) —
     # battery-gated, not separately timed
