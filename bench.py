@@ -278,12 +278,16 @@ EXTENSION_CORE = [
 RECALL_K = 3
 
 # Previous-round headline anchors — the regression-decidability
-# anchor (r6 verdict #1c). Values: the round-9 BUILDER closing-run
-# medians (BENCH_r09_builder.json, 1.07x host) — the quietest r9
-# record, per the re-base-from-the-quietest protocol; the r9 DRIVER
-# record (11.546 s vs the builder's 7.928 at the same HEAD) was the
-# loaded/GC-heavy-host signature and would only absorb slack into
-# every anchor.
+# anchor (r6 verdict #1c). Values: the round-10 BUILDER closing-run
+# medians (BENCH_r10_builder.json, 1.08x/1.01x calibration — quiet),
+# per the re-base-from-the-newest-quiet-record protocol; that run
+# read 0 REGRESSED / 0 suspects / 10 IMPROVED under the new
+# mutator-CPU gate, so every move here is a same-gate re-base, not
+# an adjudication.
+#
+# (r10 history, kept for the next adjudication: the r9 DRIVER record
+# — 11.546 s vs the builder's 7.928 at the same HEAD — was the
+# loaded/GC-heavy-host signature and would only absorb slack.)
 #
 # r10 adjudication of the four BENCH_r09 driver REGRESSED flags
 # (text_stats, cosine_topk_bruteforce, simhash_neardup_pairs,
@@ -305,19 +309,19 @@ RECALL_K = 3
 # so they can never absorb a same-range regression); values re-base
 # to the quiet r9 builder record below.
 PREV_DRIVER_QUERIES = {
-    "flagship_top3_region": 1.56,
-    "q1_pricing_summary": 0.535,
-    "left_join_order_counts": 0.412,
-    "asof_join_purchase_click": 0.428,
-    "running_customer_spend": 0.361,
-    "top_orders_global": 0.135,
-    "union_all_segments": 0.145,
-    "json_pack_events": 0.344,
-    "session_windows_30m": 0.396,
-    "ngram_jaccard_pairs": 0.744,
-    "minhash_lsh_pairs": 1.335,
-    "cosine_topk_bruteforce": 1.288,
-    "text_stats": 0.245,
+    "flagship_top3_region": 1.73,
+    "q1_pricing_summary": 0.603,
+    "left_join_order_counts": 0.474,
+    "asof_join_purchase_click": 0.431,
+    "running_customer_spend": 0.402,
+    "top_orders_global": 0.143,
+    "union_all_segments": 0.144,
+    "json_pack_events": 0.393,
+    "session_windows_30m": 0.393,
+    "ngram_jaccard_pairs": 0.714,
+    "minhash_lsh_pairs": 1.348,
+    "cosine_topk_bruteforce": 1.596,
+    "text_stats": 0.262,
 }
 
 # Extension-tier regression anchors (r7 verdict #2): the round-7
@@ -329,41 +333,41 @@ PREV_DRIVER_QUERIES = {
 # regression signal.
 PREV_EXT_QUERIES = {
     # pinned EXTENSION_CORE
-    "simhash_neardup_pairs": 1.934,
+    "simhash_neardup_pairs": 1.973,
     # r9 adjudication of the r8-driver REGRESSED flag: ZERO code
     # changes touch this query between the anchor run and the flag
     # (git diff e8e336f..59611ae — dedup.py untouched); three
     # same-code runs read 1.815 / 1.821 / >1.97 wall and 5.04-5.36
     # CPU, i.e. the anchor was the low tail. Value re-based per round
     # from the newest quiet builder record (currently r9 close).
-    "dedup_components": 1.577,
-    "kmeans_assignments": 2.591,
-    "ivf_topk_embeddings": 3.222,
-    "ivf_topk_fast": 2.712,
-    "cosine_topk_fast": 0.565,
-    "multimodal_fake_features": 0.402,
-    "training_data_ops_pack": 1.328,
-    "dedup_survivors": 1.762,
-    "cosine_topk_quantized": 0.848,
-    "cosine_topk_adc": 1.284,
-    "trade_pagerank": 2.188,
+    "dedup_components": 1.72,
+    "kmeans_assignments": 2.687,
+    "ivf_topk_embeddings": 3.453,
+    "ivf_topk_fast": 2.688,
+    "cosine_topk_fast": 0.522,
+    "multimodal_fake_features": 0.425,
+    "training_data_ops_pack": 1.393,
+    "dedup_survivors": 1.795,
+    "cosine_topk_quantized": 0.861,
+    "cosine_topk_adc": 1.366,
+    "trade_pagerank": 2.338,
     # re-based r8-close: unigram_surprisal now persists its (doc,
     # term) tf (2.7-3.7× faster at 200k+ docs and in cold-JVM
     # isolation; at the 5k-doc fixture the parallel materialization
     # overhead dominates, so the timed entry reads higher by design)
-    "curation_funnel": 1.979,
-    "bpe_segmented_vocab": 0.667,
-    "packed_training_layout": 0.334,
-    "semdedup_fast": 3.323,
-    "bpe_encoded_docs": 1.566,
-    "countmin_user_fast": 0.437,
-    "kmv_userdays_fast": 0.661,
-    "dsir_selection_fast": 0.665,
-    "kcenter_diverse_selection": 3.961,
-    "pq_topk_embeddings": 1.587,
-    "pq_topk_fast": 0.846,
-    "ivfpq_topk_embeddings": 1.427,
-    "ddsketch_price_quantiles": 0.604,
+    "curation_funnel": 2.151,
+    "bpe_segmented_vocab": 0.737,
+    "packed_training_layout": 0.314,
+    "semdedup_fast": 3.333,
+    "bpe_encoded_docs": 1.638,
+    "countmin_user_fast": 0.507,
+    "kmv_userdays_fast": 0.63,
+    "dsir_selection_fast": 0.637,
+    "kcenter_diverse_selection": 3.53,
+    "pq_topk_embeddings": 1.297,
+    "pq_topk_fast": 0.687,
+    "ivfpq_topk_embeddings": 0.963,
+    "ddsketch_price_quantiles": 0.437,
     # round-7 query families (from extension_other)
     # r9 adjudication: the m>=2 guard is a post-agg FILTER on an
     # already-computed column (quality.py) — no new exchange/agg; the
@@ -373,19 +377,19 @@ PREV_EXT_QUERIES = {
     # sub-second query, the GC-attribution class (r9 close read 1.269
     # on a 1.07x host — the band is real). Re-based per round from
     # the newest quiet builder record; no code to fix.
-    "t_closeness_customer": 1.269,
-    "dp_counts_by_priority": 0.744,
-    "token_js_divergence_docs": 0.605,
-    "cusum_daily_revenue": 0.698,
-    "ngram_containment_pairs": 0.797,
-    "cdc_chunks_docs": 0.463,
+    "t_closeness_customer": 0.416,
+    "dp_counts_by_priority": 0.393,
+    "token_js_divergence_docs": 0.426,
+    "cusum_daily_revenue": 0.552,
+    "ngram_containment_pairs": 0.666,
+    "cdc_chunks_docs": 0.381,
     # cms_join_size_view_click (7.863 in r7) battery-gated in r8 —
     # replaced by the xxhash64 fast twin, which starts its own anchor
     # series this round.
-    "stratified_exact_split_docs": 0.398,
-    "label_centroids_mean_pool": 0.277,
-    "ess_doc_weights_by_lang": 0.225,
-    "mad_outliers_event_value": 1.014,
+    "stratified_exact_split_docs": 0.302,
+    "label_centroids_mean_pool": 0.208,
+    "ess_doc_weights_by_lang": 0.17,
+    "mad_outliers_event_value": 0.865,
     # round-8 families — anchored from the r8 BUILDER closing run
     # (BENCH_r08_builder.json), their first measured round
     # r9 adjudication of the driver REGRESSED flags on cms/pii: no
@@ -395,31 +399,46 @@ PREV_EXT_QUERIES = {
     # process at load 0.06) — single-quiet-run anchors sat at the
     # low tail of that band. Re-based per round from the newest quiet
     # builder record (currently r9 close).
-    "cms_join_size_fast": 0.917,
-    "gopher_document_rules": 0.484,
-    "c4_clean_lines": 1.506,
-    "pii_scan_customer": 0.564,
-    "pii_redact_customer": 0.555,
-    "gapfill_daily_value_linear": 0.581,
+    "cms_join_size_fast": 0.708,
+    "gopher_document_rules": 0.445,
+    "c4_clean_lines": 1.357,
+    "pii_scan_customer": 0.424,
+    "pii_redact_customer": 0.401,
+    "gapfill_daily_value_linear": 0.515,
     # image anchors (r9 verdict #7): re-based from the quiet r9
     # builder close (dedup 0.731→0.738 stable; neardup 1.186→1.034
     # down) — the r8 max-of-two-runs conservatism is retired
-    "image_dhash_dedup": 0.738,
-    "image_dhash_neardup_pairs": 1.034,
+    "image_dhash_dedup": 0.559,
+    "image_dhash_neardup_pairs": 0.875,
     # r9 verdict #7 closed: first measured on a 1.12×-loaded host,
     # re-based DOWNWARD from the quiet (1.07×) r9 builder close —
     # hybrid_rrf 2.615→2.277, weighted_quantiles 1.569→1.266,
     # ann_rerank 2.215→2.043; quiet-host provenance now attached
-    "hybrid_rrf_retrieval": 2.277,
-    "weighted_quantiles_lineitem": 1.266,
-    "ann_rerank_exact": 2.043,
+    "hybrid_rrf_retrieval": 1.743,
+    "weighted_quantiles_lineitem": 1.042,
+    "ann_rerank_exact": 1.446,
     # round-9 families — first measured by the r9 builder closing run
     # (1.07x host); re-base downward from quieter future records
-    "url_normalize_dedup": 0.658,
-    "url_domain_stats": 0.477,
-    "multimodal_png_decode": 0.562,
-    "quality_classifier_train": 4.229,
-    "hybrid_serve_pipeline": 3.121,
+    "url_normalize_dedup": 0.457,
+    "url_domain_stats": 0.358,
+    "multimodal_png_decode": 0.543,
+    "quality_classifier_train": 4.136,
+    "hybrid_serve_pipeline": 2.636,
+    # r9 first-measured (closing verdict #7) + round-10 families —
+    # anchored from the r10 BUILDER closing run (1.08x/1.01x host,
+    # BENCH_r10_builder.json), quiet-host provenance attached
+    "normalized_dedup_documents": 0.384,
+    "prefix_jaccard_pairs": 1.116,
+    "labeler_agreement_kappa": 0.322,
+    "url_domain_psl_stats": 1.352,
+    "langid_train": 4.017,
+    "langid_confusion": 5.16,
+    "ccnet_perplexity_buckets": 1.424,
+    "bt_preference_ratings": 1.025,
+    "multimodal_wav_decode": 0.493,
+    "audio_content_dedup": 0.62,
+    "multimodal_avi_decode": 0.699,
+    "labeler_agreement_alpha": 0.74,
 }
 
 # CPU-second anchors (r7 verdict #5), measured by the round-8
@@ -437,75 +456,89 @@ PREV_EXT_QUERIES = {
 # load-scaled wall gate. Re-baseline downward from each round's
 # quietest record.
 PREV_CPU: dict[str, float] = {
-    # headline (r9 builder closing run — the quietest r9 record;
-    # see the adjudication note above PREV_DRIVER_QUERIES)
-    "flagship_top3_region": 3.31,
-    "q1_pricing_summary": 1.01,
-    "left_join_order_counts": 0.72,
-    "asof_join_purchase_click": 0.95,
-    "running_customer_spend": 0.72,
-    "top_orders_global": 0.23,
-    "union_all_segments": 0.24,
-    "json_pack_events": 0.47,
-    "session_windows_30m": 0.84,
-    "ngram_jaccard_pairs": 1.92,
-    "minhash_lsh_pairs": 4.65,
-    "cosine_topk_bruteforce": 1.8,
-    "text_stats": 0.33,
+    # headline (r10 builder closing run; whole-tree CPU — the
+    # GC/JIT-inclusive legacy column, kept for continuity; the gate
+    # adjudicates on PREV_CPU_ADJ mutator anchors when present)
+    "flagship_top3_region": 3.96,
+    "q1_pricing_summary": 1.34,
+    "left_join_order_counts": 1.2,
+    "asof_join_purchase_click": 0.83,
+    "running_customer_spend": 0.97,
+    "top_orders_global": 0.32,
+    "union_all_segments": 0.3,
+    "json_pack_events": 1.09,
+    "session_windows_30m": 0.7,
+    "ngram_jaccard_pairs": 1.84,
+    "minhash_lsh_pairs": 5.14,
+    "cosine_topk_bruteforce": 2.18,
+    "text_stats": 0.35,
     # extension (r8 builder)
-    "simhash_neardup_pairs": 6.56,
-    "dedup_components": 4.78,  # r9 re-base, see wall-anchor adjudication
-    "kmeans_assignments": 24.8,
+    "simhash_neardup_pairs": 6.96,
+    "dedup_components": 4.99,  # r9 re-base, see wall-anchor adjudication
+    "kmeans_assignments": 26.79,
     "ivf_topk_embeddings": 21.71,
-    "ivf_topk_fast": 20.16,
-    "cosine_topk_fast": 0.86,
-    "multimodal_fake_features": 0.7,
-    "training_data_ops_pack": 2.45,
-    "dedup_survivors": 4.47,
-    "cosine_topk_quantized": 1.06,
-    "cosine_topk_adc": 1.49,
-    "trade_pagerank": 14.81,
-    "curation_funnel": 22.93,
-    "bpe_segmented_vocab": 2.65,
-    "packed_training_layout": 0.42,
-    "semdedup_fast": 14.09,
-    "bpe_encoded_docs": 4.64,
-    "countmin_user_fast": 0.75,
-    "kmv_userdays_fast": 1.6,
-    "dsir_selection_fast": 1.63,
-    "kcenter_diverse_selection": 53.07,
-    "pq_topk_embeddings": 1.62,
-    "pq_topk_fast": 7.23,
-    "ivfpq_topk_embeddings": 14.13,
-    "ddsketch_price_quantiles": 0.74,
-    "t_closeness_customer": 1.33,  # r9 re-base, see wall-anchor adjudication
-    "dp_counts_by_priority": 0.93,
-    "token_js_divergence_docs": 0.78,
-    "cusum_daily_revenue": 0.92,
-    "ngram_containment_pairs": 2.15,
-    "cdc_chunks_docs": 0.6,
-    "stratified_exact_split_docs": 0.67,
-    "label_centroids_mean_pool": 0.28,
-    "ess_doc_weights_by_lang": 0.23,
-    "mad_outliers_event_value": 1.48,
-    "cms_join_size_fast": 2.21,  # r9 re-base, see wall-anchor adjudication
+    "ivf_topk_fast": 20.24,
+    "cosine_topk_fast": 0.67,
+    "multimodal_fake_features": 0.65,
+    "training_data_ops_pack": 2.33,
+    "dedup_survivors": 4.13,
+    "cosine_topk_quantized": 1.02,
+    "cosine_topk_adc": 1.54,
+    "trade_pagerank": 12.61,
+    "curation_funnel": 20.52,
+    "bpe_segmented_vocab": 2.61,
+    "packed_training_layout": 0.4,
+    "semdedup_fast": 14.49,
+    "bpe_encoded_docs": 4.54,
+    "countmin_user_fast": 0.8,
+    "kmv_userdays_fast": 1.57,
+    "dsir_selection_fast": 1.54,
+    "kcenter_diverse_selection": 45.61,
+    "pq_topk_embeddings": 1.36,
+    "pq_topk_fast": 6.25,
+    "ivfpq_topk_embeddings": 11.59,
+    "ddsketch_price_quantiles": 0.55,
+    "t_closeness_customer": 0.64,  # r9 re-base, see wall-anchor adjudication
+    "dp_counts_by_priority": 0.47,
+    "token_js_divergence_docs": 0.58,
+    "cusum_daily_revenue": 0.89,
+    "ngram_containment_pairs": 1.68,
+    "cdc_chunks_docs": 0.59,
+    "stratified_exact_split_docs": 0.6,
+    "label_centroids_mean_pool": 0.25,
+    "ess_doc_weights_by_lang": 0.22,
+    "mad_outliers_event_value": 1.16,
+    "cms_join_size_fast": 1.82,  # r9 re-base, see wall-anchor adjudication
     "gopher_document_rules": 0.53,
-    "c4_clean_lines": 1.64,
-    "pii_scan_customer": 0.87,  # r9 re-base, see wall-anchor adjudication
-    "pii_redact_customer": 1.0,
-    "gapfill_daily_value_linear": 0.82,
-    "image_dhash_dedup": 1.07,
-    "image_dhash_neardup_pairs": 1.91,
+    "c4_clean_lines": 1.52,
+    "pii_scan_customer": 0.73,  # r9 re-base, see wall-anchor adjudication
+    "pii_redact_customer": 0.72,
+    "gapfill_daily_value_linear": 0.86,
+    "image_dhash_dedup": 0.8,
+    "image_dhash_neardup_pairs": 1.37,
     # from the second r8 builder run (see wall-anchor note)
-    "hybrid_rrf_retrieval": 3.34,
-    "weighted_quantiles_lineitem": 2.57,
-    "ann_rerank_exact": 2.4,
+    "hybrid_rrf_retrieval": 2.86,
+    "weighted_quantiles_lineitem": 2.07,
+    "ann_rerank_exact": 1.8,
     # round-9 families (r9 builder closing run)
-    "url_normalize_dedup": 1.63,
-    "url_domain_stats": 0.95,
-    "multimodal_png_decode": 0.84,
-    "quality_classifier_train": 35.72,
-    "hybrid_serve_pipeline": 18.75,
+    "url_normalize_dedup": 1.13,
+    "url_domain_stats": 0.84,
+    "multimodal_png_decode": 0.83,
+    "quality_classifier_train": 35.67,
+    "hybrid_serve_pipeline": 15.99,
+    # r9 first-measured + round-10 families (r10 builder close)
+    "normalized_dedup_documents": 1.15,
+    "prefix_jaccard_pairs": 5.23,
+    "labeler_agreement_kappa": 0.6,
+    "url_domain_psl_stats": 24.37,
+    "langid_train": 30.6,
+    "langid_confusion": 25.48,
+    "ccnet_perplexity_buckets": 20.5,
+    "bt_preference_ratings": 4.71,
+    "multimodal_wav_decode": 0.71,
+    "audio_content_dedup": 0.98,
+    "multimodal_avi_decode": 1.21,
+    "labeler_agreement_alpha": 2.56,
 }
 
 # MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
@@ -518,7 +551,160 @@ PREV_CPU: dict[str, float] = {
 # anchor can only reduce false flags, never hide a real regression
 # that burns more mutator cycles than the anchor's mutator+GC total.
 # Populate from each round's quietest record, like PREV_CPU.
-PREV_CPU_ADJ: dict[str, float] = {}
+PREV_CPU_ADJ: dict[str, float] = {
+    # first measured by the r10 builder closing run — cpu − gc − jit
+    # per query; the primary CPU anchor from round 11 on
+    "ab_conversion_ztest": 0.42,
+    "ann_rerank_exact": 1.71,
+    "asof_join_purchase_click": 0.45,
+    "audio_content_dedup": 0.9,
+    "benford_price_digits": 0.42,
+    "bigram_surprisal_scores": 7.65,
+    "bootstrap_ci_fast": 12.69,
+    "bpe_encoded_docs": 4.44,
+    "bpe_segmented_vocab": 2.33,
+    "bt_preference_ratings": 4.22,
+    "budget_selected_corpus": 0.51,
+    "c4_clean_lines": 1.49,
+    "capped_docs_per_source": 0.43,
+    "ccnet_perplexity_buckets": 20.33,
+    "cdc_chunks_docs": 0.45,
+    "cdc_upsert_state": 0.45,
+    "clean_corpus_pipeline": 16.69,
+    "cms_join_size_fast": 1.55,
+    "cohort_retention_weekly": 0.64,
+    "conformal_intervals_orders": 7.44,
+    "contaminated_span_report": 1.35,
+    "copurchase_bfs_hops": 10.33,
+    "copurchase_kcore": 5.69,
+    "copurchase_triangles": 7.61,
+    "corpus_datasheet": 0.76,
+    "cosine_topk_adc": 1.35,
+    "cosine_topk_bruteforce": 1.76,
+    "cosine_topk_fast": 0.57,
+    "cosine_topk_quantized": 0.95,
+    "countmin_user_fast": 0.59,
+    "cuped_adjusted_lift_events": 0.68,
+    "curation_funnel": 19.07,
+    "curriculum_stages_docs": 0.64,
+    "cusum_daily_revenue": 0.84,
+    "ddsketch_price_quantiles": 0.49,
+    "dedup_components": 2.99,
+    "dedup_savings_report": 2.68,
+    "dedup_survivors": 3.17,
+    "doc_chunks_rag": 0.19,
+    "doc_clusters_hashed_bow": 33.37,
+    "dp_counts_by_priority": 0.44,
+    "dsir_selection_fast": 1.47,
+    "duplicate_span_report": 2.65,
+    "embedding_centroid_drift": 0.72,
+    "entity_golden_parts": 2.57,
+    "ess_doc_weights_by_lang": 0.21,
+    "event_audience_overlap": 0.5,
+    "event_audience_overlap_hll": 0.97,
+    "event_pattern_counts": 0.49,
+    "event_transition_matrix": 0.45,
+    "ewma_daily_revenue": 0.63,
+    "flagship_top3_region": 2.54,
+    "frequent_bigrams": 2.2,
+    "funnel_3step_strict": 0.83,
+    "gapfill_daily_counts_zero": 0.48,
+    "gapfill_daily_value_linear": 0.69,
+    "gini_revenue_by_segment": 0.63,
+    "gopher_document_rules": 0.49,
+    "hashed_bow_vectors_docs": 0.83,
+    "hybrid_rrf_retrieval": 2.6,
+    "hybrid_serve_pipeline": 14.87,
+    "image_dhash_dedup": 0.73,
+    "image_dhash_neardup_pairs": 1.21,
+    "incremental_revenue_cdc": 0.91,
+    "ivf_topk_embeddings": 19.64,
+    "ivf_topk_fast": 18.82,
+    "ivfpq_topk_embeddings": 11.55,
+    "json_pack_events": 0.42,
+    "kcenter_diverse_selection": 45.25,
+    "kcenter_sampled_selection": 43.41,
+    "kmeans_assignments": 24.24,
+    "kmv_userdays_fast": 1.02,
+    "ks_price_drift_by_priority": 0.84,
+    "label_centroids_mean_pool": 0.24,
+    "labeler_agreement_alpha": 1.78,
+    "labeler_agreement_kappa": 0.58,
+    "langid_confusion": 20.03,
+    "langid_train": 28.04,
+    "left_join_order_counts": 0.93,
+    "loo_priority_encoding": 0.52,
+    "mad_outliers_event_value": 0.96,
+    "minhash_lsh_pairs": 3.61,
+    "mixture_rebalance_hash": 12.41,
+    "mmr_diverse_topk": 5.94,
+    "multimodal_avi_decode": 1.11,
+    "multimodal_fake_features": 0.53,
+    "multimodal_png_decode": 0.77,
+    "multimodal_wav_decode": 0.67,
+    "ngram_containment_pairs": 1.33,
+    "ngram_jaccard_pairs": 0.97,
+    "normalized_dedup_documents": 0.88,
+    "open_orders_daily": 1.36,
+    "order_value_trend_by_priority": 0.48,
+    "orderkey_sequence_gaps": 0.49,
+    "orderkey_skew_report": 0.75,
+    "orders_fingerprint": 0.92,
+    "orders_profile_drift": 6.06,
+    "packed_training_layout": 0.37,
+    "pairwise_corr_lineitem": 1.17,
+    "parts_bought_together": 6.12,
+    "pii_redact_customer": 0.45,
+    "pii_scan_customer": 0.57,
+    "pq_topk_embeddings": 1.32,
+    "pq_topk_fast": 6.19,
+    "prefix_jaccard_pairs": 4.69,
+    "price_quantiles_by_priority": 1.33,
+    "psi_price_drift": 1.11,
+    "q1_pricing_summary": 0.66,
+    "quality_classifier_train": 34.89,
+    "quality_report_orders": 1.84,
+    "quantized_recall_report": 2.46,
+    "rp_topk_embeddings": 2.63,
+    "rp_topk_fast": 1.51,
+    "running_customer_spend": 0.51,
+    "runtime_pruned_revenue": 0.6,
+    "sampling_pack": 0.78,
+    "scd2_user_status_history": 0.77,
+    "segment_price_outliers": 1.41,
+    "semdedup_fast": 14.21,
+    "session_top_paths": 1.16,
+    "session_windows_30m": 0.58,
+    "simhash_neardup_pairs": 5.12,
+    "sketch_distinct_rollup": 0.7,
+    "source_entropy_by_lang": 0.29,
+    "split_decontamination_check": 1.68,
+    "standardized_embeddings": 0.89,
+    "stratified_exact_split_docs": 0.32,
+    "strip_boilerplate_docs": 1.64,
+    "supplier_efficiency_skyline": 0.71,
+    "supply_communities_lpa": 48.12,
+    "t_closeness_customer": 0.59,
+    "temperature_mix_sources": 0.76,
+    "text_stats": 0.29,
+    "token_js_divergence_docs": 0.52,
+    "token_runs_expr": 0.34,
+    "top_orders_global": 0.2,
+    "trade_pagerank": 9.92,
+    "train_val_test_split": 0.39,
+    "training_data_ops_pack": 1.81,
+    "trending_brands_ewma": 1.23,
+    "trimmed_mean_price_by_priority": 0.96,
+    "unigram_surprisal_scores": 16.98,
+    "union_all_segments": 0.2,
+    "upsampled_mixture_docs": 0.23,
+    "url_domain_psl_stats": 24.27,
+    "url_domain_stats": 0.49,
+    "url_normalize_dedup": 0.8,
+    "user_survival_km_weekly": 0.46,
+    "weighted_quantiles_lineitem": 2.03,
+    "weighted_sample_orders": 2.06,
+}
 
 # Calibration: a fixed, data-independent, CPU-bound workload (800M
 # longs through 8 chained xxhash64 rounds, single stage, 1-row
