@@ -430,7 +430,12 @@ PREV_EXT_QUERIES = {
     "normalized_dedup_documents": 0.384,
     "prefix_jaccard_pairs": 1.116,
     "labeler_agreement_kappa": 0.322,
-    "url_domain_psl_stats": 1.352,
+    # re-based post-close: the rules dimension moved from a
+    # python-RDD createDataFrame to a JVM VALUES LocalRelation
+    # (psl.py — 4x32 pyspark workers per query cost 24 CPU-s and the
+    # empty k=4 join could not fold); bench-conf re-runs after the
+    # fix read 0.93-1.44 wall / 2.8-5.6 CPU
+    "url_domain_psl_stats": 1.1,
     "langid_train": 4.017,
     "langid_confusion": 5.16,
     "ccnet_perplexity_buckets": 1.424,
@@ -530,7 +535,7 @@ PREV_CPU: dict[str, float] = {
     "normalized_dedup_documents": 1.15,
     "prefix_jaccard_pairs": 5.23,
     "labeler_agreement_kappa": 0.6,
-    "url_domain_psl_stats": 24.37,
+    "url_domain_psl_stats": 3.8,  # post-close re-base, see wall anchor
     "langid_train": 30.6,
     "langid_confusion": 25.48,
     "ccnet_perplexity_buckets": 20.5,
@@ -698,7 +703,7 @@ PREV_CPU_ADJ: dict[str, float] = {
     "unigram_surprisal_scores": 16.98,
     "union_all_segments": 0.2,
     "upsampled_mixture_docs": 0.23,
-    "url_domain_psl_stats": 24.27,
+    "url_domain_psl_stats": 1.9,
     "url_domain_stats": 0.49,
     "url_normalize_dedup": 0.8,
     "user_survival_km_weekly": 0.46,

@@ -192,8 +192,22 @@ def psl_rules_df(
             r for r in raw if r and not r.startswith("//")
         ]
     rows = expand_rules(PSL_SNAPSHOT_RULES if rules is None else rules)
-    return spark.createDataFrame(
-        rows, "match_key string, key_labels int, ps_labels int"
+    # JVM-side VALUES LocalRelation, NOT createDataFrame: a
+    # python-RDD relation launches pyspark.daemon workers on every
+    # materialization — this dimension is re-filtered and broadcast
+    # FOUR times per resolution, and the worker spin-up cost
+    # measured 25 CPU-s per query at the sf0.1 fixture (r10 close).
+    # A VALUES literal is pure JVM, constant-foldable, zero workers.
+    values = ", ".join(
+        f"('{key}', {kl}, {ps})"
+        for key, kl, ps in rows
+        # hostname-alphabet guard: rules can come from a user file
+        # (path=...), and the VALUES text must not be injectable
+        if not set(key) - set("abcdefghijklmnopqrstuvwxyz0123456789.-_")
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {values}) "
+        "AS t(match_key, key_labels, ps_labels)"
     )
 
 
