@@ -356,3 +356,49 @@ def test_classifier_scoring_single_model_join(spark, sf_dir):
     unpersist_all()
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_ccnet_buckets_single_tf_scan_shape(spark, sf_dir):
+    """perplexity_buckets: the tercile window runs on the slim score
+    relation — no Python in the plan, and the window sort is over
+    (score, id), never the text column."""
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators.textquality import (
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs, "doc_id", "text", by=("lang",))
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    from top_produce_etl_spark.operators._cache import unpersist_all
+
+    unpersist_all()
+    assert "BatchEvalPython" not in p, p
+    assert "ntile" in p and "mean_info_micro" in p, p
+    # the window's sort keys are the integer score + id, not text
+    assert re.search(r"Arguments.*ntile.*mean_info_micro", p) or \
+        "windowspecdefinition(lang" in p, p
+
+
+def test_bt_ratings_no_cartesian(spark):
+    """Bradley-Terry iterations: hash joins against the distributed
+    ratings only — no cartesian, no broadcast nested loop, no
+    row-Python anywhere in the final plan."""
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.preferences import bt_ratings
+
+    pairs = spark.createDataFrame(
+        [(i % 5, (i + 1 + i % 3) % 5) for i in range(0, 100, 7)
+         if i % 5 != (i + 1 + i % 3) % 5],
+        "winner long, loser long",
+    )
+    out = bt_ratings(pairs, iters=2)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    unpersist_all()
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
