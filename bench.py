@@ -222,6 +222,7 @@ EXTENSION = [
     "audio_content_dedup",       # decoded-fingerprint audio dedup (r10)
     "multimodal_avi_decode",     # AVI/DIB frame extraction (r10)
     "labeler_agreement_alpha",   # Krippendorff multi-rater audit (r10)
+    "image_resize_stats",        # 3-codec nearest-neighbor resize (r10)
     # audio_frame_energy / video_frame_stats share these two queries'
     # decode plan shape (same mapInPandas kernel, frame-grain emit) —
     # battery-gated, not separately timed

@@ -385,3 +385,31 @@ def test_jpeg_magic_raises_documented_error_without_pil():
 
     with pytest.raises(NotImplementedError, match="PIL-gated"):
         decode_image_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+def test_resize_nearest_neighbor_hand_checked(spark):
+    """2x2 -> 1x1 resize picks the TOP-LEFT pixel under the floor
+    convention (src = (out*len)//out_len with out=0), and upscale
+    replicates pixels; bad dims rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from top_produce_etl_spark.operators.multimodal import (
+        encode_ppm,
+        resize_image_stats,
+    )
+
+    # 2x2 RGB: pixels (r,g,b) = 10/20/30, 40/50/60, 70/80/90, 100/110/120
+    rgb = bytes(range(10, 130, 10))
+    df = spark.createDataFrame(
+        [(1, "ppm", encode_ppm(2, 2, rgb))],
+        "media_id long, fmt string, content binary",
+    )
+    r = resize_image_stats(df, 1, 1).collect()[0]
+    assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (10, 20, 30)
+    assert r["resized_checksum"] == 0 * 10 + 1 * 20 + 2 * 30
+    # upscale 2x2 -> 4x2: each source column repeats twice per row
+    r = resize_image_stats(df, 4, 2).collect()[0]
+    assert r["sum_r"] == 2 * (10 + 40 + 70 + 100)
+    with _pytest.raises(ValueError):
+        resize_image_stats(df, 0, 1)

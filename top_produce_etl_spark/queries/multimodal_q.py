@@ -553,3 +553,64 @@ def video_frame_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return video_frame_stats(synthesize_videos(docs), every=2)
+
+
+# --- nearest-neighbor resize tier (round 10) ---
+
+_RESIZE_W, _RESIZE_H = 8, 6
+
+
+def _RESIZE_ORACLE() -> str:
+    w = "(doc_id % 13 + 4)"
+    h = "(doc_id % 7 + 3)"
+    sy = f"((y2 * {h}) // {_RESIZE_H})"
+    sx = f"((x2 * {w}) // {_RESIZE_W})"
+    i_src = f"(({sy} * {w} + {sx}) * 3 + c)"
+    return f"""
+    WITH px AS (
+        SELECT doc_id AS media_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ppm'
+                    WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
+               CAST({w} AS INT) AS src_w,
+               CAST({h} AS INT) AS src_h,
+               (y2 * {_RESIZE_W} + x2) * 3 + c AS i2,
+               c,
+               (doc_id * 31 + {i_src} * 7) % 256 AS v
+        FROM documents,
+             UNNEST(range({_RESIZE_H})) ty(y2),
+             UNNEST(range({_RESIZE_W})) tx(x2),
+             UNNEST(range(3)) tc(c)
+    )
+    SELECT media_id, ANY_VALUE(fmt) AS fmt,
+           ANY_VALUE(src_w) AS src_w, ANY_VALUE(src_h) AS src_h,
+           CAST({_RESIZE_W} AS INT) AS out_w,
+           CAST({_RESIZE_H} AS INT) AS out_h,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(SUM(i2 * v) AS BIGINT) AS resized_checksum
+    FROM px
+    GROUP BY media_id
+    """
+
+
+@query("image_resize_stats", extended=True, oracle=_RESIZE_ORACLE())
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize over the three-format
+    codec mix (PPM/BMP/PNG decode → floor-convention index map →
+    8×6 output): per-channel sums and the positional checksum of the
+    RESIZED buffer hash-check against DuckDB's closed-form
+    re-derivation, which selects the exact source pixel the mapping
+    must pick for every output position — axis order, floor
+    convention, and the three decoders are all load-bearing."""
+    from top_produce_etl_spark.operators.multimodal import (
+        resize_image_stats,
+        synthesize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_images(docs, formats=("ppm", "bmp", "png"))
+    return resize_image_stats(media, _RESIZE_W, _RESIZE_H)
