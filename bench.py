@@ -1328,6 +1328,38 @@ def main() -> None:
           f"{cal_cpu}) | shuffle: {cal_shuf}s (ref {CAL_SHUF_REF_SEC}s, "
           f"cpu/run {cal_shuf_cpu})",
           file=sys.stderr)
+    # Isolated re-run mode (adjudication protocol, BASELINE.md):
+    # `python bench.py --only name1,name2` times ONLY the named
+    # queries (warmup + HEADLINE_RUNS measured, same session confs,
+    # same mutator-CPU attribution) and prints one JSON line with
+    # med/min/max wall + cpu/gc/jit per query plus the calibration
+    # context. This replaces the per-round ad-hoc rerun scripts so
+    # adjudications of REGRESSED/suspect flags are reproducible.
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        names = [n for n in sys.argv[2].split(",") if n]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        only = time_set(names, runs=HEADLINE_RUNS)
+        print(json.dumps({
+            "mode": "isolated_rerun",
+            "sf": float(os.path.basename(SF_DIR.rstrip("/"))[2:]),
+            "calibration_sec": cal,
+            "calibration_shuffle_sec": cal_shuf,
+            "calibration_cpu_sec": cal_cpu,
+            "load": round(max(cal / CAL_REF_SEC,
+                              cal_shuf / CAL_SHUF_REF_SEC, 1.0), 3),
+            "queries": only,
+            "spread": {n: spread[n] for n in names},
+            "cpu": {n: cpu_med[n] for n in names},
+            "gc": {n: gc_med[n] for n in names},
+            "jit": {n: jit_med[n] for n in names},
+            "cpu_adj": {
+                n: round(cpu_med[n] - gc_med[n] - jit_med[n], 3)
+                for n in names
+            },
+        }))
+        return
     timings = time_set(HEADLINE, runs=HEADLINE_RUNS)
     extension = time_set(EXTENSION)
     # Per-query delta vs the previous round's anchors — the
