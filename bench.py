@@ -351,7 +351,7 @@ PREV_EXT_QUERIES = {
     "dedup_survivors": 1.795,
     "cosine_topk_quantized": 0.861,
     "cosine_topk_adc": 1.366,
-    "trade_pagerank": 2.338,
+    "trade_pagerank": 2.262,
     # re-based r8-close: unigram_surprisal now persists its (doc,
     # term) tf (2.7-3.7× faster at 200k+ docs and in cold-JVM
     # isolation; at the 5k-doc fixture the parallel materialization
@@ -438,13 +438,24 @@ PREV_EXT_QUERIES = {
     # fix read 0.93-1.44 wall / 2.8-5.6 CPU
     "url_domain_psl_stats": 1.1,
     "langid_train": 4.017,
-    "langid_confusion": 5.16,
+    # r11 adjudication of the BENCH_r10 driver flags (2 REGRESSED +
+    # 4 suspect): zero code changes between the builder close and
+    # the driver run (git diff is the verdict commit only), and
+    # isolated --only re-runs at the r11 HEAD contradict the
+    # driver's high wall readings on alpha/wav/audio_dedup while
+    # matching its mutator CPU on langid_confusion (33.3 vs 33.39 —
+    # the single-run builder anchor 20.03 was the outlier, a
+    # hot-JVM reading). All seven anchors below re-seeded as the
+    # MEDIAN of the three measurements (builder close, driver run,
+    # isolated re-run) per the r10 verdict's two-run-seeding ask;
+    # full numbers in BASELINE.md round 11.
+    "langid_confusion": 6.036,
     "ccnet_perplexity_buckets": 1.424,
-    "bt_preference_ratings": 1.025,
-    "multimodal_wav_decode": 0.493,
-    "audio_content_dedup": 0.62,
-    "multimodal_avi_decode": 0.699,
-    "labeler_agreement_alpha": 0.74,
+    "bt_preference_ratings": 1.164,
+    "multimodal_wav_decode": 0.642,
+    "audio_content_dedup": 0.679,
+    "multimodal_avi_decode": 0.856,
+    "labeler_agreement_alpha": 1.177,
 }
 
 # CPU-second anchors (r7 verdict #5), measured by the round-8
@@ -490,7 +501,7 @@ PREV_CPU: dict[str, float] = {
     "dedup_survivors": 4.13,
     "cosine_topk_quantized": 1.02,
     "cosine_topk_adc": 1.54,
-    "trade_pagerank": 12.61,
+    "trade_pagerank": 13.62,
     "curation_funnel": 20.52,
     "bpe_segmented_vocab": 2.61,
     "packed_training_layout": 0.4,
@@ -538,13 +549,13 @@ PREV_CPU: dict[str, float] = {
     "labeler_agreement_kappa": 0.6,
     "url_domain_psl_stats": 3.8,  # post-close re-base, see wall anchor
     "langid_train": 30.6,
-    "langid_confusion": 25.48,
+    "langid_confusion": 34.67,
     "ccnet_perplexity_buckets": 20.5,
-    "bt_preference_ratings": 4.71,
-    "multimodal_wav_decode": 0.71,
-    "audio_content_dedup": 0.98,
+    "bt_preference_ratings": 5.73,
+    "multimodal_wav_decode": 1.03,
+    "audio_content_dedup": 1.23,
     "multimodal_avi_decode": 1.21,
-    "labeler_agreement_alpha": 2.56,
+    "labeler_agreement_alpha": 5.27,
 }
 
 # MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
@@ -563,13 +574,13 @@ PREV_CPU_ADJ: dict[str, float] = {
     "ab_conversion_ztest": 0.42,
     "ann_rerank_exact": 1.71,
     "asof_join_purchase_click": 0.45,
-    "audio_content_dedup": 0.9,
+    "audio_content_dedup": 0.97,
     "benford_price_digits": 0.42,
     "bigram_surprisal_scores": 7.65,
     "bootstrap_ci_fast": 12.69,
     "bpe_encoded_docs": 4.44,
     "bpe_segmented_vocab": 2.33,
-    "bt_preference_ratings": 4.22,
+    "bt_preference_ratings": 4.68,
     "budget_selected_corpus": 0.51,
     "c4_clean_lines": 1.49,
     "capped_docs_per_source": 0.43,
@@ -634,9 +645,9 @@ PREV_CPU_ADJ: dict[str, float] = {
     "kmv_userdays_fast": 1.02,
     "ks_price_drift_by_priority": 0.84,
     "label_centroids_mean_pool": 0.24,
-    "labeler_agreement_alpha": 1.78,
+    "labeler_agreement_alpha": 1.9,
     "labeler_agreement_kappa": 0.58,
-    "langid_confusion": 20.03,
+    "langid_confusion": 33.3,
     "langid_train": 28.04,
     "left_join_order_counts": 0.93,
     "loo_priority_encoding": 0.52,
@@ -647,7 +658,7 @@ PREV_CPU_ADJ: dict[str, float] = {
     "multimodal_avi_decode": 1.11,
     "multimodal_fake_features": 0.53,
     "multimodal_png_decode": 0.77,
-    "multimodal_wav_decode": 0.67,
+    "multimodal_wav_decode": 0.88,
     "ngram_containment_pairs": 1.33,
     "ngram_jaccard_pairs": 0.97,
     "normalized_dedup_documents": 0.88,
@@ -696,7 +707,7 @@ PREV_CPU_ADJ: dict[str, float] = {
     "token_js_divergence_docs": 0.52,
     "token_runs_expr": 0.34,
     "top_orders_global": 0.2,
-    "trade_pagerank": 9.92,
+    "trade_pagerank": 12.55,
     "train_val_test_split": 0.39,
     "training_data_ops_pack": 1.81,
     "trending_brands_ewma": 1.23,
