@@ -558,6 +558,29 @@ PREV_CPU: dict[str, float] = {
     "labeler_agreement_alpha": 5.27,
 }
 
+# Queries whose WALL anchor is seeded from a SINGLE quiet run (r11,
+# closing the r10 verdict #2 gap): a first-measured sub-second anchor
+# from one builder close let the very next driver run on a 1.05x host
+# fire REGRESSED on 0.67 s of wall delta (multimodal_wav_decode,
+# 0.493 s anchor). Until a second independent measurement re-seeds
+# the anchor (median-of-runs, see the r11 adjudication), the
+# REGRESSED conjunction may NOT fire on these when either side of
+# the comparison is sub-second — it downgrades to a visible
+# "suspect-young-anchor" that the closing adjudication resolves.
+# Established multi-run anchors are untouched (the gate is NOT
+# loosened for them). Maintain at each round close: newly
+# first-measured queries enter; re-seeded queries leave.
+SINGLE_RUN_ANCHORS: set[str] = {
+    # r10 first-measured entries not covered by the r11 three-
+    # measurement re-seed (url_domain_psl_stats left out: its
+    # post-close anchor came from multiple bench-conf re-runs)
+    "normalized_dedup_documents",
+    "prefix_jaccard_pairs",
+    "labeler_agreement_kappa",
+    "langid_train",
+    "ccnet_perplexity_buckets",
+}
+
 # MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
 # cpu − gc − jit per query, first measured by the round-10 quiet
 # builder close. When a query has an entry here, the CPU leg of the
@@ -1430,6 +1453,14 @@ def main() -> None:
                 "REGRESSED" if wall_reg
                 else ("IMPROVED" if hi < ref * 0.8 else "noise-band")
             )
+        # first-measured-anchor floor (r11, r10 verdict #2): a
+        # single-run anchor on a sub-second query cannot carry a
+        # REGRESSED verdict — the young-anchor + host-factor noise
+        # band spans the whole delta at that scale. Downgrade to a
+        # visible suspect the closing adjudication must resolve.
+        if (verdict == "REGRESSED" and name in SINGLE_RUN_ANCHORS
+                and (ref < 1.0 or med < 1.0)):
+            verdict = "suspect-young-anchor"
         return {
             "prev": ref,
             "med": med,
@@ -1767,6 +1798,11 @@ def main() -> None:
         ),
         "bpe_probe_round_wall_flat_ok": bpe_wall_flat,
         "bpe_probe_round_flat_ok": bool(bpe_wall_flat or bpe_cpu_flat),
+        # gate predicate version (r11, ADVICE): v1 (r5-r9) was
+        # wall-flat only; v2 (r10+) is wall-flat OR mutator-CPU-flat.
+        # Cross-round readers of bpe_probe_round_flat_ok must not
+        # compare v1 and v2 values as the same predicate.
+        "bpe_probe_round_flat_gate_version": 2,
     }
     print(f"# bpe_probe: {bpe_probe}", file=sys.stderr)
 
