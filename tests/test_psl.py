@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from top_produce_etl_spark.operators.psl import (
+    MAX_KEY_LABELS,
     PSL_SNAPSHOT_RULES,
     expand_rules,
     psl_rules_df,
@@ -50,6 +51,8 @@ CASES = [
 
 
 def test_expand_rules_families():
+    """Default expansion is the FULL vendored list (r11); the
+    structurally distinct families all resolve from it."""
     d = {k: (kl, ps) for k, kl, ps in expand_rules()}
     assert d["co.uk"] == (2, 2)  # normal
     assert d["ck"] == (1, 2)  # wildcard: parent key, +1 label suffix
@@ -58,10 +61,19 @@ def test_expand_rules_families():
     assert d["city.kawasaki.jp"] == (3, 2)
     assert d["github.io"] == (2, 2)
     assert d["s3.amazonaws.com"] == (3, 3)
+    # full-list-only families (not in the r10 snapshot)
+    assert d["co.ao"] == (2, 2)
+    assert d["pvt.k12.ma.us"] == (4, 4)
+    # IDN rules carry a punycode twin row (r11)
+    assert d["\u516c\u53f8.cn"] == (2, 2)
+    assert d["xn--55qx5d.cn"] == (2, 2)
     # keys are unique (join fan-out safety) and within probe depth
     keys = [k for k, _, _ in expand_rules()]
     assert len(keys) == len(set(keys))
-    assert max(kl for _, kl, _ in expand_rules()) <= 4
+    assert max(kl for _, kl, _ in expand_rules()) <= MAX_KEY_LABELS
+    # single-label NORMAL rules are elided as the implicit default;
+    # depth-1 keys that remain are all wildcard tails (ps > 1)
+    assert all(ps > 1 for _, kl, ps in expand_rules() if kl == 1)
 
 
 def _resolve_spark(spark, hosts):
@@ -115,7 +127,7 @@ def test_psl_plan_broadcast_only(spark):
     # populated key depth, nothing for the rest.
     depths = {kl for _, kl, _ in expand_rules()}
     got = len(re.findall(r"\(\d+\) BroadcastHashJoin", p))
-    assert got == len(depths) and got < 4, p
+    assert got == len(depths) <= MAX_KEY_LABELS, p
     assert "Generate" not in p, p  # no explode
     assert "pyspark.daemon" not in p and "ExistingRDD" not in p, p
     assert not re.search(r"\(\d+\) Exchange\b", p), p  # broadcasts only
@@ -152,6 +164,61 @@ def test_snapshot_covers_old_literal(spark):
     stays recognized — no regression for existing url queries."""
     from top_produce_etl_spark.operators.urls import MULTI_LABEL_SUFFIXES
 
-    d = {k for k, _, _ in expand_rules()}
+    d = {k for k, _, _ in expand_rules(PSL_SNAPSHOT_RULES)}
     assert set(MULTI_LABEL_SUFFIXES) <= d
     assert len(PSL_SNAPSHOT_RULES) > 100
+
+
+FULL_LIST_CASES = [
+    # suffix families NOT in the r10 snapshot — the hosts the
+    # 130-rule tier resolved by the implicit last-label fallback
+    ("foo.co.ao", "foo.co.ao", "co.ao"),
+    ("bar.pvt.k12.ma.us", "bar.pvt.k12.ma.us", "pvt.k12.ma.us"),
+    ("pvt.k12.ma.us", None, "pvt.k12.ma.us"),
+    # IDN suffix in BOTH spellings (punycode twin rows, r11)
+    ("shop.example.公司.cn", "example.公司.cn", "公司.cn"),
+    ("shop.example.xn--55qx5d.cn", "example.xn--55qx5d.cn",
+     "xn--55qx5d.cn"),
+    # wildcard below a 3-label tail (*.compute.amazonaws.com)
+    ("a.b.compute.amazonaws.com", "a.b.compute.amazonaws.com",
+     "b.compute.amazonaws.com"),
+    ("b.compute.amazonaws.com", None, "b.compute.amazonaws.com"),
+    # host normalization (r11): case-insensitive match, trailing dot
+    ("Example.CO.UK", "example.co.uk", "co.uk"),
+    ("example.co.uk.", "example.co.uk", "co.uk"),
+]
+
+
+def test_full_list_default_semantics(spark):
+    got = _resolve_spark(spark, [h for h, _, _ in FULL_LIST_CASES])
+    for host, dom, suf in FULL_LIST_CASES:
+        assert got[host] == (dom, suf), (host, got[host], (dom, suf))
+
+
+def test_full_list_oracle_parity(spark):
+    """Full-list default + normalization: DuckDB CTE chain replays
+    the Spark resolution on the families the snapshot lacked."""
+    hosts = [h for h, _, _ in FULL_LIST_CASES]
+    got = _resolve_spark(spark, hosts)
+    vals = ", ".join(f"({i}, '{h}')" for i, h in enumerate(hosts))
+    sql = f"""WITH hosts(id, host) AS (VALUES {vals}),
+    {registered_domain_psl_oracle_ctes('hosts')}
+    SELECT host, domain, public_suffix FROM psl_resolved"""
+    duck = {r[0]: (r[1], r[2])
+            for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == duck
+
+
+def test_expand_rules_empty_raises():
+    with pytest.raises(ValueError, match="no usable PSL rules"):
+        expand_rules(["// comment only", ""])
+
+
+def test_expand_rules_warns_on_dropped():
+    """Over-deep or unsafe keys are dropped loudly (r11, ADVICE):
+    silent drops made full-list deployments silently wrong."""
+    with pytest.warns(UserWarning, match="dropped 2 rule"):
+        rows = expand_rules(
+            ["co.uk", "a.b.c.d.e.f", "bad'key.com"]
+        )
+    assert [k for k, _, _ in rows] == ["co.uk"]

