@@ -179,3 +179,123 @@ def test_t_closeness_single_value_domain_trivially_close(spark):
         t_closeness_oracle_sql("t", ["grp"], "s", t_micro=0)
     ).fetchall()
     assert got == []
+
+
+# --- Frozen-cutoff surprisal bucketing (round 11) ---
+
+
+def _frozen_fixture(spark):
+    rows = []
+    # 9 'a' docs with increasing rarity mix; 3 'b' docs; 1 'c' doc
+    words = ["w0", "w1", "w2", "w3", "w4", "w5"]
+    for i in range(9):
+        rows.append((i, "a", " ".join(words[: (i % 5) + 1])))
+    for i in range(9, 12):
+        rows.append((i, "b", " ".join(words[(i % 3):])))
+    rows.append((12, "c", "w0 w0"))
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+
+
+def test_frozen_reference_reproduces_ntile(spark, tmp_path):
+    """Bucketing the reference corpus against its OWN frozen
+    artifact reproduces the ntile(3) assignment exactly — the
+    (score, id) boundary pairs make ties unsplittable."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.textquality import (
+        bucket_frozen,
+        load_surprisal_reference,
+        perplexity_buckets,
+        save_surprisal_reference,
+        score_with_frozen_lm,
+        surprisal_cutoffs,
+        unigram_lm,
+    )
+
+    docs = _frozen_fixture(spark)
+    path = str(tmp_path / "surp_ref")
+    save_surprisal_reference(
+        unigram_lm(docs), surprisal_cutoffs(docs, by=("lang",)), path
+    )
+    lm, cuts = load_surprisal_reference(spark, path)
+    scored = score_with_frozen_lm(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    frozen = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in bucket_frozen(scored, cuts, by=("lang",)).collect()
+    }
+    ntile = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(docs, by=("lang",)).collect()
+    }
+    unpersist_all()
+    assert frozen == ntile
+    # the 1-doc group 'c' has NULL c2 (and its single row is head)
+    c2 = {r["lang"]: r["c2_score"] for r in cuts.collect()}
+    assert c2["c"] is None and frozen[12] == "head"
+
+
+def test_frozen_oov_and_unknown_group(spark, tmp_path):
+    """OOV terms score ln(ttotal) (count 1); rows in a group absent
+    from the reference land deterministically in 'tail'."""
+    from top_produce_etl_spark.operators.textquality import (
+        bucket_frozen,
+        score_with_frozen_lm,
+        surprisal_cutoffs,
+        unigram_lm,
+        _round_half_up_micro,
+    )
+
+    ref = _frozen_fixture(spark)
+    lm = unigram_lm(ref)
+    cuts = surprisal_cutoffs(ref, by=("lang",))
+    new = spark.createDataFrame(
+        [(100, "zz", "totally unseen terms")],
+        "doc_id bigint, lang string, text string",
+    )
+    scored = score_with_frozen_lm(new, lm).join(
+        new.select("doc_id", "lang"), "doc_id"
+    )
+    row = bucket_frozen(scored, cuts, by=("lang",)).collect()[0]
+    ttotal = sum(r["ctotal"] for r in lm.collect())
+    assert row["mean_info_micro"] == _round_half_up_micro(ttotal)
+    assert row["ppl_bucket"] == "tail"
+
+
+def test_score_surprisal_expr_matches_join_scorer(spark):
+    """The zero-shuffle expression scorer (streaming twin) is
+    bit-identical to the tf-join scorer, OOV included."""
+    from top_produce_etl_spark.operators.textquality import (
+        score_surprisal_expr,
+        score_with_frozen_lm,
+        unigram_lm,
+    )
+
+    ref = _frozen_fixture(spark)
+    docs = ref.union(
+        spark.createDataFrame(
+            [(50, "a", "w0 oov1 w5 oov1")],
+            "doc_id bigint, lang string, text string",
+        )
+    )
+    lm = unigram_lm(ref)
+    lm_rows = lm.collect()
+    ttotal = sum(r["ctotal"] for r in lm_rows)
+    a = {
+        r["doc_id"]: (r["n_tokens"], r["info_micro"], r["mean_info_micro"])
+        for r in score_with_frozen_lm(docs, lm).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_tokens"], r["info_micro"], r["mean_info_micro"])
+        for r in score_surprisal_expr(docs, lm_rows, ttotal).collect()
+    }
+    assert a == b
+    # the expression plan is exchange-free (streaming-legal)
+    plan = score_surprisal_expr(
+        docs, lm_rows, ttotal
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

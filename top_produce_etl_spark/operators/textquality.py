@@ -576,3 +576,374 @@ ppl_buckets AS (
                 ELSE 'tail' END AS ppl_bucket
     FROM ppl_scores s {by_join}
 )"""
+
+
+# --- Frozen-cutoff surprisal bucketing (round 11) -----------------
+#
+# perplexity_buckets recomputes terciles per run — correct for the
+# oracle tier, but not append-stable: growing the corpus moves both
+# the LM term counts AND the ntile boundaries, so yesterday's "head"
+# document can become today's "middle". The production twin (CCNet's
+# own deployment shape, and the r10 verdict #4 ask) freezes BOTH
+# from a reference run as a stored parquet artifact — the
+# operators/pq.py stored-index lifecycle precedent:
+#
+#   {path}/lm       (term, ctotal)  — the unigram LM counts
+#   {path}/cutoffs  (*by, c1_score, c1_id, c2_score, c2_id, ttotal,
+#                    n_ref_docs)    — tercile boundary PAIRS
+#
+# Scoring new/streaming data is then a broadcast join (or literal
+# fold — see score_surprisal_expr) plus a pure comparison: zero wide
+# sorts, append-stable by construction, and bucketing the REFERENCE
+# rows against the frozen cutoffs reproduces the original ntile(3)
+# assignment EXACTLY because the boundaries are (score, id) pairs —
+# the same composite the ntile order sorts by, so ties at a boundary
+# score cannot flip across it.
+
+
+def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram LM term counts ``(term, ctotal)`` of a reference
+    corpus — one explode + one hash-agg (|vocab| result rows)."""
+    return (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ctotal"))
+    )
+
+
+def _linfo(c: Column) -> Column:
+    """Micro-nat fixed-point log (retrieval.unigram_surprisal's L)."""
+    from top_produce_etl_spark.operators.retrieval import INFO_SCALE
+
+    return F.round(F.log(c.cast("double")) * INFO_SCALE).cast("bigint")
+
+
+def surprisal_cutoffs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tercile boundary PAIRS of :func:`perplexity_buckets`' ntile
+    order, per ``by`` group: ``c1`` = the (mean_info_micro, id) of
+    the LAST head row, ``c2`` = of the last middle row (NULL when a
+    group has too few rows to populate the tercile). ``ttotal``
+    (the reference corpus token count) rides along so the frozen
+    scorer needs no second artifact read."""
+    from pyspark.sql import Window
+
+    from top_produce_etl_spark.operators.retrieval import (
+        unigram_surprisal,
+    )
+
+    scores = unigram_surprisal(docs, id_col, text_col)
+    if by:
+        scores = scores.join(docs.select(id_col, *by), id_col)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("mean_info_micro"), F.col(id_col)
+    )
+    pair = F.struct(
+        F.col("mean_info_micro").alias("s"),
+        F.col(id_col).cast("bigint").alias("i"),
+    )
+    g = (
+        scores.withColumn("__t", F.ntile(3).over(w))
+        .groupBy(*[F.col(c) for c in by])
+        .agg(
+            F.max(F.when(F.col("__t") == 1, pair)).alias("__c1"),
+            F.max(F.when(F.col("__t") == 2, pair)).alias("__c2"),
+            F.sum("n_tokens").alias("__ntok"),
+            F.count(F.lit(1)).alias("n_ref_docs"),
+        )
+    )
+    return g.select(
+        *by,
+        F.col("__c1.s").alias("c1_score"),
+        F.col("__c1.i").alias("c1_id"),
+        F.col("__c2.s").alias("c2_score"),
+        F.col("__c2.i").alias("c2_id"),
+        F.col("__ntok").cast("bigint").alias("ref_group_tokens"),
+        F.col("n_ref_docs").cast("bigint").alias("n_ref_docs"),
+    )
+
+
+def save_surprisal_reference(
+    lm_df: DataFrame, cutoffs_df: DataFrame, path: str
+) -> None:
+    """Materialize the frozen-reference artifact (LM counts +
+    cutoff pairs) as parquet — the pq.py stored-index lifecycle."""
+    lm_df.write.mode("overwrite").parquet(f"{path}/lm")
+    cutoffs_df.write.mode("overwrite").parquet(f"{path}/cutoffs")
+
+
+def load_surprisal_reference(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/lm"),
+        spark.read.parquet(f"{path}/cutoffs"),
+    )
+
+
+def score_with_frozen_lm(
+    docs: DataFrame,
+    lm_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document surprisal against a FROZEN unigram LM — the
+    stable scorer: corpus growth cannot move any old document's
+    score because the counts come from the artifact, not the data.
+    Out-of-vocabulary terms score as count 1 (maximum surprisal,
+    ln ttotal — the deterministic OOV convention). Same integer
+    micro-nat arithmetic as unigram_surprisal, so scoring the
+    reference corpus itself reproduces its original scores exactly
+    (no OOV by construction).
+
+    Shape: one (doc, term) tf shuffle + a broadcast of the |vocab|
+    LM — the big side never re-shuffles.
+    """
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tfreq")
+    )
+    # ttotal joins EVERY tf row (not just in-vocabulary ones — an
+    # OOV term still pays ln ttotal), so it rides its own 1-row
+    # broadcast on a non-foldable always-0 key (the
+    # unigram_surprisal BroadcastHashJoin trick; a crossJoin would
+    # be a nested-loop the plan audit flags)
+    total = lm_df.agg(F.sum("ctotal").alias("ttotal")).withColumn(
+        "__k", F.pmod(F.col("ttotal"), F.lit(1)).cast("int")
+    )
+    tf_t = tf.withColumn(
+        "__k", F.pmod(F.col("tfreq"), F.lit(1)).cast("int")
+    ).join(F.broadcast(total), "__k").drop("__k")
+    scored = tf_t.join(maybe_broadcast(lm_df), "term", "left").withColumn(
+        "__contrib",
+        F.col("tfreq")
+        * (
+            _linfo(F.col("ttotal"))
+            - _linfo(F.coalesce(F.col("ctotal"), F.lit(1)))
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tfreq").alias("n_tokens"),
+            F.sum("__contrib").alias("info_micro"),
+        )
+        .withColumn("mean_info_micro", F.expr("info_micro DIV n_tokens"))
+    )
+
+
+def bucket_frozen(
+    scored: DataFrame,
+    cutoffs_df: DataFrame,
+    id_col: str = "doc_id",
+    by: tuple[str, ...] = (),
+    out: str = "ppl_bucket",
+) -> DataFrame:
+    """Bucket pre-scored rows (``mean_info_micro`` present) against
+    FROZEN cutoff pairs: head iff (score, id) ≤ c1 pair, middle iff
+    ≤ c2 pair, else tail — a broadcast join plus one comparison, no
+    window, no sort. NULL cutoffs (group absent from the reference,
+    or a tercile the reference was too small to populate) compare
+    false, so such rows deterministically land on the tail side."""
+    if by:
+        joined = scored.join(F.broadcast(cutoffs_df), list(by), "left")
+    else:
+        # ungrouped: the 1-row cutoffs relation joins every scored
+        # row on a non-foldable always-0 key (BroadcastHashJoin, not
+        # a nested-loop cartesian — the unigram_surprisal trick)
+        joined = scored.withColumn(
+            "__k", F.pmod(F.col("mean_info_micro"), F.lit(1)).cast("int")
+        ).join(
+            F.broadcast(
+                cutoffs_df.withColumn(
+                    "__k",
+                    F.pmod(F.col("n_ref_docs"), F.lit(1)).cast("int"),
+                )
+            ),
+            "__k",
+            "left",
+        )
+    s, i = F.col("mean_info_micro"), F.col(id_col).cast("bigint")
+
+    def le(cs: str, ci: str) -> Column:
+        return F.coalesce(
+            (s < F.col(cs))
+            | ((s == F.col(cs)) & (i <= F.col(ci))),
+            F.lit(False),
+        )
+
+    bucket = (
+        F.when(le("c1_score", "c1_id"), F.lit("head"))
+        .when(le("c2_score", "c2_id"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    drop = [
+        c
+        for c in (
+            "c1_score", "c1_id", "c2_score", "c2_id",
+            "ref_group_tokens", "n_ref_docs", "__k",
+        )
+        if c in joined.columns
+    ]
+    return joined.withColumn(out, bucket).drop(*drop)
+
+
+def score_surprisal_expr(
+    docs: DataFrame,
+    lm_rows: list,
+    ttotal: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ZERO-SHUFFLE frozen-LM surprisal scorer (the streaming twin —
+    the langid score_langid_expr precedent): the LM folds into a
+    literal map term → micro-nat info(term) and the per-document
+    total is ``aggregate`` over the token array — pure column
+    expressions, no explode, no aggregation, hence legal inside a
+    Structured Streaming query where the tf-join scorer's chained
+    groupBys are not.
+
+    ``lm_rows`` are collected ``(term, ctotal)`` rows (VOCAB-sized —
+    the model-sized-collect house rule, same contract as the langid
+    weight maps); info values are computed here with Spark's own
+    round-half-up so they bit-match the join scorer.
+    """
+    lt = _round_half_up_micro(ttotal)
+    entries: list = []
+    for r in lm_rows:
+        entries.append(F.lit(r["term"]))
+        entries.append(F.lit(lt - _round_half_up_micro(r["ctotal"])))
+    info_map = F.create_map(*entries)
+    toks = F.split(F.col(text_col), " ")
+    # OOV terms pay ln ttotal - ln 1 = lt micro-nats
+    total_info = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.coalesce(info_map[t], F.lit(lt).cast("bigint")),
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        total_info.alias("info_micro"),
+    ).withColumn("mean_info_micro", F.expr("info_micro DIV n_tokens"))
+
+
+def _round_half_up_micro(c: int) -> int:
+    """round(ln(c)·1e6) with HALF-UP ties — what Spark's F.round and
+    DuckDB's round() both do for positive doubles, unlike Python's
+    banker's round()."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from top_produce_etl_spark.operators.retrieval import INFO_SCALE
+
+    return int(
+        Decimal(math.log(c) * INFO_SCALE).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def frozen_buckets_oracle_ctes(
+    ref_where: str = "doc_id % 2 = 0",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB CTE chain re-deriving the WHOLE frozen-cutoff
+    lifecycle in SQL: reference LM counts, frozen scoring of every
+    row (OOV → count 1), per-language ntile(3) boundary pairs from
+    the reference slice, and the frozen comparison bucketing. Ends
+    in ``frozen_buckets`` (id, lang, n_tokens, mean_info_micro,
+    ppl_bucket) and ``ref_ntile`` (id, ref_bucket) — identical
+    integer arithmetic to the Spark operators, so engine and oracle
+    cannot drift."""
+    from top_produce_etl_spark.operators.retrieval import INFO_SCALE
+
+    L = (
+        lambda expr: f"CAST(round(ln(CAST({expr} AS DOUBLE)) * "
+        f"{INFO_SCALE}) AS BIGINT)"
+    )
+    return f"""
+fz_ref AS (SELECT * FROM {table} WHERE {ref_where}),
+fz_lm AS (
+    SELECT term, COUNT(*) AS ctotal
+    FROM (SELECT unnest(string_split({text_col}, ' ')) AS term
+          FROM fz_ref)
+    GROUP BY 1
+),
+fz_tot AS (SELECT SUM(ctotal) AS ttotal FROM fz_lm),
+fz_tf AS (
+    SELECT {id_col}, term, COUNT(*) AS tfreq
+    FROM (SELECT {id_col},
+                 unnest(string_split({text_col}, ' ')) AS term
+          FROM {table})
+    GROUP BY 1, 2
+),
+fz_scores AS (
+    SELECT {id_col}, SUM(tfreq) AS n_tokens,
+           SUM(tfreq * ({L("ttotal")}
+                      - {L("COALESCE(ctotal, 1)")})) AS info_micro
+    FROM fz_tf LEFT JOIN fz_lm USING (term), fz_tot
+    GROUP BY 1
+),
+fz_mean AS (
+    SELECT {id_col}, n_tokens,
+           info_micro // n_tokens AS mean_info_micro
+    FROM fz_scores
+),
+fz_rt AS (
+    SELECT m.{id_col}, d.{lang_col} AS lang, m.mean_info_micro,
+           ntile(3) OVER (PARTITION BY d.{lang_col}
+                          ORDER BY m.mean_info_micro, m.{id_col})
+               AS t
+    FROM fz_mean m JOIN fz_ref d USING ({id_col})
+),
+fz_cuts AS (
+    SELECT lang,
+           max(CASE WHEN t = 1 THEN struct_pack(
+               s := mean_info_micro,
+               i := CAST({id_col} AS BIGINT)) END) AS c1,
+           max(CASE WHEN t = 2 THEN struct_pack(
+               s := mean_info_micro,
+               i := CAST({id_col} AS BIGINT)) END) AS c2
+    FROM fz_rt GROUP BY 1
+),
+frozen_buckets AS (
+    SELECT m.{id_col}, d.{lang_col} AS lang, m.n_tokens,
+           m.mean_info_micro,
+           CASE WHEN COALESCE(
+                    m.mean_info_micro < c.c1.s
+                    OR (m.mean_info_micro = c.c1.s
+                        AND CAST(m.{id_col} AS BIGINT) <= c.c1.i),
+                    FALSE) THEN 'head'
+                WHEN COALESCE(
+                    m.mean_info_micro < c.c2.s
+                    OR (m.mean_info_micro = c.c2.s
+                        AND CAST(m.{id_col} AS BIGINT) <= c.c2.i),
+                    FALSE) THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM fz_mean m
+    JOIN {table} d USING ({id_col})
+    LEFT JOIN fz_cuts c ON d.{lang_col} = c.lang
+),
+ref_ntile AS (
+    SELECT {id_col},
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ref_bucket
+    FROM fz_rt
+)"""

@@ -1578,3 +1578,95 @@ def ccnet_perplexity_buckets(
         F.min("mean_info_micro").cast("bigint").alias("min_info_micro"),
         F.max("mean_info_micro").cast("bigint").alias("max_info_micro"),
     )
+
+
+# --- Frozen-cutoff CCNet buckets (round 11 — the stored-artifact
+#     production twin of ccnet_perplexity_buckets) ---
+
+def _FROZEN_BUCKET_ORACLE() -> str:
+    from top_produce_etl_spark.operators.textquality import (
+        frozen_buckets_oracle_ctes,
+    )
+
+    return f"""
+    WITH {frozen_buckets_oracle_ctes()}
+    SELECT b.lang, b.ppl_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b.doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_old,
+           CAST(SUM(CASE WHEN r.ref_bucket IS NOT NULL
+                          AND r.ref_bucket <> b.ppl_bucket
+                         THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unstable_old,
+           CAST(SUM(b.mean_info_micro) AS BIGINT) AS sum_info_micro
+    FROM frozen_buckets b LEFT JOIN ref_ntile r USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "ccnet_frozen_buckets", extended=True,
+    oracle=_FROZEN_BUCKET_ORACLE(),
+)
+def ccnet_frozen_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-cutoff surprisal bucketing (round 11, the r10 verdict
+    #4 ask): the even-doc_id half of the corpus is the REFERENCE run
+    — its unigram LM counts and per-language tercile boundary PAIRS
+    are materialized to a parquet artifact
+    (save/load_surprisal_reference, the operators/pq.py stored-index
+    lifecycle), then the WHOLE corpus (reference + "appended" odd
+    rows) is scored against the frozen LM and bucketed by pure
+    comparison against the frozen cutoffs: no window, no wide sort —
+    a broadcast join plus one boolean per row, append-stable and
+    streaming-legal by construction.
+
+    The output carries the APPEND-STABILITY PROOF as data:
+    n_unstable_old counts reference rows whose frozen-cutoff bucket
+    differs from their original ntile(3) assignment — exactly 0 in
+    every cell because the boundaries are (score, id) pairs, the
+    same composite the ntile order sorts by. Hash-checked against a
+    DuckDB oracle that re-derives the entire lifecycle in SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from top_produce_etl_spark.operators.textquality import (
+        bucket_frozen,
+        load_surprisal_reference,
+        perplexity_buckets,
+        save_surprisal_reference,
+        score_with_frozen_lm,
+        surprisal_cutoffs,
+        unigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"tp_surp_ref_{digest}")
+    save_surprisal_reference(
+        unigram_lm(ref), surprisal_cutoffs(ref, by=("lang",)), path
+    )
+    lm, cuts = load_surprisal_reference(spark, path)
+    scored = score_with_frozen_lm(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    b = bucket_frozen(scored, cuts, by=("lang",))
+    refb = perplexity_buckets(ref, by=("lang",)).select(
+        "doc_id", F.col("ppl_bucket").alias("ref_bucket")
+    )
+    j = b.join(refb, "doc_id", "left")
+    return j.groupBy("lang", "ppl_bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)
+        ).cast("bigint").alias("n_old"),
+        F.sum(
+            F.when(
+                F.col("ref_bucket").isNotNull()
+                & (F.col("ref_bucket") != F.col("ppl_bucket")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_unstable_old"),
+        F.sum("mean_info_micro").cast("bigint").alias("sum_info_micro"),
+    )

@@ -1114,3 +1114,88 @@ def langid_scoring_stream(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def frozen_bucket_stream(
+    spark,
+    sf_dir: str,
+    sink_table: str = "stream_frozen_buckets",
+):
+    """CCNet frozen-cutoff bucketing through the REAL streaming
+    runtime (round 11): the reference LM + per-language tercile
+    cutoff pairs are trained batch-side on the even-doc_id slice
+    (the bounded reference job), then fold into literal maps inside
+    the ZERO-SHUFFLE expression scorer
+    (operators/textquality.py::score_surprisal_expr — the langid
+    streaming precedent): per-document surprisal is an ``aggregate``
+    fold over the token array, the bucket one comparison against
+    map-looked-up cutoffs. Pure column expressions — stateless,
+    hence legal in a streaming query where the tf-join scorer's
+    chained groupBys are not. availableNow consumes the bounded
+    fixture; every (doc, lang, tokens, score, bucket) row must
+    hash-match the DuckDB lifecycle re-derivation
+    (queries/streaming_q.py::stream_frozen_buckets_parity)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.textquality import (
+        score_surprisal_expr,
+        surprisal_cutoffs,
+        unigram_lm,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    docs = spark.read.parquet(path)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    lm_rows = unigram_lm(ref).collect()  # |vocab| rows — model-sized
+    ttotal = sum(r["ctotal"] for r in lm_rows)
+    cut_rows = surprisal_cutoffs(ref, by=("lang",)).collect()
+    unpersist_all()
+
+    def lit_map(field):
+        entries = []
+        for r in cut_rows:
+            if r[field] is not None:
+                entries.append(F.lit(r["lang"]))
+                entries.append(F.lit(int(r[field])))
+        return F.create_map(*entries)
+
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = score_surprisal_expr(
+        sdf, lm_rows, ttotal, extra_cols=("lang",)
+    )
+    s = F.col("mean_info_micro")
+    i = F.col("doc_id").cast("bigint")
+    lang = F.col("lang")
+
+    def le(sm, im):
+        return F.coalesce(
+            (s < sm[lang]) | ((s == sm[lang]) & (i <= im[lang])),
+            F.lit(False),
+        )
+
+    bucket = (
+        F.when(le(lit_map("c1_score"), lit_map("c1_id")), F.lit("head"))
+        .when(
+            le(lit_map("c2_score"), lit_map("c2_id")), F.lit("middle")
+        )
+        .otherwise(F.lit("tail"))
+    )
+    out = scored.select(
+        "doc_id", "lang", "n_tokens", "mean_info_micro",
+        bucket.alias("ppl_bucket"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
