@@ -1943,10 +1943,13 @@ def main() -> None:
     li_train = li_corpus.where(_F.col("doc_id") % 2 == 0)
     li_held = li_corpus.where(_F.col("doc_id") % 2 == 1)
     t0 = time.monotonic()
-    li_model = train_langid(li_train, iters=3, hash_mode="xxhash64")
+    # 5 iterations (r11): the confusable-cluster corpus converges to
+    # ~0.92 held-out by iter 5 (0.88 at the old 3) — measured curve
+    # in BASELINE.md round 11
+    li_model = train_langid(li_train, iters=5, hash_mode="xxhash64")
     li_train_sec = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    li_eval = (
+    li_pairs = (
         score_langid(li_held, li_model, hash_mode="xxhash64")
         .join(
             li_held.select(
@@ -1955,19 +1958,27 @@ def main() -> None:
             ),
             "id",
         )
-        .agg(
-            _F.count("*").alias("n"),
-            _F.sum(
-                (_F.col("pred_lang") == _F.col("lang_true")).cast(
-                    "long"
-                )
-            ).alias("correct"),
-        )
-        .collect()[0]
+        .groupBy("lang_true", "pred_lang")
+        .agg(_F.count("*").alias("n"))
+        .collect()  # ≤ |langs|² rows
     )
     li_score_sec = round(time.monotonic() - t0, 3)
     _unp()
-    li_acc = li_eval["correct"] / li_eval["n"]
+    li_n = sum(r["n"] for r in li_pairs)
+    li_correct = sum(
+        r["n"] for r in li_pairs if r["lang_true"] == r["pred_lang"]
+    )
+    li_acc = li_correct / li_n
+    # per-pair confusion readout (r11, r10 verdict #5): the corpus
+    # now plants a CONFUSABLE es/pt/gl cluster (~50% shared
+    # trigrams), so the gate drops from the trivially-separable
+    # 0.99 to 0.9 and the record names where the errors land —
+    # every off-diagonal cell, worst first
+    li_confused = {
+        f"{r['lang_true']}->{r['pred_lang']}": r["n"]
+        for r in sorted(li_pairs, key=lambda r: -r["n"])
+        if r["lang_true"] != r["pred_lang"]
+    }
     langid_probe = {
         "langid_probe_docs": li_rows,
         "langid_probe_train_sec": li_train_sec,
@@ -1976,7 +1987,9 @@ def main() -> None:
             (li_rows // 2) / li_train_sec, 1
         ),
         "langid_probe_heldout_accuracy": round(li_acc, 4),
-        "langid_probe_heldout_ok": bool(li_acc >= 0.99),
+        "langid_probe_confused_pairs": li_confused,
+        "langid_probe_heldout_ok": bool(li_acc >= 0.9),
+        "langid_probe_gate_version": 2,  # v1 (r10): 0.99, disjoint corpus
     }
     print(f"# langid_probe: {langid_probe}", file=sys.stderr)
 

@@ -1176,3 +1176,77 @@ def test_yaml_ccnet_chain_matches_handwritten(spark):
     # floor(n/3) rows)
     n_surv = survivors.count()
     assert len(got_ids) == n_surv - n_surv // 3 and n_surv > 0
+
+
+def test_yaml_preference_curation_matches_handwritten(spark):
+    """Round 11: the shipped preference-curation chain (BT-rating
+    gap filter → per-winner cap → re-rate) must be row-identical to
+    the handwritten operator composition, and the bare bt_ratings op
+    must be row-identical to the bt_preference_ratings battery
+    query's engine path on the same pairs — the pipeline_ccnet
+    oracle-sharing precedent."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.io.sources import load_table
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.mixture import (
+        cap_per_category,
+    )
+    from top_produce_etl_spark.operators.preferences import (
+        bt_ratings,
+        with_rating_gap,
+    )
+    from top_produce_etl_spark.plans.builder import (
+        build_pipeline,
+        load_pipeline_spec,
+    )
+    from top_produce_etl_spark.queries.prefs_q import (
+        synthesize_preference_pairs,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    # pair_id = o_orderkey: unique and deterministic (the cap key)
+    pairs = synthesize_preference_pairs(orders, with_pair_id=True)
+    spec = load_pipeline_spec(
+        "/root/repo/configs/pipeline_preference_curation.yaml"
+    )
+    got = sorted(
+        map(
+            tuple,
+            build_pipeline(spark, spec, {"pairs": pairs}).collect(),
+        )
+    )
+    unpersist_all()
+
+    # handwritten composition, same parameters as the YAML
+    ratings0 = bt_ratings(pairs, iters=3)
+    gapped = with_rating_gap(pairs, ratings0)
+    kept = gapped.filter(
+        (F.col("gap_micro") >= 0) & (F.col("gap_micro") <= 900000)
+    )
+    capped = cap_per_category(kept, "winner", "pair_id", 60)
+    hand = sorted(
+        map(tuple, bt_ratings(capped, iters=3).collect())
+    )
+    unpersist_all()
+    assert got == hand and len(got) > 0
+
+    # oracle-sharing leg: the bare bt_ratings op == the
+    # bt_preference_ratings battery engine path
+    solo_spec = {"source": "pairs", "ops": [{"op": "bt_ratings",
+                                            "iters": 3}]}
+    solo = sorted(
+        map(
+            tuple,
+            build_pipeline(
+                spark, solo_spec, {"pairs": pairs}
+            ).collect(),
+        )
+    )
+    battery = sorted(
+        map(tuple, bt_ratings(
+            synthesize_preference_pairs(orders), iters=3
+        ).collect())
+    )
+    unpersist_all()
+    assert solo == battery

@@ -63,7 +63,7 @@ def test_training_bit_exact_vs_oracle(spark, corpus):
         )
     )
     assert model == duck
-    assert len(model) == 5 * 33  # 5 heads x (32 buckets + bias)
+    assert len(model) == len(LANG_LEXICONS) * 33  # K heads x (32 buckets + bias)
 
 
 def test_training_partitioning_invariance(spark, corpus):
@@ -77,13 +77,18 @@ def test_training_partitioning_invariance(spark, corpus):
 
 def test_heldout_generalization(spark):
     """Train on even doc_ids, score odd doc_ids the model never saw:
-    the planted lexicons must be recovered, not memorized."""
+    the planted lexicons must be recovered, not memorized. The r11
+    corpus plants a CONFUSABLE es/pt/gl cluster AND variable word
+    strides (some docs see only a lexicon subset), so the gate is
+    ≥0.9 — perfect separation is no longer structural (200 training
+    docs reach 0.92 at 10 iterations; the 200k bench probe reads
+    ~0.92 at 5)."""
     corpus = synthesize_lang_corpus(
         spark.range(400).select(F.col("id").alias("doc_id"))
     )
     train = corpus.where(F.col("doc_id") % 2 == 0)
     held = corpus.where(F.col("doc_id") % 2 == 1)
-    model = train_langid(train, iters=3)
+    model = train_langid(train, iters=10)
     scored = score_langid(held, model)
     joined = scored.join(
         held.select(F.col("doc_id").alias("id"),
@@ -92,7 +97,7 @@ def test_heldout_generalization(spark):
     n = joined.count()
     good = joined.where(F.col("pred_lang") == F.col("lang_true")).count()
     unpersist_all()
-    assert n == 200 and good == n
+    assert n == 200 and good >= 0.9 * n
 
 
 def test_argmax_tiebreak_deterministic(spark):

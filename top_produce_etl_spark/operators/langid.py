@@ -58,6 +58,16 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
     "es": ("que", "los", "para", "nada", "hacer", "una"),
     "fr": ("les", "des", "pour", "mais", "avec", "beaucoup"),
     "zh": ("zhong", "guo", "shi", "xue", "hao", "ren"),
+    # r11 (r10 verdict #5): a CONFUSABLE Iberian cluster — pt shares
+    # 2 of 6 words verbatim with es (plus near-identical inflections
+    # una/uma, hacer/fazer), and gl shares 3 of 6 with pt (plus
+    # non/nao, facer/fazer, unha/uma) — so roughly half the cluster's
+    # character trigrams collide across languages and the heads must
+    # earn their keep on the distinctive remainder, instead of the
+    # trivially-disjoint r10 corpus where held-out accuracy was 1.0
+    # by construction.
+    "pt": ("que", "para", "uma", "nao", "fazer", "dos"),
+    "gl": ("que", "para", "unha", "non", "facer", "dos"),
 }
 _LANGS = tuple(LANG_LEXICONS)
 _LEX_SIZE = len(next(iter(LANG_LEXICONS.values())))
@@ -69,11 +79,16 @@ def synthesize_lang_corpus(
     words_per_doc: int = 20,
 ) -> DataFrame:
     """(doc_id, lang, text): language = ``doc_id % |langs|`` over the
-    sorted lexicon keys; word i of a doc is
-    ``lexicon[lang][(doc_id*7 + i*13) % |lexicon|]``; doc length
-    varies as ``words_per_doc − 8 + doc_id % 9`` so per-doc feature
-    vectors differ within a class. Pure expressions, replayed
-    verbatim by :func:`synthesize_lang_corpus_oracle`."""
+    lexicon keys; word j of a doc is
+    ``lexicon[lang][(doc_id*7 + j*(1 + doc_id%5)) % |lexicon|]``;
+    doc length varies as ``words_per_doc − 8 + doc_id % 9`` so
+    per-doc feature vectors differ within a class. The word stride
+    ``1 + doc_id % 5`` is often NOT coprime with the lexicon size
+    (r11): such documents cycle through only a SUBSET of their
+    language's words, so a confusable-cluster doc can carry few
+    distinctive tokens — the held-out probe gate (bench.py, ≥0.9)
+    is earned, not structural. Pure expressions, replayed verbatim
+    by :func:`synthesize_lang_corpus_oracle`."""
     i = F.col(id_col)
     k = len(_LANGS)
     lang = F.element_at(
@@ -90,7 +105,7 @@ def synthesize_lang_corpus(
         lambda j: F.element_at(
             flat,
             ((i % k).cast("int") * _LEX_SIZE).cast("int")
-            + ((i * 7 + j * 13) % _LEX_SIZE).cast("int")
+            + ((i * 7 + j * (1 + i % 5)) % _LEX_SIZE).cast("int")
             + 1,
         ),
     )
@@ -120,7 +135,8 @@ def synthesize_lang_corpus_oracle(
                         + CAST({id_col} % 9 AS INT)),
                j -> ([{flat}])[
                    CAST({id_col} % {k} AS INT) * {_LEX_SIZE}
-                   + CAST(({id_col} * 7 + j * 13) % {_LEX_SIZE} AS INT)
+                   + CAST(({id_col} * 7 + j * (1 + {id_col} % 5))
+                          % {_LEX_SIZE} AS INT)
                    + 1]), ' ') AS text
     FROM {table}
     """

@@ -197,3 +197,42 @@ bt_d{t} AS MATERIALIZED (
     return f"""WITH {body}
 SELECT t.item, t.games, t.wins, r.r_micro
 FROM bt_totals t JOIN bt_r{iters} r USING (item)"""
+
+
+def with_rating_gap(
+    pairs: DataFrame,
+    ratings: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    item_col: str = "item",
+    rating_col: str = "r_micro",
+) -> DataFrame:
+    """Attach each preference pair's winner/loser ratings and their
+    signed gap (``gap_micro`` = r_winner − r_loser; negative means
+    the recorded winner is rated BELOW the loser — the label-noise
+    signature). The RLHF curation primitive: downstream filters keep
+    the informative middle of the gap distribution (drop blowouts
+    that teach nothing and near-ties/inversions that are annotation
+    noise).
+
+    Shape: two joins of the (usually model-sized) rating relation
+    against the pair stream — broadcast when small, plain hash joins
+    otherwise; the pair relation never collects."""
+    from top_produce_etl_spark.operators.joins import maybe_broadcast
+
+    rw = ratings.select(
+        F.col(item_col).alias(winner_col),
+        F.col(rating_col).alias("r_winner_micro"),
+    )
+    rl = ratings.select(
+        F.col(item_col).alias(loser_col),
+        F.col(rating_col).alias("r_loser_micro"),
+    )
+    return (
+        pairs.join(maybe_broadcast(rw), winner_col, "left")
+        .join(maybe_broadcast(rl), loser_col, "left")
+        .withColumn(
+            "gap_micro",
+            F.col("r_winner_micro") - F.col("r_loser_micro"),
+        )
+    )

@@ -61,6 +61,8 @@ _MULTI_SCAN_OPS = frozenset({
     "url_dedup",
     "langid_filter",
     "surprisal_bucket",
+    "bt_ratings",
+    "pair_gap_filter",
 })
 
 
@@ -277,7 +279,12 @@ def build_pipeline(
          "train_table": "lang_reference", "lang_col": "lang",
          "keep_lang": "en", "iters": 3} |
         {"op": "surprisal_bucket", "id_col": "doc_id",
-         "text_col": "text", "by": [], "keep": ["head", "middle"]}
+         "text_col": "text", "by": [], "keep": ["head", "middle"]},
+        {"op": "bt_ratings", "winner_col": "winner",
+         "loser_col": "loser", "iters": 3} |
+        {"op": "pair_gap_filter", "winner_col": "winner",
+         "loser_col": "loser", "iters": 3, "train_table": "optional",
+         "min_gap_micro": 0, "max_gap_micro": 2500000}
       ]
     }
 
@@ -816,6 +823,56 @@ def build_pipeline(
             else:
                 df = df.join(
                     b.select(op["id_col"], "ppl_bucket"), op["id_col"]
+                )
+        elif kind == "bt_ratings":
+            # Bradley-Terry MM ratings from the flowing preference-
+            # pair relation (r11, completing the r10 preference
+            # family's YAML surface): df must carry winner/loser
+            # columns; the frame BECOMES the (item, games, wins,
+            # r_micro) rating relation — bit-exact vs the
+            # bt_preference_ratings battery oracle's engine path.
+            from top_produce_etl_spark.operators.preferences import (
+                bt_ratings,
+            )
+
+            df = bt_ratings(
+                df,
+                winner_col=op.get("winner_col", "winner"),
+                loser_col=op.get("loser_col", "loser"),
+                iters=int(op.get("iters", 3)),
+            )
+        elif kind == "pair_gap_filter":
+            # Rating-gap pair curation (r11): rate items by BT MM
+            # (on the flowing pairs, or a ``train_table`` reference),
+            # attach each pair's signed winner−loser gap, keep pairs
+            # inside [min_gap_micro, max_gap_micro] — the RLHF-data
+            # shape: blowout pairs teach nothing, near-tie/inverted
+            # pairs are annotation-noise candidates. The rating,
+            # winner/loser and gap columns stay on the survivors
+            # (curation decisions must be auditable).
+            from top_produce_etl_spark.operators.preferences import (
+                bt_ratings,
+                with_rating_gap,
+            )
+
+            wcol = op.get("winner_col", "winner")
+            lcol = op.get("loser_col", "loser")
+            src = (
+                resolve(op["train_table"])
+                if op.get("train_table")
+                else df
+            )
+            ratings = bt_ratings(
+                src, wcol, lcol, iters=int(op.get("iters", 3))
+            )
+            df = with_rating_gap(df, ratings, wcol, lcol)
+            if "min_gap_micro" in op:
+                df = df.filter(
+                    F.col("gap_micro") >= int(op["min_gap_micro"])
+                )
+            if "max_gap_micro" in op:
+                df = df.filter(
+                    F.col("gap_micro") <= int(op["max_gap_micro"])
                 )
         elif kind == "url_parse":
             # URL curation from config (r10, closing the r9 verdict

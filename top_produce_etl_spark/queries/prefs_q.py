@@ -50,20 +50,28 @@ _PAIRS_SQL = f"""
 """
 
 
-def synthesize_preference_pairs(orders: DataFrame) -> DataFrame:
-    """Spark twin of the fixture (pure expressions)."""
+def synthesize_preference_pairs(
+    orders: DataFrame, with_pair_id: bool = False
+) -> DataFrame:
+    """Spark twin of the fixture (pure expressions).
+    ``with_pair_id`` carries ``o_orderkey`` through as a unique
+    deterministic ``pair_id`` (the per-pair cap key the r11
+    curation pipeline needs)."""
     k = F.col("o_orderkey")
     a = k % N_ITEMS
     b = (a + 1 + F.expr(f"o_orderkey div {N_ITEMS}") % 12) % N_ITEMS
     upset = F.expr("o_orderkey div 156") % 4 == 0
-    return orders.select(
+    cols = [
         F.when(upset, F.least(a, b))
         .otherwise(F.greatest(a, b))
         .alias("winner"),
         F.when(upset, F.greatest(a, b))
         .otherwise(F.least(a, b))
         .alias("loser"),
-    )
+    ]
+    if with_pair_id:
+        cols.insert(0, k.alias("pair_id"))
+    return orders.select(*cols)
 
 
 @query(
