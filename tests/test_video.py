@@ -85,3 +85,42 @@ def test_bad_every_rejected(spark):
             synthesize_videos(spark.range(1).selectExpr("id AS doc_id")),
             0,
         )
+
+
+def test_keyframe_dhash_collapses_reencodes(spark):
+    """Byte-different re-encodes (fps keyed on the raw id) of the
+    same frames share the keyframe fingerprint; different content
+    classes do not all collide."""
+    from top_produce_etl_spark.operators.video import (
+        synthesize_videos,
+        video_keyframe_dhash,
+    )
+
+    ids = spark.range(10).selectExpr("id AS doc_id")
+    rows = video_keyframe_dhash(
+        synthesize_videos(ids, effective_mod=5), every=1
+    ).collect()
+    by_class: dict = {}
+    fps_seen: dict = {}
+    for r in rows:
+        key = (r["w"], r["h"], r["n_keyframes"],
+               r["fp0"], r["fp1"], r["fp2"], r["fp3"])
+        by_class.setdefault(key, []).append(r["media_id"])
+        fps_seen.setdefault(key, set()).add(r["fps"])
+    assert all(len(v) == 2 for v in by_class.values())
+    assert len(by_class) == 5
+    # the collapse crossed real byte differences (fps header varies)
+    assert all(len(s) == 2 for s in fps_seen.values())
+
+
+def test_keyframe_dhash_every_validates(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.video import (
+        synthesize_videos,
+        video_keyframe_dhash,
+    )
+
+    media = synthesize_videos(spark.range(1).selectExpr("id AS doc_id"))
+    with pytest.raises(ValueError, match="every"):
+        video_keyframe_dhash(media, every=0)

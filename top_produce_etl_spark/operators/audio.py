@@ -354,3 +354,155 @@ audio_frames AS (
     )
     GROUP BY 1, 2
 )"""
+
+
+RESAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_rate", IntegerType()),
+        StructField("out_rate", IntegerType()),
+        StructField("n_src", LongType()),
+        StructField("n_out", LongType()),
+        StructField("sum_s", LongType()),
+        StructField("energy", LongType()),
+        StructField("min_s", IntegerType()),
+        StructField("max_s", IntegerType()),
+        StructField("pos_checksum", LongType()),
+        StructField("byte_len", LongType()),  # re-encoded container
+    ]
+)
+
+
+def resample_audio_stats(
+    media: DataFrame, target_rate: int = 16_000
+) -> DataFrame:
+    """Content-preserving LINEAR-INTERPOLATION resample to
+    ``target_rate`` (round 11 — the audio tier's counterpart of the
+    r10 image resize): decode the WAV, resample, RE-ENCODE a real
+    PCM16 container at the new rate, decode that container back, and
+    emit exact-integer stats of the re-decoded samples — the whole
+    decode → resample → encode → decode chain is pinned by one
+    closed-form oracle.
+
+    Integer-exact interpolation (the oracle requirement): output
+    length ``m = (n−1)·target // src + 1`` (the last output sample
+    sits exactly on the last input sample); output j maps to source
+    position ``j·src / target`` as ``i0 = (j·src) // target``,
+    ``rem = (j·src) mod target``, and
+
+        out[j] = s[i0] + floor((s[i0+1] − s[i0]) · rem / target)
+
+    — FLOOR division (numpy's ``//``; the DuckDB twin uses the
+    non-negative-remainder identity because its ``//`` truncates).
+    Values stay between the neighboring samples, so PCM16 range is
+    preserved by construction. Upsampling and downsampling both
+    work; ``rem > 0`` implies ``i0 < n−1`` by the length formula, so
+    the ``i0+1`` access never overruns.
+
+    Scale shape: one Arrow-batched map over the binary column —
+    scan speed, no shuffle (the codec-tier contract)."""
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                src_rate, s16 = decode_wav_bytes(bytes(content))
+                s = s16.astype(np.int64)
+                n = s.size
+                m = (n - 1) * target_rate // src_rate + 1
+                j = np.arange(m, dtype=np.int64)
+                num = j * src_rate
+                i0 = num // target_rate
+                rem = num % target_rate
+                i1 = np.minimum(i0 + 1, n - 1)
+                res = s[i0] + (s[i1] - s[i0]) * rem // target_rate
+                wav = encode_wav_pcm16(
+                    target_rate, res.astype("<i2").tobytes()
+                )
+                rate2, v16 = decode_wav_bytes(wav)
+                v = v16.astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        int(src_rate),
+                        int(rate2),
+                        int(n),
+                        int(v.size),
+                        int(v.sum()),
+                        int((v * v).sum()),
+                        int(v.min()),
+                        int(v.max()),
+                        int((np.arange(v.size) * v).sum()),
+                        len(wav),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESAMPLE_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, RESAMPLE_STATS_SCHEMA
+    )
+
+
+def audio_resample_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    target_rate: int = 16_000,
+    effective_mod: int | None = None,
+) -> str:
+    """DuckDB CTE chain re-deriving the resampled stats from the
+    fixture's closed form (no byte parsing): source sample
+    ``s(i) = ((eid·13 + i·97) mod 4001) − 2000`` is evaluated at
+    ``i0`` and ``i0+1`` directly, interpolation uses the
+    non-negative-remainder floor-division identity
+    ``floor(a/b) = (a − ((a % b) + b) % b) / b`` (DuckDB ``//``
+    truncates; the kernel floors). Ends in ``resample_stats``."""
+    eid = (
+        f"({id_col} % {effective_mod})" if effective_mod else id_col
+    )
+    t = target_rate
+    # closed-form source sample at position POS, over the carried
+    # ``eid`` column (a SQL fragment)
+    s_at = lambda pos: f"(((eid * 13 + ({pos}) * 97) % 4001) - 2000)"
+    delta_rem = f"(({s_at('i0 + 1')}) - ({s_at('i0')})) * rem"
+    return f"""
+resample_out AS (
+    SELECT {id_col} AS media_id,
+           CAST({eid} AS BIGINT) AS eid,
+           CAST(8000 + ({eid} % 3) * 4000 AS INT) AS src_rate,
+           CAST(800 + ({eid} % 5) * 160 AS BIGINT) AS n_src,
+           j,
+           (j * (8000 + ({eid} % 3) * 4000)) // {t} AS i0,
+           (j * (8000 + ({eid} % 3) * 4000)) % {t} AS rem
+    FROM {table},
+         UNNEST(range(
+             ((800 + ({eid} % 5) * 160) - 1) * {t}
+             // (8000 + ({eid} % 3) * 4000) + 1)) u(j)
+),
+resample_vals AS (
+    SELECT media_id, src_rate, n_src, j,
+           ({s_at('i0')})
+           + ({delta_rem}
+              - (({delta_rem}) % {t} + {t}) % {t}) // {t} AS v
+    FROM resample_out
+),
+resample_stats AS (
+    SELECT media_id,
+           ANY_VALUE(src_rate) AS src_rate,
+           CAST({t} AS INT) AS out_rate,
+           ANY_VALUE(n_src) AS n_src,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(v) AS BIGINT) AS sum_s,
+           CAST(SUM(v * v) AS BIGINT) AS energy,
+           CAST(MIN(v) AS INT) AS min_s,
+           CAST(MAX(v) AS INT) AS max_s,
+           CAST(SUM(j * v) AS BIGINT) AS pos_checksum,
+           CAST(44 + 2 * COUNT(*) AS BIGINT) AS byte_len
+    FROM resample_vals
+    GROUP BY media_id
+)"""

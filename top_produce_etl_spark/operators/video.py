@@ -239,7 +239,14 @@ def synthesize_videos(
     position i has value ``v = (eid·31 + f·11 + i·7) mod 256`` with
     ``w = eid%5+2``, ``h = eid%3+2``, ``n_frames = eid%4+2``,
     ``fps = 10 + eid%2`` — closed forms DuckDB re-derives without
-    parsing a byte."""
+    parsing a byte.
+
+    With ``effective_mod`` the duplicate classes key frame CONTENT
+    on ``eid = mid % effective_mod`` while ``fps`` keys on the RAW
+    id (r11): re-encodes of the same frames at different frame
+    rates differ in the avih/strh header bytes — the byte-level
+    variation a content-grain dedup must collapse (the audio tier's
+    cosmetic-LIST-chunk convention, at the header field level)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -250,7 +257,8 @@ def synthesize_videos(
                 mid = int(mid)
                 eid = mid % effective_mod if effective_mod else mid
                 w, h = eid % 5 + 2, eid % 3 + 2
-                nf, fps = eid % 4 + 2, 10 + eid % 2
+                nf = eid % 4 + 2
+                fps = 10 + (mid if effective_mod else eid) % 2
                 i = np.arange(w * h * 3, dtype=np.int64)
                 frames = [
                     ((eid * 31 + f * 11 + i * 7) % 256)
@@ -418,4 +426,163 @@ video_frames AS (
            CAST(SUM(i * v) AS BIGINT) AS frame_checksum
     FROM video_px
     GROUP BY 1, 2
+)"""
+
+
+KEYFRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("n_keyframes", IntegerType()),
+        StructField("fp0", LongType()),
+        StructField("fp1", LongType()),
+        StructField("fp2", LongType()),
+        StructField("fp3", LongType()),
+    ]
+)
+
+
+def video_keyframe_dhash(media: DataFrame, every: int = 1) -> DataFrame:
+    """Per-video perceptual fingerprint at KEYFRAME grain (round 11
+    — the video leg of the decoded-fingerprint dedup family): every
+    ``every``-th frame gets the image tier's difference hash
+    (operators/multimodal.py::image_dhash — nearest-neighbor 8×9
+    grid over raw r+g+b sums, one bit per horizontal comparison,
+    four 16-bit bands), and the video's fingerprint folds the
+    keyframe bands positionally:
+
+        fp_b = Σ_k (k + 1) · band_b(keyframe k)
+
+    so re-ordered, dropped, or altered keyframes change the
+    fingerprint while byte-level RE-ENCODES of the same frames
+    (different fps headers, container cosmetic differences) collapse
+    onto it. Integer-exact end to end — (k+1) ≤ a few and bands
+    < 2^16, so the fold lives comfortably in int64 and DuckDB
+    re-derives every bit from the fixture's closed-form pixel
+    formula.
+
+    Scale shape: one Arrow-batched map over the binary column; the
+    dedup downstream is a hash-agg on four ints per video."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows, cols = 8, 9
+        ty = np.arange(rows)
+        tx = np.arange(cols)
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, fps, frames = decode_avi_frames(bytes(content))
+                sy = (ty * h) // rows
+                sx = (tx * w) // cols
+                base = 3 * (sy[:, None] * w + sx[None, :])
+                fps_ = [0, 0, 0, 0]
+                nk = 0
+                for k, f in enumerate(range(0, len(frames), every)):
+                    v = np.frombuffer(
+                        frames[f], dtype=np.uint8
+                    ).astype(np.int64)
+                    g = v[base] + v[base + 1] + v[base + 2]
+                    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                    for b in range(rows // 2):
+                        band = sum(
+                            int(bits[2 * b + r, c]) << (r * 8 + c)
+                            for r in range(2)
+                            for c in range(cols - 1)
+                        )
+                        fps_[b] += (k + 1) * band
+                    nk += 1
+                out.append(
+                    (int(mid), w, h, fps, nk, *fps_)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in KEYFRAME_DHASH_SCHEMA]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, KEYFRAME_DHASH_SCHEMA
+    )
+
+
+def video_keyframe_dhash_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    every: int = 1,
+    effective_mod: int | None = None,
+) -> str:
+    """DuckDB CTE chain re-deriving the keyframe fingerprints from
+    the fixture's closed-form pixel formula (no byte parsing): grid
+    brightness g(f, ty, tx) = Σ_c v(f, 3·(sy·w + sx) + c), lead()
+    over tx gives the comparison bits, two grouped folds pack bands
+    and then positional fingerprints. Ends in ``kf_dhash`` with
+    KEYFRAME_DHASH_SCHEMA's columns."""
+    eid = (
+        f"({id_col} % {effective_mod})" if effective_mod else id_col
+    )
+    fps_src = id_col if effective_mod else eid
+    v_at = (
+        lambda pos: f"((eid * 31 + f * 11 + ({pos}) * 7) % 256)"
+    )
+    return f"""
+kf_grid AS (
+    SELECT {id_col} AS media_id,
+           CAST({eid} AS BIGINT) AS eid,
+           CAST({eid} % 5 + 2 AS INT) AS w,
+           CAST({eid} % 3 + 2 AS INT) AS h,
+           CAST(10 + ({fps_src}) % 2 AS INT) AS fps,
+           f, ty, tx
+    FROM {table},
+         UNNEST(range({eid} % 4 + 2)) uf(f),
+         UNNEST(range(8)) uy(ty),
+         UNNEST(range(9)) ux(tx)
+    WHERE f % {every} = 0
+),
+kf_g AS (
+    SELECT media_id, w, h, fps, f, ty, tx,
+           {v_at('base')} + {v_at('base + 1')}
+           + {v_at('base + 2')} AS g
+    FROM (
+        SELECT *,
+               3 * (((ty * h) // 8) * w + ((tx * w) // 9)) AS base
+        FROM kf_grid
+    )
+),
+kf_bits AS (
+    SELECT media_id, w, h, fps, f, ty, tx,
+           CASE WHEN LEAD(g) OVER (
+                    PARTITION BY media_id, f, ty ORDER BY tx) > g
+                THEN 1 ELSE 0 END AS bit
+    FROM kf_g
+),
+kf_bands AS (
+    SELECT media_id, w, h, fps, f, ty // 2 AS band,
+           SUM(bit * (1 << ((ty % 2) * 8 + tx))) AS bandval
+    FROM kf_bits
+    WHERE tx < 8
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+kf_dhash AS (
+    SELECT media_id,
+           ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+           ANY_VALUE(fps) AS fps,
+           CAST(COUNT(DISTINCT f) AS INT) AS n_keyframes,
+           CAST(SUM(CASE WHEN band = 0
+                    THEN (f // {every} + 1) * bandval END)
+                AS BIGINT) AS fp0,
+           CAST(SUM(CASE WHEN band = 1
+                    THEN (f // {every} + 1) * bandval END)
+                AS BIGINT) AS fp1,
+           CAST(SUM(CASE WHEN band = 2
+                    THEN (f // {every} + 1) * bandval END)
+                AS BIGINT) AS fp2,
+           CAST(SUM(CASE WHEN band = 3
+                    THEN (f // {every} + 1) * bandval END)
+                AS BIGINT) AS fp3
+    FROM kf_bands
+    GROUP BY media_id
 )"""

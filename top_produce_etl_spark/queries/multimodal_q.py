@@ -614,3 +614,92 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_images(docs, formats=("ppm", "bmp", "png"))
     return resize_image_stats(media, _RESIZE_W, _RESIZE_H)
+
+
+# --- Audio resample (round 11 — operators/audio.py) ---
+
+def _RESAMPLE_ORACLE() -> str:
+    from top_produce_etl_spark.operators.audio import (
+        audio_resample_oracle_ctes,
+    )
+
+    return f"""
+    WITH {audio_resample_oracle_ctes('documents', target_rate=16000)}
+    SELECT * FROM resample_stats
+    """
+
+
+@query(
+    "audio_resample_stats", extended=True, oracle=_RESAMPLE_ORACLE()
+)
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-preserving linear-interpolation resample to 16 kHz
+    (round 11 — audio/video parity with the r10 image-resize leg):
+    the fixture's 8/12/16 kHz clips decode, resample on integer
+    floor-division arithmetic, RE-ENCODE as real PCM16 containers at
+    the new rate, and decode again; the emitted stats (sums, energy,
+    extremes, positional checksum over the re-decoded samples, new
+    container byte length) hash-match DuckDB's closed-form
+    re-derivation — decode → resample → encode → decode pinned end
+    to end with no byte parsing on the oracle side."""
+    from top_produce_etl_spark.operators.audio import (
+        resample_audio_stats,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resample_audio_stats(
+        synthesize_audio(docs), target_rate=16000
+    )
+
+
+# --- Video keyframe-grain content dedup (round 11) ---
+
+def _VIDEO_DEDUP_ORACLE() -> str:
+    from top_produce_etl_spark.operators.video import (
+        video_keyframe_dhash_oracle_ctes,
+    )
+
+    return f"""
+    WITH {video_keyframe_dhash_oracle_ctes(
+        'documents', every=2, effective_mod=25)}
+    SELECT w, h, n_keyframes, fp0, fp1, fp2, fp3,
+           CAST(COUNT(*) AS BIGINT) AS n_encodings,
+           CAST(COUNT(DISTINCT fps) AS BIGINT) AS n_fps_variants,
+           CAST(MIN(media_id) AS BIGINT) AS keeper_media_id
+    FROM kf_dhash
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """
+
+
+@query(
+    "video_content_dedup", extended=True, oracle=_VIDEO_DEDUP_ORACLE()
+)
+def video_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-grain video dedup across re-encodes (round 11 — the
+    audio_content_dedup precedent at frame grain): duplicate classes
+    are planted at the CONTENT level (frames keyed on id % 25) while
+    the frame RATE keys on the raw id — the header bytes differ
+    within every class, so byte-level dedup misses these re-encodes.
+    Every 2nd frame gets the image tier's difference hash and the
+    per-video positional fold of the keyframe bands is the
+    fingerprint; grouping on (dims, n_keyframes, fp0..fp3) collapses
+    the re-encodes, and n_fps_variants = 2 proves the collapse
+    crossed real byte-level differences. One hash-agg on four ints
+    per video after the Arrow decode, min-id keeper election."""
+    from top_produce_etl_spark.operators.video import (
+        synthesize_videos,
+        video_keyframe_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = video_keyframe_dhash(
+        synthesize_videos(docs, effective_mod=25), every=2
+    )
+    return fp.groupBy(
+        "w", "h", "n_keyframes", "fp0", "fp1", "fp2", "fp3"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_encodings"),
+        F.countDistinct("fps").cast("bigint").alias("n_fps_variants"),
+        F.min("media_id").cast("bigint").alias("keeper_media_id"),
+    )
