@@ -223,6 +223,14 @@ EXTENSION = [
     "multimodal_avi_decode",     # AVI/DIB frame extraction (r10)
     "labeler_agreement_alpha",   # Krippendorff multi-rater audit (r10)
     "image_resize_stats",        # 3-codec nearest-neighbor resize (r10)
+    # round-11 additions (full-PSL default, frozen CCNet cutoffs,
+    # codec-tier parity)
+    "url_domain_full_psl",       # full-list-only suffix families (r11)
+    "ccnet_frozen_buckets",      # stored-artifact frozen terciles (r11)
+    "audio_resample_stats",      # linear-interp resample round-trip (r11)
+    "video_content_dedup",       # keyframe dHash re-encode collapse (r11)
+    # stream_frozen_buckets_parity is battery-gated, not timed (the
+    # streaming-parity house rule: wall measures the harness)
     # audio_frame_energy / video_frame_stats share these two queries'
     # decode plan shape (same mapInPandas kernel, frame-grain emit) —
     # battery-gated, not separately timed

@@ -632,8 +632,6 @@ def surprisal_cutoffs(
     group has too few rows to populate the tercile). ``ttotal``
     (the reference corpus token count) rides along so the frozen
     scorer needs no second artifact read."""
-    from pyspark.sql import Window
-
     from top_produce_etl_spark.operators.retrieval import (
         unigram_surprisal,
     )
@@ -641,6 +639,22 @@ def surprisal_cutoffs(
     scores = unigram_surprisal(docs, id_col, text_col)
     if by:
         scores = scores.join(docs.select(id_col, *by), id_col)
+    return surprisal_cutoffs_from_scores(scores, id_col, by)
+
+
+def surprisal_cutoffs_from_scores(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cutoff pairs from an ALREADY-SCORED relation carrying
+    ``mean_info_micro``, ``n_tokens`` and the ``by`` columns — the
+    shared-scan path: a caller that scores the corpus once (e.g.
+    with :func:`score_with_frozen_lm`) derives cutoffs, frozen
+    buckets AND the reference ntile from the same persisted relation
+    instead of paying the (doc, term) pipeline per derivation."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
         F.col("mean_info_micro"), F.col(id_col)
     )

@@ -1630,13 +1630,15 @@ def ccnet_frozen_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from pyspark.sql import Window
+
+    from top_produce_etl_spark.operators._cache import persist_tracked
     from top_produce_etl_spark.operators.textquality import (
         bucket_frozen,
         load_surprisal_reference,
-        perplexity_buckets,
         save_surprisal_reference,
         score_with_frozen_lm,
-        surprisal_cutoffs,
+        surprisal_cutoffs_from_scores,
         unigram_lm,
     )
 
@@ -1644,16 +1646,32 @@ def ccnet_frozen_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"tp_surp_ref_{digest}")
+    # ONE (doc, term) scoring pipeline feeds everything (shared-scan
+    # refactor, r11 close: 4.3 s -> the cutoffs, the frozen buckets
+    # AND the reference ntile all derive from this persisted
+    # relation; frozen-scoring the reference rows against their own
+    # LM is bit-identical to unigram_surprisal by construction)
+    lm0 = unigram_lm(ref)
+    scored = persist_tracked(
+        score_with_frozen_lm(docs, lm0).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+    )
+    ref_scored = scored.filter(F.col("doc_id") % 2 == 0)
     save_surprisal_reference(
-        unigram_lm(ref), surprisal_cutoffs(ref, by=("lang",)), path
+        lm0, surprisal_cutoffs_from_scores(ref_scored, by=("lang",)),
+        path,
     )
-    lm, cuts = load_surprisal_reference(spark, path)
-    scored = score_with_frozen_lm(docs, lm).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
+    _lm, cuts = load_surprisal_reference(spark, path)
     b = bucket_frozen(scored, cuts, by=("lang",))
-    refb = perplexity_buckets(ref, by=("lang",)).select(
-        "doc_id", F.col("ppl_bucket").alias("ref_bucket")
+    w = Window.partitionBy("lang").orderBy("mean_info_micro", "doc_id")
+    tercile = F.ntile(3).over(w)
+    refb = ref_scored.select(
+        "doc_id",
+        F.when(tercile == 1, F.lit("head"))
+        .when(tercile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ref_bucket"),
     )
     j = b.join(refb, "doc_id", "left")
     return j.groupBy("lang", "ppl_bucket").agg(
