@@ -1250,3 +1250,69 @@ def test_yaml_preference_curation_matches_handwritten(spark):
     )
     unpersist_all()
     assert solo == battery
+
+
+def test_yaml_frozen_surprisal_bucket(spark, tmp_path):
+    """Round 11: surprisal_bucket's ``frozen`` mode builds the
+    LM+cutoffs artifact on first miss (train_table), loads it on
+    every later run, and bucketing a GROWN corpus against the frozen
+    artifact keeps every reference row's bucket — the append-stable
+    production twin, now declarative."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.langid import (
+        synthesize_lang_corpus,
+    )
+    from top_produce_etl_spark.plans.builder import build_pipeline
+
+    corpus = synthesize_lang_corpus(
+        spark.range(120).select(F.col("id").alias("doc_id"))
+    ).select("doc_id", "lang", "text")
+    ref = corpus.filter(F.col("doc_id") < 60)
+    path = str(tmp_path / "frozen_ref")
+    spec = {
+        "source": "docs",
+        "ops": [
+            {
+                "op": "surprisal_bucket",
+                "id_col": "doc_id",
+                "text_col": "text",
+                "by": ["lang"],
+                "frozen": {"path": path, "train_table": "ref"},
+            }
+        ],
+    }
+    # run 1: reference only — builds the artifact, attaches buckets
+    first = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in build_pipeline(
+            spark, spec, {"docs": ref, "ref": ref}
+        ).collect()
+    }
+    unpersist_all()
+    import os
+
+    assert os.path.exists(os.path.join(path, "lm"))
+    # run 2: grown corpus, artifact LOADED (train_table absent on
+    # purpose — a miss would KeyError)
+    spec2 = {
+        "source": "docs",
+        "ops": [
+            {
+                "op": "surprisal_bucket",
+                "id_col": "doc_id",
+                "text_col": "text",
+                "by": ["lang"],
+                "frozen": {"path": path},
+            }
+        ],
+    }
+    grown = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in build_pipeline(spark, spec2, {"docs": corpus}).collect()
+    }
+    unpersist_all()
+    assert len(grown) == 120
+    # append-stability: every reference row keeps its bucket
+    assert all(grown[i] == b for i, b in first.items())

@@ -279,7 +279,9 @@ def build_pipeline(
          "train_table": "lang_reference", "lang_col": "lang",
          "keep_lang": "en", "iters": 3} |
         {"op": "surprisal_bucket", "id_col": "doc_id",
-         "text_col": "text", "by": [], "keep": ["head", "middle"]},
+         "text_col": "text", "by": [], "keep": ["head", "middle"],
+         "frozen": {"path": "optional stored artifact",
+                    "train_table": "optional"}},
         {"op": "bt_ratings", "winner_col": "winner",
          "loser_col": "loser", "iters": 3} |
         {"op": "pair_gap_filter", "winner_col": "winner",
@@ -801,16 +803,62 @@ def build_pipeline(
             # unigram-LM surprisal terciles over the slim score
             # relation. ``keep`` filters to the named buckets;
             # without it the ppl_bucket column is attached.
+            #
+            # ``frozen: {path, train_table?}`` (r11) switches to the
+            # STORED-ARTIFACT lifecycle: LM counts + cutoff pairs
+            # built from train_table (default: the flowing frame)
+            # and saved on first miss — the hybrid_serve stored-PQ
+            # precedent — then every run scores by pure comparison
+            # against the loaded artifact: append-stable,
+            # streaming-legal, no wide sort.
             from top_produce_etl_spark.operators.textquality import (
                 perplexity_buckets,
             )
 
-            b = perplexity_buckets(
-                df,
-                op["id_col"],
-                op["text_col"],
-                by=tuple(op.get("by", ())),
-            )
+            frozen = op.get("frozen")
+            if frozen:
+                import os as _os
+
+                from top_produce_etl_spark.operators.textquality import (
+                    bucket_frozen,
+                    load_surprisal_reference,
+                    save_surprisal_reference,
+                    score_with_frozen_lm,
+                    surprisal_cutoffs,
+                    unigram_lm,
+                )
+
+                fpath = frozen["path"]
+                by = tuple(op.get("by", ()))
+                if not _os.path.exists(_os.path.join(fpath, "lm")):
+                    train = (
+                        resolve(frozen["train_table"])
+                        if frozen.get("train_table")
+                        else df
+                    )
+                    save_surprisal_reference(
+                        unigram_lm(train, op["text_col"]),
+                        surprisal_cutoffs(
+                            train, op["id_col"], op["text_col"], by
+                        ),
+                        fpath,
+                    )
+                lm, cuts = load_surprisal_reference(spark, fpath)
+                scored = score_with_frozen_lm(
+                    df, lm, op["id_col"], op["text_col"]
+                )
+                if by:
+                    scored = scored.join(
+                        df.select(op["id_col"], *by), op["id_col"]
+                    )
+                b = bucket_frozen(scored, cuts, op["id_col"], by)
+            else:
+                b = perplexity_buckets(
+                    df,
+                    op["id_col"],
+                    op["text_col"],
+                    by=tuple(op.get("by", ())),
+                )
             keep = op.get("keep")
             if keep:
                 df = df.join(
