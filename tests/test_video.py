@@ -124,3 +124,43 @@ def test_keyframe_dhash_every_validates(spark):
     media = synthesize_videos(spark.range(1).selectExpr("id AS doc_id"))
     with pytest.raises(ValueError, match="every"):
         video_keyframe_dhash(media, every=0)
+
+
+def test_scene_changes_planted_structure(spark):
+    """The detector recovers exactly ceil(nf / scene_len) scenes and
+    the boundary checksum equals the planted boundary positions."""
+    from top_produce_etl_spark.operators.video import (
+        synthesize_scene_videos,
+        video_scene_changes,
+    )
+
+    ids = spark.range(12).selectExpr("id AS doc_id")
+    rows = video_scene_changes(
+        synthesize_scene_videos(ids), threshold=8
+    ).collect()
+    assert len(rows) == 12
+    for r in rows:
+        eid = r["media_id"]
+        sl = eid % 2 + 2
+        nf = (eid % 3) * 3 + 6
+        assert r["n_frames"] == nf
+        assert r["n_scenes"] == -(-nf // sl)
+        assert r["boundary_checksum"] == sum(
+            f for f in range(sl, nf, sl)
+        )
+        assert r["max_hamming"] >= 12
+
+
+def test_scene_changes_threshold_validates(spark):
+    import pytest
+
+    from top_produce_etl_spark.operators.video import (
+        synthesize_scene_videos,
+        video_scene_changes,
+    )
+
+    media = synthesize_scene_videos(
+        spark.range(1).selectExpr("id AS doc_id")
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        video_scene_changes(media, threshold=0)

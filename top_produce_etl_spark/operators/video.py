@@ -586,3 +586,210 @@ kf_dhash AS (
     FROM kf_bands
     GROUP BY media_id
 )"""
+
+
+SCENE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_scenes", IntegerType()),
+        StructField("boundary_checksum", LongType()),
+        StructField("sum_hamming", LongType()),
+        StructField("max_hamming", IntegerType()),
+    ]
+)
+
+
+def synthesize_scene_videos(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic AVI fixture with PLANTED SCENE STRUCTURE: clips
+    of ``nf = (eid%3)·3 + 6`` frames split into scenes of
+    ``scene_len = eid%2 + 2`` frames. Within a scene only a ±1
+    brightness flicker changes (``f % 2`` — the perceptual hash must
+    see through it); across scenes the pixel gradient's SLOPE jumps
+    (``7 + 10·s``), flipping most brightness comparisons. Frame f,
+    position i:
+
+        v = (eid·31 + s·97 + i·(7 + 10·s) + f%2) mod 256,
+        s = f // scene_len
+
+    with ``w = eid%4+6``, ``h = eid%3+4``. Measured on the dHash
+    grid: within-scene Hamming ≤ 2 bits, cross-scene ≥ 12 — the
+    threshold-8 detector is exact on this fixture, and DuckDB
+    re-derives every bit from the closed form."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                eid = int(mid)
+                w, h = eid % 4 + 6, eid % 3 + 4
+                nf = (eid % 3) * 3 + 6
+                sl = eid % 2 + 2
+                i = np.arange(w * h * 3, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    s = f // sl
+                    frames.append(
+                        (
+                            (eid * 31 + s * 97 + i * (7 + 10 * s)
+                             + f % 2) % 256
+                        ).astype(np.uint8).tobytes()
+                    )
+                out.append((eid, encode_avi_rgb(w, h, frames, 10)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.select(id_col).mapInPandas(
+        fn,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+
+
+def video_scene_changes(
+    media: DataFrame, threshold: int = 8
+) -> DataFrame:
+    """Scene-change detection over a binary AVI column (round 11 —
+    the clip-segmentation primitive a video training-data pipeline
+    cuts on): each frame gets the image tier's 8×9 difference hash;
+    a frame starts a new scene iff it is frame 0 or its Hamming
+    distance to the previous frame's hash reaches ``threshold``
+    bits. Per clip: scene count, the boundary-frame index checksum
+    (Σ f over scene starts — pins WHICH frames cut, not just how
+    many), and the Hamming mass/max — all exact integers the DuckDB
+    twin re-derives from the fixture's closed form.
+
+    Scale shape: one Arrow-batched map, hash state is 64 bits per
+    frame inside the worker; output is one row per clip."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows, cols = 8, 9
+        ty = np.arange(rows)
+        tx = np.arange(cols)
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _fps, frames = decode_avi_frames(bytes(content))
+                sy = (ty * h) // rows
+                sx = (tx * w) // cols
+                base = 3 * (sy[:, None] * w + sx[None, :])
+                prev = None
+                n_scenes = 0
+                bchk = 0
+                sham = 0
+                mham = 0
+                for f, rgb in enumerate(frames):
+                    v = np.frombuffer(rgb, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    g = v[base] + v[base + 1] + v[base + 2]
+                    bits = (g[:, 1:] > g[:, :-1])
+                    if prev is None:
+                        n_scenes += 1
+                    else:
+                        ham = int((bits != prev).sum())
+                        sham += ham
+                        mham = max(mham, ham)
+                        if ham >= threshold:
+                            n_scenes += 1
+                            bchk += f
+                    prev = bits
+                out.append(
+                    (
+                        int(mid), w, h, len(frames),
+                        n_scenes, bchk, sham, mham,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SCENE_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, SCENE_STATS_SCHEMA
+    )
+
+
+def video_scene_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    threshold: int = 8,
+) -> str:
+    """DuckDB CTE chain re-deriving the scene census from
+    :func:`synthesize_scene_videos`' closed form: per-(frame, grid
+    cell) comparison bits, LAG over the frame axis per cell for the
+    Hamming distances, then the boundary census. Ends in
+    ``scene_stats`` with SCENE_STATS_SCHEMA's columns."""
+    v_at = (
+        lambda pos: f"((eid * 31 + (f // sl) * 97 "
+        f"+ ({pos}) * (7 + 10 * (f // sl)) + f % 2) % 256)"
+    )
+    return f"""
+sc_grid AS (
+    SELECT {id_col} AS media_id,
+           CAST({id_col} AS BIGINT) AS eid,
+           CAST({id_col} % 4 + 6 AS INT) AS w,
+           CAST({id_col} % 3 + 4 AS INT) AS h,
+           CAST({id_col} % 2 + 2 AS INT) AS sl,
+           CAST(({id_col} % 3) * 3 + 6 AS INT) AS nf,
+           f, ty, tx
+    FROM {table},
+         UNNEST(range(({id_col} % 3) * 3 + 6)) uf(f),
+         UNNEST(range(8)) uy(ty),
+         UNNEST(range(8)) ux(tx)
+),
+sc_bits AS (
+    SELECT media_id, w, h, nf, f, ty, tx,
+           CASE WHEN ({v_at('base1')} + {v_at('base1 + 1')}
+                      + {v_at('base1 + 2')})
+                   > ({v_at('base0')} + {v_at('base0 + 1')}
+                      + {v_at('base0 + 2')})
+                THEN 1 ELSE 0 END AS bit
+    FROM (
+        SELECT *,
+               3 * (((ty * h) // 8) * w + ((tx * w) // 9)) AS base0,
+               3 * (((ty * h) // 8) * w
+                    + (((tx + 1) * w) // 9)) AS base1
+        FROM sc_grid
+    )
+),
+sc_ham AS (
+    SELECT media_id, w, h, nf, f,
+           SUM(CASE WHEN prev_bit IS NOT NULL
+                     AND bit <> prev_bit THEN 1 ELSE 0 END) AS ham,
+           BOOL_AND(prev_bit IS NULL) AS is_first
+    FROM (
+        SELECT *, LAG(bit) OVER (
+            PARTITION BY media_id, ty, tx ORDER BY f) AS prev_bit
+        FROM sc_bits
+    )
+    GROUP BY 1, 2, 3, 4, 5
+),
+scene_stats AS (
+    SELECT media_id,
+           ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+           ANY_VALUE(nf) AS n_frames,
+           CAST(SUM(CASE WHEN is_first OR ham >= {threshold}
+                    THEN 1 ELSE 0 END) AS INT) AS n_scenes,
+           CAST(SUM(CASE WHEN NOT is_first AND ham >= {threshold}
+                    THEN f ELSE 0 END) AS BIGINT)
+               AS boundary_checksum,
+           CAST(SUM(CASE WHEN NOT is_first THEN ham ELSE 0 END)
+                AS BIGINT) AS sum_hamming,
+           CAST(MAX(CASE WHEN NOT is_first THEN ham ELSE 0 END)
+                AS INT) AS max_hamming
+    FROM sc_ham
+    GROUP BY media_id
+)"""

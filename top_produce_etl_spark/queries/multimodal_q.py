@@ -703,3 +703,41 @@ def video_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("fps").cast("bigint").alias("n_fps_variants"),
         F.min("media_id").cast("bigint").alias("keeper_media_id"),
     )
+
+
+# --- Video scene-change detection (round 11) ---
+
+def _SCENE_ORACLE() -> str:
+    from top_produce_etl_spark.operators.video import (
+        video_scene_oracle_ctes,
+    )
+
+    return f"""
+    WITH {video_scene_oracle_ctes('documents', threshold=8)}
+    SELECT * FROM scene_stats
+    """
+
+
+@query(
+    "video_scene_changes", extended=True, oracle=_SCENE_ORACLE()
+)
+def video_scene_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection (round 11 — the clip-segmentation
+    primitive a video training-data pipeline cuts on): clips with
+    PLANTED scene structure (within-scene ±1 flicker the perceptual
+    hash must see through, cross-scene gradient-slope jumps that
+    flip ≥12 of its 64 comparison bits) are segmented by
+    consecutive-frame dHash Hamming distance at threshold 8. The
+    boundary-frame checksum pins WHICH frames cut; the census
+    recovers exactly ceil(n_frames / scene_len) scenes per clip,
+    and every integer hash-matches DuckDB's closed-form
+    re-derivation of all 64 bits per frame."""
+    from top_produce_etl_spark.operators.video import (
+        synthesize_scene_videos,
+        video_scene_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_scene_changes(
+        synthesize_scene_videos(docs), threshold=8
+    )
