@@ -175,3 +175,45 @@ def test_resample_linear_midpoints():
         encode_wav_pcm16(tgt, res.astype("<i2").tobytes())
     )
     assert rate == tgt and list(back) == list(res)
+
+
+def test_trim_silence_planted_pads(spark):
+    """The detector recovers the planted pad frame counts exactly
+    and the trimmed signal equals the voiced middle."""
+    from top_produce_etl_spark.operators.audio import (
+        synthesize_padded_audio,
+        trim_silence_stats,
+    )
+
+    ids = spark.range(12).selectExpr("id AS doc_id")
+    rows = trim_silence_stats(synthesize_padded_audio(ids)).collect()
+    for r in rows:
+        eid = r["media_id"]
+        assert r["lead_frames"] == eid % 4
+        assert r["tail_frames"] == eid % 3
+        assert r["n_trimmed"] == 800 + (eid % 5) * 160
+        assert r["byte_len"] == 44 + 2 * r["n_trimmed"]
+
+
+def test_trim_silence_all_quiet(spark):
+    """A clip with NO voiced frame trims to the empty container."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType)
+
+    from top_produce_etl_spark.operators.audio import (
+        encode_wav_pcm16,
+        trim_silence_stats,
+    )
+
+    quiet = np.zeros(320, dtype="<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(16000, quiet.tobytes())))],
+        StructType([
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]),
+    )
+    r = trim_silence_stats(df).collect()[0]
+    assert r["n_trimmed"] == 0 and r["byte_len"] == 44
+    assert r["lead_frames"] == 2 and r["tail_frames"] == 0

@@ -506,3 +506,210 @@ resample_stats AS (
     FROM resample_vals
     GROUP BY media_id
 )"""
+
+
+TRIM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_total", LongType()),
+        StructField("n_trimmed", LongType()),
+        StructField("lead_frames", IntegerType()),
+        StructField("tail_frames", IntegerType()),
+        StructField("sum_s", LongType()),
+        StructField("energy", LongType()),
+        StructField("pos_checksum", LongType()),
+        StructField("byte_len", LongType()),
+    ]
+)
+
+
+def synthesize_padded_audio(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """WAV fixture with PLANTED low-level noise pads around the
+    voiced middle: ``lead = (eid%4)·160`` and ``tail = (eid%3)·160``
+    pad samples of ±10 noise (``((eid·7 + i·13) mod 21) − 10`` at
+    the PADDED index i) surround the standard voiced signal
+    (``((eid·13 + k·97) mod 4001) − 2000`` at voiced-relative index
+    k, ``n = 800 + (eid%5)·160``). Pads and the voiced length are
+    multiples of the 160-sample frame, so frame grids align with
+    region boundaries by construction — the trim detector's
+    correctness is exact, not threshold-luck. Rate fixed at 16 kHz
+    (160 samples = one 10 ms VAD frame)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid in pdf[id_col]:
+                eid = int(mid)
+                lead = (eid % 4) * 160
+                tail = (eid % 3) * 160
+                n = 800 + (eid % 5) * 160
+                total = lead + n + tail
+                i = np.arange(total, dtype=np.int64)
+                noise = ((eid * 7 + i * 13) % 21) - 10
+                k = i - lead
+                voiced = ((eid * 13 + k * 97) % 4001) - 2000
+                s = np.where(
+                    (i >= lead) & (i < lead + n), voiced, noise
+                ).astype("<i2")
+                out.append((eid, encode_wav_pcm16(16_000, s.tobytes())))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    return ids.select(id_col).mapInPandas(
+        fn,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+
+
+def trim_silence_stats(
+    media: DataFrame,
+    frame_samples: int = 160,
+    energy_threshold: int = 100_000,
+) -> DataFrame:
+    """Energy-gated silence trim (round 11 — the speech-data
+    curation primitive): frame the waveform into ``frame_samples``
+    windows, call a frame voiced when its exact-integer energy
+    Σ s² reaches ``energy_threshold``, drop every frame before the
+    first and after the last voiced frame, RE-ENCODE the trimmed
+    clip, and emit exact stats of the re-decoded result (positional
+    checksum re-indexed from 0 — pins the trim offset, not just the
+    length). A clip with no voiced frame trims to the empty clip
+    (44-byte container).
+
+    Scale shape: one Arrow-batched map over the binary column —
+    scan speed, no shuffle."""
+    if frame_samples < 1:
+        raise ValueError("frame_samples must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, s16 = decode_wav_bytes(bytes(content))
+                v = s16.astype(np.int64)
+                n = v.size
+                nf = -(-n // frame_samples)
+                voiced = [
+                    f
+                    for f in range(nf)
+                    if int(
+                        (v[f * frame_samples:(f + 1) * frame_samples]
+                         ** 2).sum()
+                    ) >= energy_threshold
+                ]
+                if voiced:
+                    lo = voiced[0] * frame_samples
+                    hi = min((voiced[-1] + 1) * frame_samples, n)
+                    lead, tail = voiced[0], nf - 1 - voiced[-1]
+                else:
+                    lo = hi = 0
+                    lead, tail = nf, 0
+                wav = encode_wav_pcm16(
+                    rate, v[lo:hi].astype("<i2").tobytes()
+                )
+                rate2, t16 = decode_wav_bytes(wav)
+                t = t16.astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        int(rate2),
+                        int(n),
+                        int(t.size),
+                        int(lead),
+                        int(tail),
+                        int(t.sum()),
+                        int((t * t).sum()),
+                        int((np.arange(t.size) * t).sum()),
+                        len(wav),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in TRIM_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, TRIM_STATS_SCHEMA
+    )
+
+
+def trim_silence_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    frame_samples: int = 160,
+    energy_threshold: int = 100_000,
+) -> str:
+    """DuckDB CTE chain re-deriving the trim census from
+    :func:`synthesize_padded_audio`'s closed form: per-sample
+    values, frame energies, the voiced-frame window, then exact
+    stats over the kept range re-indexed from 0. Ends in
+    ``trim_stats`` with TRIM_STATS_SCHEMA's columns."""
+    fs = frame_samples
+    return f"""
+trim_samples AS (
+    SELECT {id_col} AS media_id,
+           CAST(({id_col} % 4) * 160 AS BIGINT) AS lead_n,
+           CAST(800 + ({id_col} % 5) * 160 AS BIGINT) AS n_voiced,
+           CAST(({id_col} % 3) * 160 AS BIGINT) AS tail_n,
+           i,
+           CASE WHEN i >= ({id_col} % 4) * 160
+                 AND i < ({id_col} % 4) * 160
+                         + 800 + ({id_col} % 5) * 160
+                THEN (({id_col} * 13
+                       + (i - ({id_col} % 4) * 160) * 97) % 4001)
+                     - 2000
+                ELSE (({id_col} * 7 + i * 13) % 21) - 10
+           END AS s
+    FROM {table},
+         UNNEST(range(({id_col} % 4) * 160
+                      + 800 + ({id_col} % 5) * 160
+                      + ({id_col} % 3) * 160)) u(i)
+),
+trim_frames AS (
+    SELECT media_id, i // {fs} AS f,
+           SUM(s * s) AS fenergy,
+           ANY_VALUE(lead_n + n_voiced + tail_n) AS n_total
+    FROM trim_samples
+    GROUP BY 1, 2
+),
+trim_window AS (
+    SELECT media_id,
+           ANY_VALUE(n_total) AS n_total,
+           CAST(MIN(CASE WHEN fenergy >= {energy_threshold}
+                    THEN f END) AS BIGINT) AS first_v,
+           CAST(MAX(CASE WHEN fenergy >= {energy_threshold}
+                    THEN f END) AS BIGINT) AS last_v,
+           COUNT(*) AS nf
+    FROM trim_frames
+    GROUP BY 1
+),
+trim_stats AS (
+    SELECT w.media_id,
+           CAST(16000 AS INT) AS sample_rate,
+           w.n_total,
+           CAST(COUNT(s.i) AS BIGINT) AS n_trimmed,
+           CAST(COALESCE(w.first_v, w.nf) AS INT) AS lead_frames,
+           CAST(CASE WHEN w.last_v IS NULL THEN 0
+                ELSE w.nf - 1 - w.last_v END AS INT) AS tail_frames,
+           CAST(COALESCE(SUM(s.s), 0) AS BIGINT) AS sum_s,
+           CAST(COALESCE(SUM(s.s * s.s), 0) AS BIGINT) AS energy,
+           CAST(COALESCE(SUM((s.i - w.first_v * {fs}) * s.s), 0)
+                AS BIGINT) AS pos_checksum,
+           CAST(44 + 2 * COUNT(s.i) AS BIGINT) AS byte_len
+    FROM trim_window w
+    LEFT JOIN trim_samples s
+      ON s.media_id = w.media_id
+     AND s.i >= w.first_v * {fs}
+     AND s.i < LEAST((w.last_v + 1) * {fs}, w.n_total)
+    GROUP BY w.media_id, w.n_total, w.first_v, w.last_v, w.nf
+)"""

@@ -741,3 +741,38 @@ def video_scene_changes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_scene_changes(
         synthesize_scene_videos(docs), threshold=8
     )
+
+
+# --- Audio silence trim (round 11) ---
+
+def _TRIM_ORACLE() -> str:
+    from top_produce_etl_spark.operators.audio import (
+        trim_silence_oracle_ctes,
+    )
+
+    return f"""
+    WITH {trim_silence_oracle_ctes('documents')}
+    SELECT * FROM trim_stats
+    """
+
+
+@query(
+    "audio_silence_trim", extended=True, oracle=_TRIM_ORACLE()
+)
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated silence trim (round 11 — the speech-data
+    curation primitive): clips with PLANTED ±10-noise pads around
+    the voiced middle (pads and signal both frame-aligned, so the
+    detection is exact) are framed into 10 ms windows, frames below
+    the energy threshold are trimmed from both ends, and the clip is
+    RE-ENCODED; the emitted census (pad frames recovered, trimmed
+    stats with a re-indexed positional checksum, new container
+    size) hash-matches DuckDB's closed-form re-derivation — decode →
+    gate → trim → encode → decode pinned end to end."""
+    from top_produce_etl_spark.operators.audio import (
+        synthesize_padded_audio,
+        trim_silence_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trim_silence_stats(synthesize_padded_audio(docs))
