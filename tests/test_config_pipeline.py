@@ -1316,3 +1316,74 @@ def test_yaml_frozen_surprisal_bucket(spark, tmp_path):
     assert len(grown) == 120
     # append-stability: every reference row keeps its bucket
     assert all(grown[i] == b for i, b in first.items())
+
+
+def test_yaml_crawl_chain_from_raw_html(spark):
+    """Round 11: the crawl config starts at RAW HTML and must be
+    row-identical to extracting first and running the handwritten
+    langid → dedup → bucket chain on the extracted text."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators._cache import unpersist_all
+    from top_produce_etl_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text,
+        synthesize_html_docs,
+    )
+    from top_produce_etl_spark.operators.langid import (
+        score_langid,
+        synthesize_lang_corpus,
+        train_langid,
+    )
+    from top_produce_etl_spark.operators.textquality import (
+        perplexity_buckets,
+    )
+    from top_produce_etl_spark.plans.builder import (
+        build_pipeline,
+        load_pipeline_spec,
+    )
+
+    corpus = synthesize_lang_corpus(
+        spark.range(200).select(F.col("id").alias("doc_id"))
+    )
+    pages = synthesize_html_docs(corpus.select("doc_id", "text"))
+    ref = synthesize_lang_corpus(
+        spark.range(1000, 1200).select(F.col("id").alias("doc_id"))
+    )
+    spec = load_pipeline_spec("/root/repo/configs/pipeline_crawl.yaml")
+    got_ids = {
+        r["doc_id"]
+        for r in build_pipeline(
+            spark, spec, {"pages": pages, "lang_reference": ref}
+        ).collect()
+    }
+    unpersist_all()
+    assert len(got_ids) > 0
+
+    # handwritten: extract, then the ccnet chain on extracted text
+    docs = extract_html_text(pages).select("doc_id", "text")
+    model = train_langid(ref, iters=3, n_buckets=64)
+    en = docs.join(
+        score_langid(docs, model, n_buckets=64)
+        .where(F.col("pred_lang") == "en")
+        .select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    surv = en.join(
+        normalized_exact_dedup(en, "text", "doc_id").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    kept = surv.join(
+        perplexity_buckets(surv, "doc_id", "text")
+        .where(F.col("ppl_bucket").isin("head", "middle"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    hand_ids = {r["doc_id"] for r in kept.collect()}
+    unpersist_all()
+    assert got_ids == hand_ids

@@ -299,3 +299,70 @@ def test_score_surprisal_expr_matches_join_scorer(spark):
         docs, lm_rows, ttotal
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- HTML main-text extraction (round 11) ---
+
+
+def test_html_extract_handwritten_cases(spark):
+    from top_produce_etl_spark.operators.html import extract_html_text
+
+    cases = [
+        # containers vanish entirely, incl. their text
+        ("<html><head><title>T</title></head><body>hi</body></html>",
+         "hi"),
+        ("<p>a</p><script>alert('x')</script><p>b</p>", "a\nb"),
+        ("<style media=\"x\">p{}</style>text", "text"),
+        ("before<!-- secret -->after", "before after"),
+        # block boundaries become line structure
+        ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+        ("line1<br>line2<br/>line3", "line1\nline2\nline3"),
+        # entities decode, &amp; last
+        ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+         "a & b <c> \"d\" 'e' f"),
+        ("&amp;lt; stays entity-ish", "&lt; stays entity-ish"),
+        # whitespace normalization
+        ("<p>  a   b  </p>\n\n\n<p>c</p>", "a b\nc"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)],
+        "id int, html string",
+    )
+    got = {
+        r["id"]: r["text"]
+        for r in extract_html_text(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_extract_oracle_parity_handwritten(spark):
+    """The DuckDB twin replays the chain byte for byte on the
+    hand-built edge cases too (not just the battery fixture)."""
+    import duckdb
+
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text,
+        extract_html_text_oracle,
+    )
+
+    rows = [
+        (0, "<head>x</head><p>a &amp; b</p><!--c--><br>d"),
+        (1, "<div class='nav'>n</div><h2>t</h2>body &nbsp; text"),
+        (2, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "id int, html string")
+    got = {r["id"]: r["text"] for r in extract_html_text(df).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE h(id INT, html VARCHAR)"
+    )
+    con.executemany("INSERT INTO h VALUES (?, ?)", rows)
+    duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT id, {extract_html_text_oracle('html')} FROM h"
+        ).fetchall()
+    }
+    assert got == duck

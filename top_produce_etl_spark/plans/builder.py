@@ -63,6 +63,7 @@ _MULTI_SCAN_OPS = frozenset({
     "surprisal_bucket",
     "bt_ratings",
     "pair_gap_filter",
+    "html_extract",
 })
 
 
@@ -282,6 +283,8 @@ def build_pipeline(
          "text_col": "text", "by": [], "keep": ["head", "middle"],
          "frozen": {"path": "optional stored artifact",
                     "train_table": "optional"}},
+        {"op": "html_extract", "html_col": "html",
+         "out": "text"} |
         {"op": "bt_ratings", "winner_col": "winner",
          "loser_col": "loser", "iters": 3} |
         {"op": "pair_gap_filter", "winner_col": "winner",
@@ -872,6 +875,20 @@ def build_pipeline(
                 df = df.join(
                     b.select(op["id_col"], "ppl_bucket"), op["id_col"]
                 )
+        elif kind == "html_extract":
+            # HTML -> visible text (r11): the crawl pipeline's first
+            # step as chained regexp_replace projections — composes
+            # upstream of clean_lines / langid_filter /
+            # normalize_dedup in one config.
+            from top_produce_etl_spark.operators.html import (
+                extract_html_text,
+            )
+
+            df = extract_html_text(
+                df,
+                html_col=op.get("html_col", "html"),
+                out=op.get("out", "text"),
+            )
         elif kind == "bt_ratings":
             # Bradley-Terry MM ratings from the flowing preference-
             # pair relation (r11, completing the r10 preference

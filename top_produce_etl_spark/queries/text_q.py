@@ -1688,3 +1688,59 @@ def ccnet_frozen_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_unstable_old"),
         F.sum("mean_info_micro").cast("bigint").alias("sum_info_micro"),
     )
+
+
+# --- HTML main-text extraction (round 11 — operators/html.py) ---
+
+def _HTML_EXTRACT_ORACLE() -> str:
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text_oracle,
+        synthesize_html_docs_oracle,
+    )
+
+    return f"""
+    WITH h AS ({synthesize_html_docs_oracle()}),
+    x AS (SELECT doc_id,
+                 {extract_html_text_oracle('html')} AS text
+          FROM h)
+    SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(replace(text, chr(10), '')) + 1
+                AS BIGINT) AS n_lines
+    FROM x
+    """
+
+
+@query(
+    "html_text_extraction", extended=True,
+    oracle=_HTML_EXTRACT_ORACLE(),
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text (round 11): the step a real crawl
+    pipeline runs FIRST, before any downstream quality/dedup/langid
+    tier. The fixture wraps each document in deterministic raw HTML
+    (head/style/script junk, comments, nav div, entity-encoded
+    punctuation); the extraction chain — container drop, block
+    boundaries → newlines, tag strip, entity decode, whitespace
+    normalization — is pure chained regexp_replace (RE2- and
+    java.regex-safe), so the ENTIRE extracted string hash-matches
+    the DuckDB twin byte for byte on every document: scan-speed at
+    100 TB, and provably identical across engines."""
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text,
+        synthesize_html_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = extract_html_text(synthesize_html_docs(docs))
+    return x.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "\n", ""))
+            + 1
+        ).cast("bigint").alias("n_lines"),
+    )
