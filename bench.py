@@ -229,6 +229,9 @@ EXTENSION = [
     "ccnet_frozen_buckets",      # stored-artifact frozen terciles (r11)
     "audio_resample_stats",      # linear-interp resample round-trip (r11)
     "video_content_dedup",       # keyframe dHash re-encode collapse (r11)
+    "video_scene_changes",       # dHash Hamming clip segmentation (r11)
+    "audio_silence_trim",        # energy-gated VAD trim round-trip (r11)
+    "html_text_extraction",      # crawl step 0: HTML -> text (r11)
     # stream_frozen_buckets_parity is battery-gated, not timed (the
     # streaming-parity house rule: wall measures the harness)
     # audio_frame_energy / video_frame_stats share these two queries'
