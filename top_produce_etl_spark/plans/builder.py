@@ -64,6 +64,7 @@ _MULTI_SCAN_OPS = frozenset({
     "bt_ratings",
     "pair_gap_filter",
     "html_extract",
+    "robots_filter",
 })
 
 
@@ -285,6 +286,9 @@ def build_pipeline(
                     "train_table": "optional"}},
         {"op": "html_extract", "html_col": "html",
          "out": "text"} |
+        {"op": "robots_filter", "robots_table": "robots",
+         "agent": "trainingbot", "domain_col": "domain",
+         "path_col": "path"} |
         {"op": "bt_ratings", "winner_col": "winner",
          "loser_col": "loser", "iters": 3} |
         {"op": "pair_gap_filter", "winner_col": "winner",
@@ -875,6 +879,27 @@ def build_pipeline(
                 df = df.join(
                     b.select(op["id_col"], "ppl_bucket"), op["id_col"]
                 )
+        elif kind == "robots_filter":
+            # robots.txt compliance gate (r11): parse the robots
+            # dimension for the configured agent, keep only URLs the
+            # RFC 9309 longest-match verdict allows.
+            from top_produce_etl_spark.operators.robots import (
+                parse_robots,
+                robots_allowed,
+            )
+
+            rules = parse_robots(
+                resolve(op["robots_table"]),
+                id_col=op.get("domain_col", "domain"),
+                text_col=op.get("robots_text_col", "robots_txt"),
+                agent=op.get("agent", "*"),
+            )
+            df = robots_allowed(
+                df,
+                rules,
+                domain_col=op.get("domain_col", "domain"),
+                path_col=op.get("path_col", "path"),
+            ).where(F.col("allowed")).drop("allowed", "matched_len")
         elif kind == "html_extract":
             # HTML -> visible text (r11): the crawl pipeline's first
             # step as chained regexp_replace projections — composes

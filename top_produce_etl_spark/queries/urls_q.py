@@ -275,3 +275,51 @@ def url_domain_full_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("host").cast("bigint").alias("n_raw_spellings"),
         F.min("doc_id").cast("bigint").alias("first_doc_id"),
     )
+
+
+# --- robots.txt compliance gate (round 11 — operators/robots.py) ---
+
+def _ROBOTS_ORACLE() -> str:
+    from top_produce_etl_spark.operators.robots import (
+        robots_oracle_ctes,
+    )
+
+    return f"""
+    WITH {robots_oracle_ctes('documents')}
+    SELECT doc_id, domain, path, allowed,
+           CAST(matched_len AS INT) AS matched_len
+    FROM robots_verdicts
+    """
+
+
+@query(
+    "robots_compliance_gate", extended=True, oracle=_ROBOTS_ORACLE()
+)
+def robots_compliance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance (round 11 — the crawl-side legal gate):
+    each domain's robots.txt is PARSED IN-ENGINE (windows over
+    exploded lines: group reconstruction with stacked user-agent
+    lines, RFC 9309 group shadowing AND merging, comment/junk/empty-
+    value handling), REP patterns translate to regexes by a literal-
+    replace chain both engines compute byte-identically (wildcards,
+    trailing-$ anchors, metachar escaping), and every planted URL
+    gets the longest-match-wins verdict with allow beating disallow
+    on ties. Per-URL rows fully hash-checked against a DuckDB oracle
+    that replays parse, translation and matching end to end.
+    Semantics follow RFC 9309 (Google-parser behavior) where
+    urllib.robotparser's legacy first-match/no-wildcard behavior
+    diverges — see tests/test_robots.py."""
+    from top_produce_etl_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+        synthesize_robots_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    robots, urls = synthesize_robots_corpus(docs)
+    rules = parse_robots(robots, agent="trainingbot")
+    out = robots_allowed(urls, rules)
+    return out.select(
+        "doc_id", "domain", "path", "allowed",
+        F.col("matched_len").cast("int").alias("matched_len"),
+    )
