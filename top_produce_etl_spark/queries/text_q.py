@@ -1744,3 +1744,70 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("bigint").alias("n_lines"),
     )
+
+
+# --- SFT layout: chat rendering + FIM (round 11 — operators/sft.py) ---
+
+def _CHAT_RENDER_ORACLE() -> str:
+    from top_produce_etl_spark.operators.sft import (
+        chat_render_oracle_sql,
+    )
+
+    turns = """
+    SELECT (doc_id // 3) AS conv_id,
+           CAST(doc_id % 3 AS INT) AS turn_idx,
+           (['system', 'user', 'assistant'])[
+               CAST(doc_id % 3 AS INT) + 1] AS role,
+           substr(text, 1, 48) AS content
+    FROM documents
+    """
+    return chat_render_oracle_sql(f"({turns})")
+
+
+@query(
+    "sft_chat_render", extended=True, oracle=_CHAT_RENDER_ORACLE()
+)
+def sft_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn chat rendering (round 11 — the SFT last mile):
+    long-format turns (one row per turn, synthesized
+    system/user/assistant triples) collapse to ONE ChatML-style
+    training string per conversation via sorted-collect + fold —
+    partition-independent turn order, no window, no driver
+    assembly. The ENTIRE rendered string hash-matches DuckDB's
+    ordered string_agg per conversation."""
+    from top_produce_etl_spark.operators.sft import chat_render
+
+    docs = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    turns = docs.select(
+        F.expr("doc_id div 3").alias("conv_id"),
+        (i % 3).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(
+                F.lit("system"), F.lit("user"), F.lit("assistant")
+            ),
+            (i % 3).cast("int") + 1,
+        ).alias("role"),
+        F.substring("text", 1, 48).alias("content"),
+    )
+    return chat_render(turns)
+
+
+def _FIM_ORACLE() -> str:
+    from top_produce_etl_spark.operators.sft import fim_oracle_sql
+
+    return fim_oracle_sql("documents")
+
+
+@query("sft_fim_transform", extended=True, oracle=_FIM_ORACLE())
+def sft_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle reordering (round 11 — the code-corpus
+    training transform, Bavarian et al. 2022, public): every even
+    document is cut at id-derived points and re-emitted as
+    <PRE>prefix<SUF>suffix<MID>middle; odd documents pass through
+    (the fim_rate mix). Integer DIV cut points, so the whole output
+    string hash-matches the DuckDB twin byte for byte."""
+    from top_produce_etl_spark.operators.sft import fim_transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs)
