@@ -366,3 +366,47 @@ def test_html_extract_oracle_parity_handwritten(spark):
         ).fetchall()
     }
     assert got == duck
+
+
+# --- Mojibake repair (round 11) ---
+
+
+def test_mojibake_repair_semantics(spark):
+    from top_produce_etl_spark.operators.encoding import (
+        repair_mojibake,
+    )
+
+    cases = [
+        ("cafÃ© bar", "café bar", True),      # classic double-encode
+        ("café bar", "café bar", False),      # healthy accents pass
+        ("中文 text", "中文 text", False),     # CJK passes (> U+00FF)
+        ("plain ascii", "plain ascii", False),
+        ("ä¸­æ\x96\x87 x", "中文 x", True),    # CJK mojibake repairs
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _, _) in enumerate(cases)],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["text"], r["was_mojibake"])
+        for r in repair_mojibake(df).collect()
+    }
+    for i, (_, want, gate) in enumerate(cases):
+        assert got[i] == (want, gate), (i, got[i])
+
+
+def test_mojibake_double_repair_is_stable(spark):
+    """Repairing already-repaired text is the identity (the gate
+    fails on healthy output, so repeated application cannot walk
+    the string further)."""
+    from top_produce_etl_spark.operators.encoding import (
+        repair_mojibake,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "cafÃ© naÃ¯ve")], "id int, text string"
+    )
+    once = repair_mojibake(df).select("id", "text")
+    twice = repair_mojibake(once).collect()[0]
+    assert twice["text"] == "café naïve"
+    assert twice["was_mojibake"] is False

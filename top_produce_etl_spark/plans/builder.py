@@ -65,6 +65,7 @@ _MULTI_SCAN_OPS = frozenset({
     "pair_gap_filter",
     "html_extract",
     "robots_filter",
+    "mojibake_repair",
 })
 
 
@@ -286,6 +287,8 @@ def build_pipeline(
                     "train_table": "optional"}},
         {"op": "html_extract", "html_col": "html",
          "out": "text"} |
+        {"op": "mojibake_repair", "text_col": "text",
+         "keep_flag": False} |
         {"op": "robots_filter", "robots_table": "robots",
          "agent": "trainingbot", "domain_col": "domain",
          "path_col": "path"} |
@@ -879,6 +882,21 @@ def build_pipeline(
                 df = df.join(
                     b.select(op["id_col"], "ppl_bucket"), op["id_col"]
                 )
+        elif kind == "mojibake_repair":
+            # charset repair (r11): gated UTF-8-as-Latin-1 inversion
+            # — the crawl chain's step between extraction and
+            # language identification.
+            from top_produce_etl_spark.operators.encoding import (
+                repair_mojibake,
+            )
+
+            df = repair_mojibake(
+                df,
+                text_col=op.get("text_col", "text"),
+                out=op.get("out"),
+            )
+            if not op.get("keep_flag", False):
+                df = df.drop("was_mojibake")
         elif kind == "robots_filter":
             # robots.txt compliance gate (r11): parse the robots
             # dimension for the configured agent, keep only URLs the

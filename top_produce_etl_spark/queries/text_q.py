@@ -1811,3 +1811,43 @@ def sft_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fim_transform(docs)
+
+
+# --- Mojibake repair (round 11 — operators/encoding.py) ---
+
+def _MOJIBAKE_ORACLE() -> str:
+    from top_produce_etl_spark.operators.encoding import (
+        mojibake_oracle_sql,
+    )
+
+    return mojibake_oracle_sql("documents")
+
+
+@query("mojibake_repair", extended=True, oracle=_MOJIBAKE_ORACLE())
+def mojibake_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset repair (round 11): every third document carries
+    REAL double-encoding corruption (UTF-8 bytes mis-decoded as
+    Latin-1, applied by the engine's own charset functions around
+    planted non-ASCII words); the repair op re-encodes and decodes
+    back, gated by pure-regex proofs (latin1-safe + valid-UTF-8-as-
+    bytes + has-high-chars) that make Spark 4's STRICT charset
+    conversion unthrowable and the repair conservative — healthy
+    accented/CJK text provably passes through. The oracle replays
+    corruption+repair via Python-codec-derived literals: matching
+    hashes prove the engine's charset round-trip inverts the
+    corruption byte for byte, and the repaired corpus equals the
+    clean one."""
+    from top_produce_etl_spark.operators.encoding import (
+        repair_mojibake,
+        synthesize_mojibake_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = synthesize_mojibake_docs(docs)
+    rep = repair_mojibake(raw, "raw", out="text_repaired")
+    return rep.select(
+        "doc_id",
+        "was_mojibake",
+        "text_repaired",
+        F.length("text_repaired").cast("bigint").alias("n_chars"),
+    )
