@@ -232,6 +232,10 @@ EXTENSION = [
     "video_scene_changes",       # dHash Hamming clip segmentation (r11)
     "audio_silence_trim",        # energy-gated VAD trim round-trip (r11)
     "html_text_extraction",      # crawl step 0: HTML -> text (r11)
+    "robots_compliance_gate",    # RFC 9309 parse + verdict (r11)
+    "sft_chat_render",           # ChatML fold per conversation (r11)
+    "sft_fim_transform",         # PSM fill-in-the-middle (r11)
+    "mojibake_repair",           # gated charset inversion (r11)
     # stream_frozen_buckets_parity is battery-gated, not timed (the
     # streaming-parity house rule: wall measures the harness)
     # audio_frame_energy / video_frame_stats share these two queries'

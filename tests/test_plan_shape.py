@@ -402,3 +402,56 @@ def test_bt_ratings_no_cartesian(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def _pplan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_html_extract_zero_exchange(spark):
+    """HTML→text is a pure projection chain: no exchange, no
+    Python — scan-speed at any corpus size (r11)."""
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "'<p>x</p>' AS html"
+    )
+    p = _pplan(extract_html_text(df))
+    assert "Exchange" not in p and "BatchEvalPython" not in p, p
+
+
+def test_mojibake_repair_zero_exchange(spark):
+    from top_produce_etl_spark.operators.encoding import (
+        repair_mojibake,
+    )
+
+    df = spark.range(100).selectExpr("id", "'cafÃ©' AS text")
+    p = _pplan(repair_mojibake(df))
+    assert "Exchange" not in p and "BatchEvalPython" not in p, p
+
+
+def test_robots_gate_broadcasts_rules(spark):
+    """The rule dimension reaches the URL stream as a BROADCAST
+    join (equi on domain, the regex as a join filter) — the URL
+    side's only exchange is the verdict aggregate (r11)."""
+    import re
+
+    from top_produce_etl_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+        synthesize_robots_corpus,
+    )
+
+    docs = spark.range(1000).selectExpr("id AS doc_id")
+    robots, urls = synthesize_robots_corpus(docs)
+    out = robots_allowed(urls, parse_robots(robots))
+    p = _pplan(out)
+    assert re.search(r"Broadcast(Hash|NestedLoop)Join", p), p
+    # the BIG side (urls) must not shuffle before the join: the
+    # only exchanges allowed are the rule-dimension prep and the
+    # final verdict aggregate
+    assert "SortMergeJoin" not in p, p
