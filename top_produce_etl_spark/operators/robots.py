@@ -160,16 +160,30 @@ def robots_allowed(
     broadcast join of the rule dimension + one per-URL aggregate;
     emits every urls column plus ``allowed`` and the deciding
     ``matched_len`` (NULL when no rule matched)."""
+    # Simple-prefix fast path (the 100 TB consideration): a pattern
+    # with no wildcard and no trailing anchor matches iff the path
+    # STARTS WITH it — a cheap codegen'd string compare. Only the
+    # rare wildcard/anchored rules pay the data-driven-regex
+    # evaluation (a per-row Pattern.compile in the JVM, fine for a
+    # handful of rules, wrong as the default).
+    simple = ~F.col("pattern").contains("*") & (
+        F.substring(F.col("pattern"), -1, 1) != "$"
+    )
     r = rules.select(
         F.col(domain_col).alias("__rd"),
         F.col("rule_type").alias("__rt"),
         F.col("match_len").alias("__ml"),
         F.col("regex").alias("__rx"),
+        F.col("pattern").alias("__rp"),
+        simple.alias("__simple"),
     )
     j = urls.join(
         F.broadcast(r),
         (urls[domain_col] == F.col("__rd"))
-        & F.expr(f"{path_col} rlike __rx"),
+        & F.when(
+            F.col("__simple"),
+            F.col(path_col).startswith(F.col("__rp")),
+        ).otherwise(F.expr(f"{path_col} rlike __rx")),
         "left",
     )
     best = F.max(
