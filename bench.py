@@ -2050,6 +2050,136 @@ def main() -> None:
     }
     print(f"# audio_probe: {audio_probe}", file=sys.stderr)
 
+    # Crawl-tier leg (r11): 200k raw-HTML pages extracted (the
+    # chained-regexp step 0) and 1M URLs robots-gated against the
+    # parsed rule dimension. Planted truths: every extracted page
+    # has exactly 4 visible lines and carries the decoded-entity
+    # sentence; the robots verdict census must equal the closed
+    # form computed by an independent Python REP evaluator over the
+    # (domain, path) classes.
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text,
+        synthesize_html_docs,
+    )
+    from top_produce_etl_spark.operators.robots import (
+        ROBOTS_FIXTURE_PATHS,
+        parse_robots,
+        robots_allowed,
+        synthesize_robots_corpus,
+    )
+
+    ht_rows = 200_000
+    ht_pages = synthesize_html_docs(
+        synthesize_lang_corpus(
+            spark.range(ht_rows).select(_F.col("id").alias("doc_id"))
+        ).select("doc_id", "text")
+    )
+    t0 = time.monotonic()
+    ht_agg = (
+        extract_html_text(ht_pages)
+        .agg(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.sum(
+                (
+                    _F.length("text")
+                    - _F.length(_F.regexp_replace("text", "\n", ""))
+                    + 1
+                )
+            ).alias("lines"),
+            _F.sum(
+                _F.col("text")
+                .contains("& more <data> 'quoted' here")
+                .cast("long")
+            ).alias("decoded"),
+        )
+        .collect()[0]
+    )
+    ht_sec = round(time.monotonic() - t0, 3)
+
+    rb_rows = 1_000_000
+    rb_ids = spark.range(rb_rows).select(_F.col("id").alias("doc_id"))
+    rb_robots, rb_urls = synthesize_robots_corpus(rb_ids)
+    t0 = time.monotonic()
+    rb_rules = parse_robots(rb_robots, agent="trainingbot")
+    rb_n_allowed = (
+        robots_allowed(rb_urls, rb_rules)
+        .agg(_F.sum(_F.col("allowed").cast("long")))
+        .collect()[0][0]
+    )
+    rb_sec = round(time.monotonic() - t0, 3)
+
+    # independent Python REP evaluator over the (domain, path)
+    # classes — glob semantics = the regex ^s0.*s1...sk($)? the
+    # engine translates to
+    def _glob(pat: str, path: str) -> bool:
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        segs = core.split("*")
+        if not path.startswith(segs[0]):
+            return False
+        pos = len(segs[0])
+        if len(segs) == 1:
+            return not anchored or pos == len(path)
+        for seg in segs[1:-1]:
+            idx = path.find(seg, pos)
+            if idx < 0:
+                return False
+            pos = idx + len(seg)
+        last = segs[-1]
+        if anchored:
+            return path.endswith(last) and len(path) - len(last) >= pos
+        return path.find(last, pos) >= 0
+
+    def _rep_allowed(d: int, path: str) -> bool:
+        star = [("disallow", "/private/"), ("allow", "/private/pub"),
+                ("disallow", "/tmp*.log"), ("disallow", "/exact$")]
+        spec = []
+        if d % 2 == 0:
+            spec += [("disallow", "/no-ai/"), ("allow", "/")]
+        if d % 3 == 0:
+            spec += [("disallow", "/shared/")]
+        eff = spec if spec else star
+        best = None
+        for rt, pat in eff:
+            if _glob(pat, path):
+                key = (len(pat), rt == "allow")
+                if best is None or key > best[0]:
+                    best = (key, rt)
+        return best is None or best[1] == "allow"
+
+    # (i%10, i%12) pairs repeat with period lcm(10,12)=60
+    rb_expect = 0
+    pair_counts: dict[tuple[int, int], int] = {}
+    for i in range(60):
+        pair_counts[(i % 10, i % 12)] = (
+            pair_counts.get((i % 10, i % 12), 0)
+            + (rb_rows // 60)
+            + (1 if i < rb_rows % 60 else 0)
+        )
+    for (d, p), cnt in pair_counts.items():
+        if _rep_allowed(d, ROBOTS_FIXTURE_PATHS[p]):
+            rb_expect += cnt
+    _unp()
+    crawl_probe = {
+        "crawl_probe_html_docs": ht_rows,
+        "crawl_probe_html_sec": ht_sec,
+        "crawl_probe_html_docs_per_sec": round(ht_rows / ht_sec, 1),
+        "crawl_probe_html_lines_exact": bool(
+            ht_agg["lines"] == 4 * ht_rows
+        ),
+        "crawl_probe_html_entities_decoded": bool(
+            ht_agg["decoded"] == ht_rows
+        ),
+        "crawl_probe_robots_urls": rb_rows,
+        "crawl_probe_robots_sec": rb_sec,
+        "crawl_probe_robots_urls_per_sec": round(rb_rows / rb_sec, 1),
+        "crawl_probe_robots_allowed": int(rb_n_allowed),
+        "crawl_probe_robots_verdicts_exact": bool(
+            int(rb_n_allowed) == rb_expect
+        ),
+    }
+    print(f"# crawl_probe: {crawl_probe}", file=sys.stderr)
+
     # THIRD probe — the FLAGSHIP relational path at 10x data (round 5
     # wave 2): lineitem/orders unioned as 10 key-shifted copies of the
     # sf fixture (6M lineitem rows at sf0.1), same join+agg+window
@@ -2456,6 +2586,7 @@ def main() -> None:
         **url_probe,
         **langid_probe,
         **audio_probe,
+        **crawl_probe,
         **rel_probe,
         **graph_probe,
         **sketch_probe,
