@@ -480,3 +480,48 @@ def stream_frozen_buckets_parity(
     return frozen_bucket_stream(
         spark, sf_dir, sink_table="oracle_stream_frozen_buckets"
     )
+
+
+# --- HTML extraction streaming parity (round 11) ---
+
+def _STREAM_HTML_ORACLE() -> str:
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text_oracle,
+        synthesize_html_docs_oracle,
+    )
+
+    return f"""
+    WITH h AS ({synthesize_html_docs_oracle()}),
+    x AS (SELECT doc_id,
+                 {extract_html_text_oracle('html')} AS text
+          FROM h)
+    SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(replace(text, chr(10), '')) + 1
+                AS BIGINT) AS n_lines
+    FROM x
+    """
+
+
+@query(
+    "stream_html_extract_parity", extended=True,
+    oracle=_STREAM_HTML_ORACLE(),
+)
+def stream_html_extract_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crawl step 0 through the REAL streaming runtime (round 11):
+    HTML→text is pure chained regexp_replace — stateless, zero
+    state store — so the same operator that batch-processes a
+    100 TB crawl archive serves the live fetch stream unchanged.
+    availableNow over the bounded fixture; every per-document row
+    (full extracted string included) hash-matches the DuckDB
+    replay."""
+    from top_produce_etl_spark.streaming.jobs import (
+        html_extract_stream,
+    )
+
+    return html_extract_stream(
+        spark, sf_dir, sink_table="oracle_stream_html_extract"
+    )

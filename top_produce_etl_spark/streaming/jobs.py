@@ -1199,3 +1199,53 @@ def frozen_bucket_stream(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def html_extract_stream(
+    spark,
+    sf_dir: str,
+    sink_table: str = "stream_html_extract",
+):
+    """HTML main-text extraction through the REAL streaming runtime
+    (round 11): the chained-regexp extraction is pure column
+    expressions — stateless, hence legal in a streaming query with
+    zero state store — so crawl step 0 can run on the live fetch
+    stream exactly as in batch. availableNow consumes the bounded
+    fixture; every (doc, extracted text, line count) row must
+    hash-match the batch/DuckDB derivation
+    (queries/streaming_q.py::stream_html_extract_parity)."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.html import (
+        extract_html_text,
+        synthesize_html_docs,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    pages = synthesize_html_docs(sdf.select("doc_id", "text"))
+    x = extract_html_text(pages)
+    out = x.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "\n", ""))
+            + 1
+        ).cast("bigint").alias("n_lines"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
