@@ -325,19 +325,19 @@ RECALL_K = 3
 # so they can never absorb a same-range regression); values re-base
 # to the quiet r9 builder record below.
 PREV_DRIVER_QUERIES = {
-    "flagship_top3_region": 1.73,
-    "q1_pricing_summary": 0.603,
-    "left_join_order_counts": 0.474,
-    "asof_join_purchase_click": 0.431,
-    "running_customer_spend": 0.402,
-    "top_orders_global": 0.143,
-    "union_all_segments": 0.144,
-    "json_pack_events": 0.393,
-    "session_windows_30m": 0.393,
-    "ngram_jaccard_pairs": 0.714,
-    "minhash_lsh_pairs": 1.348,
-    "cosine_topk_bruteforce": 1.596,
-    "text_stats": 0.262,
+    "flagship_top3_region": 1.724,
+    "q1_pricing_summary": 0.501,
+    "left_join_order_counts": 0.4,
+    "asof_join_purchase_click": 0.491,
+    "running_customer_spend": 0.41,
+    "top_orders_global": 0.169,
+    "union_all_segments": 0.16,
+    "json_pack_events": 0.401,
+    "session_windows_30m": 0.392,
+    "ngram_jaccard_pairs": 0.793,
+    "minhash_lsh_pairs": 1.532,
+    "cosine_topk_bruteforce": 1.592,
+    "text_stats": 0.251,
 }
 
 # Extension-tier regression anchors (r7 verdict #2): the round-7
@@ -349,41 +349,41 @@ PREV_DRIVER_QUERIES = {
 # regression signal.
 PREV_EXT_QUERIES = {
     # pinned EXTENSION_CORE
-    "simhash_neardup_pairs": 1.973,
+    "simhash_neardup_pairs": 1.909,
     # r9 adjudication of the r8-driver REGRESSED flag: ZERO code
     # changes touch this query between the anchor run and the flag
     # (git diff e8e336f..59611ae — dedup.py untouched); three
     # same-code runs read 1.815 / 1.821 / >1.97 wall and 5.04-5.36
     # CPU, i.e. the anchor was the low tail. Value re-based per round
     # from the newest quiet builder record (currently r9 close).
-    "dedup_components": 1.72,
-    "kmeans_assignments": 2.687,
-    "ivf_topk_embeddings": 3.453,
-    "ivf_topk_fast": 2.688,
-    "cosine_topk_fast": 0.522,
-    "multimodal_fake_features": 0.425,
-    "training_data_ops_pack": 1.393,
-    "dedup_survivors": 1.795,
-    "cosine_topk_quantized": 0.861,
-    "cosine_topk_adc": 1.366,
-    "trade_pagerank": 2.262,
+    "dedup_components": 1.631,
+    "kmeans_assignments": 3.032,
+    "ivf_topk_embeddings": 3.457,
+    "ivf_topk_fast": 2.658,
+    "cosine_topk_fast": 0.515,
+    "multimodal_fake_features": 0.365,
+    "training_data_ops_pack": 1.194,
+    "dedup_survivors": 1.669,
+    "cosine_topk_quantized": 0.779,
+    "cosine_topk_adc": 1.327,
+    "trade_pagerank": 2.28,
     # re-based r8-close: unigram_surprisal now persists its (doc,
     # term) tf (2.7-3.7× faster at 200k+ docs and in cold-JVM
     # isolation; at the 5k-doc fixture the parallel materialization
     # overhead dominates, so the timed entry reads higher by design)
-    "curation_funnel": 2.151,
-    "bpe_segmented_vocab": 0.737,
-    "packed_training_layout": 0.314,
-    "semdedup_fast": 3.333,
-    "bpe_encoded_docs": 1.638,
-    "countmin_user_fast": 0.507,
-    "kmv_userdays_fast": 0.63,
-    "dsir_selection_fast": 0.637,
-    "kcenter_diverse_selection": 3.53,
-    "pq_topk_embeddings": 1.297,
-    "pq_topk_fast": 0.687,
-    "ivfpq_topk_embeddings": 0.963,
-    "ddsketch_price_quantiles": 0.437,
+    "curation_funnel": 2.061,
+    "bpe_segmented_vocab": 0.751,
+    "packed_training_layout": 0.305,
+    "semdedup_fast": 3.222,
+    "bpe_encoded_docs": 1.646,
+    "countmin_user_fast": 0.429,
+    "kmv_userdays_fast": 0.598,
+    "dsir_selection_fast": 0.582,
+    "kcenter_diverse_selection": 3.163,
+    "pq_topk_embeddings": 1.129,
+    "pq_topk_fast": 0.611,
+    "ivfpq_topk_embeddings": 0.871,
+    "ddsketch_price_quantiles": 0.493,
     # round-7 query families (from extension_other)
     # r9 adjudication: the m>=2 guard is a post-agg FILTER on an
     # already-computed column (quality.py) — no new exchange/agg; the
@@ -393,19 +393,19 @@ PREV_EXT_QUERIES = {
     # sub-second query, the GC-attribution class (r9 close read 1.269
     # on a 1.07x host — the band is real). Re-based per round from
     # the newest quiet builder record; no code to fix.
-    "t_closeness_customer": 0.416,
-    "dp_counts_by_priority": 0.393,
-    "token_js_divergence_docs": 0.426,
-    "cusum_daily_revenue": 0.552,
-    "ngram_containment_pairs": 0.666,
-    "cdc_chunks_docs": 0.381,
+    "t_closeness_customer": 0.469,
+    "dp_counts_by_priority": 0.451,
+    "token_js_divergence_docs": 0.514,
+    "cusum_daily_revenue": 0.637,
+    "ngram_containment_pairs": 0.729,
+    "cdc_chunks_docs": 0.44,
     # cms_join_size_view_click (7.863 in r7) battery-gated in r8 —
     # replaced by the xxhash64 fast twin, which starts its own anchor
     # series this round.
-    "stratified_exact_split_docs": 0.302,
-    "label_centroids_mean_pool": 0.208,
-    "ess_doc_weights_by_lang": 0.17,
-    "mad_outliers_event_value": 0.865,
+    "stratified_exact_split_docs": 0.308,
+    "label_centroids_mean_pool": 0.185,
+    "ess_doc_weights_by_lang": 0.155,
+    "mad_outliers_event_value": 0.753,
     # round-8 families — anchored from the r8 BUILDER closing run
     # (BENCH_r08_builder.json), their first measured round
     # r9 adjudication of the driver REGRESSED flags on cms/pii: no
@@ -415,44 +415,44 @@ PREV_EXT_QUERIES = {
     # process at load 0.06) — single-quiet-run anchors sat at the
     # low tail of that band. Re-based per round from the newest quiet
     # builder record (currently r9 close).
-    "cms_join_size_fast": 0.708,
-    "gopher_document_rules": 0.445,
-    "c4_clean_lines": 1.357,
-    "pii_scan_customer": 0.424,
-    "pii_redact_customer": 0.401,
-    "gapfill_daily_value_linear": 0.515,
+    "cms_join_size_fast": 0.707,
+    "gopher_document_rules": 0.374,
+    "c4_clean_lines": 0.966,
+    "pii_scan_customer": 0.41,
+    "pii_redact_customer": 0.396,
+    "gapfill_daily_value_linear": 0.382,
     # image anchors (r9 verdict #7): re-based from the quiet r9
     # builder close (dedup 0.731→0.738 stable; neardup 1.186→1.034
     # down) — the r8 max-of-two-runs conservatism is retired
-    "image_dhash_dedup": 0.559,
-    "image_dhash_neardup_pairs": 0.875,
+    "image_dhash_dedup": 0.518,
+    "image_dhash_neardup_pairs": 0.736,
     # r9 verdict #7 closed: first measured on a 1.12×-loaded host,
     # re-based DOWNWARD from the quiet (1.07×) r9 builder close —
     # hybrid_rrf 2.615→2.277, weighted_quantiles 1.569→1.266,
     # ann_rerank 2.215→2.043; quiet-host provenance now attached
-    "hybrid_rrf_retrieval": 1.743,
-    "weighted_quantiles_lineitem": 1.042,
-    "ann_rerank_exact": 1.446,
+    "hybrid_rrf_retrieval": 1.63,
+    "weighted_quantiles_lineitem": 0.979,
+    "ann_rerank_exact": 1.47,
     # round-9 families — first measured by the r9 builder closing run
     # (1.07x host); re-base downward from quieter future records
-    "url_normalize_dedup": 0.457,
-    "url_domain_stats": 0.358,
-    "multimodal_png_decode": 0.543,
-    "quality_classifier_train": 4.136,
-    "hybrid_serve_pipeline": 2.636,
+    "url_normalize_dedup": 0.514,
+    "url_domain_stats": 0.363,
+    "multimodal_png_decode": 0.446,
+    "quality_classifier_train": 3.72,
+    "hybrid_serve_pipeline": 2.072,
     # r9 first-measured (closing verdict #7) + round-10 families —
     # anchored from the r10 BUILDER closing run (1.08x/1.01x host,
     # BENCH_r10_builder.json), quiet-host provenance attached
-    "normalized_dedup_documents": 0.384,
-    "prefix_jaccard_pairs": 1.116,
-    "labeler_agreement_kappa": 0.322,
+    "normalized_dedup_documents": 0.291,
+    "prefix_jaccard_pairs": 1.065,
+    "labeler_agreement_kappa": 0.294,
     # re-based post-close: the rules dimension moved from a
     # python-RDD createDataFrame to a JVM VALUES LocalRelation
     # (psl.py — 4x32 pyspark workers per query cost 24 CPU-s and the
     # empty k=4 join could not fold); bench-conf re-runs after the
     # fix read 0.93-1.44 wall / 2.8-5.6 CPU
-    "url_domain_psl_stats": 1.1,
-    "langid_train": 4.017,
+    "url_domain_psl_stats": 0.85,
+    "langid_train": 4.388,
     # r11 adjudication of the BENCH_r10 driver flags (2 REGRESSED +
     # 4 suspect): zero code changes between the builder close and
     # the driver run (git diff is the verdict commit only), and
@@ -464,13 +464,27 @@ PREV_EXT_QUERIES = {
     # MEDIAN of the three measurements (builder close, driver run,
     # isolated re-run) per the r10 verdict's two-run-seeding ask;
     # full numbers in BASELINE.md round 11.
-    "langid_confusion": 6.036,
-    "ccnet_perplexity_buckets": 1.424,
-    "bt_preference_ratings": 1.164,
-    "multimodal_wav_decode": 0.642,
-    "audio_content_dedup": 0.679,
-    "multimodal_avi_decode": 0.856,
-    "labeler_agreement_alpha": 1.177,
+    "langid_confusion": 5.698,
+    "ccnet_perplexity_buckets": 1.264,
+    "bt_preference_ratings": 0.866,
+    "multimodal_wav_decode": 0.465,
+    "audio_content_dedup": 0.615,
+    "multimodal_avi_decode": 0.69,
+    "labeler_agreement_alpha": 0.719,
+    # round-11 families — first measured by the r11 builder closing
+    # run (1.08x/1.02x host, BENCH_r11_builder.json); members of
+    # SINGLE_RUN_ANCHORS until a second measurement re-seeds them
+    "url_domain_full_psl": 0.805,
+    "ccnet_frozen_buckets": 1.149,
+    "audio_resample_stats": 0.644,
+    "video_content_dedup": 0.945,
+    "video_scene_changes": 1.645,
+    "audio_silence_trim": 0.698,
+    "html_text_extraction": 0.505,
+    "robots_compliance_gate": 0.623,
+    "sft_chat_render": 0.177,
+    "sft_fim_transform": 0.152,
+    "mojibake_repair": 0.235,
 }
 
 # CPU-second anchors (r7 verdict #5), measured by the round-8
@@ -491,86 +505,98 @@ PREV_CPU: dict[str, float] = {
     # headline (r10 builder closing run; whole-tree CPU — the
     # GC/JIT-inclusive legacy column, kept for continuity; the gate
     # adjudicates on PREV_CPU_ADJ mutator anchors when present)
-    "flagship_top3_region": 3.96,
-    "q1_pricing_summary": 1.34,
-    "left_join_order_counts": 1.2,
-    "asof_join_purchase_click": 0.83,
-    "running_customer_spend": 0.97,
-    "top_orders_global": 0.32,
-    "union_all_segments": 0.3,
-    "json_pack_events": 1.09,
-    "session_windows_30m": 0.7,
-    "ngram_jaccard_pairs": 1.84,
-    "minhash_lsh_pairs": 5.14,
-    "cosine_topk_bruteforce": 2.18,
-    "text_stats": 0.35,
+    "flagship_top3_region": 4.04,
+    "q1_pricing_summary": 0.9,
+    "left_join_order_counts": 0.71,
+    "asof_join_purchase_click": 1.18,
+    "running_customer_spend": 0.87,
+    "top_orders_global": 0.31,
+    "union_all_segments": 0.32,
+    "json_pack_events": 0.49,
+    "session_windows_30m": 0.83,
+    "ngram_jaccard_pairs": 2.07,
+    "minhash_lsh_pairs": 6.25,
+    "cosine_topk_bruteforce": 2.33,
+    "text_stats": 0.51,
     # extension (r8 builder)
-    "simhash_neardup_pairs": 6.96,
-    "dedup_components": 4.99,  # r9 re-base, see wall-anchor adjudication
-    "kmeans_assignments": 26.79,
-    "ivf_topk_embeddings": 21.71,
-    "ivf_topk_fast": 20.24,
-    "cosine_topk_fast": 0.67,
-    "multimodal_fake_features": 0.65,
-    "training_data_ops_pack": 2.33,
-    "dedup_survivors": 4.13,
-    "cosine_topk_quantized": 1.02,
-    "cosine_topk_adc": 1.54,
-    "trade_pagerank": 13.62,
-    "curation_funnel": 20.52,
-    "bpe_segmented_vocab": 2.61,
-    "packed_training_layout": 0.4,
-    "semdedup_fast": 14.49,
-    "bpe_encoded_docs": 4.54,
+    "simhash_neardup_pairs": 6.87,
+    "dedup_components": 4.68,  # r9 re-base, see wall-anchor adjudication
+    "kmeans_assignments": 26.28,
+    "ivf_topk_embeddings": 22.16,
+    "ivf_topk_fast": 19.79,
+    "cosine_topk_fast": 0.74,
+    "multimodal_fake_features": 0.53,
+    "training_data_ops_pack": 2.02,
+    "dedup_survivors": 3.93,
+    "cosine_topk_quantized": 1.07,
+    "cosine_topk_adc": 1.47,
+    "trade_pagerank": 14.45,
+    "curation_funnel": 22.35,
+    "bpe_segmented_vocab": 3.84,
+    "packed_training_layout": 0.43,
+    "semdedup_fast": 15.92,
+    "bpe_encoded_docs": 5.9,
     "countmin_user_fast": 0.8,
-    "kmv_userdays_fast": 1.57,
-    "dsir_selection_fast": 1.54,
-    "kcenter_diverse_selection": 45.61,
-    "pq_topk_embeddings": 1.36,
-    "pq_topk_fast": 6.25,
-    "ivfpq_topk_embeddings": 11.59,
-    "ddsketch_price_quantiles": 0.55,
-    "t_closeness_customer": 0.64,  # r9 re-base, see wall-anchor adjudication
-    "dp_counts_by_priority": 0.47,
-    "token_js_divergence_docs": 0.58,
-    "cusum_daily_revenue": 0.89,
-    "ngram_containment_pairs": 1.68,
-    "cdc_chunks_docs": 0.59,
-    "stratified_exact_split_docs": 0.6,
-    "label_centroids_mean_pool": 0.25,
-    "ess_doc_weights_by_lang": 0.22,
-    "mad_outliers_event_value": 1.16,
-    "cms_join_size_fast": 1.82,  # r9 re-base, see wall-anchor adjudication
-    "gopher_document_rules": 0.53,
-    "c4_clean_lines": 1.52,
-    "pii_scan_customer": 0.73,  # r9 re-base, see wall-anchor adjudication
-    "pii_redact_customer": 0.72,
-    "gapfill_daily_value_linear": 0.86,
-    "image_dhash_dedup": 0.8,
-    "image_dhash_neardup_pairs": 1.37,
+    "kmv_userdays_fast": 1.68,
+    "dsir_selection_fast": 1.67,
+    "kcenter_diverse_selection": 42.07,
+    "pq_topk_embeddings": 1.29,
+    "pq_topk_fast": 5.45,
+    "ivfpq_topk_embeddings": 10.99,
+    "ddsketch_price_quantiles": 0.69,
+    "t_closeness_customer": 0.71,  # r9 re-base, see wall-anchor adjudication
+    "dp_counts_by_priority": 0.56,
+    "token_js_divergence_docs": 0.84,
+    "cusum_daily_revenue": 0.75,
+    "ngram_containment_pairs": 1.87,
+    "cdc_chunks_docs": 0.8,
+    "stratified_exact_split_docs": 0.57,
+    "label_centroids_mean_pool": 0.3,
+    "ess_doc_weights_by_lang": 0.21,
+    "mad_outliers_event_value": 0.99,
+    "cms_join_size_fast": 1.98,  # r9 re-base, see wall-anchor adjudication
+    "gopher_document_rules": 0.43,
+    "c4_clean_lines": 1.09,
+    "pii_scan_customer": 0.7,  # r9 re-base, see wall-anchor adjudication
+    "pii_redact_customer": 0.66,
+    "gapfill_daily_value_linear": 0.63,
+    "image_dhash_dedup": 0.85,
+    "image_dhash_neardup_pairs": 1.13,
     # from the second r8 builder run (see wall-anchor note)
-    "hybrid_rrf_retrieval": 2.86,
-    "weighted_quantiles_lineitem": 2.07,
-    "ann_rerank_exact": 1.8,
+    "hybrid_rrf_retrieval": 2.81,
+    "weighted_quantiles_lineitem": 1.96,
+    "ann_rerank_exact": 1.72,
     # round-9 families (r9 builder closing run)
-    "url_normalize_dedup": 1.13,
-    "url_domain_stats": 0.84,
-    "multimodal_png_decode": 0.83,
-    "quality_classifier_train": 35.67,
-    "hybrid_serve_pipeline": 15.99,
+    "url_normalize_dedup": 1.08,
+    "url_domain_stats": 0.65,
+    "multimodal_png_decode": 0.65,
+    "quality_classifier_train": 43.76,
+    "hybrid_serve_pipeline": 12.99,
     # r9 first-measured + round-10 families (r10 builder close)
-    "normalized_dedup_documents": 1.15,
-    "prefix_jaccard_pairs": 5.23,
-    "labeler_agreement_kappa": 0.6,
-    "url_domain_psl_stats": 3.8,  # post-close re-base, see wall anchor
-    "langid_train": 30.6,
-    "langid_confusion": 34.67,
-    "ccnet_perplexity_buckets": 20.5,
-    "bt_preference_ratings": 5.73,
-    "multimodal_wav_decode": 1.03,
-    "audio_content_dedup": 1.23,
-    "multimodal_avi_decode": 1.21,
-    "labeler_agreement_alpha": 5.27,
+    "normalized_dedup_documents": 0.91,
+    "prefix_jaccard_pairs": 4.42,
+    "labeler_agreement_kappa": 0.51,
+    "url_domain_psl_stats": 1.55,  # post-close re-base, see wall anchor
+    "langid_train": 28.47,
+    "langid_confusion": 32.26,
+    "ccnet_perplexity_buckets": 19.01,
+    "bt_preference_ratings": 3.66,
+    "multimodal_wav_decode": 0.69,
+    "audio_content_dedup": 1.02,
+    "multimodal_avi_decode": 0.91,
+    "labeler_agreement_alpha": 2.77,
+    # round-11 families (r11 builder close)
+    "url_domain_full_psl": 1.34,
+    "ccnet_frozen_buckets": 7.07,
+    "audio_resample_stats": 0.86,
+    "video_content_dedup": 1.2,
+    "video_scene_changes": 1.81,
+    "audio_silence_trim": 0.89,
+    "html_text_extraction": 0.96,
+    "robots_compliance_gate": 0.94,
+    "sft_chat_render": 0.23,
+    "sft_fim_transform": 0.26,
+    "mojibake_repair": 0.36,
 }
 
 # Queries whose WALL anchor is seeded from a SINGLE quiet run (r11,
@@ -586,14 +612,20 @@ PREV_CPU: dict[str, float] = {
 # loosened for them). Maintain at each round close: newly
 # first-measured queries enter; re-seeded queries leave.
 SINGLE_RUN_ANCHORS: set[str] = {
-    # r10 first-measured entries not covered by the r11 three-
-    # measurement re-seed (url_domain_psl_stats left out: its
-    # post-close anchor came from multiple bench-conf re-runs)
-    "normalized_dedup_documents",
-    "prefix_jaccard_pairs",
-    "labeler_agreement_kappa",
-    "langid_train",
-    "ccnet_perplexity_buckets",
+    # r11 first-measured families, anchored from the r11 builder
+    # close only (the r10 entries left: their anchors are now
+    # two-run-seeded by that close on top of the r10 one)
+    "url_domain_full_psl",
+    "ccnet_frozen_buckets",
+    "audio_resample_stats",
+    "video_content_dedup",
+    "video_scene_changes",
+    "audio_silence_trim",
+    "html_text_extraction",
+    "robots_compliance_gate",
+    "sft_chat_render",
+    "sft_fim_transform",
+    "mojibake_repair",
 }
 
 # MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
@@ -717,7 +749,7 @@ PREV_CPU_ADJ: dict[str, float] = {
     "price_quantiles_by_priority": 1.33,
     "psi_price_drift": 1.11,
     "q1_pricing_summary": 0.66,
-    "quality_classifier_train": 34.89,
+    "quality_classifier_train": 43.15,  # median of r10 close / r11 close (43.15, flag tuple) / isolated 46.27 — see BASELINE r11 adjudication
     "quality_report_orders": 1.84,
     "quantized_recall_report": 2.46,
     "rp_topk_embeddings": 2.63,
@@ -747,6 +779,18 @@ PREV_CPU_ADJ: dict[str, float] = {
     "top_orders_global": 0.2,
     "trade_pagerank": 12.55,
     "train_val_test_split": 0.39,
+    # round-11 families (r11 builder close)
+    "audio_resample_stats": 0.81,
+    "audio_silence_trim": 0.87,
+    "ccnet_frozen_buckets": 6.78,
+    "html_text_extraction": 0.56,
+    "mojibake_repair": 0.27,
+    "robots_compliance_gate": 0.84,
+    "sft_chat_render": 0.19,
+    "sft_fim_transform": 0.2,
+    "url_domain_full_psl": 1.14,
+    "video_content_dedup": 1.19,
+    "video_scene_changes": 1.78,
     "training_data_ops_pack": 1.81,
     "trending_brands_ewma": 1.23,
     "trimmed_mean_price_by_priority": 0.96,
