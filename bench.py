@@ -236,6 +236,7 @@ EXTENSION = [
     "sft_chat_render",           # ChatML fold per conversation (r11)
     "sft_fim_transform",         # PSM fill-in-the-middle (r11)
     "mojibake_repair",           # gated charset inversion (r11)
+    "paragraph_dedup_rewrite",   # Dolma paragraph-grain rewrite (r11)
     # stream_frozen_buckets_parity is battery-gated, not timed (the
     # streaming-parity house rule: wall measures the harness)
     # audio_frame_energy / video_frame_stats share these two queries'

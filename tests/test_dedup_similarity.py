@@ -897,3 +897,63 @@ def test_mean_pool_vectors_exact_and_shapes(spark):
         "a": (2, [2.0, 2.0, 2.0]),
         "b": (1, [10.0, 0.0, -10.0]),
     }
+
+
+# --- Paragraph-grain dedup (round 11) ---
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from top_produce_etl_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared para\n\ntail 1"),
+            (2, "shared para\nunique two\n\ntail 2"),
+            (3, "shared para\nshared para\ntail 3"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in paragraph_dedup(docs).collect()
+    }
+    # doc 1 carries the first occurrence — untouched
+    assert got[1]["text_clean"] == "unique one\nshared para\n\ntail 1"
+    # doc 2 loses the shared para, keeps its empty line
+    assert got[2]["text_clean"] == "unique two\n\ntail 2"
+    assert got[2]["n_paras"] == 4 and got[2]["kept_paras"] == 3
+    # doc 3 loses BOTH copies (within-doc duplicate of an earlier
+    # doc's paragraph)
+    assert got[3]["text_clean"] == "tail 3"
+
+
+def test_paragraph_dedup_within_doc_and_min_chars(spark):
+    from top_produce_etl_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c\na b c\nxx\nxx\n\n")],
+        "doc_id bigint, text string",
+    )
+    r = paragraph_dedup(docs, min_chars=3).collect()[0]
+    # first copies survive; 'xx' (< 3 chars) is exempt everywhere;
+    # both trailing empties survive
+    assert r["text_clean"] == "a b c\nxx\nxx\n\n"
+    assert r["n_paras"] == 6 and r["kept_paras"] == 5
+
+
+def test_paragraph_dedup_yaml_op(spark):
+    from top_produce_etl_spark.plans.builder import build_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "u1\nshared", "a"), (2, "shared\nu2", "b")],
+        "doc_id bigint, text string, src string",
+    )
+    spec = {
+        "source": "docs",
+        "ops": [{"op": "paragraph_dedup"}],
+    }
+    got = {
+        r["doc_id"]: (r["text"], r["src"])
+        for r in build_pipeline(spark, spec, {"docs": docs}).collect()
+    }
+    assert got[1] == ("u1\nshared", "a")
+    assert got[2] == ("u2", "b")

@@ -1114,3 +1114,119 @@ def containment_pairs(
     return fwd.unionByName(rev).filter(
         F.col("containment") >= threshold
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-grain exact dedup with FIRST-OCCURRENCE rewrite
+    (round 11 — the Dolma recipe, Soldaini et al. 2024 §appendix,
+    public): a paragraph (newline-delimited) that already appeared
+    in an earlier document — or earlier in the SAME document — is
+    removed; its globally first occurrence survives in place.
+    Distinct from :func:`strip_duplicate_spans`, which removes
+    duplicated k-token chunks from EVERY document: here exactly one
+    copy of each paragraph survives, which is the right transform
+    for boilerplate that is legitimate once (licenses, headers).
+
+    Paragraphs shorter than ``min_chars`` are exempt (always kept)
+    — at the default 1 only empty lines are exempt, so document
+    structure survives the rewrite.
+
+    Output: ``(id_col, n_paras, kept_paras, text_clean)`` for every
+    input document.
+
+    Scale shape: one (paragraph → min (doc, pos)) hash-agg, one
+    hash join back on the paragraph key, one per-doc reassembly agg
+    — all key-partitioned, nothing driver-sized; the first-
+    occurrence election is the same min-keeper convention as
+    :func:`exact_dedup` at a finer grain."""
+    i = F.col(id_col)
+    paras = df.select(
+        i,
+        F.posexplode(
+            F.split(F.col(text_col), "\n", -1)
+        ).alias("__pos", "__para"),
+    )
+    eligible = F.length(F.col("__para")) >= min_chars
+    keeper = (
+        paras.where(eligible)
+        .groupBy("__para")
+        .agg(
+            F.min(
+                F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.col("__pos").alias("p"),
+                )
+            ).alias("__first")
+        )
+    )
+    j = paras.join(keeper, "__para", "left")
+    keep = (~eligible) | (
+        (i.cast("bigint") == F.col("__first.i"))
+        & (F.col("__pos") == F.col("__first.p"))
+    )
+    kept_struct = F.when(
+        keep, F.struct(F.col("__pos").alias("p"), F.col("__para").alias("t"))
+    )
+    out = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(keep.cast("long")).cast("bigint").alias("kept_paras"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return out
+
+
+def paragraph_dedup_oracle_ctes(
+    docs_cte: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> str:
+    """DuckDB CTE chain replaying :func:`paragraph_dedup` over a CTE
+    named ``docs_cte``; ends in ``para_dedup`` with the same
+    columns (ordered string_agg FILTER replays the sorted kept
+    fold)."""
+    return f"""
+pd_paras AS (
+    SELECT {id_col}, ln - 1 AS pos,
+           string_split({text_col}, chr(10))[ln] AS para
+    FROM {docs_cte},
+         UNNEST(range(1,
+             len(string_split({text_col}, chr(10))) + 1)) u(ln)
+),
+pd_keeper AS (
+    SELECT para,
+           MIN(struct_pack(
+               i := CAST({id_col} AS BIGINT), p := pos)) AS first
+    FROM pd_paras
+    WHERE length(para) >= {min_chars}
+    GROUP BY 1
+),
+pd_flags AS (
+    SELECT p.{id_col}, p.pos, p.para,
+           (length(p.para) < {min_chars})
+           OR (CAST(p.{id_col} AS BIGINT) = k.first.i
+               AND p.pos = k.first.p) AS keep
+    FROM pd_paras p LEFT JOIN pd_keeper k ON p.para = k.para
+),
+para_dedup AS (
+    SELECT {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_paras,
+           COALESCE(string_agg(CASE WHEN keep THEN para END,
+                               chr(10) ORDER BY pos), '')
+               AS text_clean
+    FROM pd_flags
+    GROUP BY 1
+)"""

@@ -66,6 +66,7 @@ _MULTI_SCAN_OPS = frozenset({
     "html_extract",
     "robots_filter",
     "mojibake_repair",
+    "paragraph_dedup",
 })
 
 
@@ -287,6 +288,8 @@ def build_pipeline(
                     "train_table": "optional"}},
         {"op": "html_extract", "html_col": "html",
          "out": "text"} |
+        {"op": "paragraph_dedup", "id_col": "doc_id",
+         "text_col": "text", "min_chars": 1} |
         {"op": "mojibake_repair", "text_col": "text",
          "keep_flag": False} |
         {"op": "robots_filter", "robots_table": "robots",
@@ -882,6 +885,25 @@ def build_pipeline(
                 df = df.join(
                     b.select(op["id_col"], "ppl_bucket"), op["id_col"]
                 )
+        elif kind == "paragraph_dedup":
+            # paragraph-grain first-occurrence dedup (r11): the
+            # flowing frame's text is REWRITTEN; non-text columns
+            # are re-joined by id.
+            from top_produce_etl_spark.operators.dedup import (
+                paragraph_dedup,
+            )
+
+            idc = op.get("id_col", "doc_id")
+            txc = op.get("text_col", "text")
+            pd = paragraph_dedup(
+                df, idc, txc, min_chars=int(op.get("min_chars", 1))
+            )
+            df = df.drop(txc).join(
+                pd.select(
+                    idc, F.col("text_clean").alias(txc)
+                ),
+                idc,
+            )
         elif kind == "mojibake_repair":
             # charset repair (r11): gated UTF-8-as-Latin-1 inversion
             # — the crawl chain's step between extraction and

@@ -1071,3 +1071,75 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         docs, "doc_id", "text", k=5, threshold=(1, 2)
     )
+
+
+# --- Paragraph-grain dedup (round 11 — operators/dedup.py) ---
+
+# Multi-paragraph fixture: each document = [its own text] + [a
+# SHARED boilerplate paragraph from a 5-entry pool] + [a license
+# line shared by ALL docs] + [an empty line + its own tail]. The
+# dedup must keep each shared paragraph exactly once (in the
+# lowest-id document carrying it), keep every unique paragraph, and
+# keep empty lines everywhere (the min_chars exemption).
+_PD_POOL = (
+    "subscribe to our newsletter for updates",
+    "all rights reserved by the site operator",
+    "cookies are used to improve this site",
+    "click here to read the full article",
+    "share this page with your friends",
+)
+
+
+def _pd_fixture(docs: DataFrame) -> DataFrame:
+    i = F.col("doc_id")
+    shared = F.element_at(
+        F.array(*[F.lit(s) for s in _PD_POOL]), (i % 5).cast("int") + 1
+    )
+    text = F.concat(
+        F.col("text"), F.lit("\n"),
+        shared, F.lit("\n"),
+        F.lit("standard license applies\n"),
+        F.lit("\n"),
+        F.lit("tail "), i.cast("string"),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _PD_ORACLE() -> str:
+    from top_produce_etl_spark.operators.dedup import (
+        paragraph_dedup_oracle_ctes,
+    )
+
+    pool = ", ".join(f"'{s}'" for s in _PD_POOL)
+    fixture = f"""
+    SELECT doc_id,
+           text || chr(10)
+           || ([{pool}])[CAST(doc_id % 5 AS INT) + 1] || chr(10)
+           || 'standard license applies' || chr(10)
+           || chr(10)
+           || 'tail ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+    """
+    return f"""
+    WITH pd_docs AS ({fixture}),
+    {paragraph_dedup_oracle_ctes('pd_docs')}
+    SELECT * FROM para_dedup
+    """
+
+
+@query(
+    "paragraph_dedup_rewrite", extended=True, oracle=_PD_ORACLE()
+)
+def paragraph_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup with first-occurrence rewrite
+    (round 11 — the Dolma recipe): shared boilerplate paragraphs
+    (planted pool + an all-docs license line) survive exactly once,
+    in place, in the lowest-id document; unique paragraphs and
+    empty lines survive everywhere. The REWRITTEN text of every
+    document hash-matches the DuckDB replay — one keeper hash-agg,
+    one join back, one reassembly agg, the exact-dedup min-keeper
+    convention at paragraph grain."""
+    from top_produce_etl_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(_pd_fixture(docs))
