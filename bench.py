@@ -486,6 +486,7 @@ PREV_EXT_QUERIES = {
     "sft_chat_render": 0.177,
     "sft_fim_transform": 0.152,
     "mojibake_repair": 0.235,
+    "paragraph_dedup_rewrite": 0.713,  # isolated --only, post-close
 }
 
 # CPU-second anchors (r7 verdict #5), measured by the round-8
@@ -598,6 +599,7 @@ PREV_CPU: dict[str, float] = {
     "sft_chat_render": 0.23,
     "sft_fim_transform": 0.26,
     "mojibake_repair": 0.36,
+    "paragraph_dedup_rewrite": 1.61,  # isolated --only, post-close
 }
 
 # Queries whose WALL anchor is seeded from a SINGLE quiet run (r11,
@@ -627,6 +629,7 @@ SINGLE_RUN_ANCHORS: set[str] = {
     "sft_chat_render",
     "sft_fim_transform",
     "mojibake_repair",
+    "paragraph_dedup_rewrite",
 }
 
 # MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
@@ -786,6 +789,7 @@ PREV_CPU_ADJ: dict[str, float] = {
     "ccnet_frozen_buckets": 6.78,
     "html_text_extraction": 0.56,
     "mojibake_repair": 0.27,
+    "paragraph_dedup_rewrite": 0.8,
     "robots_compliance_gate": 0.84,
     "sft_chat_render": 0.19,
     "sft_fim_transform": 0.2,
