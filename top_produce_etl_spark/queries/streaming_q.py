@@ -525,3 +525,41 @@ def stream_html_extract_parity(
     return html_extract_stream(
         spark, sf_dir, sink_table="oracle_stream_html_extract"
     )
+
+
+# --- robots gating streaming parity (round 11) ---
+
+def _STREAM_ROBOTS_ORACLE() -> str:
+    from top_produce_etl_spark.operators.robots import (
+        robots_oracle_ctes,
+    )
+
+    return f"""
+    WITH {robots_oracle_ctes('documents')}
+    SELECT doc_id, domain, path, allowed,
+           CAST(matched_len AS INT) AS matched_len
+    FROM robots_verdicts
+    """
+
+
+@query(
+    "stream_robots_gate_parity", extended=True,
+    oracle=_STREAM_ROBOTS_ORACLE(),
+)
+def stream_robots_gate_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """robots.txt gating on the live crawl frontier (round 11): the
+    RFC 9309 verdicts become a STATIC per-(domain, path) dimension
+    (recomputed when robots change — the production cadence) and
+    the URL stream joins it as a stream-static broadcast join,
+    append-legal with zero state store. availableNow over the
+    bounded fixture; every per-URL row hash-matches the batch
+    oracle that re-derives parse, translation and matching."""
+    from top_produce_etl_spark.streaming.jobs import (
+        robots_gate_stream,
+    )
+
+    return robots_gate_stream(
+        spark, sf_dir, sink_table="oracle_stream_robots_gate"
+    )

