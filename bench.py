@@ -237,6 +237,7 @@ EXTENSION = [
     "sft_fim_transform",         # PSM fill-in-the-middle (r11)
     "mojibake_repair",           # gated charset inversion (r11)
     "paragraph_dedup_rewrite",   # Dolma paragraph-grain rewrite (r11)
+    "langid_stored_model_serve", # parquet-artifact train/serve split (r11)
     # stream_frozen_buckets_parity is battery-gated, not timed (the
     # streaming-parity house rule: wall measures the harness)
     # audio_frame_energy / video_frame_stats share these two queries'
@@ -487,6 +488,7 @@ PREV_EXT_QUERIES = {
     "sft_fim_transform": 0.152,
     "mojibake_repair": 0.235,
     "paragraph_dedup_rewrite": 0.713,  # isolated --only, post-close
+    "langid_stored_model_serve": 5.89,  # isolated --only, post-close
 }
 
 # CPU-second anchors (r7 verdict #5), measured by the round-8
@@ -600,6 +602,7 @@ PREV_CPU: dict[str, float] = {
     "sft_fim_transform": 0.26,
     "mojibake_repair": 0.36,
     "paragraph_dedup_rewrite": 1.61,  # isolated --only, post-close
+    "langid_stored_model_serve": 39.72,  # isolated --only, post-close
 }
 
 # Queries whose WALL anchor is seeded from a SINGLE quiet run (r11,
@@ -630,6 +633,7 @@ SINGLE_RUN_ANCHORS: set[str] = {
     "sft_fim_transform",
     "mojibake_repair",
     "paragraph_dedup_rewrite",
+    "langid_stored_model_serve",
 }
 
 # MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
@@ -790,6 +794,7 @@ PREV_CPU_ADJ: dict[str, float] = {
     "html_text_extraction": 0.56,
     "mojibake_repair": 0.27,
     "paragraph_dedup_rewrite": 0.8,
+    "langid_stored_model_serve": 35.02,
     "robots_compliance_gate": 0.84,
     "sft_chat_render": 0.19,
     "sft_fim_transform": 0.2,

@@ -540,3 +540,65 @@ def score_langid_expr(
         best.getField("lang").alias("pred_lang"),
         (-best.getField("nz")).alias("z_micro"),
     )
+
+
+def save_langid_model(model: DataFrame, path: str) -> None:
+    """Materialize a trained langid model — the (lang, bucket,
+    w_micro) weight relation — as a parquet artifact (round 11: the
+    stored-index lifecycle the PQ and frozen-cutoff tiers already
+    follow). Train once on a bounded labeled job, serve every
+    corpus/stream after from the artifact."""
+    model.write.mode("overwrite").parquet(path)
+
+
+def load_langid_model(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def langid_stored_serve_oracle_sql(
+    corpus_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = _LANGS,
+    n: int = 3,
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr: tuple[int, int] = (1, 4),
+) -> str:
+    """Train-on-even / serve-odd twin (round 11, the stored-model
+    battery): trains the unrolled GD oracle on the EVEN-id slice of
+    ``corpus_sql`` and scores the ODD-id slice against ``w{iters}``
+    — exactly what the engine does through the parquet artifact, so
+    the confusion census hash-matches iff save → load → serve is
+    lossless."""
+    pre = f"""
+lang_corpus AS ({corpus_sql}),
+train_slice AS (SELECT * FROM lang_corpus WHERE {id_col} % 2 = 0),
+serve_slice AS (SELECT * FROM lang_corpus WHERE {id_col} % 2 = 1),
+serve_feats AS MATERIALIZED (
+    {_feats_cte_sql('serve_slice', id_col, text_col, n, n_buckets)}
+),
+serve_labels AS (
+    SELECT {id_col} AS id, lang AS lang_true FROM serve_slice
+)"""
+    final = f"""SELECT lang_true, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(z_micro) AS BIGINT) AS sum_z_micro,
+           CAST(MIN(z_micro) AS BIGINT) AS min_z_micro,
+           CAST(MAX(z_micro) AS BIGINT) AS max_z_micro
+    FROM (
+        SELECT s.id, l.lang_true, s.lang AS pred_lang, s.z_micro,
+               ROW_NUMBER() OVER (PARTITION BY s.id
+                                  ORDER BY s.z_micro DESC, s.lang)
+                   AS rn
+        FROM (
+            SELECT f.id, w.lang, SUM(f.c * w.w_micro) AS z_micro
+            FROM serve_feats f JOIN w{iters} w USING (bucket)
+            GROUP BY 1, 2
+        ) s JOIN serve_labels l USING (id)
+    ) WHERE rn = 1
+    GROUP BY 1, 2"""
+    return train_langid_oracle_sql(
+        "train_slice", id_col, text_col, "lang", langs, n,
+        n_buckets, iters, lr, final_select=final, pre_ctes=pre,
+    )

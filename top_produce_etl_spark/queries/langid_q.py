@@ -100,3 +100,77 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unpersist_all()
     return out
+
+
+# --- Stored-model serving (round 11) ---
+
+def _STORED_SERVE_ORACLE() -> str:
+    from top_produce_etl_spark.operators.langid import (
+        langid_stored_serve_oracle_sql,
+    )
+
+    return langid_stored_serve_oracle_sql(
+        synthesize_lang_corpus_oracle("documents"),
+        n_buckets=N_BUCKETS, iters=ITERS, lr=LR,
+    )
+
+
+@query(
+    "langid_stored_model_serve", extended=True,
+    oracle=_STORED_SERVE_ORACLE(),
+)
+def langid_stored_model_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stored-model langid serving (round 11 — the production
+    train/serve split as a parquet ARTIFACT, completing the
+    stored-lifecycle triple beside the PQ index and the frozen
+    surprisal cutoffs): train on the even-id slice, SAVE the
+    (lang, bucket, w_micro) weight relation, LOAD it back, score
+    the held-out odd-id slice from the loaded artifact. The
+    confusion census hash-matches the DuckDB twin that re-trains on
+    the even slice in unrolled MATERIALIZED CTEs and scores the odd
+    slice — a lossy save/load (dropped weights, type drift) cannot
+    pass."""
+    import hashlib
+    import os
+    import tempfile
+
+    from top_produce_etl_spark.operators.langid import (
+        load_langid_model,
+        save_langid_model,
+        train_langid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = synthesize_lang_corpus(docs)
+    train = corpus.where(F.col("doc_id") % 2 == 0)
+    held = corpus.where(F.col("doc_id") % 2 == 1)
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"tp_langid_model_{digest}"
+    )
+    save_langid_model(
+        train_langid(train, iters=ITERS, n_buckets=N_BUCKETS, lr=LR),
+        path,
+    )
+    model = load_langid_model(spark, path)
+    scored = score_langid(held, model, n_buckets=N_BUCKETS)
+    out = (
+        scored.join(
+            held.select(
+                F.col("doc_id").alias("id"),
+                F.col("lang").alias("lang_true"),
+            ),
+            "id",
+        )
+        .groupBy("lang_true", "pred_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("z_micro").cast("bigint").alias("sum_z_micro"),
+            F.min("z_micro").cast("bigint").alias("min_z_micro"),
+            F.max("z_micro").cast("bigint").alias("max_z_micro"),
+        )
+    )
+    unpersist_all()
+    return out
