@@ -238,6 +238,9 @@ EXTENSION = [
     "mojibake_repair",           # gated charset inversion (r11)
     "paragraph_dedup_rewrite",   # Dolma paragraph-grain rewrite (r11)
     "langid_stored_model_serve", # parquet-artifact train/serve split (r11)
+    "sft_chat_loss_spans",       # per-turn loss-mask offsets (r11)
+    "video_motion_census",       # frame-diff temporal activity (r11)
+    "compressed_payload_decode", # gzip/zlib sniff+inflate (r11)
     # stream_frozen_buckets_parity is battery-gated, not timed (the
     # streaming-parity house rule: wall measures the harness)
     # audio_frame_energy / video_frame_stats share these two queries'
@@ -489,6 +492,9 @@ PREV_EXT_QUERIES = {
     "mojibake_repair": 0.235,
     "paragraph_dedup_rewrite": 0.713,  # isolated --only, post-close
     "langid_stored_model_serve": 5.89,  # isolated --only, post-close
+    "sft_chat_loss_spans": 0.71,
+    "video_motion_census": 1.429,
+    "compressed_payload_decode": 0.385,
 }
 
 # CPU-second anchors (r7 verdict #5), measured by the round-8
@@ -603,6 +609,9 @@ PREV_CPU: dict[str, float] = {
     "mojibake_repair": 0.36,
     "paragraph_dedup_rewrite": 1.61,  # isolated --only, post-close
     "langid_stored_model_serve": 39.72,  # isolated --only, post-close
+    "sft_chat_loss_spans": 1.91,
+    "video_motion_census": 1.79,
+    "compressed_payload_decode": 0.75,
 }
 
 # Queries whose WALL anchor is seeded from a SINGLE quiet run (r11,
@@ -634,6 +643,9 @@ SINGLE_RUN_ANCHORS: set[str] = {
     "mojibake_repair",
     "paragraph_dedup_rewrite",
     "langid_stored_model_serve",
+    "sft_chat_loss_spans",
+    "video_motion_census",
+    "compressed_payload_decode",
 }
 
 # MUTATOR-CPU anchors (r10, closing the r9 verdict #2 done-criterion):
@@ -795,6 +807,9 @@ PREV_CPU_ADJ: dict[str, float] = {
     "mojibake_repair": 0.27,
     "paragraph_dedup_rewrite": 0.8,
     "langid_stored_model_serve": 35.02,
+    "sft_chat_loss_spans": 0.73,
+    "video_motion_census": 1.66,
+    "compressed_payload_decode": 0.58,
     "robots_compliance_gate": 0.84,
     "sft_chat_render": 0.19,
     "sft_fim_transform": 0.2,

@@ -59,3 +59,27 @@ def test_fim_reconstruction(spark):
         suf, mid = rest.split("<MID>", 1)
         assert pre + mid + suf == "abcdefghijklmnopqrstuvwxyz"
         assert r["n_chars"] == len(t)
+
+
+def test_chat_spans_extract_assistant_content(spark):
+    from top_produce_etl_spark.operators.sft import (
+        chat_assistant_spans,
+        chat_render,
+    )
+
+    turns = spark.createDataFrame(
+        [
+            (1, 0, "system", "sys"),
+            (1, 1, "user", "hello there"),
+            (1, 2, "assistant", "hi! how can I help?"),
+        ],
+        "conv_id bigint, turn_idx int, role string, content string",
+    )
+    spans = chat_assistant_spans(turns).collect()
+    assert all(r["span_text_ok"] for r in spans)
+    text = chat_render(turns).collect()[0]["text"]
+    a = [r for r in spans if r["is_assistant"]][0]
+    assert (
+        text[a["span_start"]:a["span_start"] + a["span_len"]]
+        == "hi! how can I help?"
+    )

@@ -413,3 +413,38 @@ def test_resize_nearest_neighbor_hand_checked(spark):
     assert r["sum_r"] == 2 * (10 + 40 + 70 + 100)
     with _pytest.raises(ValueError):
         resize_image_stats(df, 0, 1)
+
+
+def test_compressed_payload_roundtrip_and_errors(spark):
+    import zlib
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType)
+
+    from top_produce_etl_spark.operators.compress import (
+        decompress_text_stats,
+        synthesize_gzip_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "gzip side"), (1, "zlib side")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["media_id"]: r for r in decompress_text_stats(
+        synthesize_gzip_docs(docs)).collect()}
+    assert rows[0]["codec"] == "gzip" and rows[0]["text"] == "gzip side"
+    assert rows[1]["codec"] == "zlib" and rows[1]["text"] == "zlib side"
+    assert rows[0]["compressed_len"] > 0
+    # corrupt stream fails loudly with the member id
+    bad = zlib.compress(b"x")[:-4]
+    df = spark.createDataFrame(
+        [(7, bytearray(bad))],
+        StructType([
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+        ]),
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="media 7"):
+        decompress_text_stats(df).collect()

@@ -164,3 +164,20 @@ def test_scene_changes_threshold_validates(spark):
     )
     with pytest.raises(ValueError, match="threshold"):
         video_scene_changes(media, threshold=0)
+
+
+def test_motion_census_recovers_boundaries(spark):
+    """Active frames == planted scene boundaries; flicker stays
+    below the threshold."""
+    from top_produce_etl_spark.operators.video import (
+        synthesize_scene_videos,
+        video_motion_stats,
+    )
+
+    ids = spark.range(10).selectExpr("id AS doc_id")
+    for r in video_motion_stats(synthesize_scene_videos(ids)).collect():
+        eid = r["media_id"]
+        sl = eid % 2 + 2
+        nf = (eid % 3) * 3 + 6
+        assert r["n_active_frames"] == -(-nf // sl) - 1
+        assert r["max_frame_motion"] > 10 * r["w"] * r["h"] * 3

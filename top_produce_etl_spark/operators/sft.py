@@ -161,3 +161,107 @@ def fim_oracle_sql(
                AS n_chars
     FROM {table}
     """
+
+
+def chat_assistant_spans(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-turn LOSS-MASK spans for :func:`chat_render`'s template
+    (round 11): SFT training masks the loss to assistant content,
+    so beside the rendered string the pipeline must emit WHERE each
+    turn's content lives in it. Per turn: the 0-based character
+    offset of its content inside the rendered conversation and its
+    length, plus the assistant flag the mask keys on.
+
+    Offsets are pure window arithmetic over the turn order — the
+    cumulative rendered length of all earlier turns plus this
+    turn's header — so both engines derive them without
+    re-rendering, and ``span_text_ok`` verifies in-engine that
+    ``substr(rendered, start+1, len) = content`` for every turn (a
+    drifted template constant cannot pass).
+
+    Output: (conv_col, turn_col, role, span_start, span_len,
+    is_assistant, span_text_ok)."""
+    from pyspark.sql import Window
+
+    header_len = F.lit(len("<|im_start|>")) + F.length(
+        F.col(role_col)
+    ) + F.lit(1)  # trailing newline after the role
+    seg_len = header_len + F.length(F.col(content_col)) + F.lit(
+        len("<|im_end|>\n")
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(seg_len).over(w), F.lit(0)) + header_len
+    spans = turns.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(role_col).alias("role"),
+        start.cast("bigint").alias("span_start"),
+        F.length(F.col(content_col)).cast("bigint").alias("span_len"),
+        (F.col(role_col) == "assistant").alias("is_assistant"),
+        F.col(content_col).alias("__content"),
+    )
+    rendered = chat_render(
+        turns, conv_col, turn_col, role_col, content_col
+    ).select(conv_col, F.col("text").alias("__text"))
+    out = spans.join(rendered, conv_col)
+    ok = (
+        F.expr(
+            "substr(__text, CAST(span_start + 1 AS INT), "
+            "CAST(span_len AS INT))"
+        )
+        == F.col("__content")
+    )
+    return out.select(
+        conv_col, turn_col, "role", "span_start", "span_len",
+        "is_assistant", ok.alias("span_text_ok"),
+    )
+
+
+def chat_spans_oracle_sql(
+    turns_cte: str,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "content",
+) -> str:
+    """DuckDB twin: the same window arithmetic + an ordered
+    string_agg re-render for the substring check."""
+    hl = f"(12 + length({role_col}) + 1)"
+    seg = f"({hl} + length({content_col}) + 11)"  # <|im_end|> + newline
+    return f"""
+    WITH sp_turns AS ({turns_cte}),
+    sp_rendered AS (
+        SELECT {conv_col},
+               string_agg('<|im_start|>' || {role_col} || chr(10)
+                          || {content_col} || '<|im_end|>'
+                          || chr(10), '' ORDER BY {turn_col})
+                   AS rendered
+        FROM sp_turns GROUP BY 1
+    ),
+    sp_spans AS (
+        SELECT {conv_col}, {turn_col}, {role_col} AS role,
+               CAST(COALESCE(SUM({seg}) OVER (
+                   PARTITION BY {conv_col} ORDER BY {turn_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) + {hl}
+                    AS BIGINT) AS span_start,
+               CAST(length({content_col}) AS BIGINT) AS span_len,
+               ({role_col} = 'assistant') AS is_assistant,
+               {content_col} AS c
+        FROM sp_turns
+    )
+    SELECT s.{conv_col}, s.{turn_col}, s.role, s.span_start,
+           s.span_len, s.is_assistant,
+           substr(r.rendered, CAST(s.span_start + 1 AS INT),
+                  CAST(s.span_len AS INT)) = s.c AS span_text_ok
+    FROM sp_spans s JOIN sp_rendered r USING ({conv_col})
+    """

@@ -793,3 +793,115 @@ scene_stats AS (
     FROM sc_ham
     GROUP BY media_id
 )"""
+
+
+MOTION_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("total_motion", LongType()),
+        StructField("max_frame_motion", LongType()),
+        StructField("n_active_frames", IntegerType()),
+    ]
+)
+
+
+def video_motion_stats(
+    media: DataFrame, active_factor: int = 10
+) -> DataFrame:
+    """Temporal-activity signal over a binary AVI column (round 11
+    — the cheap motion filter video curation ranks clips by before
+    any model sees them): per consecutive frame pair the
+    exact-integer sum of absolute byte differences; a frame is
+    ACTIVE when its difference exceeds ``active_factor`` per byte
+    (Σ|Δ| > active_factor·w·h·3). The default 10 clears the
+    fixture's flicker even at its worst: a ±1 offset step wraps
+    255→0 at ~n/256 positions, each contributing 255 instead of 1,
+    so flicker tops out near 2n+254 while scene jumps average ~85
+    per byte. Per clip: total/max motion and
+    the active-frame count, all DuckDB-re-derivable from the
+    fixture's closed form."""
+    if active_factor < 1:
+        raise ValueError("active_factor must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _fps, frames = decode_avi_frames(bytes(content))
+                prev = None
+                total = 0
+                mx = 0
+                active = 0
+                thr = active_factor * w * h * 3
+                for rgb in frames:
+                    v = np.frombuffer(rgb, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        d = int(np.abs(v - prev).sum())
+                        total += d
+                        mx = max(mx, d)
+                        if d > thr:
+                            active += 1
+                    prev = v
+                out.append(
+                    (int(mid), w, h, len(frames), total, mx, active)
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MOTION_STATS_SCHEMA]
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        fn, MOTION_STATS_SCHEMA
+    )
+
+
+def video_motion_oracle_ctes(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    active_factor: int = 10,
+) -> str:
+    """DuckDB CTE chain re-deriving the motion census from
+    :func:`synthesize_scene_videos`' closed form — per (frame,
+    position) the two pixel values and their absolute difference,
+    rolled up per frame then per clip. Ends in ``motion_stats``."""
+    v = (
+        lambda f: f"((eid * 31 + (({f}) // sl) * 97 "
+        f"+ i * (7 + 10 * (({f}) // sl)) + ({f}) % 2) % 256)"
+    )
+    return f"""
+mo_pos AS (
+    SELECT {id_col} AS media_id,
+           CAST({id_col} AS BIGINT) AS eid,
+           CAST({id_col} % 4 + 6 AS INT) AS w,
+           CAST({id_col} % 3 + 4 AS INT) AS h,
+           CAST({id_col} % 2 + 2 AS INT) AS sl,
+           CAST(({id_col} % 3) * 3 + 6 AS INT) AS nf,
+           f, i
+    FROM {table},
+         UNNEST(range(1, ({id_col} % 3) * 3 + 6)) uf(f),
+         UNNEST(range(({id_col} % 4 + 6) * ({id_col} % 3 + 4) * 3))
+             ui(i)
+),
+mo_frame AS (
+    SELECT media_id, w, h, nf, f,
+           SUM(ABS({v('f')} - {v('f - 1')})) AS d
+    FROM mo_pos
+    GROUP BY 1, 2, 3, 4, 5
+),
+motion_stats AS (
+    SELECT media_id,
+           ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+           ANY_VALUE(nf) AS n_frames,
+           CAST(SUM(d) AS BIGINT) AS total_motion,
+           CAST(MAX(d) AS BIGINT) AS max_frame_motion,
+           CAST(SUM(CASE WHEN d > {active_factor} * w * h * 3
+                    THEN 1 ELSE 0 END) AS INT) AS n_active_frames
+    FROM mo_frame
+    GROUP BY media_id
+)"""

@@ -776,3 +776,70 @@ def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return trim_silence_stats(synthesize_padded_audio(docs))
+
+
+# --- Video motion census (round 11) ---
+
+def _MOTION_ORACLE() -> str:
+    from top_produce_etl_spark.operators.video import (
+        video_motion_oracle_ctes,
+    )
+
+    return f"""
+    WITH {video_motion_oracle_ctes('documents')}
+    SELECT * FROM motion_stats
+    """
+
+
+@query("video_motion_census", extended=True, oracle=_MOTION_ORACLE())
+def video_motion_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-activity census (round 11 — the cheap motion filter
+    video curation ranks clips by): exact per-frame absolute byte
+    differences over the planted-scene fixture; flicker frames stay
+    below the active threshold, scene-jump frames land far above,
+    so n_active_frames recovers exactly the planted scene-boundary
+    count — and every integer hash-matches DuckDB's closed-form
+    re-derivation of both frames at every position."""
+    from top_produce_etl_spark.operators.video import (
+        synthesize_scene_videos,
+        video_motion_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_motion_stats(synthesize_scene_videos(docs))
+
+
+# --- Compressed-payload decode (round 11 — operators/compress.py) ---
+
+_GZIP_ORACLE = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'zlib' END
+               AS codec,
+           text,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+"""
+
+
+@query(
+    "compressed_payload_decode", extended=True, oracle=_GZIP_ORACLE
+)
+def compressed_payload_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compressed-payload decode (round 11 — where a real crawl
+    archive starts): every document's text is DEFLATE-compressed by
+    the engine into a per-id container mix (gzip members / raw zlib
+    streams), then sniffed, inflated and UTF-8-decoded back. The
+    oracle asserts the decompressed text equals the planted source
+    byte for byte plus the sniffed codec per container — the
+    round-trip proof; DEFLATE bytes themselves are not (and need
+    not be) SQL-derivable."""
+    from top_produce_etl_spark.operators.compress import (
+        decompress_text_stats,
+        synthesize_gzip_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decompress_text_stats(synthesize_gzip_docs(docs))
+    return out.select("media_id", "codec", "text", "n_chars")

@@ -1851,3 +1851,56 @@ def mojibake_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_repaired",
         F.length("text_repaired").cast("bigint").alias("n_chars"),
     )
+
+
+# --- SFT loss-mask spans (round 11 — operators/sft.py) ---
+
+_SFT_TURNS_SQL = """
+    SELECT (doc_id // 3) AS conv_id,
+           CAST(doc_id % 3 AS INT) AS turn_idx,
+           (['system', 'user', 'assistant'])[
+               CAST(doc_id % 3 AS INT) + 1] AS role,
+           substr(text, 1, 48) AS content
+    FROM documents
+"""
+
+
+def _CHAT_SPANS_ORACLE() -> str:
+    from top_produce_etl_spark.operators.sft import (
+        chat_spans_oracle_sql,
+    )
+
+    return chat_spans_oracle_sql(_SFT_TURNS_SQL)
+
+
+@query(
+    "sft_chat_loss_spans", extended=True,
+    oracle=_CHAT_SPANS_ORACLE(),
+)
+def sft_chat_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn loss-mask spans for the rendered chat template
+    (round 11): SFT masks the loss to assistant content, so the
+    layout stage must emit WHERE each turn's content lives in the
+    rendered string. Offsets are window arithmetic over the turn
+    order; span_text_ok re-extracts every span from the actual
+    rendered text in-engine and must be uniformly true — and the
+    whole relation hash-matches the DuckDB twin that re-renders
+    with ordered string_agg and re-derives the same offsets."""
+    from top_produce_etl_spark.operators.sft import (
+        chat_assistant_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    turns = docs.select(
+        F.expr("doc_id div 3").alias("conv_id"),
+        (i % 3).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(
+                F.lit("system"), F.lit("user"), F.lit("assistant")
+            ),
+            (i % 3).cast("int") + 1,
+        ).alias("role"),
+        F.substring("text", 1, 48).alias("content"),
+    )
+    return chat_assistant_spans(turns)
