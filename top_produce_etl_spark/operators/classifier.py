@@ -155,21 +155,24 @@ def train_quasi_logreg(
     n_docs = docs.count()
     w = {b: 0 for b in range(-1, n_buckets)}  # w_micro, driver-side
     for _ in range(iters):
-        # weights enter as a LITERAL MAP folded into the expression
-        # tree — no broadcast relation, no extra job per iteration
-        w_map = F.create_map(
-            *[
-                lit
-                for b, wm in sorted(w.items())
-                for lit in (F.lit(b), F.lit(wm))
-            ]
+        # weights enter as a LITERAL ARRAY folded into the expression
+        # tree — no broadcast relation, no extra job per iteration.
+        # Array, not map (guide §1.2 "per-task work"): the z fold is
+        # an interpreted higher-order lambda, and element_at on a
+        # literal map LINEAR-SCANS all |buckets|+1 keys per feature
+        # element, while element_at(array, bucket+2) is an O(1)
+        # index (buckets are -1..n_buckets-1 by construction, so
+        # the 1-based offset is bucket+2). Same integer weights,
+        # bit-identical training.
+        w_arr = F.array(
+            *[F.lit(w[b]) for b in range(-1, n_buckets)]
         )
         z = F.aggregate(
             F.col("fx"),
             F.lit(0).cast("bigint"),
             lambda acc, s: acc
             + s.getField("c")
-            * F.element_at(w_map, s.getField("bucket")),
+            * F.element_at(w_arr, s.getField("bucket") + 2),
         )
         per_doc = feats.withColumn("z_micro", z).withColumn(
             "err_micro",

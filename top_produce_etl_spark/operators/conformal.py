@@ -56,10 +56,18 @@ def conformal_intervals(
     n_cal, q_rank) — lo/hi NULL when the finite-sample rank exceeds
     n_cal (see module docstring)."""
     fractions = fractions or _FRACTIONS
-    labeled = assign_split(df, key_col, fractions, salt).select(
-        *group_cols,
-        F.expr(value_sql).cast("decimal(28,6)").alias("__y"),
-        "split",
+    # labeled feeds BOTH the train aggregate and the calibration
+    # slice (single-file fixture scans are one task — guide §2.5/§6:
+    # the split-hash CASE is the expensive map-side work here, and
+    # unpersisted it is re-evaluated once per consumer tower).
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    labeled = persist_tracked(
+        assign_split(df, key_col, fractions, salt).select(
+            *group_cols,
+            F.expr(value_sql).cast("decimal(28,6)").alias("__y"),
+            "split",
+        )
     )
     train = (
         labeled.where(F.col("split") == "train")
@@ -74,21 +82,33 @@ def conformal_intervals(
     cal = labeled.where(F.col("split") == "cal").join(
         train, group_cols
     )
+    # pred/n_train ride along on the calibration rows (constant per
+    # group after the train join) so the final report needs NO second
+    # join back onto train — the old shape re-built the whole
+    # labeled→train aggregation tower a second time just to re-fetch
+    # them (one more scan of df + one more exchange; guide §2.4).
     resid = cal.select(
         *group_cols,
         F.abs(F.col("__y").cast("double") - F.col("pred")).alias("__r"),
+        "pred",
+        "n_train",
     )
     w = Window.partitionBy(*group_cols).orderBy(F.col("__r").asc())
-    ranked = resid.withColumn("__rn", F.row_number().over(w))
-    counts = resid.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_cal")
+    # n_cal as an unbounded COUNT window over the SAME partition keys
+    # as the row_number — one exchange+sort serves both, instead of a
+    # separate per-group aggregate plus a resid-sized join back (the
+    # old shape re-derived resid — itself cal⋈train — a second time;
+    # guide §2.4 "two operations keyed the same way share one
+    # exchange"). Same per-group row count, bit-identical output.
+    ranked = resid.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "n_cal",
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols)),
     )
     # rank = ceil((n_cal + 1) * (1 - alpha)), computed in-plan so the
     # per-group calibration sizes never cross the driver
     rank = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("int")
     picked = (
-        ranked.join(counts, group_cols)
-        .withColumn("__qrank", rank)
+        ranked.withColumn("__qrank", rank)
         .groupBy(*group_cols)
         .agg(
             F.max(
@@ -98,20 +118,19 @@ def conformal_intervals(
             ).alias("qhat"),
             F.max("n_cal").alias("n_cal"),
             F.max("__qrank").alias("q_rank"),
+            F.max("pred").alias("pred"),
+            F.max("n_train").alias("n_train"),
         )
     )
-    return (
-        train.join(picked, group_cols)
-        .select(
-            *group_cols,
-            "pred",
-            "qhat",
-            (F.col("pred") - F.col("qhat")).alias("lo"),
-            (F.col("pred") + F.col("qhat")).alias("hi"),
-            "n_train",
-            "n_cal",
-            "q_rank",
-        )
+    return picked.select(
+        *group_cols,
+        "pred",
+        "qhat",
+        (F.col("pred") - F.col("qhat")).alias("lo"),
+        (F.col("pred") + F.col("qhat")).alias("hi"),
+        "n_train",
+        "n_cal",
+        "q_rank",
     )
 
 

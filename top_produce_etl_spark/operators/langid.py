@@ -261,19 +261,22 @@ def train_langid(
     for _ in range(iters):
         per_doc = feats
         for li in range(len(langs)):
-            w_map = F.create_map(
-                *[
-                    lit
-                    for b in range(-1, n_buckets)
-                    for lit in (F.lit(b), F.lit(w[(li, b)]))
-                ]
+            # literal ARRAY, not map: element_at on a literal map
+            # linear-scans all |buckets|+1 keys per feature element
+            # inside the interpreted fold; the array index is O(1)
+            # (buckets -1..n_buckets-1 → 1-based offset bucket+2).
+            # Same integer weights — training stays bit-identical
+            # to the unrolled DuckDB oracle (guide §1.2 per-task
+            # work; measured in OPTIMIZATION_r11.md).
+            w_arr = F.array(
+                *[F.lit(w[(li, b)]) for b in range(-1, n_buckets)]
             )
             z = F.aggregate(
                 F.col("fx"),
                 F.lit(0).cast("bigint"),
                 lambda acc, s: acc
                 + s.getField("c")
-                * F.element_at(w_map, s.getField("bucket")),
+                * F.element_at(w_arr, s.getField("bucket") + 2),
             )
             per_doc = per_doc.withColumn(f"__z{li}", z).withColumn(
                 f"__e{li}",
@@ -509,13 +512,18 @@ def score_langid_expr(
     hash_g = portable_hash_spark_sql("g")
     zs = []
     for s in langs:
-        pairs = ", ".join(
-            f"{b}, {w.get((s, b), 0)}L" for b in range(-1, n_buckets)
+        # literal ARRAY lookup (O(1) index) instead of a literal
+        # map (O(n_buckets) key scan per gram inside the fold);
+        # only buckets 0..n_buckets-1 are reachable here (the hash
+        # is %-reduced), so the 1-based index is bucket+1. Same
+        # weights — scoring stays bit-identical.
+        weights = ", ".join(
+            f"{w.get((s, b), 0)}L" for b in range(n_buckets)
         )
         z = (
             f"{w.get((s, BIAS_BUCKET), 0)}L + aggregate({grams}, 0L, "
-            f"(acc, g) -> acc + element_at(map({pairs}), "
-            f"CAST(({hash_g}) % {n_buckets} AS INT)))"
+            f"(acc, g) -> acc + element_at(array({weights}), "
+            f"CAST(({hash_g}) % {n_buckets} AS INT) + 1))"
         )
         zs.append(F.expr(z).alias(f"__z_{s}"))
     scored = docs.select(

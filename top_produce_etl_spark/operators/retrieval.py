@@ -422,6 +422,15 @@ def bigram_cond_surprisal(
     tf = bg.groupBy(id_col, "bigram").agg(
         F.count(F.lit(1)).alias("bfreq")
     ).withColumn("prefix", F.split("bigram", " ")[0])
+    # tf feeds THREE subtrees (cbg rollup, cpf rollup, the scoring
+    # join) and Catalyst does not share them — the plan re-explodes
+    # and re-aggregates the corpus once per consumer (verified in
+    # plans/r11/bigram_surprisal_scores_before.txt: three parallel
+    # Scan→Generate→HashAggregate towers). Persist it once, same as
+    # unigram_surprisal (guide §2.4 — remove repeated passes).
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    tf = persist_tracked(tf)
     cb = tf.groupBy("bigram").agg(F.sum("bfreq").alias("cbg"))
     cp = tf.groupBy("prefix").agg(F.sum("bfreq").alias("cpf"))
 
