@@ -174,6 +174,38 @@ def load_star(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
     return {t: load_table(spark, sf_dir, t) for t in tables}
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Restore parallelism after an UNSPLITTABLE narrow scan.
+
+    A single-row-group parquet file (or a gzip text file) scans as
+    ONE task no matter how many cores the cluster has, serializing
+    every downstream map-side expression until the first exchange
+    (guide §2.5 "input skew": fix at the source if you can,
+    otherwise repartition immediately after the read). This helper
+    is that repartition, made SCALE-ADAPTIVE instead of a local
+    constant:
+
+    - the target is the scheduler's ``defaultParallelism`` (the
+      core count on local[k] — so the driver's lower-core bench run
+      fans out to ITS width, not ours), overridable per call;
+    - it is a NO-OP whenever the plan already has at least that many
+      partitions — at production scale a 100 TB table scans as
+      thousands of splits and this never fires, so the round-robin
+      exchange (a few MB here) is never paid where it would hurt.
+
+    Only apply where downstream results are partitioning-invariant —
+    the repo-wide determinism contract for every oracle-checked
+    operator (exact decimal/integer accumulation, row-local doubles,
+    rank/tiebreak ordering) — which is what makes the rewrite
+    output-identical.
+    """
+    sc = df.sparkSession.sparkContext
+    target = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def read_table_evolved(
     spark: SparkSession,
     path: str,

@@ -513,8 +513,15 @@ def k_center_select(
         keyed = f"concat('{sample_salt}', CAST({id_col} AS STRING))"
         pts = pts.where(composite_hash_col(keyed) % sample_mod == 0)
     # the greedy loop re-reads the pool k times — persist it via the
-    # house registry (callers release with unpersist_all)
-    pts = persist_tracked(pts)
+    # house registry (callers release with unpersist_all), fanned out
+    # first: the per-round distance scan is pure map-side work and a
+    # one-row-group fixture file scans as ONE task (guide §2.5);
+    # distances are row-local against literal centers and each pick
+    # is an exact (distance DESC, id ASC) TakeOrdered, so placement
+    # cannot change the selection
+    from top_produce_etl_spark.io.sources import fan_out
+
+    pts = persist_tracked(fan_out(pts))
     seed_rows = pts.orderBy(F.col(id_col).asc()).limit(1).collect()
     if not seed_rows:
         raise ValueError(

@@ -121,7 +121,7 @@ def normalized_exact_dedup(
 
 
 def shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, fan: bool = False
 ) -> DataFrame:
     """Per-doc shingle SET as one narrow row: (id, sset
     array<string>). ``array_distinct`` deduplicates within the row,
@@ -136,6 +136,18 @@ def shingle_sets(
     per doc (functions.text.shingles_of note; measured 2.8× here)."""
     from top_produce_etl_spark.functions.text import shingles_of, tokens
 
+    # fan=True parallelizes the shingling when the source scans as
+    # ONE task (one-row-group fixture files — guide §2.5); per-doc
+    # shingle sets are row-local so placement is output-invariant.
+    # Opt-in per consumer: the 64-min-hash signature aggregate wins
+    # from it (minhash_lsh_pairs 1.85→1.48 s isolated), while the
+    # exact inverted-index self-join path measured WORSE fanned
+    # (ngram_jaccard_pairs 1.0→1.4 s wall, 2.1→12.8 CPU-s), so the
+    # exact path keeps the narrow scan.
+    if fan:
+        from top_produce_etl_spark.io.sources import fan_out
+
+        df = fan_out(df)
     toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     return toked.select(
         F.col(id_col),
@@ -335,7 +347,7 @@ def minhash_signatures(
     per-element eval. The aggregate's map-side partial combine means
     the one shuffle carries |docs| signature rows, not |shingles|
     rows — the right trade at any scale."""
-    sh = shingle_sets(df, id_col, text_col, k).select(
+    sh = shingle_sets(df, id_col, text_col, k, fan=True).select(
         F.col(id_col), F.explode("sset").alias("shingle")
     )
     mins = [
@@ -363,7 +375,7 @@ def minhash_signature_index(
     per corpus, append one batch's worth per ingest, and
     :func:`incremental_neardup` joins new batches against it without
     ever re-shingling the historical corpus."""
-    sh = shingle_sets(df, id_col, text_col, k).select(
+    sh = shingle_sets(df, id_col, text_col, k, fan=True).select(
         F.col(id_col), F.explode("sset").alias("shingle")
     )
     mins = [

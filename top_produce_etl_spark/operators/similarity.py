@@ -88,6 +88,8 @@ def cosine_topk_bruteforce(
     oracle-exact decimal dot for the codegen'd double fast path
     (same neighbor sets on this fixture — recall-gated in tests).
     """
+    from top_produce_etl_spark.io.sources import fan_out
+
     dot = dot_fn(scoring)
     # Norms are hoisted out of the pair expression: computed once per
     # row (|Q|+|C| folds) instead of once per pair (2·|Q|·|C|)
@@ -96,8 +98,15 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).withColumn("__qn", F.sqrt(dot(F.col("__qv"), F.col("__qv"))))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    # fan_out: the |C|·|Q| scoring work runs in the CORPUS scan's
+    # tasks (queries are broadcast) — a one-row-group fixture file
+    # scans as one task and serializes the whole scoring pass
+    # (guide §2.5). Decimal dots are exact and double dots are
+    # row-local folds, so placement cannot change any score.
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
     ).withColumn("__cn", F.sqrt(dot(F.col("__cv"), F.col("__cv"))))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")

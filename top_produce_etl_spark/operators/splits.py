@@ -165,7 +165,14 @@ def weighted_reservoir(
     u = (composite_hash_col(keyed_sql) + 1).cast("double") / F.lit(_U_SCALE)
     w = F.col(weight_col).cast("double")
     r = F.log(u) / w
-    kept = df.filter(w.isNotNull() & (w > 0)).withColumn("__r", r)
+    # fan_out: the salted-hash race key is the heavy map-side work
+    # and runs in the scan's tasks — a one-row-group fixture file
+    # scans as ONE task (guide §2.5). r is row-local, the window /
+    # TakeOrdered pick is an exact comparison with a key tiebreak,
+    # so placement cannot change the sample. No-op on wide scans.
+    from top_produce_etl_spark.io.sources import fan_out
+
+    kept = fan_out(df.filter(w.isNotNull() & (w > 0))).withColumn("__r", r)
     if group_cols:
         from pyspark.sql import Window
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from top_produce_etl_spark.io.sources import load_table
+from top_produce_etl_spark.io.sources import fan_out, load_table
 from top_produce_etl_spark.queries import query
 
 
@@ -268,12 +268,21 @@ def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one aggregation pass per side, |cols|-row join). The exact-NDV
     oracle pins the report; approx_count_distinct is the documented
     100 TB path with the same shape."""
+    from top_produce_etl_spark.operators._cache import persist_tracked
     from top_produce_etl_spark.operators.profiling import profile_drift
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-        "o_orderdate", "o_orderpriority",
+    # the two snapshot sides are date-filters of the SAME projection;
+    # unpersisted each side's profile tower re-scans the table, and a
+    # one-row-group fixture file scans on ONE task — persist the
+    # fanned-out projection so both Expand/agg towers read a
+    # parallel cache (guide §2.4/§2.5; counts/NDV/min-max are
+    # placement-invariant)
+    orders = persist_tracked(
+        fan_out(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
     )
     cut = F.lit(f"{_PROFILE_SPLIT} 00:00:00").cast("timestamp")
     return profile_drift(
@@ -306,12 +315,18 @@ def orders_profile_drift_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra exact-NDV pass at battery/bench time — the production
     OPERATOR stays single-pass; the flags are the verification
     harness, not the pipeline)."""
+    from top_produce_etl_spark.operators._cache import persist_tracked
     from top_produce_etl_spark.operators.profiling import profile_drift
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-        "o_orderdate", "o_orderpriority",
+    # FOUR profile towers (fast+exact × old+new) share this
+    # projection — persist it once, fanned out (see
+    # orders_profile_drift)
+    orders = persist_tracked(
+        fan_out(load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority",
+        )
     )
     cut = F.lit(f"{_PROFILE_SPLIT} 00:00:00").cast("timestamp")
     old = orders.where(F.col("o_orderdate") < cut)
