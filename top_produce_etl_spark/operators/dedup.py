@@ -139,11 +139,12 @@ def shingle_sets(
     # fan=True parallelizes the shingling when the source scans as
     # ONE task (one-row-group fixture files — guide §2.5); per-doc
     # shingle sets are row-local so placement is output-invariant.
-    # Opt-in per consumer: the 64-min-hash signature aggregate wins
-    # from it (minhash_lsh_pairs 1.85→1.48 s isolated), while the
-    # exact inverted-index self-join path measured WORSE fanned
-    # (ngram_jaccard_pairs 1.0→1.4 s wall, 2.1→12.8 CPU-s), so the
-    # exact path keeps the narrow scan.
+    # Opt-in and currently unused by the shipped queries: fanning the
+    # exact inverted-index path measured WORSE (ngram_jaccard_pairs
+    # 1.0→1.4 s wall, 2.1→12.8 CPU-s) and the min-hash signature path
+    # read as noise across interleaved A/B runs (OPTIMIZATION_r11.md
+    # negative results), so every shipped consumer keeps the narrow
+    # scan; the seam stays for wider synthetic pools.
     if fan:
         from top_produce_etl_spark.io.sources import fan_out
 
@@ -347,7 +348,7 @@ def minhash_signatures(
     per-element eval. The aggregate's map-side partial combine means
     the one shuffle carries |docs| signature rows, not |shingles|
     rows — the right trade at any scale."""
-    sh = shingle_sets(df, id_col, text_col, k, fan=True).select(
+    sh = shingle_sets(df, id_col, text_col, k).select(
         F.col(id_col), F.explode("sset").alias("shingle")
     )
     mins = [
@@ -375,7 +376,7 @@ def minhash_signature_index(
     per corpus, append one batch's worth per ingest, and
     :func:`incremental_neardup` joins new batches against it without
     ever re-shingling the historical corpus."""
-    sh = shingle_sets(df, id_col, text_col, k, fan=True).select(
+    sh = shingle_sets(df, id_col, text_col, k).select(
         F.col(id_col), F.explode("sset").alias("shingle")
     )
     mins = [
