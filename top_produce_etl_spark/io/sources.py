@@ -198,9 +198,19 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     operator (exact decimal/integer accumulation, row-local doubles,
     rank/tiebreak ordering) — which is what makes the rewrite
     output-identical.
+
+    Apply directly above a scan / narrow plan only: the partition
+    probe converts the plan to an RDD, which is unsupported under
+    Spark Connect and — with AQE — eagerly materializes any upstream
+    query stages (shuffle/broadcast subtrees would execute at
+    plan-build time; harmless inside one query's run, but the probe
+    is not free there). Every shipped call site sits on a narrow
+    projection over a scan or an already-persisted relation.
     """
+    if partitions is not None and partitions < 1:
+        raise ValueError(f"partitions must be >= 1, got {partitions}")
     sc = df.sparkSession.sparkContext
-    target = partitions or sc.defaultParallelism
+    target = partitions if partitions is not None else sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -44,9 +44,19 @@ def pair_rules(
         raise ValueError(
             f"min_pair_count must be >= 1, got {min_pair_count}"
         )
-    bi = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    # bi feeds FOUR consumers (items, the 1-row total, and both
+    # self-join sides); unpersisted, Spark re-executes the
+    # scan→project→distinct tower per consumer (no cross-subtree
+    # reuse — guide §2.4). Persisted via the house registry; callers
+    # release with unpersist_all after materializing (dedup.py
+    # contract).
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    bi = persist_tracked(
+        df.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        ).distinct()
+    )
     items = bi.groupBy(F.col("i").alias("item")).agg(
         F.count(F.lit(1)).alias("n_item")
     )

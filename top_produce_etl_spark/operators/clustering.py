@@ -530,23 +530,57 @@ def k_center_select(
             "lower it or pass sample_mod=None)"
         )
     first = seed_rows[0]
-    cents: list[tuple[int, list[float]]] = [
-        (0, [round(float(x), 6) for x in first[vec_col]])
-    ]
+
+    def _dist_to(cvec: list[float]) -> Column:
+        # same arithmetic as _dist_structs' inner fold, against ONE
+        # literal center (no broadcast attach needed): per-element
+        # (x - y)² zipped then left-fold summed — bit-identical to
+        # the element of the old array_min that this center
+        # contributed
+        carr = F.array(*[F.lit(float(v)) for v in cvec])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                carr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cvec = [round(float(x), 6) for x in first[vec_col]]
     rows = [(0, first[id_col], 0.0)]
+    # INCREMENTAL Gonzalez (guide §2.4 "don't recompute what you
+    # already have"): carry each point's distance-to-cover __d and
+    # per round min it against ONLY the newest center —
+    # min(min(d₀..d₋₁), d_new) = min(d₀..d_new) exactly (doubles,
+    # no NaN: sums of squares), so every pick and radius is
+    # bit-identical to the full recompute the oracle unrolls, at
+    # O(n·k) distance folds instead of O(n·k²). Each round's state
+    # is persisted (the TakeOrdered pick materializes it) and the
+    # previous round's released eagerly — ≤2 pool-sized caches live.
+    state = pts.select(
+        F.col(id_col), F.col(vec_col), _dist_to(cvec).alias("__d")
+    )
+    prev = None
     for r in range(1, k):
-        d = F.array_min(_dist_structs(vec_col)).getField("d")
+        state = persist_tracked(state)
         cand = (
-            _attach_cents(pts, vec_col, cents)
-            .select(F.col(id_col), F.col(vec_col), d.alias("__d"))
-            .orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            state.orderBy(F.col("__d").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()[0]
         )
-        cents.append(
-            (r, [round(float(x), 6) for x in cand[vec_col]])
-        )
+        if prev is not None:
+            prev.unpersist()
+        prev = state
+        cvec = [round(float(x), 6) for x in cand[vec_col]]
         rows.append((r, cand[id_col], round(float(cand["__d"]), 6)))
+        if r < k - 1:
+            state = state.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.least(F.col("__d"), _dist_to(cvec)).alias("__d"),
+            )
     return df.sparkSession.createDataFrame(
         rows, schema=f"sel_round int, {id_col} bigint, radius double"
     )

@@ -54,7 +54,12 @@ def conformal_intervals(
     """Per-group split-conformal interval around the train-mean
     predictor. Output: group cols + (pred, qhat, lo, hi, n_train,
     n_cal, q_rank) — lo/hi NULL when the finite-sample rank exceeds
-    n_cal (see module docstring)."""
+    n_cal (see module docstring).
+
+    Caching side effect: the salted-split relation is persisted via
+    the house registry (it feeds two consumers); callers must
+    release with ``operators._cache.unpersist_all()`` after
+    materializing the result — the dedup.py contract."""
     fractions = fractions or _FRACTIONS
     # labeled feeds BOTH the train aggregate and the calibration
     # slice (single-file fixture scans are one task — guide §2.5/§6:

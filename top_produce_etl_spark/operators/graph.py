@@ -353,11 +353,24 @@ def count_triangles(
     count comes free from the first join and gives the global
     clustering coefficient 3·triangles/wedges downstream.
     """
-    e = edges.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).distinct()
+    # e feeds FOUR consumers (both wedge-join sides, the closing
+    # join side, and the edge count) and `edges` is typically an
+    # expensive upstream tower (pair_rules' basket self-join);
+    # wedges feeds TWO (its count and the closing join).
+    # Unpersisted, Spark re-executes each tower per consumer (guide
+    # §2.4) — persist via the house registry; callers release with
+    # unpersist_all after materializing (dedup.py contract).
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    e = persist_tracked(
+        edges.select(
+            F.col(a_col).alias("a"), F.col(b_col).alias("b")
+        ).distinct()
+    )
     e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    wedges = e.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    wedges = persist_tracked(
+        e.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    )
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tris = wedges.join(
         e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))

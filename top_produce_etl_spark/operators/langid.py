@@ -221,9 +221,18 @@ def train_langid(
     iters: int = 3,
     lr: tuple[int, int] = (1, 4),
     hash_mode: str = "portable",
+    feats_out: list | None = None,
 ) -> DataFrame:
     """Train all |langs| one-vs-rest heads in one loop; returns the
     model relation (lang, bucket, w_micro), bucket −1 the bias.
+
+    ``feats_out``: pass a list to receive the PERSISTED per-doc
+    feature relation (id, fx: array<struct<bucket,c>>, y_idx) this
+    trainer builds — a scoring pass over the SAME docs can explode
+    ``fx`` back to (id, bucket, c) instead of re-deriving the
+    char-n-gram features from the corpus (one corpus scan + hash
+    saved; see queries/langid_q.py::langid_confusion). Lives until
+    the caller's unpersist_all.
 
     Per iteration: ONE scan of the persisted per-doc feature arrays
     (every head's z and error computed map-side from literal weight
@@ -252,6 +261,8 @@ def train_langid(
             "id",
         )
     )
+    if feats_out is not None:
+        feats_out.append(feats)
     n_docs = docs.count()
     w = {
         (li, b): 0
@@ -325,13 +336,24 @@ def score_langid(
     n: int = 3,
     n_buckets: int = 64,
     hash_mode: str = "portable",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, pred_lang, z_micro): every head scored in ONE broadcast
     join + ONE per-doc aggregate with |langs| conditional sums;
     argmax via array_min over (−z, lang) structs — deterministic
     (highest z, ties to the lexicographically first language), pure
-    column expressions, no second shuffle."""
-    feats = _char_features(docs, id_col, text_col, n, n_buckets, hash_mode)
+    column expressions, no second shuffle.
+
+    ``feats``: optional precomputed (id, bucket, c) feature relation
+    for the SAME docs/n/n_buckets/hash_mode — e.g. the trainer's
+    persisted per-doc arrays exploded back to rows — so the scoring
+    pass skips re-deriving the char-n-gram features from the corpus
+    (guide §2.4: don't recompute what a sibling pass already
+    materialized). When omitted, features derive from ``docs``."""
+    if feats is None:
+        feats = _char_features(
+            docs, id_col, text_col, n, n_buckets, hash_mode
+        )
     zs = (
         feats.join(F.broadcast(model), "bucket")
         .groupBy("id")

@@ -398,6 +398,11 @@ def bigram_cond_surprisal(
 
     Output: (id_col, n_bigrams, cond_info_micro,
     mean_cond_info_micro).
+
+    Caching side effect: the (doc, bigram) tf relation is persisted
+    via the house registry (it feeds three subtrees); callers must
+    release with ``operators._cache.unpersist_all()`` after
+    materializing the result — the dedup.py contract.
     """
     toks = _tokens(text_col)
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(1))

@@ -122,9 +122,17 @@ def audience_overlap(
     """
     from top_produce_etl_spark.operators.joins import maybe_broadcast
 
-    gm = df.select(
-        F.col(group_col).alias("g"), F.col(member_col).alias("m")
-    ).distinct()
+    # gm feeds THREE consumers (sizes + both self-join sides);
+    # unpersisted, the scan→project→distinct tower re-executes per
+    # consumer (guide §2.4). House registry; callers release with
+    # unpersist_all after materializing (dedup.py contract).
+    from top_produce_etl_spark.operators._cache import persist_tracked
+
+    gm = persist_tracked(
+        df.select(
+            F.col(group_col).alias("g"), F.col(member_col).alias("m")
+        ).distinct()
+    )
     sizes = gm.groupBy(F.col("g").alias("grp")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -79,9 +79,34 @@ def assign_split(
     salt: str = "split-v1",
     out: str = "split",
 ) -> DataFrame:
-    """Attach the deterministic split label."""
+    """Attach the deterministic split label.
+
+    STAGED, not inlined: the hash bucket is computed once in its own
+    projection and the threshold CASE references the column. The
+    single-expression form (:func:`split_column`) textually repeats
+    the polynomial hash in every CASE branch, and Spark's
+    common-subexpression elimination does not fire across
+    conditionally-evaluated branches (the r11 negative-result
+    finding), so a 3-way split paid the 40-term hash twice per row.
+    A bucket alias referenced more than once is non-cheap, so it
+    survives CollapseProject and materializes once per row. Labels
+    are a pure function of the bucket — output is bit-identical."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
-    return df.withColumn(out, split_column(key_col, fractions, salt))
+    _check_safe(salt, key_col)
+    tmp = f"__bucket_{out}"
+    if tmp in df.columns:
+        raise ValueError(f"assign_split: column {tmp!r} is reserved")
+    keyed_sql = f"concat('{salt}', CAST({key_col} AS STRING))"
+    bucket = composite_hash_col(keyed_sql) % BUCKETS
+    cases = _thresholds(fractions)
+    label: Column = F.lit(cases[-1][0])
+    for name, hi in reversed(cases[:-1]):
+        label = F.when(F.col(tmp) < hi, F.lit(name)).otherwise(label)
+    return (
+        df.withColumn(tmp, bucket)
+        .withColumn(out, label)
+        .drop(tmp)
+    )
 
 
 def assign_fold(

@@ -189,16 +189,30 @@ def curation_funnel(
         predict_lang,
         quality_score,
     )
+    from top_produce_etl_spark.io.sources import fan_out
+    from top_produce_etl_spark.operators._cache import persist_tracked
     from top_produce_etl_spark.operators.retrieval import unigram_surprisal
 
-    sup = unigram_surprisal(df, id_col, text_col).select(
+    # The corpus projection feeds THREE subtrees (surprisal explode,
+    # repetition stats, lang/quality signals), each heavy map-side
+    # work that would otherwise re-run the scan per subtree — and a
+    # one-row-group fixture file scans as ONE task, serializing all
+    # of it on one core (guide §2.4 + §2.5). Fan out (scale-gated
+    # no-op on wide scans) and persist once via the house registry
+    # (callers release with unpersist_all — the dedup.py contract).
+    # Placement-invariant: every signal is row-local, the surprisal
+    # aggregates are keyed integer sums, and the id joins are exact.
+    src = persist_tracked(
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+    )
+    sup = unigram_surprisal(src, id_col, text_col).select(
         id_col, "mean_info_micro"
     )
-    rep = repetition_stats(df, id_col, text_col, ngram=ngram).select(
+    rep = repetition_stats(src, id_col, text_col, ngram=ngram).select(
         F.col(id_col), F.col(f"dup_{ngram}gram_frac").alias("__dupfrac")
     )
     sig = (
-        df.select(
+        src.select(
             F.col(id_col),
             predict_lang(text_col).alias("__plang"),
             quality_score(text_col).alias("__quality"),

@@ -931,14 +931,26 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from top_produce_etl_spark.operators.joins import maybe_broadcast
 
+    from top_produce_etl_spark.io.sources import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
     comp = connected_components(pairs)
     losers = comp.filter(F.col("id") != F.col("rep_id")).select(
         F.col("id").alias("doc_id")
     )
+    # fan out the anti-join's CORPUS side before persisting: the
+    # persisted survivor relation inherits its partitioning, and a
+    # one-row-group fixture file scans as ONE task — unfanned, every
+    # strip-stage map pass (tokenize, shingle, span filter) would
+    # serialize on one core (guide §2.5). Fanned on the bare scan
+    # only (narrow plan — the fan_out probe contract); the pair/
+    # component side keeps the narrow scan (fanning the shingle tier
+    # measured WORSE, r11 negative result #2). Span detection groups
+    # by shingle/doc and the strip is row-local — placement cannot
+    # change output.
     surv = _persist(
-        docs.join(maybe_broadcast(losers), "doc_id", "left_anti")
+        fan_out(docs).join(maybe_broadcast(losers), "doc_id", "left_anti")
     )
     return strip_duplicate_spans(surv, "doc_id", "text", k=8, min_docs=2)
 

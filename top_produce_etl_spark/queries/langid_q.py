@@ -78,10 +78,24 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure, pinned by the oracle."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = synthesize_lang_corpus(docs)
+    # the trainer's persisted per-doc feature arrays hold the exact
+    # (id, bucket, c) rows the scoring pass needs — explode them
+    # instead of re-deriving _char_features from the corpus (one
+    # corpus scan + n-gram hash pass saved; guide §2.4)
+    cap: list = []
     model = train_langid(
-        corpus, iters=ITERS, n_buckets=N_BUCKETS, lr=LR
+        corpus, iters=ITERS, n_buckets=N_BUCKETS, lr=LR, feats_out=cap
     )
-    scored = score_langid(corpus, model, n_buckets=N_BUCKETS)
+    feats_raw = cap[0].select(
+        "id", F.explode("fx").alias("__s")
+    ).select(
+        "id",
+        F.col("__s.bucket").alias("bucket"),
+        F.col("__s.c").alias("c"),
+    )
+    scored = score_langid(
+        corpus, model, n_buckets=N_BUCKETS, feats=feats_raw
+    )
     out = (
         scored.join(
             corpus.select(

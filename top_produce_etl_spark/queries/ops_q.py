@@ -278,11 +278,11 @@ def orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallel cache (guide §2.4/§2.5; counts/NDV/min-max are
     # placement-invariant)
     orders = persist_tracked(
-        fan_out(load_table(spark, sf_dir, "orders")).select(
+        fan_out(load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus",
             F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
             "o_orderdate", "o_orderpriority",
-        )
+        ))
     )
     cut = F.lit(f"{_PROFILE_SPLIT} 00:00:00").cast("timestamp")
     return profile_drift(
@@ -322,11 +322,11 @@ def orders_profile_drift_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection — persist it once, fanned out (see
     # orders_profile_drift)
     orders = persist_tracked(
-        fan_out(load_table(spark, sf_dir, "orders")).select(
+        fan_out(load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus",
             F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
             "o_orderdate", "o_orderpriority",
-        )
+        ))
     )
     cut = F.lit(f"{_PROFILE_SPLIT} 00:00:00").cast("timestamp")
     old = orders.where(F.col("o_orderdate") < cut)
